@@ -1,24 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Integrity rules (VERDICT r1 "What's wrong" #3/#4):
+  *  - a failed query is recorded as `-1` in `queries` and named in
+  *    `"errors"` — an exception's elapsed time is never published as a
+  *    timing;
+  *  - results are fully materialized through the `noop` sink (a bare
+  *    `count()` lets Catalyst prune columns and drop sorts, under-measuring
+  *    the real query).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session (first-job startup cost otherwise lands on one query).
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Left(e.getClass.getSimpleName)
+        }
+      name -> outcome
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map {
+      case (k, Right(sec)) => s""""$k":$sec"""
+      case (k, Left(_))    => s""""$k":-1"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(s)) => s }.sum
+    val nOk = results.count(_._2.isRight)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (nOk < names.size) sys.exit(1)
   }
 }

