@@ -1,0 +1,67 @@
+package graft.cdc
+
+/** Per-table configuration resolution (reference
+  * `/root/reference/src/main/java/org/apache/spark/sql/hudi/commands/BinlogSyncHoodieCommand.scala:128-139`
+  * prefix maps, `:160-168` path templating, `:99-102` validation).
+  *
+  * Options are flat `Map[String, String]`:
+  *  - `<db>.<table>.recordkey.field` — comma-separated composite key fields
+  *    (required; mirrors `hoodie.datasource.write.recordkey.field`).
+  *  - `<db>.<table>.path` — explicit table path (optional).
+  *  - `option.lake.path` — path template with `{db}`/`{table}` placeholders,
+  *    used when no explicit path is set (mirrors `option.hoodie.path`).
+  *  - `<db>.<table>.transformer.sql` — optional `<SRC>` SQL transform
+  *    (mirrors `hoodie.transformer.sql`).
+  *  - `<db>.<table>.timestampFormat` — payload timestamp format override.
+  *  - `<db>.<table>.buckets` — LakeTable bucket count (scale knob).
+  */
+final case class TableConfig(
+    db: String,
+    table: String,
+    recordKeyFields: Seq[String],
+    path: String,
+    transformerSql: Option[String],
+    timestampFormat: String,
+    numBuckets: Int)
+
+object TableConfig {
+
+  val PathTemplateKey = "option.lake.path"
+  val DbPlaceholder = "{db}"
+  val TablePlaceholder = "{table}"
+  val RecordKeySuffix = "recordkey.field"
+  val DefaultNumBuckets = 16
+
+  /** Resolve config for one `(db, table)`; throws with the reference's
+    * error shapes when required pieces are missing (`:130`, `:165-166`,
+    * `:253-255`).
+    */
+  def resolve(options: Map[String, String], db: String, table: String): TableConfig = {
+    val prefix = s"$db.$table."
+    val scoped = options.collect {
+      case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+    }
+    val keyFieldKey = s"$prefix$RecordKeySuffix"
+    val recordKeys = scoped.getOrElse(
+      RecordKeySuffix,
+      throw new IllegalArgumentException(s"config [$keyFieldKey] must be required!"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (recordKeys.isEmpty)
+      throw new IllegalArgumentException(s"config [$keyFieldKey] must be non-empty!")
+
+    val path = scoped.get("path").orElse(
+      options.get(PathTemplateKey)
+        .map(_.replace(DbPlaceholder, db).replace(TablePlaceholder, table)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table [$db.$table] path is empty, $PathTemplateKey must be required!"))
+
+    TableConfig(
+      db = db,
+      table = table,
+      recordKeyFields = recordKeys,
+      path = path,
+      transformerSql = scoped.get("transformer.sql").filter(_.nonEmpty),
+      timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
+      numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets))
+  }
+}

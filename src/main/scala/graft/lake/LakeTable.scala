@@ -1,0 +1,350 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Copy-on-write lake table over Parquet — the engine's replacement for the
+  * Hudi tables the reference writes into
+  * (`/root/reference/src/main/java/org/apache/spark/sql/hudi/commands/BinlogSyncHoodieCommand.scala:216`
+  * upsert, `:186-190` delete). Pure Spark: no Hudi jars exist in this
+  * environment (SURVEY.md §0).
+  *
+  * == Layout ==
+  * {{{
+  *   basePath/
+  *     _commits/v00000001.json     // manifest: bucket -> data dir, commitId
+  *     data/<version>-<uuid>/b=<i>/part-*.parquet
+  * }}}
+  *
+  * == Design for scale ==
+  * Rows are hash-bucketed by `_key` into `numBuckets` buckets (Hudi's bucket
+  * index / file-group model). An upsert or delete only reads, merges, and
+  * rewrites the buckets that contain incoming keys; untouched buckets are
+  * carried forward in the manifest by reference. Write amplification is
+  * therefore proportional to the touched key range, not the table size — at
+  * 100 TB you raise `numBuckets` (thousands) so each bucket is one
+  * task-sized file group, and a small CDC batch rewrites only a few of them.
+  * The merge itself is a hash aggregation (`max_by` over `(_ts, _seq)`),
+  * which map-side combines — no global sort, one shuffle on `_key`.
+  *
+  * == Concurrency / idempotency ==
+  * Commits are atomic: the manifest is written to a temp file and published
+  * with `Files.createLink` (hard link), which fails if the version file
+  * already exists — optimistic single-writer. Each commit records a caller
+  * `commitId` (e.g. streaming `batchId`); replaying an already-committed id
+  * is a no-op, giving exactly-once table state over at-least-once batch
+  * delivery (stronger than the reference, which ignores `batchId`,
+  * `BinlogHoodieSink.scala:18-21`).
+  *
+  * == Schema ==
+  * Tables carry two meta columns — `_key: string` (record identity) and
+  * `_ts: long` (last-write-wins version) — plus arbitrary payload columns.
+  * Schema drift across commits is tolerated via `unionByName(allowMissing)`
+  * on merge and `mergeSchema` on read (missing columns read as null).
+  */
+final class LakeTable(
+    spark: SparkSession,
+    val basePath: String,
+    val numBuckets: Int = LakeTable.DefaultNumBuckets) {
+  import LakeTable._
+
+  require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+
+  private val commitsDir: Path = Paths.get(basePath, CommitsDirName)
+  private val dataDir: Path = Paths.get(basePath, DataDirName)
+
+  // ---- commit log ---------------------------------------------------------
+
+  /** All committed versions, ascending. */
+  private def versions(): Seq[Long] =
+    if (!Files.isDirectory(commitsDir)) Seq.empty
+    else
+      Files.list(commitsDir).iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case VersionFileRe(n) => n.toLong }
+        .toSeq.sorted
+
+  def latestVersion: Option[Long] = versions().lastOption
+
+  private def readManifest(version: Long): Manifest =
+    Manifest.fromJson(Files.readString(commitsDir.resolve(versionFileName(version))))
+
+  private def latestManifest(): Option[Manifest] = latestVersion.map(readManifest)
+
+  /** Commit ids of every committed version (for idempotent replay checks). */
+  def committedIds: Set[String] =
+    versions().map(v => readManifest(v).commitId).filter(_.nonEmpty).toSet
+
+  /** True iff `commitId` has already been committed. */
+  def isCommitted(commitId: String): Boolean =
+    commitId != null && commitId.nonEmpty && committedIds.contains(commitId)
+
+  // ---- read path ----------------------------------------------------------
+
+  /** Current table state. Empty (with the stored schema) if never written. */
+  def snapshot: DataFrame = latestManifest() match {
+    case None =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], new StructType())
+    case Some(m) => readBuckets(m, m.buckets.keySet)
+  }
+
+  private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
+    val paths = m.buckets.collect {
+      case (b, dir) if buckets.contains(b) => Paths.get(basePath, dir).toString
+    }.toSeq.sorted
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      // mergeSchema: bucket dirs can come from commits with drifted schemas.
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** Bucket id for a key column — must match the write path exactly. */
+  def bucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(numBuckets)).cast("int")
+
+  // ---- write path ---------------------------------------------------------
+
+  /** Merge `updates` (must contain `_key`, `_ts`) into the table:
+    * last-write-wins per `_key` on `(_ts, arrival)` — an incoming row
+    * replaces the stored row iff its `_ts` is >= the stored one.
+    */
+  def upsert(updates: DataFrame, commitId: String = ""): Unit =
+    writeCommit(updates, commitId) { (old, upd) =>
+      val oldTagged = old.withColumn(SeqCol, lit(0L))
+      val updTagged = upd.withColumn(SeqCol, lit(1L))
+      val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+      val cols = unioned.columns.filter(_ != SeqCol)
+      // Hash-agg LWW (map-side combinable): the row with max (_ts, _seq)
+      // wins; updates beat the snapshot on equal _ts.
+      unioned
+        .groupBy(col(KeyCol))
+        .agg(max_by(
+          struct(cols.map(col).toIndexedSeq: _*),
+          struct(col(TsCol), col(SeqCol))).as("_r"))
+        .select("_r.*")
+    }
+
+  /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
+    * or any DF containing `_key`). Mirrors the reference's delete routing
+    * (`BinlogSyncHoodieCommand.scala:186-190`) as a left-anti join.
+    */
+  def delete(keys: DataFrame, commitId: String = ""): Unit = {
+    if (latestManifest().isEmpty) return // nothing to delete from
+    writeCommit(keys.select(KeyCol).distinct(), commitId) { (old, ks) =>
+      old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
+    }
+  }
+
+  /** Point lookup of a set of keys: prunes to the buckets the keys hash to,
+    * then (if bloom sidecars exist) skips buckets whose bloom filter proves
+    * absence — the engine's answer to Hudi's bloom-index file pruning
+    * (`/root/reference/src/main/java/tech/odes/common/util/BloomFilter.java:75-103`).
+    */
+  def lookup(keys: Seq[String]): DataFrame = latestManifest() match {
+    case None => snapshot
+    case Some(m) =>
+      val wanted = keys.map(k => bucketOfKey(k, numBuckets)).toSet
+      val pruned = wanted.filter { b =>
+        m.blooms.get(b) match {
+          case Some(bloomB64) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(bloomB64)))
+            keys.exists(k => bucketOfKey(k, numBuckets) == b && bf.mightContainString(k))
+          case None => true // no sidecar: cannot prune
+        }
+      }
+      readBuckets(m, pruned).filter(col(KeyCol).isin(keys: _*))
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Common commit protocol: figure out affected buckets, run `merge` over
+    * (old rows of those buckets, incoming), write only those buckets, link
+    * forward the rest, atomically publish the manifest.
+    */
+  private def writeCommit(incoming: DataFrame, commitId: String)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
+    require(
+      incoming.columns.contains(KeyCol),
+      s"incoming data must contain a '$KeyCol' column (got ${incoming.columns.mkString(",")})")
+    if (isCommitted(commitId)) return // idempotent replay
+    val inc = incoming.persist()
+    try {
+      // Affected buckets: tiny driver collect (≤ numBuckets ints).
+      val affected = inc
+        .select(bucketOf(col(KeyCol)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
+
+      val prev = latestManifest()
+      val old = prev match {
+        case Some(m) => readBuckets(m, affected)
+        case None =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            inc.schema.fields.foldLeft(new StructType()) { (s, f) => s.add(f) })
+      }
+      val merged = merge(old, inc)
+
+      val version = latestVersion.getOrElse(0L) + 1L
+      val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
+      val outDir = Paths.get(basePath, relDir)
+      // One shuffle partition per affected bucket -> one file group per
+      // bucket per version (the Hudi bucket-index layout). Partition count
+      // scales with touched buckets, not table size.
+      merged
+        .withColumn(BucketCol, bucketOf(col(KeyCol)))
+        .repartition(affected.size.max(1), col(BucketCol))
+        .write.partitionBy(BucketCol).mode("errorifexists")
+        .parquet(outDir.toString)
+
+      // Buckets that ended up empty after the merge have no b=<i> dir.
+      val written: Set[Int] =
+        if (!Files.isDirectory(outDir)) Set.empty
+        else
+          Files.list(outDir).iterator.asScala
+            .map(_.getFileName.toString)
+            .collect { case BucketDirRe(b) => b.toInt }
+            .toSet
+
+      val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
+      val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
+
+      // Bloom sidecars for rewritten buckets (key-pruning for lookup()).
+      val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) -- affected
+      val newBlooms = carriedBlooms ++ buildBlooms(merged, written)
+
+      val schemaJson = mergedSchemaJson(prev, merged.schema)
+      val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
+      publish(version, manifest)
+    } finally inc.unpersist()
+  }
+
+  private def buildBlooms(merged: DataFrame, written: Set[Int]): Map[Int, String] = {
+    if (written.isEmpty) return Map.empty
+    val rows = merged
+      .withColumn(BucketCol, bucketOf(col(KeyCol)))
+      .groupBy(col(BucketCol))
+      .agg(collect_set(col(KeyCol)).as("ks"), count(lit(1)).as("n"))
+      .collect()
+    rows.iterator.map { r =>
+      val b = r.getInt(0)
+      val ks = r.getSeq[String](1)
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(ks.size.max(1).toLong, 0.01)
+      ks.foreach(bf.putString)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      b -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }.toMap
+  }
+
+  private def mergedSchemaJson(prev: Option[Manifest], now: StructType): String =
+    prev match {
+      case None => now.json
+      case Some(m) =>
+        val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val extra = now.fields.filterNot(f => old.fieldNames.contains(f.name))
+        extra.foldLeft(old)((s, f) => s.add(f)).json
+    }
+
+  private def publish(version: Long, manifest: Manifest): Unit = {
+    Files.createDirectories(commitsDir)
+    val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, manifest.toJson)
+    val target = commitsDir.resolve(versionFileName(version))
+    try
+      // Hard-link publish: atomic, fails if the version already exists
+      // (concurrent writer lost the race — caller should retry the merge).
+      Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit detected for version $version at $basePath", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+object LakeTable {
+  val KeyCol = "_key"
+  val TsCol = "_ts"
+  val SeqCol = "_seq"
+  val BucketCol = "b"
+  val DefaultNumBuckets = 16
+  val CommitsDirName = "_commits"
+  val DataDirName = "data"
+
+  private val VersionFileRe = """v(\d{8})\.json""".r
+  private val BucketDirRe = (BucketCol + """=(\d+)""").r
+
+  private def versionFileName(v: Long): String = "v%08d.json".format(v)
+
+  /** Driver-side mirror of `bucketOf` (xxhash64 with Spark's default seed). */
+  def bucketOfKey(key: String, numBuckets: Int): Int = {
+    val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(
+        bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length,
+        42L)
+    val m = h % numBuckets
+    (if (m < 0) m + numBuckets else m).toInt
+  }
+
+  /** Manifest = one committed version: bucket -> relative data dir. */
+  final case class Manifest(
+      version: Long,
+      commitId: String,
+      numBuckets: Int,
+      buckets: Map[Int, String],
+      blooms: Map[Int, String],
+      schemaJson: String) {
+
+    def toJson: String = {
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("version", version)
+      root.put("commitId", commitId)
+      root.put("numBuckets", numBuckets)
+      val b = root.putObject("buckets")
+      buckets.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k.toString, v) }
+      val bl = root.putObject("blooms")
+      blooms.toSeq.sortBy(_._1).foreach { case (k, v) => bl.put(k.toString, v) }
+      root.put("schemaJson", schemaJson)
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    }
+  }
+
+  object Manifest {
+    def fromJson(s: String): Manifest = {
+      val root = new ObjectMapper().readTree(s)
+      def objMap(name: String): Map[Int, String] = {
+        val node = root.get(name)
+        if (node == null || !node.isObject) Map.empty
+        else
+          node.asInstanceOf[ObjectNode].fields().asScala
+            .map(e => e.getKey.toInt -> e.getValue.asText()).toMap
+      }
+      Manifest(
+        version = root.get("version").asLong(),
+        commitId = root.get("commitId").asText(""),
+        numBuckets = root.get("numBuckets").asInt(),
+        buckets = objMap("buckets"),
+        blooms = objMap("blooms"),
+        schemaJson = root.get("schemaJson").asText())
+    }
+  }
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic
+
+/** Stream→batch conversion (reference operator S4,
+  * `/root/reference/src/main/java/org/apache/spark/sql/hudi/commands/BinlogSyncHoodieCommand.scala:65-81`).
+  *
+  * Inside `Sink.addBatch` the incoming DataFrame is flagged streaming and
+  * refuses batch writes. The reference rebinds a row encoder over
+  * `queryExecution.toRdd`; Spark exposes the same conversion directly as
+  * `SparkSession.internalCreateDataFrame(..., isStreaming = false)`, which
+  * is `private[sql]` — hence this one shim object inside the sql package
+  * (the reference likewise lives inside `org.apache.spark.sql.hudi`).
+  * Zero data movement: the physical RDD is reused as-is.
+  */
+object StreamBatch {
+
+  def toBatch(df: DataFrame): DataFrame = {
+    if (!df.isStreaming) return df
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+}

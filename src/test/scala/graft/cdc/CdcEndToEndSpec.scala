@@ -1,0 +1,157 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+/** End-to-end CDC replay vs an in-memory map oracle (SURVEY.md §5.3):
+  * synthetic binlog JSON batches → CdcSyncCommand → read tables back.
+  * Covers multi-table routing, delete-heavy streams, and replayed-batch
+  * idempotency.
+  */
+class CdcEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val personSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("age", LongType))).json
+
+  private val citySchema = StructType(Seq(
+    StructField("code", StringType),
+    StructField("pop", LongType))).json
+
+  private def esc(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def env(db: String, table: String, schema: String, ts: Long,
+      op: String, rows: Seq[String]): String =
+    s"""{"databaseName":"$db","tableName":"$table","schema":${esc(schema)},""" +
+      s""""timestamp":$ts,"type":"$op","rows":[${rows.mkString(",")}]}"""
+
+  private def options(root: String) = Map(
+    "option.lake.path" -> s"$root/{db}/ods_{db}_{table}",
+    "db.person.recordkey.field" -> "id",
+    "db.city.recordkey.field" -> "code",
+    "db.person.buckets" -> "4",
+    "db.city.buckets" -> "2")
+
+  test("multi-table upserts + deletes merge to the oracle state") {
+    val root = tempDir("cdc-").toString
+    val batch1 = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}""")),
+      env("db", "city", citySchema, 1L, "upsert", Seq(
+        """{"code":"nyc","pop":8}""", """{"code":"sf","pop":1}""")))
+    val batch2 = Seq(
+      // update person 1, delete person 2, insert person 3
+      env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":1,"name":"ann2","age":31}""", """{"id":3,"name":"cyn","age":50}""")),
+      env("db", "person", personSchema, 3L, "delete", Seq(
+        """{"id":2,"name":"bob","age":40}""")))
+
+    CdcSyncCommand.run(batch1.toDF("value"), options(root), batchId = 1L)
+    CdcSyncCommand.run(batch2.toDF("value"), options(root), batchId = 2L)
+
+    val person = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name", "age").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(person.toSeq == Seq((1L, "ann2", 31L), (3L, "cyn", 50L)))
+
+    val city = new LakeTable(spark, s"$root/db/ods_db_city", 2).snapshot
+      .select("code", "pop").as[(String, Long)].collect().sortBy(_._1)
+    assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
+  }
+
+  test("within-batch LWW: delete-then-upsert and upsert-then-delete resolve by ts") {
+    val root = tempDir("cdc-").toString
+    val batch = Seq(
+      env("db", "person", personSchema, 5L, "delete", Seq("""{"id":1,"name":"x","age":1}""")),
+      env("db", "person", personSchema, 6L, "upsert", Seq("""{"id":1,"name":"alive","age":2}""")),
+      env("db", "person", personSchema, 6L, "upsert", Seq("""{"id":2,"name":"y","age":3}""")),
+      env("db", "person", personSchema, 7L, "delete", Seq("""{"id":2,"name":"y","age":3}""")))
+    CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 1L)
+    val person = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    // id=1: upsert at ts 6 beats delete at ts 5; id=2: delete at ts 7 wins
+    assert(person.toSeq == Seq((1L, "alive")))
+  }
+
+  test("replayed batchId is a no-op (exactly-once over at-least-once delivery)") {
+    val root = tempDir("cdc-").toString
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"a","age":1}""")))
+    CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 7L)
+    val conflicting = Seq(
+      env("db", "person", personSchema, 9L, "upsert", Seq("""{"id":1,"name":"REPLAY","age":9}""")))
+    CdcSyncCommand.run(conflicting.toDF("value"), options(root), batchId = 7L)
+    val person = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("name").as[String].collect()
+    assert(person.toSeq == Seq("a"))
+  }
+
+  test("random CDC replay converges to the in-memory map oracle") {
+    val root = tempDir("cdc-").toString
+    val rnd = new scala.util.Random(7)
+    var ts = 0L
+    val oracle = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val batches = (1 to 4).map { _ =>
+      (1 to 30).map { _ =>
+        ts += 1
+        val id = rnd.nextInt(10).toLong
+        if (rnd.nextInt(4) == 0) {
+          oracle.remove(id)
+          env("db", "person", personSchema, ts, "delete",
+            Seq(s"""{"id":$id,"name":"_","age":0}"""))
+        } else {
+          val name = s"n$ts"
+          oracle(id) = (name, ts)
+          env("db", "person", personSchema, ts, "upsert",
+            Seq(s"""{"id":$id,"name":"$name","age":$ts}"""))
+        }
+      }
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CdcSyncCommand.run(b.toDF("value"), options(root), batchId = i.toLong)
+    }
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    val want = oracle.toSeq.map { case (id, (name, _)) => (id, name) }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("transformer hook applies per-table SQL before the merge") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) +
+      ("db.person.transformer.sql" ->
+        "SELECT id, upper(name) AS name, age, _key, _ts FROM <SRC>")
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"ann","age":30}""")))
+    CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 1L)
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("name").as[String].collect()
+    assert(got.toSeq == Seq("ANN"))
+  }
+
+  test("raw archival sink appends envelope text when enabled") {
+    val root = tempDir("cdc-").toString
+    val rawDir = s"$root/raw"
+    val opts = options(root) ++ Map(
+      "option.keepraw.enable" -> "true", "option.raw.path" -> rawDir)
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"a","age":1}""")))
+    CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 1L)
+    val raw = spark.read.text(rawDir).as[String].collect()
+    assert(raw.length == 1 && raw.head.contains("\"tableName\":\"person\""))
+  }
+
+  test("missing per-table config fails the batch with the reference error shape") {
+    val root = tempDir("cdc-").toString
+    val batch = Seq(
+      env("db", "unknown", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"a","age":1}""")))
+    val e = intercept[IllegalArgumentException](
+      CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 1L))
+    assert(e.getMessage.contains("db.unknown.recordkey.field"))
+  }
+}

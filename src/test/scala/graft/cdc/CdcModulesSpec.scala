@@ -1,0 +1,147 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.SparkSpec
+
+class CdcModulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Envelope -----------------------------------------------------------
+
+  private val payloadSchemaJson =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)
+    )).json
+
+  private def env(db: String, table: String, ts: Long, op: String, rows: String): String =
+    s"""{"databaseName":"$db","tableName":"$table","schema":${escape(payloadSchemaJson)},""" +
+      s""""timestamp":$ts,"type":"$op","rows":[$rows]}"""
+
+  private def escape(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("Envelope.parse explodes raw-object rows and attaches __meta__") {
+    val df = Seq(
+      env("db1", "t1", 100L, "upsert", """{"id":1,"name":"a"},{"id":2,"name":"b"}"""),
+      env("db1", "t1", 200L, "delete", """{"id":1,"name":"a"}""")
+    ).toDF("value")
+    val parsed = Envelope.parse(df)
+    assert(parsed.count() == 3)
+    val metas = parsed.select("__meta__.timestamp", "__meta__.type")
+      .as[(Long, String)].collect().sorted
+    assert(metas.toSeq == Seq((100L, "upsert"), (100L, "upsert"), (200L, "delete")))
+    // raw record JSON preserved as a string
+    val vals = parsed.filter($"__meta__.timestamp" === 200L).select("value").as[String].head()
+    assert(vals == """{"id":1,"name":"a"}""")
+  }
+
+  test("Envelope.decode applies the in-band schema and keeps extra columns") {
+    val df = Seq(env("db1", "t1", 100L, "upsert", """{"id":7,"name":"x"}""")).toDF("value")
+    val parsed = Envelope.parse(df).withColumn("_key", lit("k"))
+    val typed = Envelope.decode(parsed, payloadSchemaJson)
+    assert(typed.columns.toSeq == Seq("id", "name", "_key"))
+    assert(typed.as[(Long, String, String)].head() == ((7L, "x", "k")))
+  }
+
+  // ---- KeyGen -------------------------------------------------------------
+
+  test("KeyGen composite keys match the reference md5(db_table_k1_k2) shape") {
+    val df = Seq(("""{"a":1,"b":"x"}""", "db1", "t1")).toDF("value", "db", "table")
+    val got = df.select(
+      KeyGen.forTables($"db", $"table", $"value",
+        Map(("db1", "t1") -> Seq("a", "b"))).as("k"))
+      .as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("db1_t1_1_x".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == expected)
+  }
+
+  test("KeyGen routes different tables to their own key fields") {
+    val df = Seq(
+      ("""{"a":1,"z":9}""", "db1", "t1"),
+      ("""{"c":5}""", "db1", "t2")).toDF("value", "db", "table")
+    val keys = df.select(
+      KeyGen.forTables($"db", $"table", $"value",
+        Map(("db1", "t1") -> Seq("a"), ("db1", "t2") -> Seq("c"))).as("k"))
+      .as[String].collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(keys.toSeq == Seq(md5("db1_t1_1"), md5("db1_t2_5")))
+  }
+
+  // ---- Dedup --------------------------------------------------------------
+
+  private val sample = Seq(
+    ("k1", 1L, "a"), ("k1", 3L, "b"), ("k1", 2L, "c"),
+    ("k2", 5L, "d"),
+    ("k3", 7L, "e"), ("k3", 7L, "f") // tie on ts -> payload breaks it
+  ).toDF("_key", "_ts", "v")
+
+  test("LWW picks max (_ts, tiebreak) per key; agg and window agree") {
+    val a = Dedup.lww(sample, "_key", Seq("_ts", "v"))
+      .select("_key", "v").as[(String, String)].collect().sortBy(_._1)
+    val w = Dedup.lwwWindow(sample, "_key", Seq("_ts", "v"))
+      .select("_key", "v").as[(String, String)].collect().sortBy(_._1)
+    assert(a.toSeq == Seq(("k1", "b"), ("k2", "d"), ("k3", "f")))
+    assert(w.toSeq == a.toSeq)
+  }
+
+  test("LWW is idempotent and order-insensitive (property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = (1 to 60).map { i =>
+        (s"k${rnd.nextInt(8)}", rnd.nextInt(10).toLong, s"v$i")
+      }
+      val df = rows.toDF("_key", "_ts", "v")
+      val shuffled = rnd.shuffle(rows).toDF("_key", "_ts", "v")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Dedup.lww(d, "_key", Seq("_ts", "v"))
+          .select("_key", "_ts", "v").as[(String, Long, String)]
+          .collect().sortBy(_._1).toSeq
+      val once = run(df)
+      assert(run(shuffled) == once, "order-insensitive")
+      assert(run(Dedup.lww(df, "_key", Seq("_ts", "v"))) == once, "idempotent")
+      // oracle: in-memory max by (ts, v)
+      val oracle = rows.groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3)))
+        .values.toSeq.sortBy(_._1)
+      assert(once == oracle)
+    }
+  }
+
+  // ---- TableConfig --------------------------------------------------------
+
+  test("TableConfig resolves prefix maps, templating, and validates") {
+    val opts = Map(
+      "db1.t1.recordkey.field" -> "a,b",
+      "db1.t1.transformer.sql" -> "SELECT * FROM <SRC>",
+      "option.lake.path" -> "/tmp/lake/{db}/ods_{db}_{table}")
+    val cfg = TableConfig.resolve(opts, "db1", "t1")
+    assert(cfg.recordKeyFields == Seq("a", "b"))
+    assert(cfg.path == "/tmp/lake/db1/ods_db1_t1")
+    assert(cfg.transformerSql.contains("SELECT * FROM <SRC>"))
+    // explicit path beats template
+    val cfg2 = TableConfig.resolve(opts + ("db1.t1.path" -> "/x"), "db1", "t1")
+    assert(cfg2.path == "/x")
+    // missing recordkey -> reference-shaped error
+    val e = intercept[IllegalArgumentException](TableConfig.resolve(opts, "db1", "t2"))
+    assert(e.getMessage.contains("db1.t2.recordkey.field"))
+    // missing path
+    val e2 = intercept[IllegalArgumentException](
+      TableConfig.resolve(Map("db1.t1.recordkey.field" -> "a"), "db1", "t1"))
+    assert(e2.getMessage.contains("option.lake.path"))
+  }
+
+  // ---- Transformer --------------------------------------------------------
+
+  test("Transformer substitutes <SRC> and drops its temp view") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val out = Transformer.transform(df, "SELECT id * 2 AS id2 FROM <SRC> WHERE id > 1")
+    assert(out.as[Long].collect().toSeq == Seq(4L))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("GRAFT_SRC_TMP_TABLE_")))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, String)*) =
+    t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+
+  test("upsert into empty table = plain insert") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
+    val got = lt.snapshot.select("_key", "_ts", "payload").as[(String, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1L, "a1"), ("b", 1L, "b1")))
+  }
+
+  test("upsert LWW within a batch and across batches; equal _ts -> update wins") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    // within-batch: key 'a' appears twice, max _ts wins
+    lt.upsert(rows(("a", 1L, "old"), ("a", 5L, "new"), ("b", 2L, "b1")))
+    // across batches: lower _ts loses, equal _ts replaces (update wins)
+    lt.upsert(rows(("a", 3L, "stale"), ("b", 2L, "b2")))
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "new"), ("b", "b2")))
+  }
+
+  test("delete removes keys; delete of absent key is a no-op") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    lt.delete(Seq("b", "zzz").toDF(LakeTable.KeyCol))
+    val got = lt.snapshot.select("_key").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "c"))
+  }
+
+  test("upsert∘delete sequences converge to replayed-map state") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    val ops = Seq( // (op, key, ts, payload)
+      ("u", "k1", 1L, "v1"), ("u", "k2", 1L, "v2"), ("d", "k1", 2L, ""),
+      ("u", "k3", 2L, "v3"), ("u", "k1", 3L, "v1b"), ("d", "k9", 9L, ""))
+    ops.foreach {
+      case ("u", k, ts, v) => lt.upsert(rows((k, ts, v)))
+      case (_, k, _, _) => lt.delete(Seq(k).toDF(LakeTable.KeyCol))
+    }
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("k1", "v1b"), ("k2", "v2"), ("k3", "v3")))
+  }
+
+  test("commitId idempotency: replayed batch is a no-op, versions don't grow") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1")), commitId = "b1:up")
+    lt.upsert(rows(("a", 9L, "SHOULD_NOT_APPLY")), commitId = "b1:up")
+    assert(lt.latestVersion.contains(1L))
+    assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("a1"))
+    lt.delete(Seq("a").toDF(LakeTable.KeyCol), commitId = "b2:del")
+    lt.delete(Seq("a").toDF(LakeTable.KeyCol), commitId = "b2:del")
+    assert(lt.latestVersion.contains(2L))
+    assert(lt.snapshot.count() == 0)
+  }
+
+  test("schema drift: new column appears, old rows read as null") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "a1")))
+    lt.upsert(
+      Seq(("b", 1L, "b1", 42)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload", "extra"))
+    val got = lt.snapshot.select("_key", "extra").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", -1), ("b", 42)))
+  }
+
+  test("only affected buckets are rewritten") {
+    val dir = tempDir("lake-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 8)
+    val many = (0 until 64).map(i => (s"k$i", 1L, s"v$i"))
+    lt.upsert(many.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    // second commit touches exactly one key -> one bucket dir in the new version
+    lt.upsert(rows(("k0", 2L, "v0b")))
+    val dataDir = java.nio.file.Paths.get(dir, LakeTable.DataDirName)
+    val versions = java.nio.file.Files.list(dataDir).iterator()
+    var newest: java.nio.file.Path = null
+    while (versions.hasNext) { val p = versions.next(); if (newest == null || p.getFileName.toString > newest.getFileName.toString) newest = p }
+    val bucketDirs = java.nio.file.Files.list(newest).iterator()
+    var n = 0
+    while (bucketDirs.hasNext) {
+      if (bucketDirs.next().getFileName.toString.startsWith("b=")) n += 1
+    }
+    assert(n == 1, "a single-key upsert must rewrite exactly one bucket")
+    // and the full state is still correct
+    assert(lt.snapshot.count() == 64)
+    assert(lt.snapshot.filter(col("_key") === "k0").select("payload").as[String].head() == "v0b")
+  }
+
+  test("lookup prunes via bloom sidecars and returns the right rows") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 8)
+    val many = (0 until 100).map(i => (s"k$i", 1L, s"v$i"))
+    lt.upsert(many.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val got = lt.lookup(Seq("k7", "k42", "absent"))
+      .select("_key", "payload").as[(String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("k42", "v42"), ("k7", "v7")))
+  }
+
+  test("driver-side bucketOfKey matches the Spark-side bucket expression") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 16)
+    val keys = (0 until 50).map(i => s"key-$i")
+    val sparkSide = keys.toDF("k").select(lt.bucketOf(col("k"))).as[Int].collect()
+    val driverSide = keys.map(k => LakeTable.bucketOfKey(k, 16))
+    assert(sparkSide.toSeq == driverSide)
+  }
+}
