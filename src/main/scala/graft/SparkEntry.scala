@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, QueryDef}
+import graft.queries.{CoreQueries, LakeQueries, OpsQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, QueryDef}
   */
 object SparkEntry {
 
-  private def allQueries: Map[String, QueryDef] = CoreQueries.all
+  private def allQueries: Map[String, QueryDef] =
+    CoreQueries.all ++ LakeQueries.all ++ OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, at three cost tiers:
+  *
+  *  1. [[exactDups]] — hash-groupBy on md5(text): one shuffle, exact.
+  *  2. [[jaccardPairs]] — exact n-gram Jaccard via an *inverted index*
+  *     (shingle self-join): cost ∝ Σ per-shingle df², never an all-pairs
+  *     cross join. The classic plagiarism-detection plan; fine when
+  *     shingle document-frequencies are bounded.
+  *  3. [[minhashCandidates]] / [[minhashVerifiedPairs]] — MinHash
+  *     signatures + banded LSH: candidate pairs only ever form inside an
+  *     LSH band bucket, then exact Jaccard verifies just those candidates.
+  *     This is the 100 TB path: work scales with true-near-dup density,
+  *     not with corpus².
+  *
+  * All thresholds compare with exact integer cross-multiplication
+  * (`c*den >= num*(union)`) — no float epsilon anywhere.
+  */
+object DedupDocs {
+
+  /** Exact duplicate groups: fingerprint -> group size + keeper (min id). */
+  def exactDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
+
+  /** Distinct (id, shingle) pairs of word `n`-grams. Documents shorter
+    * than `n` words yield no shingles (same convention as the oracle's
+    * `generate_series`).
+    */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .filter(size(ws) >= n)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact Jaccard >= num/den pairs via the inverted index:
+    * co-occurrence counts from a shingle self-join, set sizes from a
+    * per-doc count, `jac = c / (na + nb - c)`.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      num: Int = 1,
+      den: Int = 2): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val co = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    co
+      .join(cnt.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "na"), "d1")
+      .join(cnt.withColumnRenamed(idCol, "d2").withColumnRenamed("n_sh", "nb"), "d2")
+      .filter(col("c") * den >= (col("na") + col("nb") - col("c")) * num)
+      .select(
+        col("d1"), col("d2"), col("c"), col("na"), col("nb"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
+  }
+
+  /** MinHash signature: `numHashes` columns `m0..m{k-1}`, each the min of
+    * a seeded xxhash64 over the doc's shingle set. Deterministic (fixed
+    * integer seeds), one hash-agg over the exploded shingles.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs: signatures are cut into `bands` bands of
+    * `numHashes/bands` rows; docs sharing any band hash become candidates.
+    * The pair join happens *per band bucket* — never across the corpus.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact Jaccard (computed per candidate
+    * pair via `array_intersect` on the two shingle sets — no inverted-index
+    * join, no cross join).
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      num: Int = 1,
+      den: Int = 2): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
+    val sets = shingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    cand
+      .join(sets.select(col(idCol).as("d1"), col("sset").as("s1")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("sset").as("s2")), "d2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("na", size(col("s1")))
+      .withColumn("nb", size(col("s2")))
+      .filter(col("c") * den >= (col("na") + col("nb") - col("c")) * num)
+      .select(
+        col("d1"), col("d2"), col("c"), col("na"), col("nb"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
+  }
+}

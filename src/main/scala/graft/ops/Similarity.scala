@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[cosine]] / [[topK]] — brute-force cosine against a query vector:
+  *    a narrow per-row computation (`zip_with` + `aggregate`, codegen'd,
+  *    no UDF) followed by `orderBy(...).limit(k)`, which Spark executes as
+  *    `TakeOrderedAndProject` = per-partition top-k + driver merge of k
+  *    rows per partition. That *is* the scalable exact plan: no shuffle of
+  *    the corpus, ever.
+  *  - [[quantizedCosine]] — same, but in exact integer arithmetic
+  *    (`floor(x * 1e7)` per element; the dot product and norms are then
+  *    order-independent BIGINT sums < 2^53, and the final similarity is a
+  *    single IEEE division) — bit-identical across engines, which is what
+  *    the DuckDB-oracled query uses.
+  *  - [[signBuckets]] / [[annTopK]] — random-hyperplane LSH: a deterministic
+  *    seeded plane matrix turns each vector into a small signature;
+  *    band-matching candidates are scored exactly. The 100 TB path: the
+  *    query only ever touches its candidate buckets.
+  *  - [[nearDupPairs]] — LSH-bucketed embedding near-duplicate pairs
+  *    (pairs form within buckets only, verified by exact cosine).
+  */
+object Similarity {
+
+  /** Quantization scale: |x| <= ~1 floats -> integers; 64 * (S*x)^2 stays
+    * well under 2^53 so every intermediate is exact in both BIGINT and
+    * DOUBLE.
+    */
+  val Scale = 1e7
+
+  private def qz(x: Column): Column = floor(x.cast("double") * Scale).cast("long")
+
+  /** Exact double-precision cosine (left-to-right fold over the array). */
+  def cosine(emb: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val dot = aggregate(zip_with(emb, q, (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = math.sqrt(query.map(x => x * x).sum)
+    dot / (na * lit(nb))
+  }
+
+  /** Engine-portable exact cosine: integer dot/norms, one final division. */
+  def quantizedCosine(emb: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val dot = aggregate(zip_with(emb, q, (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
+    val na = aggregate(emb, lit(0L), (acc, x) => acc + qz(x) * qz(x))
+    val nb = aggregate(q, lit(0L), (acc, x) => acc + qz(x) * qz(x))
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+  }
+
+  /** Brute-force exact top-k: per-partition top-k + merge (TakeOrdered). */
+  def topK(
+      df: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      quantized: Boolean = false): DataFrame = {
+    val sim = if (quantized) quantizedCosine(col(embCol), query) else cosine(col(embCol), query)
+    df.select(col(idCol), sim.as("sim")).orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
+  /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
+    * coefficients in [-1, 1), seeded — identical on every run/executor.
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit LSH signature: bit p of the result is 1 iff emb · plane_p > 0. */
+  def signature(emb: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(emb, array(p.map(lit).toIndexedSeq: _*), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Attach signature + banded bucket ids (bands of `bandBits` bits). */
+  def signBuckets(
+      df: DataFrame,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      embCol: String = "embedding"): DataFrame = {
+    val nBands = ps.length / bandBits
+    val sig = signature(col(embCol), ps)
+    val bandCols = (0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("_sig"), b * bandBits).bitwiseAND((1 << bandBits) - 1).as("bh"))
+    }
+    df.withColumn("_sig", sig)
+      .select(col("*"), explode(array(bandCols: _*)).as("_bb"))
+      .withColumn("band", col("_bb.band"))
+      .withColumn("bh", col("_bb.bh"))
+      .drop("_bb")
+  }
+
+  /** Approximate top-k: candidates share at least one signature band with
+    * the query; exact cosine scores candidates only.
+    */
+  def annTopK(
+      df: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nBands = ps.length / bandBits
+    val qSig = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b }.sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    val qBands = (0 until nBands).map(b => (b, (qSig >> (b * bandBits)) & ((1 << bandBits) - 1)))
+    val bucketed = signBuckets(df, ps, bandBits, embCol)
+    val cand = bucketed
+      .filter(qBands.map { case (b, h) => col("band") === b && col("bh") === h }.reduce(_ || _))
+      .select(col(idCol), col(embCol)).distinct()
+    cand.select(col(idCol), cosine(col(embCol), query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
+  /** Embedding near-duplicate pairs above `threshold` cosine: pairs form
+    * inside LSH band buckets only (never corpus x corpus), then exact
+    * cosine verifies each candidate pair.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      ps: Array[Array[Double]],
+      bandBits: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val bucketed = signBuckets(df, ps, bandBits, embCol)
+      .select(col(idCol), col(embCol), col("band"), col("bh"))
+    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("id1"), col(s"x.$embCol").as("e1"),
+        col(s"y.$idCol").as("id2"), col(s"y.$embCol").as("e2"))
+      .dropDuplicates("id1", "id2")
+    val dot = aggregate(zip_with(col("e1"), col("e2"), (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
+    def norm(c: Column) = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    cand.withColumn("sim", dot / (norm(col("e1")) * norm(col("e2"))))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+}

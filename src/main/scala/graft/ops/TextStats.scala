@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token/length/punctuation statistics, stopword-based quality signals,
+  * heuristic language ID, regex token counting, and min-hash document
+  * fingerprinting. All per-row narrow transformations (no shuffle) built
+  * from codegen'd builtin expressions — at 100 TB these run at scan speed;
+  * only the explicit profile aggregations shuffle (one partial-agg pass).
+  */
+object TextStats {
+
+  /** Tiny stopword list shared with the DuckDB oracle queries. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** Per-document statistics: token count, punctuation count, stopword
+    * count and ratio. One IEEE division per ratio (identical operands in
+    * any engine -> bit-identical result).
+    */
+  def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("punct_cnt",
+        length(t) - length(regexp_replace(t, "[.,!?;:]", "")))
+      .withColumn("stop_cnt",
+        size(filter(toks, tok => tok.isin(Stopwords: _*))))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Corpus profile per language: doc counts, token sums, exact-integer
+    * sums emitted, averages as a single division.
+    */
+  def langProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withStats(docs, textCol)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("stop_cnt")).as("sum_stop"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+
+  /** Heuristic n-gram/stopword language ID. Deliberately simple (marker
+    * token presence, first match wins) — the operator shape is a chain of
+    * narrow `array_contains` checks; swap in real profiles at will.
+    */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    def has(w: String): Column = array_contains(toks, w)
+    docs.withColumn("lang_pred",
+      when(has("the") || has("of"), "en")
+        .when(has("der") || has("und"), "de")
+        .when(has("le") || has("et"), "fr")
+        .when(has("el") || has("y"), "es")
+        .otherwise("unk"))
+  }
+
+  /** BPE-ish token counting: alpha runs, digit runs, and single symbols
+    * each count as one token (a cheap proxy for subword tokenizer load).
+    */
+  def withRegexTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_regex_tokens",
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+
+  /** Rolling-window document fingerprint: the minimum md5 over all 8-char
+    * windows of the text (winnowing-style min-hash of character grams).
+    * Stays per-row: `transform` + `array_min`, no explode, no shuffle.
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("fingerprint",
+      when(length(t) < 8, md5(t)).otherwise(
+        array_min(transform(
+          sequence(lit(1), length(t) - lit(7)),
+          i => md5(t.substr(i, lit(8)))))))
+  }
+
+  /** 32-bit SimHash over whitespace tokens with md5-derived token hashes
+    * (portable across engines: `conv(substr(md5(tok),1,8),16,10)`).
+    * Bit i of the output is 1 iff the sum of (+1/-1) votes of all token
+    * hashes' bit i is strictly positive. One explode + one hash-agg.
+    */
+  def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = explode(split(col(textCol), " ")).as("tok")
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
+    }
+    docs.select(col(idCol), tok)
+      .withColumn("h", h)
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 32)
+          .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup banding). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -242,12 +242,18 @@ object CoreQueries {
          count(*) AS total
          FROM lineitem"""),
 
-    // ---- approx distinct (HLL) — engine-specific, rows-only check ------
+    // ---- approx distinct (HLL) — tolerance-band oracle -----------------
+    // The sketch itself is engine-specific, so the hash-checked contract is
+    // the tolerance: |approx - exact| <= 5% of exact, asserted in Spark and
+    // trivially true in the oracle (VERDICT r2 "What's wrong" #1).
     "q19_approx_distinct" -> QueryDef(
-      sql("""SELECT approx_count_distinct(l_partkey) AS approx_parts,
-             approx_count_distinct(l_orderkey) AS approx_orders
+      sql("""SELECT
+             abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+               <= 0.05 * count(DISTINCT l_partkey) AS parts_ok,
+             abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+               <= 0.05 * count(DISTINCT l_orderkey) AS orders_ok
              FROM lineitem"""),
-      None),
+      Some("SELECT true AS parts_ok, true AS orders_ok")),
 
     // ---- scalar subquery ----------------------------------------------
     "q20_scalar_subquery" -> same(

@@ -1,0 +1,149 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.CdcSyncCommand
+import graft.lake.LakeTable
+
+/** Driver-visible exercises of the engine's lake + CDC components over the
+  * TESTDATA tables (so the DuckDB oracle can replay them in SQL).
+  *
+  * The `events` table acts as the change stream: key = `user_id`,
+  * version = `ts` (BIGINT epoch-nanos on the Spark side, µs TIMESTAMP in
+  * DuckDB — ordering-only, orderings agree; see [[graft.Tables]]).
+  * The DuckDB oracle for a CDC merge is the q08 LWW window shape.
+  */
+object LakeQueries {
+
+  /** Fresh table dir per invocation (results are deterministic; the dir is
+    * throwaway scratch, never an input).
+    */
+  private def scratchDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString + "/" + UUID.randomUUID().toString.take(8)
+
+  private val lwwOracle =
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  /** events keyed for the lake: `_key` = md5(db_table_userid) (the engine's
+    * P3 keygen shape), `_ts` = event ts.
+    */
+  private def keyedEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select(
+      md5(concat_ws("_", lit("graft"), lit("events"), col("user_id"))).as(LakeTable.KeyCol),
+      col("ts").as(LakeTable.TsCol),
+      col("user_id"), col("event_id"), col("event_type"), col("value"))
+
+  private def finalState(lake: LakeTable): DataFrame =
+    lake.snapshot.select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+
+  // ---- q23: COW upsert merge (S6/J3/A1/A2) -------------------------------
+
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16)
+    val ev = keyedEvents(spark, dir)
+    // two out-of-order batches; cross-batch LWW must equal global LWW
+    lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1:upsert")
+    lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b2:upsert")
+    finalState(lake)
+  }
+
+  // ---- q24: delete routing (S7/J2) ---------------------------------------
+
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16)
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev, commitId = "b1:upsert")
+    lake.delete(
+      ev.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+      commitId = "b2:delete")
+    finalState(lake)
+  }
+
+  // ---- q25: full CDC pipeline end-to-end (P1-P8, A1-A3, S6/S7) -----------
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("cdc")
+    val events = Tables.load(spark, dir, "events")
+    val customer = Tables.load(spark, dir, "customer")
+
+    // events -> one envelope per event, rows as RAW JSON objects (the
+    // reference's envelope shape); event_type 'error' acts as a delete op.
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))).json
+    val evRow = to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
+    val evEnvelopes = events.select(concat(
+      lit("""{"databaseName":"graft","tableName":"events","schema":"""),
+      lit(jsonQuote(evSchema)),
+      lit(""","timestamp":"""), col("ts").cast("string"),
+      lit(""","type":""""),
+      when(col("event_type") === "error", "delete").otherwise("upsert"),
+      lit("""","rows":["""), evRow, lit("]}")).as("value"))
+
+    // customer -> multi-row envelopes (exercises explode + multi-table
+    // routing in the same batch); all inserts, unique keys.
+    val custSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_name", org.apache.spark.sql.types.StringType))).json
+    val custRow = to_json(struct(col("c_custkey"), col("c_name")))
+    val custEnvelopes = customer
+      .groupBy(pmod(col("c_custkey"), lit(15)).as("g"))
+      .agg(concat_ws(",", collect_list(custRow)).as("rows"))
+      .select(concat(
+        lit("""{"databaseName":"graft","tableName":"customer","schema":"""),
+        lit(jsonQuote(custSchema)),
+        lit(""","timestamp":1,"type":"upsert","rows":["""),
+        col("rows"), lit("]}")).as("value"))
+
+    CdcSyncCommand.run(
+      evEnvelopes.unionByName(custEnvelopes),
+      Map(
+        "option.lake.path" -> s"$root/{db}/ods_{db}_{table}",
+        "graft.events.recordkey.field" -> "user_id",
+        "graft.customer.recordkey.field" -> "c_custkey",
+        "graft.events.buckets" -> "16",
+        "graft.customer.buckets" -> "8"),
+      batchId = 1L)
+
+    finalState(new LakeTable(spark, s"$root/graft/ods_graft_events", 16))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q23_lake_upsert" -> QueryDef(q23, Some(s"$lwwOracle ORDER BY user_id")),
+    "q24_lake_delete" -> QueryDef(
+      q24,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |SELECT user_id, event_id, event_type, value,
+          |       row_number() OVER (PARTITION BY user_id
+          |                          ORDER BY ts DESC, event_id DESC) AS rn
+          |FROM events) t
+          |WHERE rn = 1 AND user_id % 10 <> 0
+          |ORDER BY user_id""".stripMargin)),
+    "q25_cdc_end_to_end" -> QueryDef(
+      q25,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |SELECT user_id, event_id, event_type, value,
+          |       row_number() OVER (PARTITION BY user_id
+          |                          ORDER BY ts DESC, event_id DESC) AS rn
+          |FROM events) t
+          |WHERE rn = 1 AND event_type <> 'error'
+          |ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{DedupDocs, Multimodal, Similarity, TextStats}
+
+/** Driver-visible entries for the LLM-training-data operators
+  * (`documents` / `embeddings` tables), each implemented in the DataFrame
+  * API by the `graft.ops` modules, with a DuckDB oracle wherever the
+  * semantics are expressible in portable SQL.
+  *
+  * Portability conventions on top of CoreQueries':
+  *  - Spark `size`/`length` return INT while DuckDB `len` returns BIGINT —
+  *    every count column is cast to BIGINT on the Spark side and
+  *    `CAST(... AS BIGINT)` in DuckDB (sums too: DuckDB sums to HUGEINT).
+  *  - Ratio columns are a single IEEE division of identical operands.
+  *  - Jaccard/simhash thresholds and bit math are exact integer arithmetic.
+  *  - Cosine similarity for the oracled query is *quantized*: per-element
+  *    `floor(x * 1e7)` BIGINTs make dot/norms exact (order-independent)
+  *    in both engines; only the final division is floating point
+  *    (bit-identical: same operands, one op). DuckDB's own
+  *    `list_cosine_similarity` computes in float32 and cannot hash-match.
+  */
+object OpsQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  private val stopList = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  // Shared DuckDB fragments.
+  private val duckShingles =
+    """w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM ix),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1)""".stripMargin
+
+  private val duckJaccardPairs =
+    s"""WITH $duckShingles,
+       |co AS (SELECT a.doc_id d1, b.doc_id d2, CAST(count(*) AS BIGINT) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT d1, d2, c, ca.n AS na, cb.n AS nb,
+       |       CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) AS jac
+       |FROM co JOIN cnt ca ON co.d1 = ca.doc_id JOIN cnt cb ON co.d2 = cb.doc_id
+       |WHERE c * 2 >= (ca.n + cb.n - c)
+       |ORDER BY d1, d2""".stripMargin
+
+  private def orderedJaccard(df: DataFrame): DataFrame =
+    df.select(
+        col("d1"), col("d2"), col("c").cast("long").as("c"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"), col("jac"))
+      .orderBy("d1", "d2")
+
+  // 32-term simhash oracle, generated to mirror TextStats.simhash32 exactly.
+  private val duckSimhash: String = {
+    val votes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(i => s"(CASE WHEN s_$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // Quantized-cosine top-k oracle (see class doc).
+  private val duckSimTopK =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |u AS (SELECT e.vec_id,
+      |       CAST(floor(CAST(e.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) a,
+      |       CAST(floor(CAST(q.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) b
+      |       FROM embeddings e, q, generate_series(1, 64) g),
+      |s AS (SELECT vec_id, sum(a*b) dot, sum(a*a) na, sum(b*b) nb FROM u GROUP BY vec_id)
+      |SELECT vec_id,
+      |       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+      |FROM s ORDER BY sim DESC, vec_id LIMIT 50""".stripMargin
+
+  // All-pairs quantized near-dup oracle: exact, fine at oracle scale; the
+  // Spark side must find the same pairs via LSH buckets (never all-pairs).
+  private val duckNearDup =
+    """WITH u AS (SELECT a.vec_id i1, b.vec_id i2,
+      |       CAST(floor(CAST(a.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) x,
+      |       CAST(floor(CAST(b.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) y
+      |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+      |            generate_series(1, 64) g),
+      |s AS (SELECT i1, i2, sum(x*y) dot, sum(x*x) na, sum(y*y) nb FROM u GROUP BY i1, i2)
+      |SELECT i1 AS id1, i2 AS id2 FROM s
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.95
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Query vector = embedding of vec_id 0 (a query *parameter*, collected
+    * driver-side once — not a data-path collect).
+    */
+  private def queryVec(spark: SparkSession, dir: String): Seq[Double] =
+    embs(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+
+  val all: Map[String, QueryDef] = Map(
+
+    // ---- dedup: exact (hash-groupBy) ----------------------------------
+    "q26_dedup_exact" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        DedupDocs.exactDups(d.unionByName(d.filter(col("doc_id") % 7 === 0)))
+          .select(col("fp"), col("n_dups").cast("long").as("n_dups"), col("keeper"))
+          .orderBy("keeper")
+      },
+      Some(
+        """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+          |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id % 7 = 0) t
+          |GROUP BY md5(text) ORDER BY keeper""".stripMargin)),
+
+    // ---- dedup: exact n-gram Jaccard via inverted index ----------------
+    "q27_dedup_jaccard" -> QueryDef(
+      (spark, dir) => orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir))),
+      Some(duckJaccardPairs)),
+
+    // ---- dedup: minhash + banded LSH + exact verify --------------------
+    // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
+    // Jaccard near-dups are deterministic-certain candidates, so the
+    // verified output equals the exact inverted-index pairs.
+    "q28_dedup_minhash" -> QueryDef(
+      (spark, dir) => orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir))),
+      Some(duckJaccardPairs)),
+
+    // ---- text statistics / quality signals -----------------------------
+    "q29_text_stats" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withStats(docs(spark, dir)).select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_cnt").cast("long").as("punct_cnt"),
+          col("stop_cnt").cast("long").as("stop_cnt"),
+          col("stop_ratio")).orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, lang, n_chars,
+           |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS BIGINT) AS stop_cnt,
+           |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+           |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q30_lang_profile" -> QueryDef(
+      (spark, dir) =>
+        TextStats.langProfile(docs(spark, dir)).select(
+          col("lang"), col("n_docs"),
+          col("sum_tokens").cast("long").as("sum_tokens"),
+          col("sum_chars").cast("long").as("sum_chars"),
+          col("sum_stop").cast("long").as("sum_stop"),
+          col("avg_tokens")).orderBy("lang"),
+      Some(
+        s"""WITH s AS (SELECT lang,
+           |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, n_chars,
+           |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(stop_cnt) AS BIGINT) AS sum_stop,
+           |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "q31_lang_id" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withLangId(docs(spark, dir))
+          .select(col("doc_id"), col("lang"), col("lang_pred")).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang,
+          |  CASE WHEN list_contains(string_split(text,' '), 'the')
+          |         OR list_contains(string_split(text,' '), 'of') THEN 'en'
+          |       WHEN list_contains(string_split(text,' '), 'der')
+          |         OR list_contains(string_split(text,' '), 'und') THEN 'de'
+          |       WHEN list_contains(string_split(text,' '), 'le')
+          |         OR list_contains(string_split(text,' '), 'et') THEN 'fr'
+          |       WHEN list_contains(string_split(text,' '), 'el')
+          |         OR list_contains(string_split(text,' '), 'y') THEN 'es'
+          |       ELSE 'unk' END AS lang_pred
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q32_token_regex" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withRegexTokens(docs(spark, dir))
+          .select(col("doc_id"), col("n_regex_tokens").cast("long").as("n_regex_tokens"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q33_fingerprint" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withFingerprint(docs(spark, dir))
+          .select(col("doc_id"), col("fingerprint")).orderBy("doc_id"),
+      Some(
+        """WITH ix AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
+          |            FROM documents)
+          |SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+          |FROM ix GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "q34_simhash" -> QueryDef(
+      (spark, dir) =>
+        TextStats.simhash32(docs(spark, dir))
+          .select(col("doc_id"), col("simhash")).orderBy("doc_id"),
+      Some(duckSimhash)),
+
+    // ---- similarity: exact top-k (TakeOrdered) -------------------------
+    "q35_sim_topk" -> QueryDef(
+      (spark, dir) =>
+        Similarity.topK(embs(spark, dir), queryVec(spark, dir), 50, quantized = true),
+      Some(duckSimTopK)),
+
+    // ---- similarity: LSH ANN (approximate; recall asserted in tests) ---
+    "q36_sim_ann" -> QueryDef(
+      (spark, dir) =>
+        Similarity.annTopK(
+          embs(spark, dir), queryVec(spark, dir), 20, Similarity.planes(16, 64)),
+      None),
+
+    // ---- embedding near-dup pairs via LSH buckets ----------------------
+    "q37_emb_neardup" -> QueryDef(
+      (spark, dir) =>
+        Similarity.nearDupPairs(
+            embs(spark, dir), 0.95, Similarity.planes(16, 64), bandBits = 4)
+          .select(col("id1"), col("id2")).orderBy("id1", "id2"),
+      Some(duckNearDup)),
+
+    // ---- multimodal: binary payload + frame sampling -------------------
+    "q38_multimodal_frames" -> QueryDef(
+      (spark, dir) =>
+        Multimodal.sampleFrames(Multimodal.toAssets(docs(spark, dir)))
+          .select(
+            col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("feature"))
+          .orderBy("doc_id", "frame_idx"),
+      Some(
+        """SELECT doc_id, g.generate_series AS frame_idx,
+          |  md5(substr(text, CAST(floor(g.generate_series * length(text) / 4.0) AS INT) + 1, 16)) AS feature
+          |FROM documents, generate_series(0, 3) g
+          |ORDER BY doc_id, frame_idx""".stripMargin))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.load(spark, sfDir, "documents")
+  private def embs = graft.Tables.load(spark, sfDir, "embeddings")
+
+  // ---- dedup --------------------------------------------------------------
+
+  test("exactDups groups identical texts and keeps the min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = DedupDocs.exactDups(df)
+      .select("n_dups", "keeper").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((2L, 1L), (1L, 3L)))
+  }
+
+  test("shingles: word trigrams, distinct, none for short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val got = DedupDocs.shingles(df).as[(Long, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash-LSH candidates achieve full recall on >=0.5-jaccard pairs (sf0.001)") {
+    // ground truth: exact inverted-index jaccard pairs
+    val exact = DedupDocs.jaccardPairs(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val cand = DedupDocs.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"LSH missed ${exact -- cand} of ${exact.size} true pairs")
+    // verified output == exact output (same pairs, same stats)
+    val verified = DedupDocs.minhashVerifiedPairs(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(verified == exact)
+  }
+
+  // ---- text stats ---------------------------------------------------------
+
+  test("withStats computes token/punct/stopword counts") {
+    val df = Seq((1L, "the cat, and a dog.", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.withStats(df)
+      .select("n_tokens", "punct_cnt", "stop_cnt").as[(Int, Int, Int)].head()
+    assert(r == ((5, 2, 3))) // tokens: the cat, and a dog. | punct: , . | stops: the and a
+  }
+
+  test("fingerprint is the min md5 8-gram and is stable under duplication") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    val fps = TextStats.withFingerprint(df).select("fingerprint").as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("simhash: near-identical texts have small hamming distance, unrelated large") {
+    val df = Seq(
+      (1L, "spark hash join shuffle partition codegen filter scan merge sort"),
+      (2L, "spark hash join shuffle partition codegen filter scan merge sorted"),
+      (3L, "zebra quark lattice polymer osmosis vector quantum widget acorn")
+    ).toDF("doc_id", "text")
+    val h = TextStats.simhash32(df).orderBy("doc_id").select("simhash").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)),
+      s"near-dup hamming ${ham(h(0), h(1))} should be < unrelated ${ham(h(0), h(2))}")
+    assert(ham(h(0), h(1)) <= 6)
+  }
+
+  // ---- similarity ---------------------------------------------------------
+
+  private def queryVec: Seq[Double] =
+    embs.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  test("quantized and double cosine top-k agree on ranking") {
+    val a = Similarity.topK(embs, queryVec, 20).select("vec_id").as[Long].collect()
+    val b = Similarity.topK(embs, queryVec, 20, quantized = true).select("vec_id").as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ANN top-k recall >= 0.5 vs exact top-k, and never returns non-corpus ids") {
+    val exact = Similarity.topK(embs, queryVec, 10).select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(embs, queryVec, 10, Similarity.planes(16, 64))
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("nearDupPairs finds planted identical/near-identical vectors via LSH buckets") {
+    val base = embs.limit(50)
+    // plant: vec 9001 = copy of vec 0's embedding, vec 9002 = tiny perturbation
+    val v0 = queryVec.map(_.toFloat)
+    val planted = Seq(
+      (9001L, v0),
+      (9002L, v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-4f else x })
+    ).toDF("vec_id", "embedding")
+    val df = base.select($"vec_id", $"embedding").unionByName(planted)
+    val pairs = Similarity.nearDupPairs(df, 0.99, Similarity.planes(16, 64), bandBits = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9001L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((0L, 9002L)), s"missed near dup: $pairs")
+    assert(pairs.contains((9001L, 9002L)))
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  test("multimodal assets: binary payload round-trips and frames are deterministic") {
+    val assets = Multimodal.toAssets(docs)
+    val one = assets.orderBy("doc_id").limit(1)
+    val text = docs.orderBy("doc_id").limit(1).select("text").as[String].head()
+    val payload = one.select("payload").collect()(0).getAs[Array[Byte]](0)
+    assert(new String(payload, "UTF-8") == text)
+    val frames = Multimodal.sampleFrames(one)
+      .select("frame_idx", "feature").as[(Int, String)].collect().sortBy(_._1)
+    assert(frames.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // stub decode = md5 of the sampled window, reproducible
+    val again = Multimodal.sampleFrames(one)
+      .select("frame_idx", "feature").as[(Int, String)].collect().sortBy(_._1)
+    assert(frames.toSeq == again.toSeq)
+    // frame 0 = first 16 bytes
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.take(16).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames.head._2 == expected)
+  }
+}
