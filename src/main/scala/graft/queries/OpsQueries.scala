@@ -233,6 +233,28 @@ object OpsQueries {
           .select(col("id1"), col("id2")).orderBy("id1", "id2"),
       Some(duckNearDup)),
 
+    // ---- z-order: native interleave_bits expression --------------------
+    // Spark side: the custom codegen'd Catalyst expression; oracle side:
+    // the same Morton code spelled out as 42 bit-arithmetic terms.
+    "q39_zorder" -> QueryDef(
+      (spark, dir) => {
+        graft.functions.InterleaveBits.register(spark)
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          """SELECT p_partkey,
+            |       interleave_bits(CAST(p_size AS BIGINT), CAST(p_partkey AS BIGINT)) AS z
+            |FROM part ORDER BY z, p_partkey LIMIT 500""".stripMargin)
+      },
+      Some {
+        val terms = (0 until 21).flatMap { i =>
+          Seq(
+            s"(((CAST(p_size AS BIGINT) >> $i) & 1) << ${2 * i})",
+            s"(((CAST(p_partkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+        }.mkString(" + ")
+        s"""SELECT p_partkey, $terms AS z
+           |FROM part ORDER BY z, p_partkey LIMIT 500""".stripMargin
+      }),
+
     // ---- multimodal: binary payload + frame sampling -------------------
     "q38_multimodal_frames" -> QueryDef(
       (spark, dir) =>

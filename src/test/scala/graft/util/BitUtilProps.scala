@@ -1,0 +1,44 @@
+package graft.util
+
+import org.scalacheck.{Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the bit utilities (SURVEY.md §5.2: interleave /
+  * zigzag round-trips).
+  */
+object BitUtilProps extends Properties("BitUtil") {
+
+  property("interleave round-trips through deinterleave") = forAll { (a: Int, b: Int) =>
+    val al = a.toLong & 0xFFFFFFFFL
+    val bl = b.toLong & 0xFFFFFFFFL
+    val z = BitUtil.interleave(al, bl)
+    BitUtil.deinterleaveEven(z) == al && BitUtil.deinterleaveOdd(z) == bl
+  }
+
+  property("interleave of small ints preserves z-curve order blocks") = forAll { (a: Short, b: Short) =>
+    val al = a.toLong & 0xFFFFL
+    val bl = b.toLong & 0xFFFFL
+    // Morton code of (a, b) is bounded by interleave of the bit-or upper bound
+    BitUtil.interleave(al, bl) <= BitUtil.interleave(0xFFFFL, 0xFFFFL)
+  }
+
+  property("spread/compact round-trip") = forAll { (a: Int) =>
+    val al = a.toLong & 0xFFFFFFFFL
+    BitUtil.compact(BitUtil.spread(al)) == al
+  }
+
+  property("zigzag round-trips and orders by magnitude") = forAll { (x: Long) =>
+    val enc = BitUtil.zigzagEncode(x)
+    BitUtil.zigzagDecode(enc) == x && (x < 0 || enc == 2 * x || x > (Long.MaxValue >> 1))
+  }
+
+  property("popArray equals sum of bitCounts") = forAll { (ws: Array[Long]) =>
+    BitUtil.popArray(ws) == ws.map(java.lang.Long.bitCount(_).toLong).sum
+  }
+
+  property("nextHighestPowerOfTwo is the least power of two >= v") = forAll { (v0: Long) =>
+    val v = (v0 & 0x3FFFFFFFFFFFFFFFL).max(1)
+    val p = BitUtil.nextHighestPowerOfTwo(v)
+    p >= v && java.lang.Long.bitCount(p) == 1 && (p == 1 || p / 2 < v)
+  }
+}
