@@ -54,10 +54,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class LakeTable(
     spark: SparkSession,
     val basePath: String,
-    val numBuckets: Int = LakeTable.DefaultNumBuckets) {
+    val numBuckets: Int = LakeTable.DefaultNumBuckets,
+    val filesPerBucket: Int = 1) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+  require(filesPerBucket > 0, s"filesPerBucket must be positive: $filesPerBucket")
 
   private val commitsDir: Path = Paths.get(basePath, CommitsDirName)
   private val dataDir: Path = Paths.get(basePath, DataDirName)
@@ -204,10 +206,14 @@ final class LakeTable(
       val outDir = Paths.get(basePath, relDir)
       // One shuffle partition per affected bucket -> one file group per
       // bucket per version (the Hudi bucket-index layout). Partition count
-      // scales with touched buckets, not table size.
-      merged
-        .withColumn(BucketCol, bucketOf(col(KeyCol)))
-        .repartition(affected.size.max(1), col(BucketCol))
+      // scales with touched buckets, not table size. `filesPerBucket > 1`
+      // adds intra-bucket write parallelism (key-salted) for bucket sizes
+      // beyond one task — raise it together with numBuckets at scale.
+      val toWrite = merged.withColumn(BucketCol, bucketOf(col(KeyCol)))
+      val partitioned =
+        if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
+        else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
+      partitioned
         .write.partitionBy(BucketCol).mode("errorifexists")
         .parquet(outDir.toString)
 
@@ -231,6 +237,25 @@ final class LakeTable(
       val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
       publish(version, manifest)
     } finally inc.unpersist()
+  }
+
+  /** Remove data version dirs no longer referenced by the latest
+    * `keepVersions` manifests (old COW snapshots accumulate otherwise).
+    * Keeps any version dir still carrying a live bucket. Returns the
+    * number of dirs removed.
+    */
+  def vacuum(keepVersions: Int = 1): Int = synchronized {
+    val keep = versions().takeRight(keepVersions.max(1))
+    if (keep.isEmpty || !Files.isDirectory(dataDir)) return 0
+    val referenced: Set[String] = keep.flatMap { v =>
+      readManifest(v).buckets.values.map(_.split("/")(1)) // data/<ver>/b=i
+    }.toSet
+    val removable = Files.list(dataDir).iterator.asScala
+      .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
+    removable.foreach { dir =>
+      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    removable.size
   }
 
   private def buildBlooms(merged: DataFrame, written: Set[Int]): Map[Int, String] = {

@@ -128,6 +128,13 @@ object Similarity {
   /** Embedding near-duplicate pairs above `threshold` cosine: pairs form
     * inside LSH band buckets only (never corpus x corpus), then exact
     * cosine verifies each candidate pair.
+    *
+    * Candidate (id1, id2) pairs are deduplicated *before* the embeddings
+    * are joined back in, so the band self-join shuffles only ids — the
+    * wide vector payload flows through exactly two id-equi joins. Band
+    * width is the precision knob: 8-bit bands over 32 planes keep random
+    * pairs ~1/256 per band while >=0.99-cosine pairs collide with
+    * near-certainty (raise planes/bands for lower thresholds).
     */
   def nearDupPairs(
       df: DataFrame,
@@ -136,17 +143,27 @@ object Similarity {
       bandBits: Int = 8,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val bucketed = signBuckets(df, ps, bandBits, embCol)
-      .select(col(idCol), col(embCol), col("band"), col("bh"))
-    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("band", "bh"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+    val nBands = ps.length / bandBits
+    val banded = df
+      .withColumn("_sig", signature(col(embCol), ps))
       .select(
-        col(s"x.$idCol").as("id1"), col(s"x.$embCol").as("e1"),
-        col(s"y.$idCol").as("id2"), col(s"y.$embCol").as("e2"))
-      .dropDuplicates("id1", "id2")
+        col(idCol),
+        explode(array((0 until nBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("_sig"), b * bandBits).bitwiseAND((1 << bandBits) - 1).as("bh"))
+        }: _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .distinct()
+    val verified = cand
+      .join(df.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
+      .join(df.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
     val dot = aggregate(zip_with(col("e1"), col("e2"), (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
     def norm(c: Column) = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    cand.withColumn("sim", dot / (norm(col("e1")) * norm(col("e2"))))
+    verified.withColumn("sim", dot / (norm(col("e1")) * norm(col("e2"))))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }

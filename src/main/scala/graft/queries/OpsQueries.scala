@@ -229,7 +229,7 @@ object OpsQueries {
     "q37_emb_neardup" -> QueryDef(
       (spark, dir) =>
         Similarity.nearDupPairs(
-            embs(spark, dir), 0.95, Similarity.planes(16, 64), bandBits = 4)
+            embs(spark, dir), 0.95, Similarity.planes(32, 64), bandBits = 8)
           .select(col("id1"), col("id2")).orderBy("id1", "id2"),
       Some(duckNearDup)),
 

@@ -112,6 +112,38 @@ class CdcModulesSpec extends SparkSpec {
     }
   }
 
+  // ---- CdcSource / JSON serialization -------------------------------------
+
+  test("toJsonKeepNulls preserves null fields (WriteMapNullValue semantics)") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "name")
+    val kept = df.select(CdcSource.toJsonKeepNulls(struct($"id", $"name"))).as[String].head()
+    assert(kept == """{"id":1,"name":null}""")
+    val dropped = df.select(to_json(struct($"id", $"name"))).as[String].head()
+    assert(dropped == """{"id":1}""") // default drops nulls - the bug we guard
+  }
+
+  test("jsonDirBatch replays an archived raw log as an envelope batch") {
+    val dir = tempDir("raw-").toString
+    val envs = Seq(env("db1", "t1", 1L, "upsert", """{"id":1,"name":"a"}"""))
+    envs.toDF("value").write.mode("overwrite").text(dir)
+    val replayed = CdcSource.jsonDirBatch(spark, dir)
+    assert(replayed.columns.toSeq == Seq("value"))
+    assert(Envelope.parse(replayed).count() == 1)
+  }
+
+  test("Envelope.decode honors a custom timestampFormat (F5)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.TimestampType))).json
+    val raw = Seq(
+      s"""{"databaseName":"d","tableName":"t","schema":${escape(schema)},""" +
+        s""""timestamp":1,"type":"upsert","rows":[{"id":1,"t":"2021/01/02 03.04.05"}]}""")
+      .toDF("value")
+    val typed = Envelope.decode(Envelope.parse(raw), schema, "yyyy/MM/dd HH.mm.ss")
+    val got = typed.select($"t".cast("string")).as[String].head()
+    assert(got == "2021-01-02 03:04:05")
+  }
+
   // ---- TableConfig --------------------------------------------------------
 
   test("TableConfig resolves prefix maps, templating, and validates") {

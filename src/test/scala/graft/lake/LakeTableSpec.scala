@@ -104,6 +104,32 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k42", "v42"), ("k7", "v7")))
   }
 
+  test("vacuum removes unreferenced version dirs, keeps live buckets, state intact") {
+    val dir = tempDir("lake-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
+    lt.upsert(rows(("a", 2L, "a2"), ("b", 2L, "b2"), ("c", 2L, "c2")))
+    lt.upsert(rows(("a", 3L, "a3")))
+    val removed = lt.vacuum(keepVersions = 1)
+    assert(removed >= 1, "older fully-superseded version dirs should be removed")
+    // v3 carries forward v2's untouched buckets; the merged state must read
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a3"), ("b", "b2"), ("c", "c2")))
+    // idempotency memory survives vacuum (commit files retained)
+    lt.upsert(rows(("z", 9L, "z")), commitId = "late")
+    assert(lt.isCommitted("late"))
+  }
+
+  test("filesPerBucket > 1 splits bucket writes and preserves semantics") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2, filesPerBucket = 3)
+    val many = (0 until 40).map(i => (s"k$i", 1L, s"v$i"))
+    lt.upsert(many.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    lt.upsert(rows(("k1", 2L, "v1b")))
+    assert(lt.snapshot.count() == 40)
+    assert(lt.snapshot.filter(col("_key") === "k1").select("payload").as[String].head() == "v1b")
+  }
+
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 16)
     val keys = (0 until 50).map(i => s"key-$i")

@@ -101,7 +101,7 @@ class OpsSpec extends SparkSpec {
       (9002L, v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-4f else x })
     ).toDF("vec_id", "embedding")
     val df = base.select($"vec_id", $"embedding").unionByName(planted)
-    val pairs = Similarity.nearDupPairs(df, 0.99, Similarity.planes(16, 64), bandBits = 4)
+    val pairs = Similarity.nearDupPairs(df, 0.99, Similarity.planes(32, 64))
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9001L)), s"missed exact dup: $pairs")
     assert(pairs.contains((0L, 9002L)), s"missed near dup: $pairs")
