@@ -229,9 +229,11 @@ final class LakeTable(
       val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
       val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
 
-      // Bloom sidecars for rewritten buckets (key-pruning for lookup()).
+      // Bloom sidecars for rewritten buckets (key-pruning for lookup()),
+      // built from the parquet just written (column-pruned key read) via a
+      // distributed bloom merge — no keys ever reach the driver.
       val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) -- affected
-      val newBlooms = carriedBlooms ++ buildBlooms(merged, written)
+      val newBlooms = carriedBlooms ++ buildBlooms(relDir, written)
 
       val schemaJson = mergedSchemaJson(prev, merged.schema)
       val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
@@ -258,21 +260,24 @@ final class LakeTable(
     removable.size
   }
 
-  private def buildBlooms(merged: DataFrame, written: Set[Int]): Map[Int, String] = {
+  private def buildBlooms(relDir: String, written: Set[Int]): Map[Int, String] = {
     if (written.isEmpty) return Map.empty
-    val rows = merged
-      .withColumn(BucketCol, bucketOf(col(KeyCol)))
-      .groupBy(col(BucketCol))
-      .agg(collect_set(col(KeyCol)).as("ks"), count(lit(1)).as("n"))
+    val paths = written.toSeq.sorted.map(b => Paths.get(basePath, relDir, s"$BucketCol=$b").toString)
+    val keys = spark.read.parquet(paths: _*).select(col(KeyCol))
+    // Size for the biggest bucket (hash buckets are near-uniform); one tiny
+    // count job, then one distributed bloom-merge job per commit.
+    val maxN = keys.groupBy(bucketOf(col(KeyCol)).as(BucketCol)).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    import org.apache.spark.sql.Encoders
+    val bloomAgg = new BloomAggregator(maxN, 0.01).toColumn
+    val nb = numBuckets // local copy: the task closure must not capture `this`
+    val rows = keys
+      .groupByKey(r => bucketOfKey(r.getString(0), nb))(Encoders.scalaInt)
+      .mapValues(_.getString(0))(Encoders.STRING)
+      .agg(bloomAgg.name("bloom"))
       .collect()
-    rows.iterator.map { r =>
-      val b = r.getInt(0)
-      val ks = r.getSeq[String](1)
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(ks.size.max(1).toLong, 0.01)
-      ks.foreach(bf.putString)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      b -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    rows.iterator.map { case (b, bytes) =>
+      b -> java.util.Base64.getEncoder.encodeToString(bytes)
     }.toMap
   }
 
