@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One user event: epoch-millis event time. */
+final case class Event(userId: Long, tsMillis: Long)
+
+/** A closed (or still-open, if `closed=false`) session. */
+final case class Session(
+    userId: Long, startMillis: Long, endMillis: Long, nEvents: Long, closed: Boolean)
+
+/** Per-key open-session state for [[EventTimeOps.sessionize]]. */
+final case class SessionState(startMillis: Long, endMillis: Long, nEvents: Long)
+
+/** Structured Streaming event-time operators (SURVEY.md §2.8 extensions:
+  * the reference needs none of these for parity — its dedup is per-batch —
+  * but a lake ingestion engine wants watermarked aggregation and
+  * sessionization on the same streams it merges).
+  *
+  * Both operators are standard Spark state machinery: windowed counts
+  * compile to a streaming aggregation with watermark-based state eviction;
+  * sessionization uses `flatMapGroupsWithState` (typed, incremental,
+  * spill-safe state per key). State size is bounded by (keys x open
+  * windows), never by stream length.
+  */
+object EventTimeOps {
+
+  /** Watermarked tumbling-window aggregate per key: late data beyond
+    * `watermarkDelay` is dropped and window state is evicted.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col(s"window.start").as("win_start"),
+        col(keyCol), col("n"))
+
+  /** Gap-based sessionization: events of a user belong to one session
+    * while consecutive gaps stay below `gapMillis`. A closed session is
+    * emitted when the first event beyond the gap arrives — deterministic,
+    * no wall-clock timers (timer-based open-session flushing would make
+    * results depend on trigger scheduling; production variants can layer
+    * `EventTimeTimeout` + watermark on the same state shape).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMillis)
+          var cur = state.getOption
+          val closedSessions = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMillis - s.endMillis <= gapMillis =>
+                cur = Some(SessionState(s.startMillis, e.tsMillis, s.nEvents + 1))
+              case Some(s) =>
+                closedSessions +=
+                  Session(userId, s.startMillis, s.endMillis, s.nEvents, closed = true)
+                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+              case None =>
+                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closedSessions.result().iterator
+      }
+  }
+}
