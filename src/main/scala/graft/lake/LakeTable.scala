@@ -100,6 +100,15 @@ final class LakeTable(
     case Some(m) => readBuckets(m, m.buckets.keySet)
   }
 
+  /** Time travel: table state as of a committed `version` (valid until the
+    * referenced snapshot dirs are vacuumed).
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    require(versions().contains(version), s"no committed version $version at $basePath")
+    val m = readManifest(version)
+    readBuckets(m, m.buckets.keySet)
+  }
+
   private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
     val paths = m.buckets.collect {
       case (b, dir) if buckets.contains(b) => Paths.get(basePath, dir).toString

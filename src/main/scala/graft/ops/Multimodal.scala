@@ -51,4 +51,30 @@ object Multimodal {
 
   /** Deterministic fake decoder (see class doc): md5 hex of the bytes. */
   def decodeStub(frame: Column): Column = md5(frame)
+
+  /** One decoded frame produced by [[decodeFramesBatched]]. */
+  final case class DecodedFrame(doc_id: Long, frame_idx: Int, feature: String)
+
+  /** Batched decode plumbing: the partition-iterator shape a real codec
+    * needs (open one decoder handle per partition, stream record batches
+    * through it) — Scala's equivalent of `mapInPandas`. The decode itself
+    * is the same deterministic stub; swapping in a JNI/codec call changes
+    * only the marked line, not the plan, schema, or batching.
+    */
+  def decodeFramesBatched(
+      frames: DataFrame,
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.select(col(idCol), col("frame_idx"), col("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "decoder handle" (a real impl opens its codec here)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, idx, bytes) =>
+          digest.reset()
+          val feature = digest.digest(bytes).map("%02x".format(_)).mkString // <- codec call
+          DecodedFrame(id, idx, feature)
+        }
+      }
+  }
 }

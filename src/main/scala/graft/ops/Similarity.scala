@@ -125,6 +125,62 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
+  /** IVF (inverted-file) index: assign every vector to its nearest
+    * centroid. Centroids are a deterministic stride sample of the corpus
+    * (k-means would drop in behind the same interface) broadcast as
+    * literals; assignment is one narrow pass computing n x k dot products —
+    * cost scales with corpus x centroids, never corpus².
+    */
+  def ivfAssign(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(embCol), c.toIndexedSeq).as("sim"), lit(i).as("cid"))
+    }
+    df.withColumn("_best", array_max(array(sims.toIndexedSeq: _*)))
+      .withColumn("centroid", col("_best.cid"))
+      .drop("_best")
+  }
+
+  /** Deterministic stride-sampled centroids (every n/k-th vector). */
+  def ivfCentroids(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    val n = df.count()
+    val stride = (n / k).max(1)
+    df.filter(col(idCol) % stride === 0)
+      .orderBy(idCol).limit(k)
+      .select(embCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** IVF approximate top-k: score only vectors assigned to the `nProbe`
+    * centroids nearest to the query.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def cos(c: Array[Double]): Double = {
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum))
+    }
+    val probed = centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+      .take(nProbe).map(_._2).toSeq
+    ivfAssign(df, centroids, idCol, embCol)
+      .filter(col("centroid").isin(probed: _*))
+      .select(col(idCol), cosine(col(embCol), query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
   /** Embedding near-duplicate pairs above `threshold` cosine: pairs form
     * inside LSH band buckets only (never corpus x corpus), then exact
     * cosine verifies each candidate pair.

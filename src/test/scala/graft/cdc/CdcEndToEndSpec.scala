@@ -121,6 +121,27 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("in-band schema drift across batches: new column appears, old rows null") {
+    val root = tempDir("cdc-").toString
+    val v2Schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("age", LongType),
+      StructField("email", StringType))).json
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert",
+        Seq("""{"id":1,"name":"ann","age":30}"""))).toDF("value"),
+      options(root), batchId = 1L)
+    CdcSyncCommand.run(
+      Seq(env("db", "person", v2Schema, 2L, "upsert",
+        Seq("""{"id":2,"name":"bob","age":40,"email":"b@x"}"""))).toDF("value"),
+      options(root), batchId = 2L)
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name", "email").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ann", None), (2L, "bob", Some("b@x"))))
+  }
+
   test("transformer hook applies per-table SQL before the merge") {
     val root = tempDir("cdc-").toString
     val opts = options(root) +

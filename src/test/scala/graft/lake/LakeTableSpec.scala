@@ -130,6 +130,30 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.filter(col("_key") === "k1").select("payload").as[String].head() == "v1b")
   }
 
+  test("snapshotAt reads historical versions until vacuumed") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "v1")))
+    lt.upsert(rows(("a", 2L, "v2")))
+    assert(lt.snapshotAt(1L).select("payload").as[String].collect().toSeq == Seq("v1"))
+    assert(lt.snapshotAt(2L).select("payload").as[String].collect().toSeq == Seq("v2"))
+    intercept[IllegalArgumentException](lt.snapshotAt(99L))
+  }
+
+  test("concurrent commit of the same version is rejected atomically") {
+    val dir = tempDir("lake-").toString
+    val lt1 = new LakeTable(spark, dir, numBuckets = 2)
+    val lt2 = new LakeTable(spark, dir, numBuckets = 2) // second writer handle
+    lt1.upsert(rows(("a", 1L, "v1")))
+    // both handles observed version 1; lt2 commits version 2 first
+    lt2.upsert(rows(("b", 1L, "w")))
+    // lt1 must not silently clobber: its next commit targets version 3
+    lt1.upsert(rows(("c", 1L, "x")))
+    val got = new LakeTable(spark, dir, 2).snapshot
+      .select("_key").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b", "c"))
+    assert(new LakeTable(spark, dir, 2).latestVersion.contains(3L))
+  }
+
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 16)
     val keys = (0 until 50).map(i => s"key-$i")

@@ -108,6 +108,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((9001L, 9002L)))
   }
 
+  test("IVF top-k: probed search recalls most of exact top-k") {
+    val cents = Similarity.ivfCentroids(embs, 8)
+    assert(cents.length == 8 && cents.head.length == 64)
+    val exact = Similarity.topK(embs, queryVec, 10).select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, queryVec, 10, cents, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low for nProbe=4 of 8 centroids")
+    // probing all centroids must recover exact top-k
+    val full = Similarity.ivfTopK(embs, queryVec, 10, cents, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   test("multimodal assets: binary payload round-trips and frames are deterministic") {
@@ -127,5 +142,15 @@ class OpsSpec extends SparkSpec {
     val expected = java.security.MessageDigest.getInstance("MD5")
       .digest(text.take(16).getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(frames.head._2 == expected)
+  }
+
+  test("batched (mapPartitions) decode produces the same features as the expression stub") {
+    val assets = Multimodal.toAssets(docs).limit(10)
+    val framed = Multimodal.sampleFrames(assets)
+    val exprSide = framed.select($"doc_id", $"frame_idx".cast("int"), $"feature")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val batched = Multimodal.decodeFramesBatched(framed)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.feature)).sortBy(r => (r._1, r._2))
+    assert(batched.toSeq == exprSide.toSeq)
   }
 }
