@@ -114,6 +114,9 @@ object LakeQueries {
       evEnvelopes.unionByName(custEnvelopes),
       Map(
         "option.lake.path" -> s"$root/{db}/ods_{db}_{table}",
+        // single-file source -> spread envelope parse/keygen across cores
+        CdcSyncCommand.SourceParallelismKey ->
+          spark.sparkContext.defaultParallelism.toString,
         "graft.events.recordkey.field" -> "user_id",
         "graft.customer.recordkey.field" -> "c_custkey",
         "graft.events.buckets" -> "16",

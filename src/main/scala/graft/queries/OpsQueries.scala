@@ -25,11 +25,19 @@ import graft.ops.{DedupDocs, Multimodal, Similarity, TextStats}
   */
 object OpsQueries {
 
+  /** The corpus tables arrive as one small parquet file = one input split;
+    * the per-row ops (md5 windows, shingling, simhash votes) are CPU-bound,
+    * so spread them across the cluster first. At real scale the scan
+    * already has many splits and this repartition coalesces to a no-op
+    * cost relative to the compute it unlocks.
+    */
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   private val stopList = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
 
