@@ -30,6 +30,13 @@ object CdcSyncCommand {
   val SourceParallelismKey = "option.source.shuffle.parallelism"
   val KeepRawKey = "option.keepraw.enable"
   val RawPathKey = "option.raw.path"
+  /** "fail" = raise on malformed envelopes; default "drop" (ref behavior). */
+  val OnMalformedKey = "option.onmalformed"
+  /** Driver threads dispatching per-table merges concurrently (the
+    * reference's per-table loop is sequential, SURVEY.md §3 notes the
+    * inefficiency; Spark schedules jobs from multiple driver threads).
+    */
+  val SinkParallelismKey = "option.sink.table.parallelism"
 
   /** Run one micro-batch of envelope JSON (a 1-string-column DataFrame). */
   def run(
@@ -46,7 +53,8 @@ object CdcSyncCommand {
       case _ => batch
     }
 
-    val records = Envelope.parse(sized, valueCol).persist()
+    val strict = options.get(OnMalformedKey).exists(_.equalsIgnoreCase("fail"))
+    val records = Envelope.parse(sized, valueCol, strict).persist()
     try {
       // Raw-binlog archival sink (ref S5, :231-234): append the raw
       // envelope text before any transformation.
@@ -90,26 +98,43 @@ object CdcSyncCommand {
         .lww(keyed, LakeTable.KeyCol, Seq(LakeTable.TsCol, Envelope.ValueCol))
         .persist()
 
+      val sinkOne: ((String, String, String)) => Unit = { case (db, table, schemaJson) =>
+        val cfg = configs((db, table))
+        val mine = winners.filter(
+          col(s"${Envelope.MetaCol}.databaseName") === db &&
+            col(s"${Envelope.MetaCol}.tableName") === table)
+        val lake = new LakeTable(spark, cfg.path, cfg.numBuckets)
+
+        // Upserts: typed decode via the in-band schema, then merge.
+        val upserts = mine.filter(!Envelope.isDelete)
+        val typed0 = Envelope.decode(upserts, schemaJson, cfg.timestampFormat)
+        val typed = cfg.transformerSql match {
+          case Some(sql) => Transformer.transform(typed0, sql)
+          case None => typed0
+        }
+        lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
+
+        // Deletes: key-only left-anti (ref :186-190).
+        val delKeys = mine.filter(Envelope.isDelete).select(LakeTable.KeyCol)
+        lake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+      }
+
+      // Per-table merges are independent (distinct paths); dispatch from a
+      // bounded driver pool so table count, not table order, drives wall
+      // clock. Spark schedules jobs from concurrent driver threads fine.
+      val sinkThreads = options.get(SinkParallelismKey).map(_.toInt)
+        .getOrElse(4.min(metas.length)).max(1)
       try {
-        metas.foreach { case (db, table, schemaJson) =>
-          val cfg = configs((db, table))
-          val mine = winners.filter(
-            col(s"${Envelope.MetaCol}.databaseName") === db &&
-              col(s"${Envelope.MetaCol}.tableName") === table)
-          val lake = new LakeTable(spark, cfg.path, cfg.numBuckets)
-
-          // Upserts: typed decode via the in-band schema, then merge.
-          val upserts = mine.filter(!Envelope.isDelete)
-          val typed0 = Envelope.decode(upserts, schemaJson, cfg.timestampFormat)
-          val typed = cfg.transformerSql match {
-            case Some(sql) => Transformer.transform(typed0, sql)
-            case None => typed0
-          }
-          lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
-
-          // Deletes: key-only left-anti (ref :186-190).
-          val delKeys = mine.filter(Envelope.isDelete).select(LakeTable.KeyCol)
-          lake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+        if (sinkThreads <= 1 || metas.length <= 1) metas.foreach(sinkOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(sinkThreads)
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = metas.map { m =>
+              new java.util.concurrent.Callable[Unit] { def call(): Unit = sinkOne(m) }
+            }.toSeq.asJava
+            pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
+          } finally pool.shutdown()
         }
       } finally winners.unpersist()
     } finally records.unpersist()

@@ -41,17 +41,30 @@ object Envelope {
   /** Parse envelope strings and explode to one row per record:
     * `value: string` (raw record JSON) + `__meta__: struct` (envelope sans
     * rows) — the shape the rest of the pipeline consumes.
+    *
+    * Malformed input: `strict = true` raises (with the offending text) at
+    * execution time via a zero-cost `raise_error` guard in the same pass;
+    * `strict = false` drops unparseable rows silently (`explode` of a null
+    * array yields nothing — the quiet-loss default the reference has).
     */
-  def parse(df: DataFrame, valueCol: String = ValueCol): DataFrame =
-    df.select(from_json(col(valueCol), Schema).as("env"))
-      .select(
-        explode(col("env.rows")).as(ValueCol),
-        struct(
-          col("env.databaseName").as("databaseName"),
-          col("env.tableName").as("tableName"),
-          col("env.schema").as("schema"),
-          col("env.timestamp").as("timestamp"),
-          col("env.type").as("type")).as(MetaCol))
+  def parse(df: DataFrame, valueCol: String = ValueCol, strict: Boolean = false): DataFrame = {
+    val parsed = df.select(col(valueCol).as("_raw"), from_json(col(valueCol), Schema).as("env"))
+    val guarded =
+      if (!strict) parsed
+      else parsed.filter(
+        when(
+          col("env").isNull || col("env.rows").isNull,
+          raise_error(concat(lit("malformed CDC envelope: "), col("_raw"))))
+          .otherwise(lit(true)))
+    guarded.select(
+      explode(col("env.rows")).as(ValueCol),
+      struct(
+        col("env.databaseName").as("databaseName"),
+        col("env.tableName").as("tableName"),
+        col("env.schema").as("schema"),
+        col("env.timestamp").as("timestamp"),
+        col("env.type").as("type")).as(MetaCol))
+  }
 
   /** Decode raw record JSON strings into typed payload columns using the
     * in-band `StructType` JSON (reference P7, `:152-157` + `:197-206` — the

@@ -112,6 +112,16 @@ class CdcModulesSpec extends SparkSpec {
     }
   }
 
+  test("malformed envelopes: dropped by default, raised in strict mode") {
+    val df = Seq(
+      env("db1", "t1", 1L, "upsert", """{"id":1,"name":"a"}"""),
+      """not json at all""").toDF("value")
+    assert(Envelope.parse(df).count() == 1) // quiet drop (reference behavior)
+    val e = intercept[Exception](Envelope.parse(df, strict = true).count())
+    assert(e.getMessage.contains("malformed CDC envelope") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed CDC envelope")))
+  }
+
   // ---- CdcSource / JSON serialization -------------------------------------
 
   test("toJsonKeepNulls preserves null fields (WriteMapNullValue semantics)") {
