@@ -1,12 +1,11 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
-import scala.util.control.NonFatal
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,11 +54,14 @@ final class LakeTable(
     spark: SparkSession,
     val basePath: String,
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
-    val filesPerBucket: Int = 1) {
+    val filesPerBucket: Int = 1,
+    val zorderBy: Seq[String] = Nil) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
   require(filesPerBucket > 0, s"filesPerBucket must be positive: $filesPerBucket")
+  require(zorderBy.isEmpty || zorderBy.size == 2,
+    s"zorderBy takes exactly two long columns, got: ${zorderBy.mkString(",")}")
 
   private val commitsDir: Path = Paths.get(basePath, CommitsDirName)
   private val dataDir: Path = Paths.get(basePath, DataDirName)
@@ -222,7 +224,19 @@ final class LakeTable(
       val partitioned =
         if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
         else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
-      partitioned
+      // Optional Z-order clustering inside each file: rows sorted by the
+      // Morton code of two dimension keys, so parquet row-group min/max
+      // stats prune range predicates on either dimension.
+      val clustered = zorderBy match {
+        case Seq(a, b) if merged.columns.contains(a) && merged.columns.contains(b) =>
+          import org.apache.spark.sql.graft.Exprs
+          val z = Exprs.column(graft.functions.InterleaveBits(
+            Exprs.expression(col(a).cast("long")),
+            Exprs.expression(col(b).cast("long"))))
+          partitioned.sortWithinPartitions(col(BucketCol), z)
+        case _ => partitioned
+      }
+      clustered
         .write.partitionBy(BucketCol).mode("errorifexists")
         .parquet(outDir.toString)
 

@@ -154,6 +154,19 @@ class LakeTableSpec extends SparkSpec {
     assert(new LakeTable(spark, dir, 2).latestVersion.contains(3L))
   }
 
+  test("z-order clustered writes sort rows by Morton code within bucket files") {
+    val dir = tempDir("lake-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 1, zorderBy = Seq("x", "y"))
+    val data = scala.util.Random.shuffle(
+      for (x <- 0L until 8L; y <- 0L until 8L) yield (s"k$x-$y", 1L, x, y))
+    lt.upsert(data.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y"))
+    // read the single bucket file directly: rows must be in z-order
+    val zs = lt.snapshot.select("x", "y").collect()
+      .map(r => graft.util.BitUtil.interleave(r.getLong(0), r.getLong(1)))
+    assert(zs.toSeq == zs.sorted.toSeq, "file order should be the Morton order")
+    assert(lt.snapshot.count() == 64)
+  }
+
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 16)
     val keys = (0 until 50).map(i => s"key-$i")
