@@ -133,7 +133,10 @@ final class LakeTable(
     * last-write-wins per `_key` on `(_ts, arrival)` — an incoming row
     * replaces the stored row iff its `_ts` is >= the stored one.
     */
-  def upsert(updates: DataFrame, commitId: String = ""): Unit =
+  def upsert(updates: DataFrame, commitId: String = ""): Unit = {
+    require(
+      updates.columns.contains(TsCol),
+      s"upsert data must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
     writeCommit(updates, commitId) { (old, upd) =>
       val oldTagged = old.withColumn(SeqCol, lit(0L))
       val updTagged = upd.withColumn(SeqCol, lit(1L))
@@ -148,6 +151,7 @@ final class LakeTable(
           struct(col(TsCol), col(SeqCol))).as("_r"))
         .select("_r.*")
     }
+  }
 
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
