@@ -108,9 +108,13 @@ object CdcSyncCommand {
         // Upserts: typed decode via the in-band schema, then merge.
         val upserts = mine.filter(!Envelope.isDelete)
         val typed0 = Envelope.decode(upserts, schemaJson, cfg.timestampFormat)
-        val typed = cfg.transformerSql match {
+        val typed1 = cfg.transformerSql match {
           case Some(sql) => Transformer.transform(typed0, sql)
           case None => typed0
+        }
+        val typed = cfg.transformerClass match {
+          case Some(cls) => graft.util.Reflect.transformer(cls).transform(typed1)
+          case None => typed1
         }
         lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
 

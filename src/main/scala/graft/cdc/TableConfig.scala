@@ -12,6 +12,9 @@ package graft.cdc
   *    used when no explicit path is set (mirrors `option.hoodie.path`).
   *  - `<db>.<table>.transformer.sql` — optional `<SRC>` SQL transform
   *    (mirrors `hoodie.transformer.sql`).
+  *  - `<db>.<table>.transformer.class` — optional
+  *    [[graft.util.BatchTransformer]] implementation loaded reflectively
+  *    (applied after the SQL transform if both are set).
   *  - `<db>.<table>.timestampFormat` — payload timestamp format override.
   *  - `<db>.<table>.buckets` — LakeTable bucket count (scale knob).
   */
@@ -21,6 +24,7 @@ final case class TableConfig(
     recordKeyFields: Seq[String],
     path: String,
     transformerSql: Option[String],
+    transformerClass: Option[String],
     timestampFormat: String,
     numBuckets: Int)
 
@@ -61,6 +65,7 @@ object TableConfig {
       recordKeyFields = recordKeys,
       path = path,
       transformerSql = scoped.get("transformer.sql").filter(_.nonEmpty),
+      transformerClass = scoped.get("transformer.class").filter(_.nonEmpty),
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets))
   }

@@ -5,6 +5,12 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 import graft.lake.LakeTable
 
+/** Plugin transformer used by the reflective-loading test. */
+class AgePlusTen extends graft.util.BatchTransformer {
+  override def transform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("age", org.apache.spark.sql.functions.col("age") + 10)
+}
+
 /** End-to-end CDC replay vs an in-memory map oracle (SURVEY.md §5.3):
   * synthetic binlog JSON batches → CdcSyncCommand → read tables back.
   * Covers multi-table routing, delete-heavy streams, and replayed-batch
@@ -153,6 +159,28 @@ class CdcEndToEndSpec extends SparkSpec {
     val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
       .select("name").as[String].collect()
     assert(got.toSeq == Seq("ANN"))
+  }
+
+  test("class-based transformer plugin loads reflectively and applies") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) +
+      ("db.person.transformer.class" -> classOf[graft.cdc.AgePlusTen].getName)
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert",
+        Seq("""{"id":1,"name":"ann","age":30}"""))).toDF("value"),
+      opts, batchId = 1L)
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("age").as[Long].collect()
+    assert(got.toSeq == Seq(40L))
+    // bad class name fails loudly
+    val e = intercept[Exception](
+      CdcSyncCommand.run(
+        Seq(env("db", "person", personSchema, 2L, "upsert",
+          Seq("""{"id":2,"name":"b","age":1}"""))).toDF("value"),
+        options(root) + ("db.person.transformer.class" -> "java.lang.String"),
+        batchId = 2L))
+    assert(e.getMessage.contains("BatchTransformer") ||
+      Option(e.getCause).exists(_.getMessage.contains("BatchTransformer")))
   }
 
   test("raw archival sink appends envelope text when enabled") {
