@@ -391,9 +391,11 @@ object LakeTable {
       def objMap(name: String): Map[Int, String] = {
         val node = root.get(name)
         if (node == null || !node.isObject) Map.empty
-        else
-          node.asInstanceOf[ObjectNode].fields().asScala
-            .map(e => e.getKey.toInt -> e.getValue.asText()).toMap
+        else {
+          val obj = node.asInstanceOf[ObjectNode]
+          obj.fieldNames().asScala
+            .map(k => k.toInt -> obj.get(k).asText()).toMap
+        }
       }
       Manifest(
         version = root.get("version").asLong(),

@@ -154,6 +154,40 @@ class LakeTableSpec extends SparkSpec {
     assert(new LakeTable(spark, dir, 2).latestVersion.contains(3L))
   }
 
+  test("racing writers: every committed version's data survives, losers fail loudly") {
+    val dir = tempDir("lake-").toString
+    new LakeTable(spark, dir, numBuckets = 2).upsert(rows(("seed", 0L, "s")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (0 until 6).map { i =>
+          new java.util.concurrent.Callable[Either[Throwable, Int]] {
+            def call() =
+              try { new LakeTable(spark, dir, 2).upsert(rows((s"t$i", 1L, s"v$i"))); Right(i) }
+              catch { case e: Throwable => Left(e) }
+          }
+        }.asJava
+        pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    val winners = results.collect { case Right(i) => i }
+    val losers = results.collect { case Left(e) => e }
+    assert(winners.nonEmpty, "at least one racer must commit")
+    // losers must fail with the conflict error, not corrupt state
+    losers.foreach { e =>
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => Option(t.getMessage).exists(_.contains("concurrent commit"))),
+        s"unexpected failure: $e")
+    }
+    // every winner's key is present; no torn/partial state
+    val keys = new LakeTable(spark, dir, 2).snapshot
+      .select("_key").as[String].collect().toSet
+    assert(keys.contains("seed"))
+    winners.foreach(i => assert(keys.contains(s"t$i"), s"lost committed write t$i"))
+  }
+
   test("z-order clustered writes sort rows by Morton code within bucket files") {
     val dir = tempDir("lake-").toString
     val lt = new LakeTable(spark, dir, numBuckets = 1, zorderBy = Seq("x", "y"))
