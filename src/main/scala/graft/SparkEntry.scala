@@ -15,9 +15,12 @@ object SparkEntry {
   private def allQueries: Map[String, QueryDef] =
     CoreQueries.all ++ LakeQueries.all ++ OpsQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full CDC pipeline — envelopes → explode → keygen → LWW dedup →
+    * upsert/delete routing → copy-on-write lake merge → readback.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allQueries("q02_agg_tpch_q1").fn(spark, "/root/testdata/sf0.001")
+    allQueries("q25_cdc_end_to_end").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
