@@ -54,8 +54,15 @@ object DedupDocs {
       n: Int = 3,
       num: Int = 1,
       den: Int = 2): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val cnt = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // Pin the self-join to an explicit hash partitioning on the join key:
+    // the index is small in BYTES but the join OUTPUT is sum(df^2) rows, so
+    // AQE's size-based coalescing (or a broadcast pick) would serialize the
+    // expensive part into one task. A user repartition is respected by AQE
+    // and co-locates both sides with zero extra join shuffle.
+    val sh = sh0.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("shingle"))
     val co = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
