@@ -276,6 +276,46 @@ object OpsQueries {
            |FROM part ORDER BY z, p_partkey LIMIT 500""".stripMargin
       }),
 
+    // ---- skew: salted two-phase aggregation ----------------------------
+    // Same result as a plain GROUP BY (the oracle), executed with bounded
+    // per-reducer fan-in. Sums are decimal-exact so the two-phase
+    // association cannot perturb the value.
+    "q40_salted_agg" -> QueryDef(
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        graft.ops.Skew.saltedAgg(li, Seq("l_suppkey"), Map(
+            "sum_qty" -> (col("l_quantity").cast("decimal(18,2)"), "sum"),
+            "cnt" -> (col("l_quantity"), "count")))
+          .select(
+            col("l_suppkey"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("cnt"))
+          .orderBy("l_suppkey")
+      },
+      Some(
+        """SELECT l_suppkey,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(l_quantity) AS cnt
+          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- exact interpolated percentiles --------------------------------
+    "q41_percentiles" -> QueryDef(
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          """SELECT l_returnflag,
+            |       percentile(l_quantity, 0.5) AS p50,
+            |       percentile(l_quantity, 0.95) AS p95,
+            |       count(*) AS cnt
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       quantile_cont(l_quantity, 0.5) AS p50,
+          |       quantile_cont(l_quantity, 0.95) AS p95,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- multimodal: binary payload + frame sampling -------------------
     "q38_multimodal_frames" -> QueryDef(
       (spark, dir) =>

@@ -43,6 +43,22 @@ class OpsSpec extends SparkSpec {
     assert(verified == exact)
   }
 
+  test("salted aggregation equals plain groupBy on a skewed key distribution") {
+    // 90% of rows hit one hot key
+    val rows = (1 to 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong, i.toDouble)
+    }
+    val df = rows.toDF("k", "n", "v")
+    val plain = df.groupBy("k")
+      .agg(sum($"n").as("sum_n"), count($"v").as("cnt"), max($"n").as("max_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = Skew.saltedAgg(df, Seq("k"), Map(
+      "sum_n" -> ($"n", "sum"), "cnt" -> ($"v", "count"), "max_n" -> ($"n", "max")))
+      .select("k", "sum_n", "cnt", "max_n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == plain)
+  }
+
   // ---- text stats ---------------------------------------------------------
 
   test("withStats computes token/punct/stopword counts") {
