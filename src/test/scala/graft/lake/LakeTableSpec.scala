@@ -201,6 +201,29 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.count() == 64)
   }
 
+  test("partitioned lake table: per-partition writes, pruned reads, idempotency") {
+    val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    val batch = Seq(
+      ("a", 1L, "2024-01-01", "va"), ("b", 1L, "2024-01-01", "vb"),
+      ("c", 1L, "2024-01-02", "vc"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    plt.upsert(batch, commitId = "b1")
+    assert(plt.partitions == Seq("2024-01-01", "2024-01-02"))
+    // pruned read opens only one partition
+    val day1 = plt.snapshot(Seq("2024-01-01"))
+      .select("_key", "day").as[(String, String)].collect().sortBy(_._1)
+    assert(day1.toSeq == Seq(("a", "2024-01-01"), ("b", "2024-01-01")))
+    // update one partition, delete from all; replay is a no-op
+    plt.upsert(Seq(("a", 2L, "2024-01-01", "va2"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"), commitId = "b2")
+    plt.delete(Seq("c").toDF(LakeTable.KeyCol), commitId = "b3")
+    plt.upsert(Seq(("a", 9L, "2024-01-01", "REPLAY"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"), commitId = "b2")
+    val all = plt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(all.toSeq == Seq(("a", "va2"), ("b", "vb")))
+  }
+
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 16)
     val keys = (0 until 50).map(i => s"key-$i")
