@@ -103,7 +103,6 @@ object CdcSyncCommand {
         val mine = winners.filter(
           col(s"${Envelope.MetaCol}.databaseName") === db &&
             col(s"${Envelope.MetaCol}.tableName") === table)
-        val lake = new LakeTable(spark, cfg.path, cfg.numBuckets)
 
         // Upserts: typed decode via the in-band schema, then merge.
         val upserts = mine.filter(!Envelope.isDelete)
@@ -116,11 +115,20 @@ object CdcSyncCommand {
           case Some(cls) => graft.util.Reflect.transformer(cls).transform(typed1)
           case None => typed1
         }
-        lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
-
-        // Deletes: key-only left-anti (ref :186-190).
         val delKeys = mine.filter(Envelope.isDelete).select(LakeTable.KeyCol)
-        lake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+
+        cfg.partitionField match {
+          case Some(pf) =>
+            val plake = new graft.lake.PartitionedLakeTable(spark, cfg.path, pf, cfg.numBuckets)
+            plake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
+            // Key-only deletes visit every partition (global-index delete).
+            plake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+          case None =>
+            val lake = new LakeTable(spark, cfg.path, cfg.numBuckets)
+            lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
+            // Deletes: key-only left-anti (ref :186-190).
+            lake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+        }
       }
 
       // Per-table merges are independent (distinct paths); dispatch from a

@@ -17,6 +17,9 @@ package graft.cdc
   *    (applied after the SQL transform if both are set).
   *  - `<db>.<table>.timestampFormat` — payload timestamp format override.
   *  - `<db>.<table>.buckets` — LakeTable bucket count (scale knob).
+  *  - `<db>.<table>.partition.field` — optional payload column to
+  *    partition the lake table by (mirrors
+  *    `hoodie.datasource.write.partitionpath.field`).
   */
 final case class TableConfig(
     db: String,
@@ -26,7 +29,8 @@ final case class TableConfig(
     transformerSql: Option[String],
     transformerClass: Option[String],
     timestampFormat: String,
-    numBuckets: Int)
+    numBuckets: Int,
+    partitionField: Option[String])
 
 object TableConfig {
 
@@ -67,6 +71,7 @@ object TableConfig {
       transformerSql = scoped.get("transformer.sql").filter(_.nonEmpty),
       transformerClass = scoped.get("transformer.class").filter(_.nonEmpty),
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
-      numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets))
+      numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
+      partitionField = scoped.get("partition.field").filter(_.nonEmpty))
   }
 }

@@ -86,6 +86,7 @@ final class PartitionedLakeTable(
     * global-index delete).
     */
   def delete(keys: DataFrame, inPartitions: Option[Seq[String]] = None, commitId: String = ""): Unit = {
+    if (keys.isEmpty) return // avoid one no-op commit check per partition
     val targets = inPartitions.getOrElse(partitions)
     targets.foreach { v =>
       partitionTable(v).delete(

@@ -126,7 +126,34 @@ object LakeQueries {
     finalState(new LakeTable(spark, s"$root/graft/ods_graft_events", 16))
   }
 
+  // ---- q42: partitioned lake table + pruned read -------------------------
+
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val plt = new graft.lake.PartitionedLakeTable(
+      spark, scratchDir("plake"), "o_orderpriority", numBuckets = 8)
+    plt.upsert(
+      orders.select(
+        md5(concat_ws("_", lit("graft"), lit("orders"), col("o_orderkey")))
+          .as(LakeTable.KeyCol),
+        col("o_orderkey").as(LakeTable.TsCol), // unique: no LWW conflicts
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      commitId = "b1")
+    // pruned read: only the 1-URGENT partition's files are opened
+    plt.snapshot(Seq("1-URGENT"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, QueryDef] = Map(
+
+    "q42_partition_prune" -> QueryDef(
+      q42,
+      Some(
+        """SELECT o_orderkey, o_orderpriority, o_totalprice
+          |FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey""".stripMargin)),
+
     "q23_lake_upsert" -> QueryDef(q23, Some(s"$lwwOracle ORDER BY user_id")),
     "q24_lake_delete" -> QueryDef(
       q24,

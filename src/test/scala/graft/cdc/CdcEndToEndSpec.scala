@@ -161,6 +161,26 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(got.toSeq == Seq("ANN"))
   }
 
+  test("partition.field routes a table through PartitionedLakeTable") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) + ("db.person.partition.field" -> "name")
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""", """{"id":2,"name":"bob","age":40}""")),
+      env("db", "person", personSchema, 2L, "delete", Seq(
+        """{"id":2,"name":"bob","age":40}""")))
+    CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 1L)
+    val plake = new graft.lake.PartitionedLakeTable(
+      spark, s"$root/db/ods_db_person", "name", 4)
+    assert(plake.partitions.nonEmpty)
+    val got = plake.snapshot.select("id", "name").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ann")))
+    // pruned read of ann's partition only
+    val ann = plake.snapshot(Seq("ann")).select("id").as[Long].collect()
+    assert(ann.toSeq == Seq(1L))
+  }
+
   test("class-based transformer plugin loads reflectively and applies") {
     val root = tempDir("cdc-").toString
     val opts = options(root) +
