@@ -69,16 +69,27 @@ final class PartitionedLakeTable(
     require(
       !values.contains(null),
       s"null $partitionCol in updates — partition values must be non-null")
-    values.foreach { v =>
-      // The partition value is constant within the dir — elide the column
-      // from the stored files (re-attached on read), like any partitioned
-      // table format.
-      val part = updates
-        .filter(col(partitionCol).cast("string") === v)
-        .drop(partitionCol)
-      partitionTable(v).upsert(
-        part, commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
-    }
+    // Independent per-partition merges: dispatch from a bounded driver
+    // pool (same pattern as CdcSyncCommand's per-table loop) so partition
+    // count doesn't serialize the write.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(values.length).max(1))
+    try {
+      val tasks = values.toSeq.map { v =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // The partition value is constant within the dir — elide the
+            // column from the stored files (re-attached on read), like any
+            // partitioned table format.
+            val part = updates
+              .filter(col(partitionCol).cast("string") === v)
+              .drop(partitionCol)
+            partitionTable(v).upsert(
+              part, commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
+          }
+        }
+      }.asJava
+      pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
+    } finally pool.shutdown()
   }
 
   /** Delete keys from the given partitions (all partitions if None —
