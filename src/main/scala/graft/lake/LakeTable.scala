@@ -111,6 +111,30 @@ final class LakeTable(
     readBuckets(m, m.buckets.keySet)
   }
 
+  /** Incremental read: rows whose (`_key`, `_ts`) state changed after
+    * `sinceVersion` — inserts and updates since that commit (deletes are
+    * absent; diff keys via a left-anti the other way for tombstones).
+    * Only buckets REWRITTEN after `sinceVersion` are scanned on either
+    * side — carried-forward buckets cannot contain changes, so the diff
+    * cost scales with what actually changed, not table size.
+    */
+  def incremental(sinceVersion: Long): DataFrame = {
+    require(
+      versions().contains(sinceVersion),
+      s"no committed version $sinceVersion at $basePath")
+    val newest = latestManifest().get
+    val old = readManifest(sinceVersion)
+    val changedBuckets = newest.buckets.collect {
+      case (b, dir) if !old.buckets.get(b).contains(dir) => b
+    }.toSet
+    if (changedBuckets.isEmpty)
+      return readBuckets(newest, Set.empty) // empty, with schema
+    val cur = readBuckets(newest, changedBuckets)
+    val prev = readBuckets(old, changedBuckets & old.buckets.keySet)
+      .select(col(KeyCol), col(TsCol))
+    cur.join(broadcastIfSmall(prev), Seq(KeyCol, TsCol), "left_anti")
+  }
+
   private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
     val paths = m.buckets.collect {
       case (b, dir) if buckets.contains(b) => Paths.get(basePath, dir).toString

@@ -1,12 +1,17 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.graft.StreamBatch
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 import graft.cdc.CdcSyncCommand
+import graft.lake.LakeTable
 
 /** Streaming sink registration (reference operators S2/S3,
   * `/root/reference/src/main/java/org/apache/spark/sql/hudi/sources/BinlogHoodieDataSource.scala:24-35`
@@ -21,7 +26,8 @@ import graft.cdc.CdcSyncCommand
   * (`README.md:49`, mode stored unused at `BinlogHoodieSink.scala:12-16`).
   * Unlike the reference, `batchId` is propagated for idempotent replay.
   */
-class CdcLakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class CdcLakeSinkProvider extends StreamSinkProvider
+    with CreatableRelationProvider with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = CdcLakeSinkProvider.ShortName
 
@@ -31,6 +37,49 @@ class CdcLakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
       partitionColumns: Seq[String],
       outputMode: OutputMode): Sink =
     new CdcLakeSink(parameters)
+
+  /** Batch write parity (reference E2,
+    * `BinlogSyncHoodieCommand.scala:231-234` re-entering its own source
+    * class for batch writes): `envelopes.write.format("cdc-lake")
+    * .options(cfg).save()` runs one CDC merge batch. SaveMode is accepted
+    * and ignored — the sink always merges, like the streaming path.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    CdcSyncCommand.run(data, parameters,
+      batchId = parameters.get("batchId").map(_.toLong).getOrElse(-1L))
+    new LakeSnapshotRelation(sqlContext, parameters)
+  }
+
+  /** Batch read: `spark.read.format("cdc-lake").option("path", p).load()`
+    * returns the lake table's current snapshot.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new LakeSnapshotRelation(sqlContext, parameters)
+}
+
+/** Current-snapshot relation over a LakeTable dir (v1 `TableScan`: Spark
+  * plans the scan; column pruning/pushdown happen on the snapshot read
+  * inside `buildScan`'s DataFrame anyway since it is parquet-backed).
+  */
+class LakeSnapshotRelation(
+    ctx: SQLContext,
+    parameters: Map[String, String]) extends BaseRelation with TableScan {
+
+  private def table: LakeTable = new LakeTable(
+    ctx.sparkSession,
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("cdc-lake read requires a path option")),
+    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets))
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = table.snapshot.schema
+  override def buildScan(): RDD[Row] = table.snapshot.rdd
 }
 
 object CdcLakeSinkProvider {

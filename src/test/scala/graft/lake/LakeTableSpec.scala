@@ -201,6 +201,20 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.count() == 64)
   }
 
+  test("incremental read returns exactly the rows changed since a version") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    val v1 = lt.latestVersion.get
+    lt.upsert(rows(("a", 2L, "a2"), ("d", 2L, "d1"))) // update a, insert d
+    lt.delete(Seq("b").toDF(LakeTable.KeyCol))
+    val inc = lt.incremental(v1).select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(inc.toSeq == Seq(("a", "a2"), ("d", "d1")),
+      "changed rows only: updated a, inserted d; untouched c and deleted b absent")
+    // incremental from latest is empty
+    assert(lt.incremental(lt.latestVersion.get).count() == 0)
+  }
+
   test("partitioned lake table: per-partition writes, pruned reads, idempotency") {
     val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
     val batch = Seq(

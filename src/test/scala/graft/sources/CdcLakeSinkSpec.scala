@@ -89,6 +89,25 @@ class CdcLakeSinkSpec extends SparkSpec {
     assert(versionsAfterFirst.exists(v => lake.latestVersion.exists(_ > v)))
   }
 
+  test("batch write via df.write.format(cdc-lake) and read via spark.read.format(cdc-lake)") {
+    val root = tempDir("sink-").toString
+    Seq(
+      env(1L, "upsert", """{"id":1,"name":"ann"}""", """{"id":2,"name":"bob"}"""),
+      env(2L, "delete", """{"id":2,"name":"bob"}"""))
+      .toDF("value")
+      .write.format("cdc-lake")
+      .option("option.lake.path", s"$root/{db}/{table}")
+      .option("db.person.recordkey.field", "id")
+      .option("db.person.buckets", "4")
+      .mode("append")
+      .save()
+    val got = spark.read.format("cdc-lake")
+      .option("buckets", "4")
+      .load(s"$root/db/person")
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ann")))
+  }
+
   test("Sink.addBatch with a replayed batchId is a no-op (provider-level)") {
     val root = tempDir("sink-").toString
     val params = Map(
