@@ -55,7 +55,8 @@ final class LakeTable(
     val basePath: String,
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
     val filesPerBucket: Int = 1,
-    val zorderBy: Seq[String] = Nil) {
+    val zorderBy: Seq[String] = Nil,
+    val bloomOnWrite: Boolean = true) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
@@ -282,9 +283,13 @@ final class LakeTable(
 
       // Bloom sidecars for rewritten buckets (key-pruning for lookup()),
       // built from the parquet just written (column-pruned key read) via a
-      // distributed bloom merge — no keys ever reach the driver.
+      // distributed bloom merge — no keys ever reach the driver. Two extra
+      // jobs per commit; `bloomOnWrite = false` trades lookup pruning for
+      // write latency (lookup falls back to bucket pruning alone).
       val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) -- affected
-      val newBlooms = carriedBlooms ++ buildBlooms(relDir, written)
+      val newBlooms =
+        if (bloomOnWrite) carriedBlooms ++ buildBlooms(relDir, written)
+        else carriedBlooms
 
       val schemaJson = mergedSchemaJson(prev, merged.schema)
       val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)

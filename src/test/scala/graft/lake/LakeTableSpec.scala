@@ -104,6 +104,15 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k42", "v42"), ("k7", "v7")))
   }
 
+  test("bloomOnWrite=false skips sidecars; lookup still correct via bucket pruning") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 8, bloomOnWrite = false)
+    val many = (0 until 50).map(i => (s"k$i", 1L, s"v$i"))
+    lt.upsert(many.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val got = lt.lookup(Seq("k7", "absent"))
+      .select("_key", "payload").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("k7", "v7")))
+  }
+
   test("vacuum removes unreferenced version dirs, keeps live buckets, state intact") {
     val dir = tempDir("lake-").toString
     val lt = new LakeTable(spark, dir, numBuckets = 4)
