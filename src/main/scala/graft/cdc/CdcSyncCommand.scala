@@ -92,11 +92,38 @@ object CdcSyncCommand {
             col(Envelope.ValueCol),
             configs.map { case (k, c) => k -> c.recordKeyFields }))
         .withColumn(LakeTable.TsCol, col(s"${Envelope.MetaCol}.timestamp"))
-      // Deterministic total order: ties on _ts are broken by the record
-      // JSON text (the reference's sort is stable but arbitrary, :262-266).
+      // Deterministic total order on (_ts, configured numeric tiebreak,
+      // record JSON text). Tables with `dedup.tiebreak.field` break equal-_ts
+      // ties numerically on that payload field (greatest wins, one CASE arm
+      // per table — same single-pass shape as KeyGen); the raw-text fallback
+      // is deterministic but lexicographic (the reference's sort is stable
+      // but arbitrary, :262-266).
+      val tieCol = configs.toSeq.sortBy { case ((db, t), _) => (db, t) }
+        .foldLeft(lit(null).cast("double")) { case (acc, ((db, table), cfg)) =>
+          cfg.tiebreakField match {
+            case Some(f) =>
+              when(
+                col(s"${Envelope.MetaCol}.databaseName") === db &&
+                  col(s"${Envelope.MetaCol}.tableName") === table,
+                get_json_object(col(Envelope.ValueCol), s"$$.$f").cast("double"))
+                .otherwise(acc)
+            case None => acc
+          }
+        }
       val winners = Dedup
-        .lww(keyed, LakeTable.KeyCol, Seq(LakeTable.TsCol, Envelope.ValueCol))
+        .lww(
+          keyed.withColumn("_tie", tieCol),
+          LakeTable.KeyCol,
+          Seq(LakeTable.TsCol, "_tie", Envelope.ValueCol))
+        .drop("_tie")
         .persist()
+
+      // Idempotent-replay commit ids need a caller-supplied batch identity.
+      // Batch saves without one (batchId < 0) get an EMPTY commitId — every
+      // write applies — rather than a shared sentinel id that would make
+      // LakeTable.isCommitted silently skip all but the first save.
+      def commitIdFor(db: String, table: String, op: String): String =
+        if (batchId < 0) "" else s"b$batchId:$db.$table:$op"
 
       val sinkOne: ((String, String, String)) => Unit = { case (db, table, schemaJson) =>
         val cfg = configs((db, table))
@@ -119,15 +146,17 @@ object CdcSyncCommand {
 
         cfg.partitionField match {
           case Some(pf) =>
-            val plake = new graft.lake.PartitionedLakeTable(spark, cfg.path, pf, cfg.numBuckets)
-            plake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
+            val plake = new graft.lake.PartitionedLakeTable(
+              spark, cfg.path, pf, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
+            plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Key-only deletes visit every partition (global-index delete).
-            plake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+            plake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
           case None =>
-            val lake = new LakeTable(spark, cfg.path, cfg.numBuckets)
-            lake.upsert(typed, commitId = s"b$batchId:$db.$table:upsert")
+            val lake = new LakeTable(
+              spark, cfg.path, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
+            lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Deletes: key-only left-anti (ref :186-190).
-            lake.delete(delKeys, commitId = s"b$batchId:$db.$table:delete")
+            lake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
         }
       }
 

@@ -20,6 +20,13 @@ package graft.cdc
   *  - `<db>.<table>.partition.field` — optional payload column to
   *    partition the lake table by (mirrors
   *    `hoodie.datasource.write.partitionpath.field`).
+  *  - `<db>.<table>.bloom.enable` — build bloom sidecars on write (default
+  *    true; disable to trade `lookup()` key pruning for write latency).
+  *  - `<db>.<table>.dedup.tiebreak.field` — optional NUMERIC payload field
+  *    breaking last-write-wins ties on equal envelope timestamps (compared
+  *    numerically, greatest wins; mirrors choosing a precombine field).
+  *    Without it ties fall back to the raw record JSON text, which orders
+  *    lexicographically — deterministic but e.g. `"9" > "10"`.
   */
 final case class TableConfig(
     db: String,
@@ -30,7 +37,9 @@ final case class TableConfig(
     transformerClass: Option[String],
     timestampFormat: String,
     numBuckets: Int,
-    partitionField: Option[String])
+    partitionField: Option[String],
+    tiebreakField: Option[String],
+    bloomEnable: Boolean)
 
 object TableConfig {
 
@@ -72,6 +81,8 @@ object TableConfig {
       transformerClass = scoped.get("transformer.class").filter(_.nonEmpty),
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
-      partitionField = scoped.get("partition.field").filter(_.nonEmpty))
+      partitionField = scoped.get("partition.field").filter(_.nonEmpty),
+      tiebreakField = scoped.get("dedup.tiebreak.field").filter(_.nonEmpty),
+      bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean))
   }
 }

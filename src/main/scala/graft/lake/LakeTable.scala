@@ -1,9 +1,10 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -73,10 +74,12 @@ final class LakeTable(
   private def versions(): Seq[Long] =
     if (!Files.isDirectory(commitsDir)) Seq.empty
     else
-      Files.list(commitsDir).iterator.asScala
-        .map(_.getFileName.toString)
-        .collect { case VersionFileRe(n) => n.toLong }
-        .toSeq.sorted
+      Using.resource(Files.list(commitsDir)) { s =>
+        s.iterator.asScala
+          .map(_.getFileName.toString)
+          .collect { case VersionFileRe(n) => n.toLong }
+          .toSeq
+      }.sorted
 
   def latestVersion: Option[Long] = versions().lastOption
 
@@ -85,9 +88,13 @@ final class LakeTable(
 
   private def latestManifest(): Option[Manifest] = latestVersion.map(readManifest)
 
-  /** Commit ids of every committed version (for idempotent replay checks). */
+  /** Commit ids of every committed version (for idempotent replay checks),
+    * including versions whose snapshots were vacuumed — replaying a batch
+    * that committed before a vacuum must stay a no-op.
+    */
   def committedIds: Set[String] =
-    versions().map(v => readManifest(v).commitId).filter(_.nonEmpty).toSet
+    versions().map(v => readManifest(v).commitId).filter(_.nonEmpty).toSet ++
+      vacuumedIds.values.filter(_.nonEmpty)
 
   /** True iff `commitId` has already been committed. */
   def isCommitted(commitId: String): Boolean =
@@ -107,6 +114,9 @@ final class LakeTable(
     * referenced snapshot dirs are vacuumed).
     */
   def snapshotAt(version: Long): DataFrame = {
+    require(
+      !vacuumedIds.contains(version),
+      s"version $version at $basePath was vacuumed — its snapshot no longer exists")
     require(versions().contains(version), s"no committed version $version at $basePath")
     val m = readManifest(version)
     readBuckets(m, m.buckets.keySet)
@@ -168,12 +178,16 @@ final class LakeTable(
       val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
       val cols = unioned.columns.filter(_ != SeqCol)
       // Hash-agg LWW (map-side combinable): the row with max (_ts, _seq)
-      // wins; updates beat the snapshot on equal _ts.
+      // wins; updates beat the snapshot on equal _ts. Within-batch ties
+      // (equal _ts AND _seq) break on a row-content hash: an arbitrary but
+      // DETERMINISTIC total order, so replays and different partitionings
+      // converge to the same table state. Callers with a semantic tie-break
+      // (e.g. CdcSyncCommand's dedup.tiebreak.field) pre-dedup upstream.
       unioned
         .groupBy(col(KeyCol))
         .agg(max_by(
           struct(cols.map(col).toIndexedSeq: _*),
-          struct(col(TsCol), col(SeqCol))).as("_r"))
+          struct(col(TsCol), col(SeqCol), xxhash64(cols.map(col).toIndexedSeq: _*))).as("_r"))
         .select("_r.*")
     }
   }
@@ -211,7 +225,18 @@ final class LakeTable(
       readBuckets(m, pruned).filter(col(KeyCol).isin(keys: _*))
   }
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Broadcast hint only when the optimizer's size estimate fits under the
+    * session's autoBroadcastJoinThreshold. Delete key sets and
+    * `incremental()` prev sides are unbounded at scale — an unconditional
+    * hint would hit the broadcast size limit / driver OOM instead of
+    * degrading to a shuffle join; with no hint AQE picks the strategy.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimate <= BigInt(threshold)) broadcast(df) else df
+  }
 
   /** Common commit protocol: figure out affected buckets, run `merge` over
     * (old rows of those buckets, incoming), write only those buckets, link
@@ -273,10 +298,12 @@ final class LakeTable(
       val written: Set[Int] =
         if (!Files.isDirectory(outDir)) Set.empty
         else
-          Files.list(outDir).iterator.asScala
-            .map(_.getFileName.toString)
-            .collect { case BucketDirRe(b) => b.toInt }
-            .toSet
+          Using.resource(Files.list(outDir)) { s =>
+            s.iterator.asScala
+              .map(_.getFileName.toString)
+              .collect { case BucketDirRe(b) => b.toInt }
+              .toSet
+          }
 
       val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
       val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
@@ -299,22 +326,58 @@ final class LakeTable(
 
   /** Remove data version dirs no longer referenced by the latest
     * `keepVersions` manifests (old COW snapshots accumulate otherwise).
-    * Keeps any version dir still carrying a live bucket. Returns the
-    * number of dirs removed.
+    * Keeps any version dir still carrying a live bucket. Manifests whose
+    * referenced data dirs are removed are tombstoned into
+    * `_commits/_vacuumed.json` (their commitIds stay replay-proof via
+    * [[committedIds]]; `snapshotAt` on them fails with a clear
+    * "was vacuumed" error instead of a late FileNotFoundException) and
+    * deleted. Returns the number of data dirs removed.
     */
   def vacuum(keepVersions: Int = 1): Int = synchronized {
-    val keep = versions().takeRight(keepVersions.max(1))
+    val all = versions()
+    val keep = all.takeRight(keepVersions.max(1))
     if (keep.isEmpty || !Files.isDirectory(dataDir)) return 0
     val referenced: Set[String] = keep.flatMap { v =>
       readManifest(v).buckets.values.map(_.split("/")(1)) // data/<ver>/b=i
     }.toSet
-    val removable = Files.list(dataDir).iterator.asScala
-      .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
+    val removable = Using.resource(Files.list(dataDir)) { s =>
+      s.iterator.asScala
+        .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
+    }
+    val removedNames = removable.map(_.getFileName.toString).toSet
+    // Tombstone every non-kept manifest that references a removed dir.
+    val dead = all.filterNot(keep.contains).filter { v =>
+      readManifest(v).buckets.values.exists(d => removedNames.contains(d.split("/")(1)))
+    }
+    if (dead.nonEmpty) {
+      val merged = vacuumedIds ++ dead.map(v => v -> readManifest(v).commitId)
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      merged.toSeq.sortBy(_._1).foreach { case (v, id) => root.put(v.toString, id) }
+      val tmp = commitsDir.resolve(s".tmp-vac-${UUID.randomUUID()}")
+      Files.writeString(tmp, mapper.writeValueAsString(root))
+      Files.move(tmp, vacuumedFile,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      dead.foreach(v => Files.deleteIfExists(commitsDir.resolve(versionFileName(v))))
+    }
     removable.foreach { dir =>
-      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Using.resource(Files.walk(dir)) { s =>
+        s.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
     removable.size
   }
+
+  private def vacuumedFile: Path = commitsDir.resolve("_vacuumed.json")
+
+  /** Tombstoned versions: version -> commitId of manifests vacuum removed. */
+  private def vacuumedIds: Map[Long, String] =
+    if (!Files.exists(vacuumedFile)) Map.empty
+    else {
+      val root = new ObjectMapper().readTree(Files.readString(vacuumedFile))
+        .asInstanceOf[ObjectNode]
+      root.fieldNames().asScala.map(k => k.toLong -> root.get(k).asText("")).toMap
+    }
 
   private def buildBlooms(relDir: String, written: Set[Int]): Map[Int, String] = {
     if (written.isEmpty) return Map.empty
@@ -324,16 +387,17 @@ final class LakeTable(
     // count job, then one distributed bloom-merge job per commit.
     val maxN = keys.groupBy(bucketOf(col(KeyCol)).as(BucketCol)).count()
       .agg(max("count")).collect()(0).getLong(0)
+    // Untyped udaf over a codegen'd int-bucket groupBy: the earlier typed
+    // groupByKey(row => ...) path deserialized every row through closures —
+    // measurably CPU-heavy at bench scale for zero benefit.
     import org.apache.spark.sql.Encoders
-    val bloomAgg = new BloomAggregator(maxN, 0.01).toColumn
-    val nb = numBuckets // local copy: the task closure must not capture `this`
+    val bloomUdaf = udaf(new BloomAggregator(maxN, 0.01), Encoders.STRING)
     val rows = keys
-      .groupByKey(r => bucketOfKey(r.getString(0), nb))(Encoders.scalaInt)
-      .mapValues(_.getString(0))(Encoders.STRING)
-      .agg(bloomAgg.name("bloom"))
+      .groupBy(bucketOf(col(KeyCol)).as(BucketCol))
+      .agg(bloomUdaf(col(KeyCol)).as("bloom"))
       .collect()
-    rows.iterator.map { case (b, bytes) =>
-      b -> java.util.Base64.getEncoder.encodeToString(bytes)
+    rows.iterator.map { r =>
+      r.getInt(0) -> java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))
     }.toMap
   }
 

@@ -1,11 +1,14 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Business-partitioned lake table: one bucketed [[LakeTable]] per value of
   * a partition column (`basePath/p=<value>/...`), the Hudi partition-path
@@ -28,9 +31,39 @@ final class PartitionedLakeTable(
     spark: SparkSession,
     val basePath: String,
     val partitionCol: String,
-    val numBuckets: Int = LakeTable.DefaultNumBuckets) {
+    val numBuckets: Int = LakeTable.DefaultNumBuckets,
+    val bloomOnWrite: Boolean = true) {
 
   private val PartPrefix = "p="
+
+  /** Table-level metadata: the partition column's ORIGINAL data type, so a
+    * table partitioned on a non-string column (e.g. a LongType field via
+    * CDC partition.field) reads back with the schema it was written with —
+    * directory names are strings, the type is not recoverable from them.
+    */
+  private val metaFile = Paths.get(basePath, "_table.json")
+
+  private def writeMetaIfAbsent(dt: DataType): Unit = synchronized {
+    if (Files.exists(metaFile)) return
+    Files.createDirectories(Paths.get(basePath))
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("partitionCol", partitionCol)
+    root.put("partitionTypeJson", dt.json)
+    val tmp = Paths.get(basePath, s".tmp-meta-${UUID.randomUUID()}")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try Files.createLink(metaFile, tmp)
+    catch {
+      // concurrent writer published it first — contents are identical
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def partitionType: DataType =
+    if (!Files.exists(metaFile)) StringType
+    else DataType.fromJson(
+      new ObjectMapper().readTree(Files.readString(metaFile))
+        .get("partitionTypeJson").asText())
 
   private def encode(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
@@ -41,19 +74,21 @@ final class PartitionedLakeTable(
   private def partDir(v: String): String = s"$basePath/$PartPrefix${encode(v)}"
 
   def partitionTable(value: String): LakeTable =
-    new LakeTable(spark, partDir(value), numBuckets)
+    new LakeTable(spark, partDir(value), numBuckets, bloomOnWrite = bloomOnWrite)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] = {
     val base = Paths.get(basePath)
     if (!Files.isDirectory(base)) Seq.empty
     else
-      Files.list(base).iterator.asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(PartPrefix))
-        .map(s => decode(s.stripPrefix(PartPrefix)))
-        .filter(v => new LakeTable(spark, partDir(v), numBuckets).latestVersion.isDefined)
-        .toSeq.sorted
+      scala.util.Using.resource(Files.list(base)) { s =>
+        s.iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith(PartPrefix))
+          .map(d => decode(d.stripPrefix(PartPrefix)))
+          .filter(v => new LakeTable(spark, partDir(v), numBuckets).latestVersion.isDefined)
+          .toSeq
+      }.sorted
   }
 
   /** Upsert rows (must contain `_key`, `_ts`, and the partition column)
@@ -69,6 +104,7 @@ final class PartitionedLakeTable(
     require(
       !values.contains(null),
       s"null $partitionCol in updates — partition values must be non-null")
+    writeMetaIfAbsent(updates.schema(partitionCol).dataType)
     // Independent per-partition merges: dispatch from a bounded driver
     // pool (same pattern as CdcSyncCommand's per-table loop) so partition
     // count doesn't serialize the write.
@@ -113,8 +149,9 @@ final class PartitionedLakeTable(
     read(values.filter(partitions.contains))
 
   private def read(values: Seq[String]): DataFrame = {
+    val dt = partitionType
     val parts = values.map { v =>
-      partitionTable(v).snapshot.withColumn(partitionCol, lit(v))
+      partitionTable(v).snapshot.withColumn(partitionCol, lit(v).cast(dt))
     }
     parts match {
       case Seq() => spark.emptyDataFrame

@@ -31,8 +31,13 @@ object DedupDocs {
     * `generate_series`).
     */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
-    val ws = split(col(textCol), " ")
+    // Materialize the token array as a real column first: as a bound
+    // attribute `split` runs once per row, while inlining the expression
+    // would re-split the text inside every `element_at` of every shingle —
+    // O(words^2) string splitting per document.
+    val ws = col("_ws")
     docs
+      .withColumn("_ws", split(col(textCol), " "))
       .filter(size(ws) >= n)
       .select(
         col(idCol),
@@ -54,7 +59,11 @@ object DedupDocs {
       n: Int = 3,
       num: Int = 1,
       den: Int = 2): DataFrame = {
+    // Persist the shingle index: it feeds the per-doc set-size count AND
+    // both sides of the self-join — without the cache the scan + explode +
+    // distinct shuffle would run three times.
     val sh0 = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Pin the self-join to an explicit hash partitioning on the join key:
     // the index is small in BYTES but the join OUTPUT is sum(df^2) rows, so
@@ -85,8 +94,11 @@ object DedupDocs {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
-      numHashes: Int = 64): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+      numHashes: Int = 64): DataFrame =
+    signaturesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes)
+
+  private def signaturesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -103,15 +115,23 @@ object DedupDocs {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    candidatesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+  }
+
+  private def candidatesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val sig = signaturesFromShingles(sh, idCol, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
     }
+    // Persist the tiny (id, band, bh) index: both sides of the bucket
+    // self-join read it, so the signature aggregation runs once, not twice.
     val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
@@ -131,8 +151,13 @@ object DedupDocs {
       bands: Int = 16,
       num: Int = 1,
       den: Int = 2): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
-    val sets = shingles(docs, idCol, textCol, n)
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    // One persisted shingle index feeds signature building AND the exact
+    // verification sets — the corpus is scanned and shingled once.
+    val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesFromShingles(sh, idCol, numHashes, bands)
+    val sets = sh
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
     cand
       .join(sets.select(col(idCol).as("d1"), col("sset").as("s1")), "d1")

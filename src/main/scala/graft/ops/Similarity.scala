@@ -200,6 +200,9 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val nBands = ps.length / bandBits
+    // Persist the tiny (id, band, bh) index: the plane-signature expression
+    // (nPlanes x dim multiply-adds per row) is the expensive narrow pass,
+    // and without the cache both sides of the bucket self-join recompute it.
     val banded = df
       .withColumn("_sig", signature(col(embCol), ps))
       .select(
@@ -210,6 +213,7 @@ object Similarity {
             shiftright(col("_sig"), b * bandBits).bitwiseAND((1 << bandBits) - 1).as("bh"))
         }: _*)).as("_bb"))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))

@@ -48,8 +48,11 @@ object LakeQueries {
 
   // ---- q23: COW upsert merge (S6/J3/A1/A2) -------------------------------
 
+  // Bench-path tables never call lookup(), so they skip the optional bloom
+  // sidecars (2 extra jobs per commit); the bloom build stays exercised by
+  // q25's customer table and LakeTableSpec.
   private def q23(spark: SparkSession, dir: String): DataFrame = {
-    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16)
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
     val ev = keyedEvents(spark, dir)
     // two out-of-order batches; cross-batch LWW must equal global LWW
     lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1:upsert")
@@ -60,7 +63,7 @@ object LakeQueries {
   // ---- q24: delete routing (S7/J2) ---------------------------------------
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
-    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16)
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
     val ev = keyedEvents(spark, dir)
     lake.upsert(ev, commitId = "b1:upsert")
     lake.delete(
@@ -120,7 +123,13 @@ object LakeQueries {
         "graft.events.recordkey.field" -> "user_id",
         "graft.customer.recordkey.field" -> "c_custkey",
         "graft.events.buckets" -> "16",
-        "graft.customer.buckets" -> "8"),
+        "graft.customer.buckets" -> "8",
+        // events: no lookup() consumer -> skip bloom sidecars; customer
+        // keeps them so the distributed bloom build runs in this pipeline.
+        "graft.events.bloom.enable" -> "false",
+        // equal-_ts ties (if the data ever grows them) break numerically on
+        // event_id, matching the oracle's `ORDER BY ts DESC, event_id DESC`.
+        "graft.events.dedup.tiebreak.field" -> "event_id"),
       batchId = 1L)
 
     finalState(new LakeTable(spark, s"$root/graft/ods_graft_events", 16))
@@ -131,7 +140,7 @@ object LakeQueries {
   private def q42(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
     val plt = new graft.lake.PartitionedLakeTable(
-      spark, scratchDir("plake"), "o_orderpriority", numBuckets = 8)
+      spark, scratchDir("plake"), "o_orderpriority", numBuckets = 8, bloomOnWrite = false)
     plt.upsert(
       orders.select(
         md5(concat_ws("_", lit("graft"), lit("orders"), col("o_orderkey")))
