@@ -97,15 +97,18 @@ object CdcSyncCommand {
       // ties numerically on that payload field (greatest wins, one CASE arm
       // per table — same single-pass shape as KeyGen); the raw-text fallback
       // is deterministic but lexicographic (the reference's sort is stable
-      // but arbitrary, :262-266).
+      // but arbitrary, :262-266). decimal(38,10), not double: 64-bit integer
+      // tiebreak values (sequence numbers above 2^53) must order exactly —
+      // a double cast would collapse distinct ids to equal and silently fall
+      // through to the lexicographic fallback.
       val tieCol = configs.toSeq.sortBy { case ((db, t), _) => (db, t) }
-        .foldLeft(lit(null).cast("double")) { case (acc, ((db, table), cfg)) =>
+        .foldLeft(lit(null).cast("decimal(38,10)")) { case (acc, ((db, table), cfg)) =>
           cfg.tiebreakField match {
             case Some(f) =>
               when(
                 col(s"${Envelope.MetaCol}.databaseName") === db &&
                   col(s"${Envelope.MetaCol}.tableName") === table,
-                get_json_object(col(Envelope.ValueCol), s"$$.$f").cast("double"))
+                get_json_object(col(Envelope.ValueCol), s"$$.$f").cast("decimal(38,10)"))
                 .otherwise(acc)
             case None => acc
           }

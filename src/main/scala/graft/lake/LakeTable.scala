@@ -158,6 +158,14 @@ final class LakeTable(
       spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
+  /** True iff `dt` contains a MapType anywhere (hash expressions reject it). */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
   /** Bucket id for a key column — must match the write path exactly. */
   def bucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(key), lit(numBuckets)).cast("int")
@@ -183,11 +191,17 @@ final class LakeTable(
       // DETERMINISTIC total order, so replays and different partitionings
       // converge to the same table state. Callers with a semantic tie-break
       // (e.g. CdcSyncCommand's dedup.tiebreak.field) pre-dedup upstream.
+      // Spark prohibits hash expressions over MapType — payload columns
+      // containing a map anywhere in their type go through to_json first
+      // (same bytes => same hash, so the order stays deterministic).
+      val hashIn = cols.map { c =>
+        if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
+      }
       unioned
         .groupBy(col(KeyCol))
         .agg(max_by(
           struct(cols.map(col).toIndexedSeq: _*),
-          struct(col(TsCol), col(SeqCol), xxhash64(cols.map(col).toIndexedSeq: _*))).as("_r"))
+          struct(col(TsCol), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
         .select("_r.*")
     }
   }

@@ -141,6 +141,25 @@ final class PartitionedLakeTable(
     }
   }
 
+  /** Re-attach the partition value under its stored type, validating the
+    * string→type cast DRIVER-SIDE first: a directory name that doesn't
+    * round-trip (session-timezone-dependent timestamp rendering, or a
+    * legacy string-partitioned dir after meta records a numeric type) would
+    * otherwise cast to null silently and corrupt the partition column.
+    */
+  private def reattached(v: String, dt: DataType): org.apache.spark.sql.Column = {
+    val casted = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType),
+      dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    if (casted == null)
+      throw new IllegalStateException(
+        s"partition dir value '$v' at $basePath does not cast to the stored " +
+          s"partition type ${dt.simpleString} — refusing a silent null partition value")
+    lit(v).cast(dt)
+  }
+
   /** Full-table read (union of partitions, partition value re-attached). */
   def snapshot: DataFrame = read(partitions)
 
@@ -151,7 +170,7 @@ final class PartitionedLakeTable(
   private def read(values: Seq[String]): DataFrame = {
     val dt = partitionType
     val parts = values.map { v =>
-      partitionTable(v).snapshot.withColumn(partitionCol, lit(v).cast(dt))
+      partitionTable(v).snapshot.withColumn(partitionCol, reattached(v, dt))
     }
     parts match {
       case Seq() => spark.emptyDataFrame

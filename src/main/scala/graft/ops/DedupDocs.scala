@@ -59,11 +59,12 @@ object DedupDocs {
       n: Int = 3,
       num: Int = 1,
       den: Int = 2): DataFrame = {
-    // Persist the shingle index: it feeds the per-doc set-size count AND
-    // both sides of the self-join — without the cache the scan + explode +
-    // distinct shuffle would run three times.
-    val sh0 = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the shingle index once (localCheckpoint: freed by the
+    // ContextCleaner when unreferenced, unlike a method-local persist()
+    // that pins cache for the session): it feeds the per-doc set-size
+    // count AND both sides of the self-join — without it the scan +
+    // explode + distinct shuffle would run three times.
+    val sh0 = shingles(docs, idCol, textCol, n).localCheckpoint()
     val cnt = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Pin the self-join to an explicit hash partitioning on the join key:
     // the index is small in BYTES but the join OUTPUT is sum(df^2) rows, so
@@ -127,11 +128,12 @@ object DedupDocs {
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
     }
-    // Persist the tiny (id, band, bh) index: both sides of the bucket
-    // self-join read it, so the signature aggregation runs once, not twice.
+    // Materialize the tiny (id, band, bh) index (localCheckpoint — see
+    // jaccardPairs): both sides of the bucket self-join read it, so the
+    // signature aggregation runs once, not twice.
     val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
@@ -152,10 +154,10 @@ object DedupDocs {
       num: Int = 1,
       den: Int = 2): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    // One persisted shingle index feeds signature building AND the exact
-    // verification sets — the corpus is scanned and shingled once.
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One materialized shingle index (localCheckpoint — see jaccardPairs)
+    // feeds signature building AND the exact verification sets — the
+    // corpus is scanned and shingled once.
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
     val cand = candidatesFromShingles(sh, idCol, numHashes, bands)
     val sets = sh
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))

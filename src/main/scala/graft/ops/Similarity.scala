@@ -71,14 +71,16 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit LSH signature: bit p of the result is 1 iff emb · plane_p > 0. */
+  /** Sign-bit LSH signature: bit p of the result is 1 iff emb · plane_p > 0.
+    * Computed by the native one-pass [[graft.functions.PlaneSignature]]
+    * expression (the previous per-plane `aggregate(zip_with(...))`
+    * formulation traversed the embedding once per hyperplane — 32 array
+    * passes + allocations per row; see that class's doc for the
+    * bit-compatibility contract).
+    */
   def signature(emb: Column, ps: Array[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, array(p.map(lit).toIndexedSeq: _*), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.Exprs.column(
+      graft.functions.PlaneSignature(org.apache.spark.sql.graft.Exprs.expression(emb), ps))
 
   /** Attach signature + banded bucket ids (bands of `bandBits` bits). */
   def signBuckets(
@@ -100,8 +102,62 @@ object Similarity {
       .drop("_bb")
   }
 
+  /** The banded LSH index rows `(id, band, bh)` — the persistable artifact
+    * behind [[annTopK]] / [[annTopKIndexed]] / [[nearDupPairs]]: one narrow
+    * signature pass + one explode, `nBands` rows per vector.
+    */
+  def bandedIndex(
+      df: DataFrame,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nBands = ps.length / bandBits
+    df.withColumn("_sig", signature(col(embCol), ps))
+      .select(
+        col(idCol),
+        explode(array((0 until nBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("_sig"), b * bandBits).bitwiseAND((1 << bandBits) - 1).as("bh"))
+        }: _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+  }
+
+  /** Persist the LSH index once, laid out for probe-side pruning: one
+    * directory per `(band, bh)` bucket, so an ANN query opens exactly
+    * `nBands` directories out of `nBands * 2^bandBits` — never the corpus.
+    * At 100 TB this turns every query from O(corpus) signature recompute
+    * (the [[annTopK]] shape) into O(candidate-bucket) I/O; the build cost is
+    * paid once per corpus version, not per query.
+    */
+  def writeAnnIndex(
+      df: DataFrame,
+      path: String,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    bandedIndex(df, ps, bandBits, idCol, embCol)
+      .write.mode("overwrite").partitionBy("band", "bh").parquet(path)
+
+  /** The query vector's `(band, bh)` probe buckets (driver-side: one
+    * signature over one vector).
+    */
+  def queryBands(
+      query: Seq[Double], ps: Array[Array[Double]], bandBits: Int): Seq[(Int, Long)] = {
+    val nBands = ps.length / bandBits
+    val qSig = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b }.sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    (0 until nBands).map(b => (b, (qSig >> (b * bandBits)) & ((1 << bandBits) - 1)))
+  }
+
   /** Approximate top-k: candidates share at least one signature band with
-    * the query; exact cosine scores candidates only.
+    * the query; exact cosine scores candidates only. Computes the index
+    * inline — use [[writeAnnIndex]] + [[annTopKIndexed]] to amortize the
+    * signature pass across queries.
     */
   def annTopK(
       df: DataFrame,
@@ -111,19 +167,47 @@ object Similarity {
       bandBits: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val nBands = ps.length / bandBits
-    val qSig = ps.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(query).map { case (a, b) => a * b }.sum
-      if (dot > 0) 1L << i else 0L
-    }.sum
-    val qBands = (0 until nBands).map(b => (b, (qSig >> (b * bandBits)) & ((1 << bandBits) - 1)))
-    val bucketed = signBuckets(df, ps, bandBits, embCol)
-    val cand = bucketed
+    val qBands = queryBands(query, ps, bandBits)
+    val cand = bandedIndex(df, ps, bandBits, idCol, embCol)
       .filter(qBands.map { case (b, h) => col("band") === b && col("bh") === h }.reduce(_ || _))
-      .select(col(idCol), col(embCol)).distinct()
-    cand.select(col(idCol), cosine(col(embCol), query).as("sim"))
-      .orderBy(col("sim").desc, col(idCol)).limit(k)
+      .select(col(idCol)).distinct()
+    scoreCandidates(cand, df, query, k, idCol, embCol)
   }
+
+  /** Approximate top-k against a stored [[writeAnnIndex]] artifact: reads
+    * only the query's `nBands` index directories (partition pruning before
+    * any I/O), joins the candidate ids back to the corpus for exact cosine.
+    */
+  def annTopKIndexed(
+      corpus: DataFrame,
+      indexPath: String,
+      query: Seq[Double],
+      k: Int,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val qBands = queryBands(query, ps, bandBits)
+    val idx = corpus.sparkSession.read.parquet(indexPath)
+    val cand = idx
+      .filter(qBands.map { case (b, h) => col("band") === b && col("bh") === h }.reduce(_ || _))
+      .select(col(idCol)).distinct()
+    scoreCandidates(cand, corpus, query, k, idCol, embCol)
+  }
+
+  /** Exact-cosine scoring of an id-only candidate set: the wide vector
+    * payload flows through one id-equi join, then TakeOrderedAndProject.
+    */
+  private def scoreCandidates(
+      cand: DataFrame,
+      corpus: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      idCol: String,
+      embCol: String): DataFrame =
+    cand.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .select(col(idCol), cosine(col(embCol), query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
 
   /** IVF (inverted-file) index: assign every vector to its nearest
     * centroid. Centroids are a deterministic stride sample of the corpus
@@ -199,21 +283,12 @@ object Similarity {
       bandBits: Int = 8,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val nBands = ps.length / bandBits
-    // Persist the tiny (id, band, bh) index: the plane-signature expression
-    // (nPlanes x dim multiply-adds per row) is the expensive narrow pass,
-    // and without the cache both sides of the bucket self-join recompute it.
-    val banded = df
-      .withColumn("_sig", signature(col(embCol), ps))
-      .select(
-        col(idCol),
-        explode(array((0 until nBands).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("_sig"), b * bandBits).bitwiseAND((1 << bandBits) - 1).as("bh"))
-        }: _*)).as("_bb"))
-      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the tiny (id, band, bh) index once (localCheckpoint, not
+    // persist: the block is freed by the ContextCleaner when the plan is
+    // dropped — a method-local persist() would pin cache for the session):
+    // the signature pass is the expensive narrow stage, and without
+    // materialization both sides of the bucket self-join recompute it.
+    val banded = bandedIndex(df, ps, bandBits, idCol, embCol).localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))

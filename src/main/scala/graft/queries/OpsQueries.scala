@@ -111,6 +111,23 @@ object OpsQueries {
     embs(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
 
+  /** Stored-ANN-index location for q43: deterministic per corpus identity
+    * (path + file size + mtime), so repeated runs — Bench's warm-up then
+    * timed runs — reuse the artifact, while a regenerated corpus gets a
+    * fresh build.
+    */
+  private def annIndexPath(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$stamp|planes16x64s42b4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$key"
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- dedup: exact (hash-groupBy) ----------------------------------
@@ -238,6 +255,32 @@ object OpsQueries {
         val e = embs(spark, dir)
         val exact = Similarity.topK(e, qv, 20).select(col("vec_id"), lit(1).as("hit"))
         Similarity.annTopK(e, qv, 20, Similarity.planes(16, 64))
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).as("n_ann"),
+            (coalesce(sum(col("hit")), lit(0)) >= 8).as("recall_ok"))
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS n_ann, true AS recall_ok")),
+
+    // ---- similarity: ANN against a PERSISTED LSH index -----------------
+    // Same planes/bands as q36, but the (id, band, bh) index is a stored
+    // artifact (built once per corpus — idempotent on the embeddings file's
+    // identity — laid out one directory per (band, bh) bucket) and the
+    // query probes exactly its nBands directories: the 100 TB shape, where
+    // the signature pass is amortized across queries instead of recomputed
+    // per query. Candidates are identical to q36's, so the same recall
+    // gate applies.
+    "q43_sim_ann_indexed" -> QueryDef(
+      (spark, dir) => {
+        val qv = queryVec(spark, dir)
+        val e = embs(spark, dir)
+        val ps = Similarity.planes(16, 64)
+        val idxPath = annIndexPath(dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+          Similarity.writeAnnIndex(e, idxPath, ps)
+        val exact = Similarity.topK(e, qv, 20).select(col("vec_id"), lit(1).as("hit"))
+        Similarity.annTopKIndexed(e, idxPath, qv, 20, ps)
           .select(col("vec_id"))
           .join(exact, Seq("vec_id"), "left")
           .agg(

@@ -29,6 +29,20 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "new"), ("b", "b2")))
   }
 
+  test("upsert accepts map-typed payload columns (tie-break hash is map-safe)") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    val df = Seq(
+      ("a", 1L, Map("x" -> 1, "y" -> 2)),
+      ("a", 1L, Map("x" -> 1, "y" -> 2)), // exact within-batch tie on _ts
+      ("b", 1L, Map("z" -> 3))
+    ).toDF(LakeTable.KeyCol, LakeTable.TsCol, "attrs")
+    lt.upsert(df) // would throw AnalysisException if maps reached xxhash64
+    lt.upsert(Seq(("b", 2L, Map("z" -> 9))).toDF(LakeTable.KeyCol, LakeTable.TsCol, "attrs"))
+    val got = lt.snapshot.select("_key", "attrs").as[(String, Map[String, Int])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", Map("x" -> 1, "y" -> 2)), ("b", Map("z" -> 9))))
+  }
+
   test("delete removes keys; delete of absent key is a no-op") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
@@ -128,6 +142,23 @@ class LakeTableSpec extends SparkSpec {
     // idempotency memory survives vacuum (commit files retained)
     lt.upsert(rows(("z", 9L, "z")), commitId = "late")
     assert(lt.isCommitted("late"))
+  }
+
+  test("vacuumed commitIds stay replay-proof; snapshotAt on them names the vacuum") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "v1")), commitId = "batch-1")
+    lt.upsert(rows(("a", 2L, "v2"), ("b", 2L, "b2")), commitId = "batch-2")
+    assert(lt.vacuum(keepVersions = 1) >= 1)
+    // replaying the vacuumed batch's commitId must stay a no-op
+    assert(lt.isCommitted("batch-1"))
+    lt.upsert(rows(("a", 99L, "GHOST")), commitId = "batch-1")
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "v2"), ("b", "b2")))
+    // time travel to the dead version fails with the vacuum error, not an
+    // opaque FileNotFoundException mid-scan
+    val e = intercept[IllegalArgumentException](lt.snapshotAt(1L))
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("filesPerBucket > 1 splits bucket writes and preserves semantics") {

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -106,6 +108,20 @@ class OpsSpec extends SparkSpec {
     assert(ann.nonEmpty)
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("indexed ANN (stored index) returns exactly what inline annTopK returns") {
+    val ps = Similarity.planes(16, 64)
+    val idxDir = tempDir("ann-idx").resolve("idx").toString
+    Similarity.writeAnnIndex(embs, idxDir, ps)
+    // index layout: one dir per (band, bh) — the probe's pruning unit
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(idxDir))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("band=")))
+    val inline = Similarity.annTopK(embs, queryVec, 10, ps)
+      .select("vec_id").as[Long].collect().toSeq
+    val indexed = Similarity.annTopKIndexed(embs, idxDir, queryVec, 10, ps)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(indexed == inline)
   }
 
   test("nearDupPairs finds planted identical/near-identical vectors via LSH buckets") {
