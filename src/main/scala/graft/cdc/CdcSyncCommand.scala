@@ -147,17 +147,27 @@ object CdcSyncCommand {
         }
         val delKeys = mine.filter(Envelope.isDelete).select(LakeTable.KeyCol)
 
+        val insertOp = cfg.operation == "insert"
         cfg.partitionField match {
           case Some(pf) =>
             val plake = new graft.lake.PartitionedLakeTable(
               spark, cfg.path, pf, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
-            plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
-            // Key-only deletes visit every partition (global-index delete).
-            plake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
+            // write.operation=insert: bulk-load fast path, no LWW merge agg
+            // (ref insert/bulk_insert routing, :172-183).
+            if (insertOp) plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
+            else plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
+            // Deletes route by the partition value decoded from the delete
+            // payload — only the named partitions are visited (null values
+            // fall back to the bloom-pruned global path inside).
+            val delRouted = Envelope
+              .decode(mine.filter(Envelope.isDelete), schemaJson, cfg.timestampFormat)
+              .select(col(LakeTable.KeyCol), col(pf))
+            plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
           case None =>
             val lake = new LakeTable(
               spark, cfg.path, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
-            lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
+            if (insertOp) lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
+            else lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Deletes: key-only left-anti (ref :186-190).
             lake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
         }

@@ -22,6 +22,11 @@ package graft.cdc
   *    `hoodie.datasource.write.partitionpath.field`).
   *  - `<db>.<table>.bloom.enable` — build bloom sidecars on write (default
   *    true; disable to trade `lookup()` key pruning for write latency).
+  *  - `<db>.<table>.write.operation` — `upsert` (default) or `insert`:
+  *    `insert` routes batches through [[graft.lake.LakeTable.bulkInsert]]
+  *    (no LWW merge aggregation — the initial-load fast path; mirrors
+  *    `hoodie.datasource.write.operation` insert/bulk_insert,
+  *    `BinlogSyncHoodieCommand.scala:172-183`).
   *  - `<db>.<table>.dedup.tiebreak.field` — optional NUMERIC payload field
   *    breaking last-write-wins ties on equal envelope timestamps (compared
   *    numerically, greatest wins; mirrors choosing a precombine field).
@@ -39,7 +44,8 @@ final case class TableConfig(
     numBuckets: Int,
     partitionField: Option[String],
     tiebreakField: Option[String],
-    bloomEnable: Boolean)
+    bloomEnable: Boolean,
+    operation: String)
 
 object TableConfig {
 
@@ -83,6 +89,11 @@ object TableConfig {
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
       partitionField = scoped.get("partition.field").filter(_.nonEmpty),
       tiebreakField = scoped.get("dedup.tiebreak.field").filter(_.nonEmpty),
-      bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean))
+      bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean),
+      operation = scoped.getOrElse("write.operation", "upsert") match {
+        case op @ ("upsert" | "insert") => op
+        case bad => throw new IllegalArgumentException(
+          s"config [$prefix" + s"write.operation] must be upsert|insert, got [$bad]!")
+      })
   }
 }

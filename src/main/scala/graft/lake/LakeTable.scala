@@ -1,13 +1,12 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -38,8 +37,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * == Concurrency / idempotency ==
   * Commits are atomic: the manifest is written to a temp file and published
-  * with `Files.createLink` (hard link), which fails if the version file
-  * already exists — optimistic single-writer. Each commit records a caller
+  * if-absent via [[LakeIO.publishIfAbsent]] (hard link on local FS,
+  * NameNode-atomic no-overwrite rename on HDFS) — it fails if the version
+  * file already exists — optimistic single-writer. Each commit records a caller
   * `commitId` (e.g. streaming `batchId`); replaying an already-committed id
   * is a no-op, giving exactly-once table state over at-least-once batch
   * delivery (stronger than the reference, which ignores `batchId`,
@@ -65,26 +65,23 @@ final class LakeTable(
   require(zorderBy.isEmpty || zorderBy.size == 2,
     s"zorderBy takes exactly two long columns, got: ${zorderBy.mkString(",")}")
 
-  private val commitsDir: Path = Paths.get(basePath, CommitsDirName)
-  private val dataDir: Path = Paths.get(basePath, DataDirName)
+  // All small-file metadata I/O goes through the Hadoop FS abstraction —
+  // the table works on any FileSystem URI (local, HDFS; see LakeIO's doc
+  // for the S3 caveat). Data files go through Spark's own parquet I/O.
+  private val io = new LakeIO(basePath, spark.sparkContext.hadoopConfiguration)
+  private val commitsDir: HPath = io.resolve(CommitsDirName)
+  private val dataDir: HPath = io.resolve(DataDirName)
 
   // ---- commit log ---------------------------------------------------------
 
   /** All committed versions, ascending. */
   private def versions(): Seq[Long] =
-    if (!Files.isDirectory(commitsDir)) Seq.empty
-    else
-      Using.resource(Files.list(commitsDir)) { s =>
-        s.iterator.asScala
-          .map(_.getFileName.toString)
-          .collect { case VersionFileRe(n) => n.toLong }
-          .toSeq
-      }.sorted
+    io.list(commitsDir).collect { case VersionFileRe(n) => n.toLong }.sorted
 
   def latestVersion: Option[Long] = versions().lastOption
 
   private def readManifest(version: Long): Manifest =
-    Manifest.fromJson(Files.readString(commitsDir.resolve(versionFileName(version))))
+    Manifest.fromJson(io.readString(new HPath(commitsDir, versionFileName(version))))
 
   private def latestManifest(): Option[Manifest] = latestVersion.map(readManifest)
 
@@ -148,7 +145,7 @@ final class LakeTable(
 
   private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
     val paths = m.buckets.collect {
-      case (b, dir) if buckets.contains(b) => Paths.get(basePath, dir).toString
+      case (b, dir) if buckets.contains(b) => s"$basePath/$dir"
     }.toSeq.sorted
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (paths.isEmpty)
@@ -206,15 +203,65 @@ final class LakeTable(
     }
   }
 
+  /** Bulk/initial-load fast path — the reference's `insert`/`bulk_insert`
+    * write operations (`BinlogSyncHoodieCommand.scala:172-183` routes them
+    * past the upsert merge): appends rows WITHOUT the last-write-wins
+    * hash-aggregation. Affected buckets are unioned with incoming rows, so
+    * an initial 100 TB load pays zero merge shuffle against the (empty)
+    * snapshot instead of a full-corpus groupBy.
+    *
+    * Caller contract (same as Hudi `insert`): incoming keys must be new —
+    * neither duplicated in-batch nor already stored — otherwise the table
+    * carries duplicate `_key` rows and the LWW invariant no longer holds.
+    * Use [[upsert]] when that can't be guaranteed.
+    *
+    * `sortMode` mirrors Hudi's bulk-insert sort modes:
+    *  - `"partition"` (default) — one repartition on the bucket id, so each
+    *    bucket lands as one file group (the upsert layout);
+    *  - `"none"` — ZERO shuffle: every input task writes straight into the
+    *    bucket dirs it sees (up to tasks × buckets files). The mode for
+    *    initial loads where the shuffle itself is the bottleneck; follow
+    *    with compaction (upsert cycles or vacuum) if file counts matter.
+    */
+  def bulkInsert(
+      rows: DataFrame, commitId: String = "", sortMode: String = "partition"): Unit = {
+    require(
+      rows.columns.contains(TsCol),
+      s"bulkInsert data must contain a '$TsCol' column (got ${rows.columns.mkString(",")})")
+    require(
+      sortMode == "partition" || sortMode == "none",
+      s"sortMode must be 'partition' or 'none', got '$sortMode'")
+    writeCommit(rows, commitId, shuffle = sortMode == "partition") { (old, inc) =>
+      old.unionByName(inc, allowMissingColumns = true)
+    }
+  }
+
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
     * (`BinlogSyncHoodieCommand.scala:186-190`) as a left-anti join.
     */
   def delete(keys: DataFrame, commitId: String = ""): Unit = {
-    if (latestManifest().isEmpty) return // nothing to delete from
-    writeCommit(keys.select(KeyCol).distinct(), commitId) { (old, ks) =>
-      old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
+    val manifest = latestManifest()
+    if (manifest.isEmpty) return // nothing to delete from
+    // Bloom-prune the key set BEFORE buckets are marked affected: a key
+    // whose bucket bloom proves absence cannot delete anything, so buckets
+    // (and at the partitioned level, whole partitions) that only received
+    // proven-absent keys are never rewritten — and if every key is absent
+    // the commit short-circuits with NO new version. The filter runs
+    // distributed over the key set (blooms deserialize once per task, no
+    // key ever reaches the driver).
+    writeCommit(bloomPrune(keys.select(KeyCol).distinct(), manifest.get), commitId) {
+      (old, ks) => old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
     }
+  }
+
+  private def bloomPrune(ks: DataFrame, m: Manifest): DataFrame = {
+    val decoded = m.blooms.map { case (b, s) =>
+      b -> java.util.Base64.getDecoder.decode(s)
+    }
+    val mightContain =
+      udf(new LakeTable.BloomMightContain(decoded, m.buckets.keySet, numBuckets))
+    ks.filter(mightContain(col(KeyCol)))
   }
 
   /** Point lookup of a set of keys: prunes to the buckets the keys hash to,
@@ -256,7 +303,8 @@ final class LakeTable(
     * (old rows of those buckets, incoming), write only those buckets, link
     * forward the rest, atomically publish the manifest.
     */
-  private def writeCommit(incoming: DataFrame, commitId: String)(
+  private def writeCommit(
+      incoming: DataFrame, commitId: String, shuffle: Boolean = true)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
     require(
       incoming.columns.contains(KeyCol),
@@ -282,7 +330,7 @@ final class LakeTable(
 
       val version = latestVersion.getOrElse(0L) + 1L
       val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
-      val outDir = Paths.get(basePath, relDir)
+      val outDir = s"$basePath/$relDir"
       // One shuffle partition per affected bucket -> one file group per
       // bucket per version (the Hudi bucket-index layout). Partition count
       // scales with touched buckets, not table size. `filesPerBucket > 1`
@@ -290,7 +338,8 @@ final class LakeTable(
       // beyond one task — raise it together with numBuckets at scale.
       val toWrite = merged.withColumn(BucketCol, bucketOf(col(KeyCol)))
       val partitioned =
-        if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
+        if (!shuffle) toWrite // bulkInsert sortMode=none: task-local write
+        else if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
         else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
       // Optional Z-order clustering inside each file: rows sorted by the
       // Morton code of two dimension keys, so parquet row-group min/max
@@ -306,18 +355,11 @@ final class LakeTable(
       }
       clustered
         .write.partitionBy(BucketCol).mode("errorifexists")
-        .parquet(outDir.toString)
+        .parquet(outDir)
 
       // Buckets that ended up empty after the merge have no b=<i> dir.
       val written: Set[Int] =
-        if (!Files.isDirectory(outDir)) Set.empty
-        else
-          Using.resource(Files.list(outDir)) { s =>
-            s.iterator.asScala
-              .map(_.getFileName.toString)
-              .collect { case BucketDirRe(b) => b.toInt }
-              .toSet
-          }
+        io.list(new HPath(outDir)).collect { case BucketDirRe(b) => b.toInt }.toSet
 
       val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
       val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
@@ -350,15 +392,12 @@ final class LakeTable(
   def vacuum(keepVersions: Int = 1): Int = synchronized {
     val all = versions()
     val keep = all.takeRight(keepVersions.max(1))
-    if (keep.isEmpty || !Files.isDirectory(dataDir)) return 0
+    if (keep.isEmpty || !io.exists(dataDir)) return 0
     val referenced: Set[String] = keep.flatMap { v =>
       readManifest(v).buckets.values.map(_.split("/")(1)) // data/<ver>/b=i
     }.toSet
-    val removable = Using.resource(Files.list(dataDir)) { s =>
-      s.iterator.asScala
-        .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
-    }
-    val removedNames = removable.map(_.getFileName.toString).toSet
+    val removable = io.list(dataDir).filterNot(referenced.contains)
+    val removedNames = removable.toSet
     // Tombstone every non-kept manifest that references a removed dir.
     val dead = all.filterNot(keep.contains).filter { v =>
       readManifest(v).buckets.values.exists(d => removedNames.contains(d.split("/")(1)))
@@ -368,34 +407,27 @@ final class LakeTable(
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
       merged.toSeq.sortBy(_._1).foreach { case (v, id) => root.put(v.toString, id) }
-      val tmp = commitsDir.resolve(s".tmp-vac-${UUID.randomUUID()}")
-      Files.writeString(tmp, mapper.writeValueAsString(root))
-      Files.move(tmp, vacuumedFile,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      dead.foreach(v => Files.deleteIfExists(commitsDir.resolve(versionFileName(v))))
+      io.replace(vacuumedFile, mapper.writeValueAsString(root))
+      dead.foreach(v => io.delete(new HPath(commitsDir, versionFileName(v))))
     }
-    removable.foreach { dir =>
-      Using.resource(Files.walk(dir)) { s =>
-        s.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-    }
+    removable.foreach(dir => io.deleteRecursive(new HPath(dataDir, dir)))
     removable.size
   }
 
-  private def vacuumedFile: Path = commitsDir.resolve("_vacuumed.json")
+  private def vacuumedFile: HPath = new HPath(commitsDir, "_vacuumed.json")
 
   /** Tombstoned versions: version -> commitId of manifests vacuum removed. */
   private def vacuumedIds: Map[Long, String] =
-    if (!Files.exists(vacuumedFile)) Map.empty
+    if (!io.exists(vacuumedFile)) Map.empty
     else {
-      val root = new ObjectMapper().readTree(Files.readString(vacuumedFile))
+      val root = new ObjectMapper().readTree(io.readString(vacuumedFile))
         .asInstanceOf[ObjectNode]
       root.fieldNames().asScala.map(k => k.toLong -> root.get(k).asText("")).toMap
     }
 
   private def buildBlooms(relDir: String, written: Set[Int]): Map[Int, String] = {
     if (written.isEmpty) return Map.empty
-    val paths = written.toSeq.sorted.map(b => Paths.get(basePath, relDir, s"$BucketCol=$b").toString)
+    val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
     val keys = spark.read.parquet(paths: _*).select(col(KeyCol))
     // Size for the biggest bucket (hash buckets are near-uniform); one tiny
     // count job, then one distributed bloom-merge job per commit.
@@ -424,21 +456,11 @@ final class LakeTable(
         extra.foldLeft(old)((s, f) => s.add(f)).json
     }
 
-  private def publish(version: Long, manifest: Manifest): Unit = {
-    Files.createDirectories(commitsDir)
-    val tmp = commitsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, manifest.toJson)
-    val target = commitsDir.resolve(versionFileName(version))
-    try
-      // Hard-link publish: atomic, fails if the version already exists
-      // (concurrent writer lost the race — caller should retry the merge).
-      Files.createLink(target, tmp)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit detected for version $version at $basePath", e)
-    } finally Files.deleteIfExists(tmp)
-  }
+  private def publish(version: Long, manifest: Manifest): Unit =
+    // Atomic create-if-absent (hard link locally, no-overwrite rename on
+    // HDFS): fails if the version already exists — a concurrent writer
+    // won the race and the caller should retry the merge.
+    io.publishIfAbsent(new HPath(commitsDir, versionFileName(version)), manifest.toJson)
 }
 
 object LakeTable {
@@ -466,6 +488,36 @@ object LakeTable {
         42L)
     val m = h % numBuckets
     (if (m < 0) m + numBuckets else m).toInt
+  }
+
+  /** Key-might-exist test against the manifest: a key whose bucket holds
+    * no data at all is definitely absent; a key whose bucket has a bloom
+    * sidecar is absent if the bloom says so; a data-bearing bucket without
+    * a sidecar conservatively answers true. Shipped to executors as
+    * serialized bytes; the blooms deserialize ONCE per task
+    * (`@transient lazy`), not per row.
+    */
+  private[lake] class BloomMightContain(
+      bloomBytes: Map[Int, Array[Byte]],
+      presentBuckets: Set[Int],
+      numBuckets: Int)
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val blooms
+        : Map[Int, org.apache.spark.util.sketch.BloomFilter] =
+      bloomBytes.map { case (b, bytes) =>
+        b -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    def apply(key: String): Boolean =
+      key != null && {
+        val b = bucketOfKey(key, numBuckets)
+        presentBuckets.contains(b) && {
+          blooms.get(b) match {
+            case Some(bf) => bf.mightContainString(key)
+            case None => true
+          }
+        }
+      }
   }
 
   /** Manifest = one committed version: bucket -> relative data dir. */

@@ -1,11 +1,9 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
-import java.util.UUID
-
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -36,33 +34,32 @@ final class PartitionedLakeTable(
 
   private val PartPrefix = "p="
 
+  private val io = new LakeIO(basePath, spark.sparkContext.hadoopConfiguration)
+
   /** Table-level metadata: the partition column's ORIGINAL data type, so a
     * table partitioned on a non-string column (e.g. a LongType field via
     * CDC partition.field) reads back with the schema it was written with —
     * directory names are strings, the type is not recoverable from them.
     */
-  private val metaFile = Paths.get(basePath, "_table.json")
+  private val metaFile: HPath = io.resolve("_table.json")
 
   private def writeMetaIfAbsent(dt: DataType): Unit = synchronized {
-    if (Files.exists(metaFile)) return
-    Files.createDirectories(Paths.get(basePath))
+    if (io.exists(metaFile)) return
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("partitionCol", partitionCol)
     root.put("partitionTypeJson", dt.json)
-    val tmp = Paths.get(basePath, s".tmp-meta-${UUID.randomUUID()}")
-    Files.writeString(tmp, mapper.writeValueAsString(root))
-    try Files.createLink(metaFile, tmp)
+    try io.publishIfAbsent(metaFile, mapper.writeValueAsString(root))
     catch {
       // concurrent writer published it first — contents are identical
-      case _: java.nio.file.FileAlreadyExistsException => ()
-    } finally Files.deleteIfExists(tmp)
+      case _: IllegalStateException => ()
+    }
   }
 
   private def partitionType: DataType =
-    if (!Files.exists(metaFile)) StringType
+    if (!io.exists(metaFile)) StringType
     else DataType.fromJson(
-      new ObjectMapper().readTree(Files.readString(metaFile))
+      new ObjectMapper().readTree(io.readString(metaFile))
         .get("partitionTypeJson").asText())
 
   private def encode(v: String): String =
@@ -77,25 +74,28 @@ final class PartitionedLakeTable(
     new LakeTable(spark, partDir(value), numBuckets, bloomOnWrite = bloomOnWrite)
 
   /** Existing partition values (committed only). */
-  def partitions: Seq[String] = {
-    val base = Paths.get(basePath)
-    if (!Files.isDirectory(base)) Seq.empty
-    else
-      scala.util.Using.resource(Files.list(base)) { s =>
-        s.iterator.asScala
-          .map(_.getFileName.toString)
-          .filter(_.startsWith(PartPrefix))
-          .map(d => decode(d.stripPrefix(PartPrefix)))
-          .filter(v => new LakeTable(spark, partDir(v), numBuckets).latestVersion.isDefined)
-          .toSeq
-      }.sorted
-  }
+  def partitions: Seq[String] =
+    io.list(io.resolve())
+      .filter(_.startsWith(PartPrefix))
+      .map(d => decode(d.stripPrefix(PartPrefix)))
+      .filter(v => new LakeTable(spark, partDir(v), numBuckets).latestVersion.isDefined)
+      .sorted
 
   /** Upsert rows (must contain `_key`, `_ts`, and the partition column)
     * into their partitions. Null partition values are rejected — route
     * them explicitly upstream.
     */
-  def upsert(updates: DataFrame, commitId: String = ""): Unit = {
+  def upsert(updates: DataFrame, commitId: String = ""): Unit =
+    writePartitions(updates, commitId)((lt, part, cid) => lt.upsert(part, cid))
+
+  /** Bulk/initial-load fast path per partition — see
+    * [[LakeTable.bulkInsert]] for the caller contract (keys must be new).
+    */
+  def bulkInsert(updates: DataFrame, commitId: String = ""): Unit =
+    writePartitions(updates, commitId)((lt, part, cid) => lt.bulkInsert(part, cid))
+
+  private def writePartitions(updates: DataFrame, commitId: String)(
+      write: (LakeTable, DataFrame, String) => Unit): Unit = {
     require(
       updates.columns.contains(partitionCol),
       s"updates must contain partition column '$partitionCol'")
@@ -119,8 +119,9 @@ final class PartitionedLakeTable(
             val part = updates
               .filter(col(partitionCol).cast("string") === v)
               .drop(partitionCol)
-            partitionTable(v).upsert(
-              part, commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
+            write(
+              partitionTable(v), part,
+              if (commitId.isEmpty) "" else s"$commitId:p=$v")
           }
         }
       }.asJava
@@ -130,7 +131,11 @@ final class PartitionedLakeTable(
 
   /** Delete keys from the given partitions (all partitions if None —
     * key-only deletes must visit every partition, same as Hudi's
-    * global-index delete).
+    * global-index delete). Even on the global path, each partition's
+    * [[LakeTable.delete]] bloom-prunes the key set first, so partitions
+    * that provably hold none of the keys commit NO new version — the
+    * "thousands of jobs per CDC batch" fan-out dispatches, but rewrites
+    * nothing and grows no commit log where nothing matched.
     */
   def delete(keys: DataFrame, inPartitions: Option[Seq[String]] = None, commitId: String = ""): Unit = {
     if (keys.isEmpty) return // avoid one no-op commit check per partition
@@ -139,6 +144,31 @@ final class PartitionedLakeTable(
       partitionTable(v).delete(
         keys, commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
     }
+  }
+
+  /** Delete with in-band partition routing: `keys` carries the partition
+    * column (CDC delete envelopes include the deleted row's payload), so
+    * dispatch visits ONLY the named partitions — the partition-value hint
+    * that replaces the global-index fan-out entirely. Rows with a null
+    * partition value fall back to the global path.
+    */
+  def deleteRouted(keys: DataFrame, commitId: String = ""): Unit = {
+    require(
+      keys.columns.contains(partitionCol),
+      s"deleteRouted keys must contain partition column '$partitionCol'")
+    val values = keys
+      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
+    if (values.isEmpty) return
+    val existing = partitions.toSet
+    values.filter(v => v != null && existing.contains(v)).foreach { v =>
+      partitionTable(v).delete(
+        keys.filter(col(partitionCol).cast("string") === v).select(LakeTable.KeyCol),
+        commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+    if (values.contains(null))
+      delete(
+        keys.filter(col(partitionCol).isNull).select(LakeTable.KeyCol),
+        commitId = if (commitId.isEmpty) "" else s"$commitId:global")
   }
 
   /** Re-attach the partition value under its stored type, validating the

@@ -51,6 +51,30 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq("a", "c"))
   }
 
+  test("bulkInsert appends without merge; later upserts still LWW-correct") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.bulkInsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), commitId = "load-1")
+    assert(lt.isCommitted("load-1"))
+    // zero-shuffle mode writes task-local files into bucket dirs
+    lt.bulkInsert(rows(("c", 1L, "c1")), sortMode = "none")
+    lt.upsert(rows(("a", 2L, "a2")))
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a2"), ("b", "b1"), ("c", "c1")))
+    intercept[IllegalArgumentException](lt.bulkInsert(rows(("d", 1L, "d")), sortMode = "bogus"))
+  }
+
+  test("delete of bloom-proven-absent keys commits NO new version") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
+    val v = lt.latestVersion
+    lt.delete(Seq("definitely-not-here", "also-absent").toDF(LakeTable.KeyCol))
+    assert(lt.latestVersion == v, "absent-key delete must not grow the commit log")
+    lt.delete(Seq("a", "still-absent").toDF(LakeTable.KeyCol))
+    assert(lt.latestVersion == v.map(_ + 1), "real delete commits one version")
+    assert(lt.snapshot.select("_key").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("upsert∘delete sequences converge to replayed-map state") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     val ops = Seq( // (op, key, ts, payload)
@@ -228,6 +252,29 @@ class LakeTableSpec extends SparkSpec {
     winners.foreach(i => assert(keys.contains(s"t$i"), s"lost committed write t$i"))
   }
 
+  test("generic Hadoop-FS commit protocol: lifecycle green, double publish rejected") {
+    // Force the rename-if-absent branch (the one HDFS would take) instead
+    // of the local hard-link fast path; the whole lifecycle must behave
+    // identically and a same-version double publish must still fail.
+    System.setProperty(LakeIO.ForceGenericProp, "true")
+    try {
+      val dir = tempDir("lake-gen-").toString
+      val lt = new LakeTable(spark, dir, numBuckets = 2)
+      lt.upsert(rows(("a", 1L, "v1")), commitId = "c1")
+      lt.upsert(rows(("a", 2L, "v2"), ("b", 2L, "w")))
+      lt.delete(Seq("b").toDF(LakeTable.KeyCol))
+      assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("v2"))
+      assert(lt.isCommitted("c1"))
+      assert(lt.snapshotAt(1L).select("payload").as[String].collect().toSeq == Seq("v1"))
+      assert(lt.vacuum(keepVersions = 1) >= 1)
+      // the publish primitive itself: second writer of the same version loses
+      val io = new LakeIO(dir, spark.sparkContext.hadoopConfiguration)
+      val target = io.resolve("_commits", "v99999999.json")
+      io.publishIfAbsent(target, "{}")
+      intercept[IllegalStateException](io.publishIfAbsent(target, "{}"))
+    } finally System.clearProperty(LakeIO.ForceGenericProp)
+  }
+
   test("z-order clustered writes sort rows by Morton code within bucket files") {
     val dir = tempDir("lake-").toString
     val lt = new LakeTable(spark, dir, numBuckets = 1, zorderBy = Seq("x", "y"))
@@ -276,6 +323,28 @@ class LakeTableSpec extends SparkSpec {
     val all = plt.snapshot.select("_key", "payload").as[(String, String)]
       .collect().sortBy(_._1)
     assert(all.toSeq == Seq(("a", "va2"), ("b", "vb")))
+  }
+
+  test("routed deletes touch only their partition; untouched partitions keep their version") {
+    val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    plt.upsert(Seq(
+      ("a", 1L, "2024-01-01", "va"), ("b", 1L, "2024-01-02", "vb"),
+      ("c", 1L, "2024-01-03", "vc"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    def versionOf(p: String) = plt.partitionTable(p).latestVersion
+    val v2 = versionOf("2024-01-02")
+    val v3 = versionOf("2024-01-03")
+    // routed delete names only partition 2024-01-01
+    plt.deleteRouted(Seq(("a", "2024-01-01")).toDF(LakeTable.KeyCol, "day"))
+    assert(versionOf("2024-01-02") == v2, "unnamed partition must not commit")
+    assert(versionOf("2024-01-03") == v3, "unnamed partition must not commit")
+    assert(plt.snapshot.select("_key").as[String].collect().sorted.toSeq == Seq("b", "c"))
+    // global delete of a bloom-proven-absent key bumps NO partition version
+    plt.delete(Seq("never-existed").toDF(LakeTable.KeyCol))
+    assert(versionOf("2024-01-02") == v2 && versionOf("2024-01-03") == v3)
+    // routed delete to a partition value that doesn't exist is a no-op
+    plt.deleteRouted(Seq(("b", "2029-12-31")).toDF(LakeTable.KeyCol, "day"))
+    assert(plt.snapshot.count() == 2)
   }
 
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {
