@@ -119,7 +119,6 @@ object CdcSyncCommand {
           LakeTable.KeyCol,
           Seq(LakeTable.TsCol, "_tie", Envelope.ValueCol))
         .drop("_tie")
-        .persist()
 
       // Idempotent-replay commit ids need a caller-supplied batch identity.
       // Batch saves without one (batchId < 0) get an EMPTY commitId — every
@@ -128,11 +127,11 @@ object CdcSyncCommand {
       def commitIdFor(db: String, table: String, op: String): String =
         if (batchId < 0) "" else s"b$batchId:$db.$table:$op"
 
-      val sinkOne: ((String, String, String)) => Unit = { case (db, table, schemaJson) =>
+      def sinkOne(mineOf: (String, String) => DataFrame)(
+          meta: (String, String, String)): Unit = {
+        val (db, table, schemaJson) = meta
         val cfg = configs((db, table))
-        val mine = winners.filter(
-          col(s"${Envelope.MetaCol}.databaseName") === db &&
-            col(s"${Envelope.MetaCol}.tableName") === table)
+        val mine = mineOf(db, table)
 
         // Upserts: typed decode via the in-band schema, then merge.
         val upserts = mine.filter(!Envelope.isDelete)
@@ -178,19 +177,46 @@ object CdcSyncCommand {
       // clock. Spark schedules jobs from concurrent driver threads fine.
       val sinkThreads = options.get(SinkParallelismKey).map(_.toInt)
         .getOrElse(4.min(metas.length)).max(1)
-      try {
-        if (sinkThreads <= 1 || metas.length <= 1) metas.foreach(sinkOne)
+      def dispatch(mineOf: (String, String) => DataFrame): Unit =
+        if (sinkThreads <= 1 || metas.length <= 1) metas.foreach(sinkOne(mineOf))
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(sinkThreads)
           try {
             import scala.jdk.CollectionConverters._
             val tasks = metas.map { m =>
-              new java.util.concurrent.Callable[Unit] { def call(): Unit = sinkOne(m) }
+              new java.util.concurrent.Callable[Unit] { def call(): Unit = sinkOne(mineOf)(m) }
             }.toSeq.asJava
             pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
           } finally pool.shutdown()
         }
-      } finally winners.unpersist()
+
+      if (metas.length <= 1) {
+        // Single table: no routing needed, consume the plan directly.
+        val cached = winners.persist()
+        try dispatch((_, _) => cached) finally cached.unpersist()
+      } else {
+        // Multi-table: ONE pass over the deduped winners writes a staging
+        // dir partitioned by (db, table) (SURVEY §7.7); each table's sink
+        // then opens only its own partition directories — job count per
+        // batch is O(1) + O(tables touched), instead of one full filter
+        // scan of the cached winners per table.
+        val stagingDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft-cdc-stage-${java.util.UUID.randomUUID()}"
+        winners
+          .withColumn("_db", col(s"${Envelope.MetaCol}.databaseName"))
+          .withColumn("_table", col(s"${Envelope.MetaCol}.tableName"))
+          .write.partitionBy("_db", "_table").parquet(stagingDir)
+        try {
+          val staged = spark.read.parquet(stagingDir)
+          dispatch((db, table) =>
+            staged
+              .filter(col("_db") === db && col("_table") === table) // dir pruning
+              .drop("_db", "_table"))
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(stagingDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
     } finally records.unpersist()
   }
 }

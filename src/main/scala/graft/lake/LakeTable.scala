@@ -151,8 +151,23 @@ final class LakeTable(
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      // mergeSchema: bucket dirs can come from commits with drifted schemas.
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      // Read under the manifest's (widened, drift-merged) schema instead of
+      // a mergeSchema footer scan: no footer-merge job per read, columns a
+      // file lacks come back null, and files written before a type widening
+      // (int32 under a now-long column) upcast in the vectorized reader.
+      spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Widest common type for the supported numeric widenings (or None). */
+  private[lake] def widen(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    if (a == b) Some(a)
+    else if (integral.contains(a) && integral.contains(b))
+      Some(integral(integral.indexOf(a) max integral.indexOf(b)))
+    else if (fractional.contains(a) && fractional.contains(b)) Some(DoubleType)
+    else None
   }
 
   /** True iff `dt` contains a MapType anywhere (hash expressions reject it). */
@@ -447,13 +462,31 @@ final class LakeTable(
     }.toMap
   }
 
+  /** Next manifest schema: existing columns keep their slot but WIDEN when
+    * the incoming batch carries a wider numeric type (int→long,
+    * float→double — the widenings CDC sources actually perform); new
+    * columns append. An incompatible type change fails the commit loudly
+    * instead of poisoning the table's read path.
+    */
   private def mergedSchemaJson(prev: Option[Manifest], now: StructType): String =
     prev match {
       case None => now.json
       case Some(m) =>
         val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val widened = StructType(old.fields.map { f =>
+          now.fields.find(_.name == f.name) match {
+            // .sql comparison ignores nullability-only differences (those
+            // keep the old field; parquet reads absent values as null).
+            case Some(nf) if nf.dataType.sql != f.dataType.sql =>
+              f.copy(dataType = widen(f.dataType, nf.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"incompatible schema change for column '${f.name}' at $basePath: " +
+                    s"${f.dataType.simpleString} -> ${nf.dataType.simpleString}")))
+            case _ => f
+          }
+        })
         val extra = now.fields.filterNot(f => old.fieldNames.contains(f.name))
-        extra.foldLeft(old)((s, f) => s.add(f)).json
+        extra.foldLeft(widened)((s, f) => s.add(f)).json
     }
 
   private def publish(version: Long, manifest: Manifest): Unit =

@@ -60,23 +60,74 @@ object EventTimeOps {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.tsMillis)
-          var cur = state.getOption
-          val closedSessions = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsMillis - s.endMillis <= gapMillis =>
-                cur = Some(SessionState(s.startMillis, e.tsMillis, s.nEvents + 1))
-              case Some(s) =>
-                closedSessions +=
-                  Session(userId, s.startMillis, s.endMillis, s.nEvents, closed = true)
-                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
-              case None =>
-                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
-            }
-          }
-          cur.foreach(state.update)
-          closedSessions.result().iterator
+          mergeEvents(userId, evs, state, gapMillis).iterator
       }
+  }
+
+  /** Sessionization with WATERMARK-DRIVEN flush of open sessions: same gap
+    * merge as [[sessionize]], plus `EventTimeTimeout` — when the watermark
+    * passes `session end + gap`, no in-order event can extend the session
+    * any more (later arrivals under that bound are dropped as late), so the
+    * open session deterministically closes and its state evicts. This is
+    * the production shape: open-session state cannot linger forever for
+    * keys that stop producing.
+    */
+  def sessionizeWithTimeout(
+      events: Dataset[Event],
+      gapMillis: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed end+gap: flush the open session as closed.
+            val out = state.getOption.map(s =>
+              Session(userId, s.startMillis, s.endMillis, s.nEvents, closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            val closed = mergeEvents(userId, evs, state, gapMillis)
+            state.getOption.foreach { s =>
+              // Fire once no in-order event can extend the session; the
+              // timestamp must stay above the current watermark.
+              state.setTimeoutTimestamp(
+                (s.endMillis + gapMillis) max (state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Shared gap-merge: folds a batch of events into the per-key state,
+    * returning the sessions closed by in-order gap breaks.
+    */
+  private def mergeEvents(
+      userId: Long,
+      evs: Iterator[Event],
+      state: GroupState[SessionState],
+      gapMillis: Long): Seq[Session] = {
+    val sorted = evs.toSeq.sortBy(_.tsMillis)
+    var cur = state.getOption
+    val closedSessions = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.tsMillis - s.endMillis <= gapMillis =>
+          cur = Some(SessionState(s.startMillis, e.tsMillis, s.nEvents + 1))
+        case Some(s) =>
+          closedSessions +=
+            Session(userId, s.startMillis, s.endMillis, s.nEvents, closed = true)
+          cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+        case None =>
+          cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+      }
+    }
+    cur.foreach(state.update)
+    closedSessions.result()
   }
 }

@@ -70,4 +70,92 @@ object BitUtil {
     v |= v >> 8; v |= v >> 16; v |= v >> 32
     v + 1
   }
+
+  private val EvenMask = 0x5555555555555555L
+
+  /** Swap the even- and odd-position bit lanes of a Morton code: the
+    * Z-order key with the two dimensions exchanged (ref `BitUtil.java:155`)
+    * — `flipFlop(interleave(a, b)) == interleave(b, a)`.
+    */
+  def flipFlop(z: Long): Long = ((z & EvenMask) << 1) | ((z >>> 1) & EvenMask)
+
+  // ---- long[]-backed bitset navigation (ref BitUtil.java:193-308) --------
+  // Re-derived from the standard word-index/mask formulation; bit indexes
+  // beyond the array answer like an infinite sea of zeros.
+
+  /** True iff bit `i` is set. */
+  def isBitSet(bits: Array[Long], i: Int): Boolean = {
+    val w = i >>> 6
+    i >= 0 && w < bits.length && (bits(w) & (1L << (i & 63))) != 0
+  }
+
+  /** Total set bits (alias of [[popArray]] with the reference's name). */
+  def countBits(bits: Array[Long]): Long = popArray(bits)
+
+  /** Set bits strictly below bit index `i`. */
+  def countBitsUpTo(bits: Array[Long], i: Int): Long = {
+    if (i <= 0) return 0L
+    val w = math.min(i >>> 6, bits.length)
+    var n = 0L
+    var k = 0
+    while (k < w) { n += java.lang.Long.bitCount(bits(k)); k += 1 }
+    if (w < bits.length && (i & 63) != 0)
+      n += java.lang.Long.bitCount(bits(w) & ((1L << (i & 63)) - 1))
+    n
+  }
+
+  /** Index of the first set bit at or above `from`, or -1. */
+  def nextBitSet(bits: Array[Long], from: Int): Int = {
+    if (from < 0) return nextBitSet(bits, 0)
+    var w = from >>> 6
+    if (w >= bits.length) return -1
+    var word = bits(w) & (-1L << (from & 63))
+    while (true) {
+      if (word != 0) return (w << 6) + java.lang.Long.numberOfTrailingZeros(word)
+      w += 1
+      if (w >= bits.length) return -1
+      word = bits(w)
+    }
+    -1 // unreachable
+  }
+
+  /** Index of the last set bit at or below `from`, or -1. */
+  def previousBitSet(bits: Array[Long], from: Int): Int = {
+    if (from < 0) return -1
+    var w = math.min(from >>> 6, bits.length - 1)
+    if (w < 0) return -1
+    var word =
+      if (w == from >>> 6) bits(w) & (-1L >>> (63 - (from & 63)))
+      else bits(w)
+    while (true) {
+      if (word != 0) return (w << 6) + 63 - java.lang.Long.numberOfLeadingZeros(word)
+      w -= 1
+      if (w < 0) return -1
+      word = bits(w)
+    }
+    -1 // unreachable
+  }
+
+  /** Cardinalities of pairwise bitset combinations without materializing
+    * the combined set (ref `BitUtil.java:54-90`).
+    */
+  def popIntersect(a: Array[Long], b: Array[Long]): Long =
+    popZip(a, b)(_ & _)
+  def popUnion(a: Array[Long], b: Array[Long]): Long =
+    popZip(a, b)(_ | _)
+  def popAndNot(a: Array[Long], b: Array[Long]): Long =
+    popZip(a, b)(_ & ~_)
+  def popXor(a: Array[Long], b: Array[Long]): Long =
+    popZip(a, b)(_ ^ _)
+
+  private def popZip(a: Array[Long], b: Array[Long])(op: (Long, Long) => Long): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0L
+    while (i < n) { c += java.lang.Long.bitCount(op(a(i), b(i))); i += 1 }
+    // words past the shorter array pair with zero
+    while (i < a.length) { c += java.lang.Long.bitCount(op(a(i), 0L)); i += 1 }
+    while (i < b.length) { c += java.lang.Long.bitCount(op(0L, b(i))); i += 1 }
+    c
+  }
 }

@@ -111,6 +111,28 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", -1), ("b", 42)))
   }
 
+  test("schema type widening: int widens to long across commits; incompatible fails") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 7)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n")) // n: int
+    lt.upsert(Seq(("b", 1L, 5000000000L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n")) // n: long
+    val snap = lt.snapshot
+    assert(snap.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    val got = snap.select("_key", "n").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 7L), ("b", 5000000000L)))
+    // float→double widening on the same machinery
+    lt.upsert(Seq(("a", 2L, 8L, 1.5f)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x"))
+    lt.upsert(Seq(("b", 2L, 5000000000L, 2.5d)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x"))
+    assert(lt.snapshot.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // an un-widenable change (long -> string payload) fails the commit
+    // loudly (ANSI cast error or the manifest's incompatible-change guard,
+    // whichever fires first) and leaves the table state untouched
+    val before = lt.latestVersion
+    intercept[Exception](
+      lt.upsert(Seq(("c", 3L, "oops")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n")))
+    assert(lt.latestVersion == before, "failed commit must not publish a version")
+    assert(lt.snapshot.count() == 2)
+  }
+
   test("only affected buckets are rewritten") {
     val dir = tempDir("lake-").toString
     val lt = new LakeTable(spark, dir, numBuckets = 8)

@@ -32,6 +32,38 @@ class EventTimeOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes open sessions once the watermark passes end+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventTimeOps.sessionizeWithTimeout(
+      input.toDS(), gapMillis = 60000L, watermarkDelay = "10 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_wm").outputMode(OutputMode.Append()).start()
+    try {
+      // user 7's session stops producing; user 9 keeps the stream moving
+      // (timestamps start above 0: an event AT the initial watermark would
+      // be filtered as late before it ever reaches the state operator)
+      input.addData(Event(7L, 100000L), Event(7L, 130000L))
+      q.processAllAvailable()
+      // watermark after this batch: 700000 - 10000 >> 130000 + 60000
+      input.addData(Event(9L, 700000L))
+      q.processAllAvailable()
+      // timeout fires on the next trigger after the watermark advanced
+      input.addData(Event(9L, 710000L))
+      q.processAllAvailable()
+      val got = spark.table("sessions_wm").as[Session].collect()
+      assert(got.toSeq.contains(Session(7L, 100000L, 130000L, 2L, closed = true)),
+        s"user 7's open session must flush via event-time timeout: ${got.toSeq}")
+      // user 9 is still within gap of the watermark — must NOT have flushed
+      assert(!got.exists(_.userId == 9L), s"user 9 must stay open: ${got.toSeq}")
+      // a late event for user 7 (beyond watermark) is dropped, not resurrected
+      input.addData(Event(7L, 131000L))
+      q.processAllAvailable()
+      val after = spark.table("sessions_wm").as[Session].collect()
+      assert(after.count(_.userId == 7L) == 1, s"late event must not reopen: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -41,4 +41,46 @@ object BitUtilProps extends Properties("BitUtil") {
     val p = BitUtil.nextHighestPowerOfTwo(v)
     p >= v && java.lang.Long.bitCount(p) == 1 && (p == 1 || p / 2 < v)
   }
+
+  property("flipFlop swaps the interleaved dimensions; involution") = forAll { (a: Int, b: Int) =>
+    val al = a.toLong & 0xFFFFFFFFL
+    val bl = b.toLong & 0xFFFFFFFFL
+    val z = BitUtil.interleave(al, bl)
+    BitUtil.flipFlop(z) == BitUtil.interleave(bl, al) && BitUtil.flipFlop(BitUtil.flipFlop(z)) == z
+  }
+
+  // Reference oracle for the bitset navigation: java.util.BitSet.
+  private def toBitSet(ws: Array[Long]) = java.util.BitSet.valueOf(ws)
+
+  property("isBitSet matches java.util.BitSet") = forAll { (ws: Array[Long], i0: Int) =>
+    val i = math.abs(i0 % (ws.length * 64 + 130))
+    BitUtil.isBitSet(ws, i) == toBitSet(ws).get(i)
+  }
+
+  property("countBits / countBitsUpTo match BitSet cardinality") = forAll { (ws: Array[Long], i0: Int) =>
+    val i = math.abs(i0 % (ws.length * 64 + 130))
+    val bs = toBitSet(ws)
+    BitUtil.countBits(ws) == bs.cardinality().toLong &&
+      BitUtil.countBitsUpTo(ws, i) == bs.get(0, i).cardinality().toLong
+  }
+
+  property("nextBitSet matches BitSet.nextSetBit") = forAll { (ws: Array[Long], i0: Int) =>
+    val i = math.abs(i0 % (ws.length * 64 + 130))
+    BitUtil.nextBitSet(ws, i) == toBitSet(ws).nextSetBit(i)
+  }
+
+  property("previousBitSet matches BitSet.previousSetBit") = forAll { (ws: Array[Long], i0: Int) =>
+    val i = math.abs(i0 % (ws.length * 64 + 130))
+    BitUtil.previousBitSet(ws, i) == toBitSet(ws).previousSetBit(i)
+  }
+
+  property("pairwise pop counts match set-algebra on BitSets") = forAll { (a: Array[Long], b: Array[Long]) =>
+    def card(op: (java.util.BitSet, java.util.BitSet) => Unit): Long = {
+      val x = toBitSet(a); val y = toBitSet(b); op(x, y); x.cardinality().toLong
+    }
+    BitUtil.popIntersect(a, b) == card(_ and _) &&
+      BitUtil.popUnion(a, b) == card(_ or _) &&
+      BitUtil.popAndNot(a, b) == card(_ andNot _) &&
+      BitUtil.popXor(a, b) == card(_ xor _)
+  }
 }
