@@ -154,7 +154,40 @@ object LakeQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---- q44: bulk-insert fast path + post-load merge ----------------------
+
+  /** Initial load through [[LakeTable.bulkInsert]] (no LWW merge agg — the
+    * ref insert/bulk_insert path), then an upsert delta on top: the final
+    * state must equal plain SQL over the source, proving the fast path
+    * leaves the table in a merge-correct layout.
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
+    val keyed = orders.select(
+      md5(concat_ws("_", lit("graft"), lit("orders"), col("o_orderkey")))
+        .as(LakeTable.KeyCol),
+      lit(1L).as(LakeTable.TsCol),
+      col("o_orderkey"), col("o_totalprice"))
+    lake.bulkInsert(keyed, commitId = "load")
+    // delta: double the price of every 100th order (x2 is exact in IEEE)
+    lake.upsert(
+      keyed.filter(col("o_orderkey") % 100 === 0)
+        .withColumn(LakeTable.TsCol, lit(2L))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      commitId = "delta")
+    lake.snapshot.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+  }
+
   val all: Map[String, QueryDef] = Map(
+
+    "q44_lake_bulk_insert" -> QueryDef(
+      q44,
+      Some(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+          |       ELSE o_totalprice END AS o_totalprice
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     "q42_partition_prune" -> QueryDef(
       q42,
