@@ -119,7 +119,11 @@ object DedupDocs {
     candidatesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
   }
 
-  private def candidatesFromShingles(
+  /** Banded `(id, band, bh)` index rows from a shingle set — the
+    * persistable minhash artifact (each band hash = xxhash64 over its
+    * signature rows).
+    */
+  private def bandedFromShingles(
       sh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sig = signaturesFromShingles(sh, idCol, numHashes)
@@ -128,16 +132,92 @@ object DedupDocs {
         lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
     }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private def candidatesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     // Materialize the tiny (id, band, bh) index (localCheckpoint — see
     // jaccardPairs): both sides of the bucket self-join read it, so the
     // signature aggregation runs once, not twice.
-    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .localCheckpoint()
+    val banded = bandedFromShingles(sh, idCol, numHashes, bands).localCheckpoint()
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
       .distinct()
+  }
+
+  /** Persist a corpus's banded minhash index: the artifact
+    * [[dedupeAgainstIndex]] probes so that ingesting a new batch never
+    * re-shingles or re-hashes the existing corpus. One narrow pass over
+    * the corpus, `bands` rows per doc.
+    */
+  def writeMinhashIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+  }
+
+  /** INCREMENTAL dedup — near-dup pairs between an incoming `batch` and an
+    * already-indexed corpus (the 100 TB ingestion shape: the corpus index
+    * is a stored artifact; per batch, only the batch is shingled/hashed
+    * plus the handful of candidate corpus docs needed for exact verify):
+    *
+    *  1. batch side: one shingle pass → signatures → banded index;
+    *  2. candidates: (band, bh) equi-join of the small batch index against
+    *     the stored corpus index — Spark broadcasts the batch side when it
+    *     fits, so the corpus index is never shuffled;
+    *  3. verify: exact Jaccard, with corpus shingle sets rebuilt ONLY for
+    *     candidate docs (cost ∝ candidates, not corpus).
+    *
+    * Returns `(d1 = batch id, d2 = corpus id, c, na, nb, jac)` for pairs
+    * with Jaccard >= num/den. Same hashes/bands as [[minhashVerifiedPairs]]
+    * — recall characteristics carry over unchanged.
+    */
+  def dedupeAgainstIndex(
+      batch: DataFrame,
+      corpusDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      num: Int = 1,
+      den: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    // One materialized batch shingle pass feeds signatures AND verify sets.
+    val bsh = shingles(batch, idCol, textCol, n).localCheckpoint()
+    val bIdx = bandedFromShingles(bsh, idCol, numHashes, bands)
+    val cIdx = batch.sparkSession.read.parquet(indexPath)
+    val cand = bIdx.as("b")
+      .join(cIdx.as("c"), col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+      .select(col(s"b.$idCol").as("d1"), col(s"c.$idCol").as("d2"))
+      .distinct()
+    val bSets = bsh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s1"))
+      .withColumnRenamed(idCol, "d1")
+    // Re-shingle ONLY the candidate corpus docs (bounded by candidate count).
+    val candCorpus = corpusDocs.join(
+      cand.select(col("d2")).distinct().withColumnRenamed("d2", idCol), Seq(idCol))
+    val cSets = shingles(candCorpus, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
+      .withColumnRenamed(idCol, "d2")
+    cand.join(bSets, "d1").join(cSets, "d2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("na", size(col("s1")))
+      .withColumn("nb", size(col("s2")))
+      .filter(col("c") * den >= (col("na") + col("nb") - col("c")) * num)
+      .select(
+        col("d1"), col("d2"), col("c"), col("na"), col("nb"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
   }
 
   /** LSH candidates verified with exact Jaccard (computed per candidate

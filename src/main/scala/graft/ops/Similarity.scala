@@ -242,8 +242,23 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
+  /** The query's `nProbe` nearest centroid ids (driver-side: k dot
+    * products over one vector).
+    */
+  def probedCentroids(
+      query: Seq[Double], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    def cos(c: Array[Double]): Double = {
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum))
+    }
+    centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+      .take(nProbe).map(_._2).toSeq
+  }
+
   /** IVF approximate top-k: score only vectors assigned to the `nProbe`
-    * centroids nearest to the query.
+    * centroids nearest to the query. Assigns inline — use
+    * [[writeIvfIndex]] + [[ivfTopKIndexed]] to amortize assignment
+    * across queries.
     */
   def ivfTopK(
       df: DataFrame,
@@ -253,16 +268,46 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    def cos(c: Array[Double]): Double = {
-      val dot = c.zip(query).map { case (a, b) => a * b }.sum
-      dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum))
-    }
-    val probed = centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }
-      .take(nProbe).map(_._2).toSeq
+    val probed = probedCentroids(query, centroids, nProbe)
     ivfAssign(df, centroids, idCol, embCol)
       .filter(col("centroid").isin(probed: _*))
       .select(col(idCol), cosine(col(embCol), query).as("sim"))
       .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
+  /** Persist the IVF assignment once, one directory per centroid, so a
+    * probe opens exactly `nProbe` of `k` directories — same scale story
+    * as [[writeAnnIndex]]: the corpus×centroids assignment pass is paid
+    * per corpus version, not per query.
+    */
+  def writeIvfIndex(
+      df: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    ivfAssign(df, centroids, idCol, embCol)
+      .select(col(idCol), col("centroid"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** IVF top-k against a stored [[writeIvfIndex]] artifact: reads only the
+    * probed centroid directories, joins candidate ids back to the corpus
+    * for exact cosine.
+    */
+  def ivfTopKIndexed(
+      corpus: DataFrame,
+      indexPath: String,
+      query: Seq[Double],
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val probed = probedCentroids(query, centroids, nProbe)
+    val cand = corpus.sparkSession.read.parquet(indexPath)
+      .filter(col("centroid").isin(probed: _*))
+      .select(col(idCol)).distinct()
+    scoreCandidates(cand, corpus, query, k, idCol, embCol)
   }
 
   /** Embedding near-duplicate pairs above `threshold` cosine: pairs form

@@ -111,22 +111,28 @@ object OpsQueries {
     embs(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
 
-  /** Stored-ANN-index location for q43: deterministic per corpus identity
-    * (path + file size + mtime), so repeated runs — Bench's warm-up then
-    * timed runs — reuse the artifact, while a regenerated corpus gets a
-    * fresh build.
+  /** Stored-index location under tmp, deterministic per corpus identity
+    * (source path + file size + mtime + index config), so repeated runs —
+    * Bench's warm-up then timed runs — reuse the artifact, while a
+    * regenerated corpus gets a fresh build.
     */
-  private def annIndexPath(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+  private def stampedIndexPath(dir: String, srcFile: String, tag: String): String = {
+    val src = java.nio.file.Paths.get(dir, srcFile)
     val stamp =
       if (java.nio.file.Files.exists(src))
         s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$stamp|planes16x64s42b4".getBytes("UTF-8"))
+      .digest(s"$dir|$stamp|$tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$key"
+    s"${System.getProperty("java.io.tmpdir")}/graft_index_${tag.takeWhile(_ != '|')}_$key"
   }
+
+  private def annIndexPath(dir: String): String =
+    stampedIndexPath(dir, "embeddings.parquet", "ann|planes16x64s42b4")
+
+  private def minhashIndexPath(dir: String): String =
+    stampedIndexPath(dir, "documents.parquet", "minhash|n3h64b16")
 
   val all: Map[String, QueryDef] = Map(
 
@@ -155,6 +161,42 @@ object OpsQueries {
     "q28_dedup_minhash" -> QueryDef(
       (spark, dir) => orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir))),
       Some(duckJaccardPairs)),
+
+    // ---- dedup: INCREMENTAL batch-vs-indexed-corpus --------------------
+    // The ingestion shape: the corpus minhash index is a stored artifact
+    // (built once per corpus identity); the batch — every 7th document
+    // re-keyed +1e6, i.e. exact duplicates of corpus docs — is the only
+    // thing shingled/hashed, and exact verify re-shingles just the
+    // candidate corpus docs. Oracle = exact batch x corpus Jaccard
+    // (complete recall: batch copies carry their source's signature, and
+    // in-corpus >=0.5 candidate completeness was verified at both scales).
+    "q46_dedup_incremental" -> QueryDef(
+      (spark, dir) => {
+        val corpus = docs(spark, dir)
+        val idxPath = minhashIndexPath(dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+          DedupDocs.writeMinhashIndex(corpus, idxPath)
+        val batch = corpus.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        orderedJaccard(DedupDocs.dedupeAgainstIndex(batch, corpus, idxPath))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
+          |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM ix),
+          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+          |bdoc AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+          |bw AS (SELECT doc_id, string_split(text,' ') ws FROM bdoc),
+          |bix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM bw),
+          |bsh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM bix),
+          |bcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM bsh GROUP BY 1),
+          |co AS (SELECT b.doc_id d1, a.doc_id d2, CAST(count(*) AS BIGINT) c
+          |       FROM bsh b JOIN sh a ON b.shingle = a.shingle GROUP BY 1, 2)
+          |SELECT d1, d2, c, bc.n AS na, ca.n AS nb,
+          |       CAST(c AS DOUBLE) / CAST(bc.n + ca.n - c AS DOUBLE) AS jac
+          |FROM co JOIN bcnt bc ON co.d1 = bc.doc_id JOIN cnt ca ON co.d2 = ca.doc_id
+          |WHERE c * 2 >= (bc.n + ca.n - c)
+          |ORDER BY d1, d2""".stripMargin)),
 
     // ---- text statistics / quality signals -----------------------------
     "q29_text_stats" -> QueryDef(
@@ -288,6 +330,27 @@ object OpsQueries {
             (coalesce(sum(col("hit")), lit(0)) >= 8).as("recall_ok"))
       },
       Some("SELECT CAST(20 AS BIGINT) AS n_ann, true AS recall_ok")),
+
+    // ---- similarity: IVF (inverted-file) ANN ---------------------------
+    // Same recall-gate oracle contract as q36/q43: IVF top-20 (16 stride
+    // centroids, probe 4) joined against the exact top-20, both
+    // deterministic. Measured recall 1.0 at sf0.01 AND sf0.1; the gate
+    // asserts >= 0.5. Probing 4 of 16 centroids scans ~1/4 of the corpus —
+    // with a persisted assignment (writeIvfIndex) only those directories.
+    "q45_sim_ivf" -> QueryDef(
+      (spark, dir) => {
+        val qv = queryVec(spark, dir)
+        val e = embs(spark, dir)
+        val cents = Similarity.ivfCentroids(e, 16)
+        val exact = Similarity.topK(e, qv, 20).select(col("vec_id"), lit(1).as("hit"))
+        Similarity.ivfTopK(e, qv, 20, cents, nProbe = 4)
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).as("n_ivf"),
+            (coalesce(sum(col("hit")), lit(0)) >= 10).as("recall_ok"))
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS n_ivf, true AS recall_ok")),
 
     // ---- embedding near-dup pairs via LSH buckets ----------------------
     "q37_emb_neardup" -> QueryDef(

@@ -45,6 +45,23 @@ class OpsSpec extends SparkSpec {
     assert(verified == exact)
   }
 
+  test("incremental dedup finds batch-vs-corpus duplicates via the stored index") {
+    val corpus = docs.limit(60)
+    val idxDir = tempDir("mh-idx").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(corpus, idxDir)
+    // batch: copies of three corpus docs (re-keyed) + one unrelated doc
+    val copies = corpus.filter($"doc_id".isin(0L, 7L, 14L))
+      .withColumn("doc_id", $"doc_id" + 5000L)
+    val fresh = Seq((9999L, "zq xv qj wk pf mz unique gibberish tokens nowhere else at all"))
+      .toDF("doc_id", "text")
+    val batch = copies.select("doc_id", "text").unionByName(fresh)
+    val pairs = DedupDocs.dedupeAgainstIndex(batch, corpus, idxDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(Set((5000L, 0L), (5007L, 7L), (5014L, 14L)).subsetOf(pairs),
+      s"each copy must match its source: $pairs")
+    assert(!pairs.exists(_._1 == 9999L), s"unrelated doc must not match: $pairs")
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key distribution") {
     // 90% of rows hit one hot key
     val rows = (1 to 2000).map { i =>
@@ -120,6 +137,19 @@ class OpsSpec extends SparkSpec {
     val inline = Similarity.annTopK(embs, queryVec, 10, ps)
       .select("vec_id").as[Long].collect().toSeq
     val indexed = Similarity.annTopKIndexed(embs, idxDir, queryVec, 10, ps)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(indexed == inline)
+  }
+
+  test("indexed IVF (stored assignment) returns exactly what inline ivfTopK returns") {
+    val cents = Similarity.ivfCentroids(embs, 8)
+    val idxDir = tempDir("ivf-idx").resolve("idx").toString
+    Similarity.writeIvfIndex(embs, idxDir, cents)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(idxDir))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("centroid=")))
+    val inline = Similarity.ivfTopK(embs, queryVec, 10, cents, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val indexed = Similarity.ivfTopKIndexed(embs, idxDir, queryVec, 10, cents, nProbe = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(indexed == inline)
   }
