@@ -22,9 +22,13 @@ object CdcSource {
 
   /** Batch variant of [[jsonDirStream]] (replay an archived raw log —
     * the read side of the `option.keepraw.enable` archival sink).
+    * Recursive: the archival sink writes identified batches into
+    * `batch=<id>` subdirs (replay-idempotent overwrite), and recursive
+    * lookup reads those and flat appends alike as one value column.
     */
   def jsonDirBatch(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path).toDF(Envelope.ValueCol)
+    spark.read.option("recursiveFileLookup", "true").text(path)
+      .toDF(Envelope.ValueCol)
 
   /** JSON-serialize a struct column *keeping null fields* — the
     * reference's `WriteMapNullValue` semantics

@@ -56,13 +56,20 @@ object CdcSyncCommand {
     val strict = options.get(OnMalformedKey).exists(_.equalsIgnoreCase("fail"))
     val records = Envelope.parse(sized, valueCol, strict).persist()
     try {
-      // Raw-binlog archival sink (ref S5, :231-234): append the raw
-      // envelope text before any transformation.
+      // Raw-binlog archival sink (ref S5, :231-234): archive the raw
+      // envelope text before any transformation. Batches WITH an identity
+      // write into a batch-scoped subdir with overwrite, so an
+      // at-least-once replay of the same batchId rewrites the same files
+      // instead of appending duplicates (exactly-once archive, matching
+      // the table commits); identity-less batch saves keep plain append.
       if (options.get(KeepRawKey).exists(_.toBoolean)) {
         val rawPath = options.getOrElse(
           RawPathKey,
           throw new IllegalArgumentException(s"config [$RawPathKey] must be required!"))
-        sized.select(col(valueCol).cast("string")).write.mode("append").text(rawPath)
+        val raw = sized.select(col(valueCol).cast("string"))
+        if (batchId >= 0)
+          raw.write.mode("overwrite").text(s"$rawPath/batch=$batchId")
+        else raw.write.mode("append").text(rawPath)
       }
 
       // Distinct table metas for this batch (ref A3, :91-98): tiny collect.

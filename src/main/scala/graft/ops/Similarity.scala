@@ -219,14 +219,15 @@ object Similarity {
       df: DataFrame,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(embCol), c.toIndexedSeq).as("sim"), lit(i).as("cid"))
-    }
-    df.withColumn("_best", array_max(array(sims.toIndexedSeq: _*)))
-      .withColumn("centroid", col("_best.cid"))
-      .drop("_best")
-  }
+      embCol: String = "embedding"): DataFrame =
+    // One-pass native argmax (the composed array_max-of-cosine-structs
+    // formulation traversed the embedding once per centroid; see
+    // NearestCentroid's doc for the bit-compatibility contract).
+    df.withColumn(
+      "centroid",
+      org.apache.spark.sql.graft.Exprs.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.graft.Exprs.expression(col(embCol)), centroids)))
 
   /** Deterministic stride-sampled centroids (every n/k-th vector). */
   def ivfCentroids(

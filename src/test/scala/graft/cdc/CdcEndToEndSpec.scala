@@ -203,7 +203,7 @@ class CdcEndToEndSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("BatchTransformer")))
   }
 
-  test("raw archival sink appends envelope text when enabled") {
+  test("raw archival sink archives envelope text; batch replay doesn't duplicate") {
     val root = tempDir("cdc-").toString
     val rawDir = s"$root/raw"
     val opts = options(root) ++ Map(
@@ -211,8 +211,17 @@ class CdcEndToEndSpec extends SparkSpec {
     val batch = Seq(
       env("db", "person", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"a","age":1}""")))
     CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 1L)
-    val raw = spark.read.text(rawDir).as[String].collect()
+    val raw = CdcSource.jsonDirBatch(spark, rawDir).as[String].collect()
     assert(raw.length == 1 && raw.head.contains("\"tableName\":\"person\""))
+    // at-least-once delivery replays batch 1: the archive must not grow
+    CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 1L)
+    // a NEW batch id lands alongside it
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 2L, "upsert",
+        Seq("""{"id":2,"name":"b","age":2}"""))).toDF("value"),
+      opts, batchId = 2L)
+    val after = CdcSource.jsonDirBatch(spark, rawDir).as[String].collect()
+    assert(after.length == 2, s"replay must not duplicate raw rows: ${after.length}")
   }
 
   test("missing per-table config fails the batch with the reference error shape") {
