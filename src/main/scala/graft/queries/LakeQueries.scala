@@ -179,7 +179,72 @@ object LakeQueries {
     lake.snapshot.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
   }
 
+  // ---- q47: incremental read (change capture since a version) ------------
+
+  /** Two-batch build, then `incremental(1)`: exactly the rows whose
+    * `(_key, _ts)` state changed after version 1 — and only rewritten
+    * buckets are scanned on either side. Oracle = the (user_id, ts) diff
+    * of the final LWW state against the batch-1-only LWW state.
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1") // version 1
+    lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b2") // version 2
+    lake.incremental(1L)
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
+  // ---- q48: bloom/bucket-pruned point lookup ------------------------------
+
+  /** `lookup(keys)` for five record keys: bucket pruning + bloom sidecar
+    * pruning decide which files open; the result must equal a plain
+    * filtered LWW query.
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16) // blooms ON
+    lake.upsert(keyedEvents(spark, dir), commitId = "b1")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val keys = Seq(1L, 2L, 3L, 4L, 5L).map { uid =>
+      md.reset()
+      md.digest(s"graft_events_$uid".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    lake.lookup(keys)
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
+
+    "q47_lake_incremental" -> QueryDef(
+      q47,
+      Some(
+        """WITH final AS (
+          |  SELECT user_id, ts, event_id, event_type, value FROM (
+          |    SELECT user_id, ts, event_id, event_type, value,
+          |           row_number() OVER (PARTITION BY user_id
+          |                              ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events) t WHERE rn = 1),
+          |v1 AS (
+          |  SELECT user_id, ts FROM (
+          |    SELECT user_id, ts,
+          |           row_number() OVER (PARTITION BY user_id
+          |                              ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1)
+          |SELECT f.user_id, f.event_id, f.event_type, f.value
+          |FROM final f LEFT JOIN v1
+          |  ON f.user_id = v1.user_id AND f.ts = v1.ts
+          |WHERE v1.user_id IS NULL
+          |ORDER BY f.user_id""".stripMargin)),
+
+    "q48_lake_lookup" -> QueryDef(
+      q48,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |  SELECT user_id, event_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE user_id IN (1, 2, 3, 4, 5)) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     "q44_lake_bulk_insert" -> QueryDef(
       q44,
