@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Regression guards on the PLAN SHAPES the 100 TB story depends on —
+  * these properties were verified by hand with `.explain("formatted")`
+  * (VERDICT r4/r5 plan audits); this suite pins them so a refactor can't
+  * silently reintroduce a full scan, a shuffle, or a lost pushdown.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def embs = graft.Tables.load(spark, sfDir, "embeddings")
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect { case e: ShuffleExchangeExec => e }
+
+  private def queryVec: Seq[Double] =
+    embs.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  test("exact topK is TakeOrderedAndProject — no shuffle of the corpus") {
+    val plan = Similarity.topK(embs, queryVec, 10).queryExecution.sparkPlan
+    assert(plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(shuffles(plan).isEmpty, s"exact top-k must not shuffle the corpus:\n$plan")
+  }
+
+  test("bandedIndex is one narrow pass — no shuffle, and codegen covers the signature") {
+    val df = Similarity.bandedIndex(embs, Similarity.planes(16, 64))
+    assert(shuffles(df.queryExecution.sparkPlan).isEmpty)
+    // the signature expression participates in whole-stage codegen
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(
+      codegenStages.exists(_.toString.contains("plane_signature")),
+      s"signature pass must stay inside whole-stage codegen:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("annTopKIndexed prunes the stored index to the probed (band, bh) dirs and reads ids only") {
+    val ps = Similarity.planes(16, 64)
+    val idxDir = tempDir("plan-ann").resolve("idx").toString
+    Similarity.writeAnnIndex(embs, idxDir, ps)
+    val probe = Similarity.annTopKIndexed(embs, idxDir, queryVec, 10, ps)
+    val idxScans = scans(probe).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("plan-ann")))
+    assert(idxScans.nonEmpty, "expected a scan of the stored index")
+    idxScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"index scan must carry partition filters (directory pruning): $s")
+      assert(s.requiredSchema.fieldNames.toSet == Set("vec_id"),
+        s"index scan must read only ids, got ${s.requiredSchema.fieldNames.toSeq}")
+    }
+  }
+
+  test("ivfTopKIndexed prunes the stored assignment to the probed centroid dirs") {
+    val cents = Similarity.ivfCentroids(embs, 8)
+    val idxDir = tempDir("plan-ivf").resolve("idx").toString
+    Similarity.writeIvfIndex(embs, idxDir, cents)
+    val probe = Similarity.ivfTopKIndexed(embs, idxDir, queryVec, 10, cents, nProbe = 2)
+    val idxScans = scans(probe).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("plan-ivf")))
+    assert(idxScans.nonEmpty && idxScans.forall(_.partitionFilters.nonEmpty),
+      "assignment scan must carry centroid partition filters")
+  }
+
+  test("predicate and projection push into the base parquet scan") {
+    val df = graft.Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" > 40).select("l_orderkey", "l_quantity")
+    val s = scans(df).head
+    assert(s.dataFilters.nonEmpty, "filter must reach the scan")
+    assert(s.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"),
+      s"projection must prune the scan schema, got ${s.requiredSchema.fieldNames.toSeq}")
+  }
+}
