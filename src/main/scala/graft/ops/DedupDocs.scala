@@ -148,6 +148,47 @@ object DedupDocs {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs — hamming distance <= `maxHamming` over
+    * the 32-bit [[TextStats.simhash32]] — via hamming-LSH bands: the
+    * signature splits into `maxHamming + 1` contiguous bit bands, and by
+    * PIGEONHOLE two signatures within `maxHamming` differing bits must
+    * agree exactly on at least one band. Candidates therefore form only
+    * inside band buckets (never corpus x corpus) with provably complete
+    * recall; exact popcount verifies each candidate. Returns
+    * `(d1, d2, dist)`.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0, 32): $maxHamming")
+    val nb = maxHamming + 1
+    val base = 32 / nb
+    val widths = Array.tabulate(nb)(b => if (b < 32 % nb) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sig = TextStats.simhash32(docs, idCol, textCol).localCheckpoint()
+    val bandCols = (0 until nb).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND((1L << widths(b)) - 1).as("bh"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+    cand
+      .join(sig.select(col(idCol).as("d1"), col("simhash").as("h1")), "d1")
+      .join(sig.select(col(idCol).as("d2"), col("simhash").as("h2")), "d2")
+      .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
   /** Persist a corpus's banded minhash index: the artifact
     * [[dedupeAgainstIndex]] probes so that ingesting a new batch never
     * re-shingles or re-hashes the existing corpus. One narrow pass over

@@ -66,7 +66,7 @@ object OpsQueries {
       .orderBy("d1", "d2")
 
   // 32-term simhash oracle, generated to mirror TextStats.simhash32 exactly.
-  private val duckSimhash: String = {
+  private val duckSimhashCore: String = {
     val votes = (0 until 32)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i")
       .mkString(", ")
@@ -76,8 +76,10 @@ object OpsQueries {
     s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, $bits AS simhash FROM v""".stripMargin
   }
+
+  private val duckSimhash: String = s"$duckSimhashCore ORDER BY doc_id"
 
   // Quantized-cosine top-k oracle (see class doc).
   private val duckSimTopK =
@@ -278,6 +280,23 @@ object OpsQueries {
         TextStats.simhash32(docs(spark, dir))
           .select(col("doc_id"), col("simhash")).orderBy("doc_id"),
       Some(duckSimhash)),
+
+    // ---- dedup: simhash near-dup pairs via hamming-LSH bands -----------
+    // Pigeonhole makes the banded candidates provably COMPLETE for
+    // hamming <= 3 (4 bands, at most 3 differing bits -> one band exact),
+    // so the all-pairs DuckDB oracle is matched exactly while the Spark
+    // plan never forms corpus x corpus.
+    "q49_simhash_neardup" -> QueryDef(
+      (spark, dir) =>
+        DedupDocs.simhashNearDupPairs(docs(spark, dir), maxHamming = 3)
+          .orderBy("d1", "d2"),
+      Some(
+        s"""WITH s AS ($duckSimhashCore)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY d1, d2""".stripMargin)),
 
     // ---- similarity: exact top-k (TakeOrdered) -------------------------
     "q35_sim_topk" -> QueryDef(

@@ -62,6 +62,19 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 9999L), s"unrelated doc must not match: $pairs")
   }
 
+  test("simhash near-dup pairs: banded candidates equal brute-force hamming pairs") {
+    val d = docs.limit(80)
+    val banded = DedupDocs.simhashNearDupPairs(d, maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force on the same simhashes (completeness is the pigeonhole claim)
+    val sigs = TextStats.simhash32(d).as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, h1) <- sigs; (i2, h2) <- sigs
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key distribution") {
     // 90% of rows hit one hot key
     val rows = (1 to 2000).map { i =>
