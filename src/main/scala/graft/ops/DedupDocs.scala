@@ -174,9 +174,15 @@ object DedupDocs {
         shiftright(col("simhash"), offsets(b))
           .bitwiseAND((1L << widths(b)) - 1).as("bh"))
     }
+    // Pin an explicit hash partitioning on the join key: the banded index
+    // is tiny in bytes but the self-join OUTPUT is Σdf² rows, so AQE's
+    // size-based coalescing could serialize the expensive part into one
+    // task (the q27 bistability; see CLAUDE.md perf rules).
     val banded = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
