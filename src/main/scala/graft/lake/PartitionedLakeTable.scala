@@ -190,6 +190,12 @@ final class PartitionedLakeTable(
     lit(v).cast(dt)
   }
 
+  /** Vacuum every partition's unreferenced snapshot dirs; returns the
+    * total number of data dirs removed.
+    */
+  def vacuum(keepVersions: Int = 1): Int =
+    partitions.map(partitionTable(_).vacuum(keepVersions)).sum
+
   /** Full-table read (union of partitions, partition value re-attached). */
   def snapshot: DataFrame = read(partitions)
 

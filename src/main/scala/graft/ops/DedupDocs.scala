@@ -213,6 +213,25 @@ object DedupDocs {
       .write.mode("overwrite").partitionBy("band").parquet(path)
   }
 
+  /** Append a (deduplicated) batch's bands to an existing
+    * [[writeMinhashIndex]] artifact — the accept step of the incremental
+    * ingestion loop: [[dedupeAgainstIndex]] the batch, drop the
+    * duplicates, append the survivors so the next batch dedups against
+    * them too. Caller contract: ids must be new to the index.
+    */
+  def appendToMinhashIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(path)
+  }
+
   /** INCREMENTAL dedup — near-dup pairs between an incoming `batch` and an
     * already-indexed corpus (the 100 TB ingestion shape: the corpus index
     * is a stored artifact; per batch, only the batch is shingled/hashed

@@ -141,6 +141,21 @@ object Similarity {
     bandedIndex(df, ps, bandBits, idCol, embCol)
       .write.mode("overwrite").partitionBy("band", "bh").parquet(path)
 
+  /** Append NEW vectors' bands to an existing [[writeAnnIndex]] artifact —
+    * the incremental-ingestion step (new parquet files land inside the
+    * existing `(band, bh)` directories; probes see them immediately).
+    * Caller contract: ids must be new to the index.
+    */
+  def appendToAnnIndex(
+      df: DataFrame,
+      path: String,
+      ps: Array[Array[Double]],
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    bandedIndex(df, ps, bandBits, idCol, embCol)
+      .write.mode("append").partitionBy("band", "bh").parquet(path)
+
   /** The query vector's `(band, bh)` probe buckets (driver-side: one
     * signature over one vector).
     */

@@ -367,6 +367,9 @@ class LakeTableSpec extends SparkSpec {
     // routed delete to a partition value that doesn't exist is a no-op
     plt.deleteRouted(Seq(("b", "2029-12-31")).toDF(LakeTable.KeyCol, "day"))
     assert(plt.snapshot.count() == 2)
+    // partition-wide vacuum removes the superseded 2024-01-01 snapshot
+    assert(plt.vacuum(keepVersions = 1) >= 1)
+    assert(plt.snapshot.count() == 2)
   }
 
   test("driver-side bucketOfKey matches the Spark-side bucket expression") {

@@ -62,6 +62,37 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 9999L), s"unrelated doc must not match: $pairs")
   }
 
+  test("incremental ingestion loop: dedupe, accept survivors, next batch sees them") {
+    val corpus = docs.limit(40)
+    val idxDir = tempDir("mh-loop").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(corpus, idxDir)
+    // batch 1: one fresh doc — no duplicates — gets accepted into the index
+    val b1 = Seq((7001L, "entirely novel tokens xqz wvu rrt ppl mmx kkj hhg ffd ssa")).toDF("doc_id", "text")
+    assert(DedupDocs.dedupeAgainstIndex(b1, corpus, idxDir).isEmpty)
+    DedupDocs.appendToMinhashIndex(b1, idxDir)
+    // batch 2: a copy of batch 1's doc — must now be caught against the index
+    val b2 = Seq((8001L, "entirely novel tokens xqz wvu rrt ppl mmx kkj hhg ffd ssa")).toDF("doc_id", "text")
+    val allDocs = corpus.select("doc_id", "text").unionByName(b1)
+    val hits = DedupDocs.dedupeAgainstIndex(b2, allDocs, idxDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(hits.contains((8001L, 7001L)), s"appended doc must be dedup-visible: $hits")
+  }
+
+  test("appendToAnnIndex makes new vectors probe-visible") {
+    val ps = Similarity.planes(16, 64)
+    val idxDir = tempDir("ann-app").resolve("idx").toString
+    val base = embs.filter($"vec_id" =!= 0)
+    Similarity.writeAnnIndex(base, idxDir, ps)
+    // vector 0 is absent from the index: a self-query can't return it
+    val before = Similarity.annTopKIndexed(embs, idxDir, queryVec, 5, ps)
+      .select("vec_id").as[Long].collect()
+    assert(!before.contains(0L))
+    Similarity.appendToAnnIndex(embs.filter($"vec_id" === 0), idxDir, ps)
+    val after = Similarity.annTopKIndexed(embs, idxDir, queryVec, 5, ps)
+      .select("vec_id").as[Long].collect()
+    assert(after.contains(0L), s"appended vector must be its own nearest neighbor: ${after.toSeq}")
+  }
+
   test("simhash near-dup pairs: banded candidates equal brute-force hamming pairs") {
     val d = docs.limit(80)
     val banded = DedupDocs.simhashNearDupPairs(d, maxHamming = 3)
