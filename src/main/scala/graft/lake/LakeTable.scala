@@ -251,6 +251,16 @@ final class LakeTable(
     }
   }
 
+  /** Rewrite every live bucket as a fresh file group — the compaction
+    * step after zero-shuffle bulk loads (`bulkInsert(sortMode = "none")`
+    * leaves up to tasks × buckets small files; compact coalesces each
+    * bucket back to `filesPerBucket` files). State is unchanged; one new
+    * version is committed (old snapshots reclaim via [[vacuum]]).
+    */
+  def compact(commitId: String = ""): Unit =
+    if (latestManifest().isDefined)
+      writeCommit(snapshot, commitId) { (_, inc) => inc }
+
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
     * (`BinlogSyncHoodieCommand.scala:186-190`) as a left-anti join.

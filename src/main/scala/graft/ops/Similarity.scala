@@ -326,6 +326,54 @@ object Similarity {
     scoreCandidates(cand, corpus, query, k, idCol, embCol)
   }
 
+  /** INCREMENTAL embedding near-dups — pairs between an incoming `batch`
+    * and an already-indexed corpus (same shape as
+    * [[graft.ops.DedupDocs.dedupeAgainstIndex]] for text): only the batch
+    * is signed; candidates come from a (band, bh) join of the small batch
+    * index against the stored corpus index; exact cosine verifies each
+    * candidate pair. `quantized = true` verifies in exact integer
+    * arithmetic (bit-identical across engines — the oracle-safe mode).
+    * Returns `(id1 = batch id, id2 = corpus id, sim)`.
+    */
+  def nearDupsAgainstIndex(
+      batch: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      ps: Array[Array[Double]],
+      bandBits: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      quantized: Boolean = false): DataFrame = {
+    val bIdx = bandedIndex(batch, ps, bandBits, idCol, embCol)
+    val cIdx = batch.sparkSession.read.parquet(indexPath)
+    val cand = bIdx.as("b")
+      .join(cIdx.as("c"), col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+      .select(col(s"b.$idCol").as("id1"), col(s"c.$idCol").as("id2"))
+      .distinct()
+    val verified = cand
+      .join(batch.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
+      .join(corpus.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
+    val sim =
+      if (quantized) {
+        val dot = aggregate(
+          zip_with(col("e1"), col("e2"), (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
+        def nrm(c: Column) =
+          sqrt(aggregate(c, lit(0L), (acc, x) => acc + qz(x) * qz(x)).cast("double"))
+        dot.cast("double") / (nrm(col("e1")) * nrm(col("e2")))
+      } else {
+        val dot = aggregate(
+          zip_with(col("e1"), col("e2"), (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x)
+        def nrm(c: Column) =
+          sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        dot / (nrm(col("e1")) * nrm(col("e2")))
+      }
+    verified.withColumn("sim", sim)
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs above `threshold` cosine: pairs form
     * inside LSH band buckets only (never corpus x corpus), then exact
     * cosine verifies each candidate pair.

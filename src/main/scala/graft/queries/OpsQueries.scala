@@ -136,6 +136,9 @@ object OpsQueries {
   private def minhashIndexPath(dir: String): String =
     stampedIndexPath(dir, "documents.parquet", "minhash|n3h64b16")
 
+  private def annDupIndexPath(dir: String): String =
+    stampedIndexPath(dir, "embeddings.parquet", "anndup|planes32x64s42b8")
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- dedup: exact (hash-groupBy) ----------------------------------
@@ -378,6 +381,38 @@ object OpsQueries {
             embs(spark, dir), 0.95, Similarity.planes(32, 64), bandBits = 8)
           .select(col("id1"), col("id2")).orderBy("id1", "id2"),
       Some(duckNearDup)),
+
+    // ---- embedding near-dups: INCREMENTAL batch-vs-indexed-corpus ------
+    // Same incremental shape as q46 for embeddings: the corpus signature
+    // index is a stored artifact; the batch (every 11th vector re-keyed
+    // +1e6 — exact copies) is the only thing signed. Verification is
+    // QUANTIZED cosine — bit-identical to the oracle's integer
+    // arithmetic, so the 0.95 threshold cannot disagree at the boundary.
+    // Candidate completeness: copies carry their source's exact signature.
+    "q50_emb_neardup_incr" -> QueryDef(
+      (spark, dir) => {
+        val e = embs(spark, dir)
+        val ps = Similarity.planes(32, 64)
+        val idxPath = annDupIndexPath(dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+          Similarity.writeAnnIndex(e, idxPath, ps, bandBits = 8)
+        val batch = e.filter(col("vec_id") % 11 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+        Similarity
+          .nearDupsAgainstIndex(batch, e, idxPath, 0.95, ps, bandBits = 8, quantized = true)
+          .select(col("id1"), col("id2")).orderBy("id1", "id2")
+      },
+      Some(
+        """WITH b AS (SELECT vec_id + 1000000 AS vec_id, embedding
+          |           FROM embeddings WHERE vec_id % 11 = 0),
+          |u AS (SELECT b.vec_id i1, c.vec_id i2,
+          |       CAST(floor(CAST(b.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) x,
+          |       CAST(floor(CAST(c.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) y
+          |       FROM b JOIN embeddings c ON true, generate_series(1, 64) g),
+          |s AS (SELECT i1, i2, sum(x*y) dot, sum(x*x) na, sum(y*y) nb FROM u GROUP BY i1, i2)
+          |SELECT i1 AS id1, i2 AS id2 FROM s
+          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.95
+          |ORDER BY id1, id2""".stripMargin)),
 
     // ---- z-order: native interleave_bits expression --------------------
     // Spark side: the custom codegen'd Catalyst expression; oracle side:

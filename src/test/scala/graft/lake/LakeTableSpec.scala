@@ -64,6 +64,28 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](lt.bulkInsert(rows(("d", 1L, "d")), sortMode = "bogus"))
   }
 
+  test("compact coalesces zero-shuffle bulk-load files; state unchanged") {
+    val dir = tempDir("lake-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2, bloomOnWrite = false)
+    // many input partitions + sortMode=none -> multiple files per bucket
+    val many = (0 until 40).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload").repartition(8)
+    lt.bulkInsert(many, sortMode = "none")
+    def filesPerBucketDirs(): Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet"))
+        .groupBy(_.getParent.toString).values.map(_.size).toSeq
+    }
+    val before = lt.snapshot.orderBy("_key").collect().toSeq
+    assert(filesPerBucketDirs().exists(_ > 1), "bulk sortMode=none should leave multiple files")
+    lt.compact()
+    lt.vacuum(keepVersions = 1)
+    assert(filesPerBucketDirs().forall(_ == 1), "compact must leave one file group per bucket")
+    assert(lt.snapshot.orderBy("_key").collect().toSeq == before, "state must be unchanged")
+  }
+
   test("delete of bloom-proven-absent keys commits NO new version") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))

@@ -78,6 +78,19 @@ class OpsSpec extends SparkSpec {
     assert(hits.contains((8001L, 7001L)), s"appended doc must be dedup-visible: $hits")
   }
 
+  test("incremental embedding near-dups catch re-keyed copies via the stored index") {
+    val ps = Similarity.planes(32, 64)
+    val idxDir = tempDir("emb-incr").resolve("idx").toString
+    val corpus = embs.limit(60)
+    Similarity.writeAnnIndex(corpus, idxDir, ps, bandBits = 8)
+    val batch = corpus.filter($"vec_id".isin(3L, 9L))
+      .withColumn("vec_id", $"vec_id" + 7000L)
+    val pairs = Similarity
+      .nearDupsAgainstIndex(batch, corpus, idxDir, 0.99, ps, bandBits = 8, quantized = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(Set((7003L, 3L), (7009L, 9L)).subsetOf(pairs), s"copies must match sources: $pairs")
+  }
+
   test("appendToAnnIndex makes new vectors probe-visible") {
     val ps = Similarity.planes(16, 64)
     val idxDir = tempDir("ann-app").resolve("idx").toString
