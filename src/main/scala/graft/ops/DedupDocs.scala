@@ -210,6 +210,7 @@ object DedupDocs {
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+      .repartition(col("band")) // one file per band dir (see writeAnnIndex)
       .write.mode("overwrite").partitionBy("band").parquet(path)
   }
 
@@ -229,6 +230,7 @@ object DedupDocs {
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+      .repartition(col("band")) // one appended file per band dir
       .write.mode("append").partitionBy("band").parquet(path)
   }
 

@@ -131,15 +131,31 @@ object Similarity {
     * (the [[annTopK]] shape) into O(candidate-bucket) I/O; the build cost is
     * paid once per corpus version, not per query.
     */
+  /** `probeLayout = true` (default) lays the index out one directory per
+    * `(band, bh)` bucket — the point-probe shape [[annTopKIndexed]] prunes
+    * on. `probeLayout = false` writes plain bucketless parquet — the shape
+    * for FULL-index consumers ([[nearDupsAgainstIndex]] joins every row;
+    * at 2^bandBits x bands directories the probe layout's file count, not
+    * its bytes, dominates such a read).
+    */
   def writeAnnIndex(
       df: DataFrame,
       path: String,
       ps: Array[Array[Double]],
       bandBits: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit =
-    bandedIndex(df, ps, bandBits, idCol, embCol)
-      .write.mode("overwrite").partitionBy("band", "bh").parquet(path)
+      embCol: String = "embedding",
+      probeLayout: Boolean = true): Unit = {
+    val idx = bandedIndex(df, ps, bandBits, idCol, embCol)
+    if (probeLayout)
+      // Align the shuffle with the directory layout: without this every
+      // task writes into every (band, bh) dir — tasks x 2^bandBits x bands
+      // tiny files whose listing/footer reads dominate any full-index read
+      // (measured 6 s of a 7 s incremental-dedup run at sf0.1).
+      idx.repartition(col("band"), col("bh"))
+        .write.mode("overwrite").partitionBy("band", "bh").parquet(path)
+    else idx.write.mode("overwrite").parquet(path)
+  }
 
   /** Append NEW vectors' bands to an existing [[writeAnnIndex]] artifact —
     * the incremental-ingestion step (new parquet files land inside the
@@ -152,9 +168,14 @@ object Similarity {
       ps: Array[Array[Double]],
       bandBits: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit =
-    bandedIndex(df, ps, bandBits, idCol, embCol)
-      .write.mode("append").partitionBy("band", "bh").parquet(path)
+      embCol: String = "embedding",
+      probeLayout: Boolean = true): Unit = {
+    val idx = bandedIndex(df, ps, bandBits, idCol, embCol)
+    if (probeLayout)
+      idx.repartition(col("band"), col("bh")) // one appended file per dir
+        .write.mode("append").partitionBy("band", "bh").parquet(path)
+    else idx.write.mode("append").parquet(path)
+  }
 
   /** The query vector's `(band, bh)` probe buckets (driver-side: one
     * signature over one vector).
@@ -304,6 +325,7 @@ object Similarity {
       embCol: String = "embedding"): Unit =
     ivfAssign(df, centroids, idCol, embCol)
       .select(col(idCol), col("centroid"))
+      .repartition(col("centroid")) // one file per centroid dir
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
 
   /** IVF top-k against a stored [[writeIvfIndex]] artifact: reads only the

@@ -137,7 +137,7 @@ object OpsQueries {
     stampedIndexPath(dir, "documents.parquet", "minhash|n3h64b16")
 
   private def annDupIndexPath(dir: String): String =
-    stampedIndexPath(dir, "embeddings.parquet", "anndup|planes32x64s42b8")
+    stampedIndexPath(dir, "embeddings.parquet", "anndup|planes32x64s42b8|join")
 
   val all: Map[String, QueryDef] = Map(
 
@@ -395,7 +395,8 @@ object OpsQueries {
         val ps = Similarity.planes(32, 64)
         val idxPath = annDupIndexPath(dir)
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
-          Similarity.writeAnnIndex(e, idxPath, ps, bandBits = 8)
+          // join layout: this index is consumed whole, never point-probed
+          Similarity.writeAnnIndex(e, idxPath, ps, bandBits = 8, probeLayout = false)
         val batch = e.filter(col("vec_id") % 11 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000L)
         Similarity
