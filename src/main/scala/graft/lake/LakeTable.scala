@@ -158,16 +158,37 @@ final class LakeTable(
       spark.read.schema(schema).parquet(paths: _*)
   }
 
-  /** Widest common type for the supported numeric widenings (or None). */
+  /** Widest common type for the supported widenings (or None): numeric
+    * int→long / float→double, recursively through structs (common fields
+    * widen, new fields append — the parquet reader fills absent nested
+    * fields with null and upcasts nested int32/float under an explicit
+    * schema, verified on Spark 4.1.2) and arrays. Maps don't widen.
+    */
   private[lake] def widen(a: DataType, b: DataType): Option[DataType] = {
     import org.apache.spark.sql.types._
     val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
     val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
-    if (a == b) Some(a)
-    else if (integral.contains(a) && integral.contains(b))
-      Some(integral(integral.indexOf(a) max integral.indexOf(b)))
-    else if (fractional.contains(a) && fractional.contains(b)) Some(DoubleType)
-    else None
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case (sa: StructType, sb: StructType) =>
+        val widenedCommon = sa.fields.map { fa =>
+          sb.fields.find(_.name == fa.name) match {
+            case Some(fb) => widen(fa.dataType, fb.dataType).map(dt => fa.copy(dataType = dt))
+            case None => Some(fa)
+          }
+        }
+        if (widenedCommon.exists(_.isEmpty)) None
+        else {
+          val extra = sb.fields.filterNot(f => sa.fieldNames.contains(f.name))
+          Some(StructType(widenedCommon.map(_.get) ++ extra))
+        }
+      case (ArrayType(ea, n1), ArrayType(eb, n2)) =>
+        widen(ea, eb).map(ArrayType(_, n1 || n2))
+      case _ if integral.contains(a) && integral.contains(b) =>
+        Some(integral(integral.indexOf(a) max integral.indexOf(b)))
+      case _ if fractional.contains(a) && fractional.contains(b) => Some(DoubleType)
+      case _ => None
+    }
   }
 
   /** True iff `dt` contains a MapType anywhere (hash expressions reject it). */
@@ -280,14 +301,19 @@ final class LakeTable(
     }
   }
 
-  private def bloomPrune(ks: DataFrame, m: Manifest): DataFrame = {
-    val decoded = m.blooms.map { case (b, s) =>
-      b -> java.util.Base64.getDecoder.decode(s)
+  private def bloomPrune(ks: DataFrame, m: Manifest): DataFrame =
+    // No sidecars and every bucket occupied -> nothing can prove absence;
+    // skip the filter pass entirely (keeps bloom-less delete paths fully
+    // codegen'd, no UDF in the plan).
+    if (m.blooms.isEmpty && m.buckets.size == numBuckets) ks
+    else {
+      val decoded = m.blooms.map { case (b, s) =>
+        b -> java.util.Base64.getDecoder.decode(s)
+      }
+      val mightContain =
+        udf(new LakeTable.BloomMightContain(decoded, m.buckets.keySet, numBuckets))
+      ks.filter(mightContain(col(KeyCol)))
     }
-    val mightContain =
-      udf(new LakeTable.BloomMightContain(decoded, m.buckets.keySet, numBuckets))
-    ks.filter(mightContain(col(KeyCol)))
-  }
 
   /** Point lookup of a set of keys: prunes to the buckets the keys hash to,
     * then (if bloom sidecars exist) skips buckets whose bloom filter proves

@@ -145,6 +145,19 @@ class LakeTableSpec extends SparkSpec {
     lt.upsert(Seq(("a", 2L, 8L, 1.5f)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x"))
     lt.upsert(Seq(("b", 2L, 5000000000L, 2.5d)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x"))
     assert(lt.snapshot.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // nested: struct field widens int->long AND gains a new field
+    lt.upsert(Seq(("a", 4L, 8L, 1.5d, (1, "p")))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x", "st"))
+    lt.upsert(Seq(("b", 4L, 9L, 2.5d, (6000000000L, "q", true)))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "x", "st"))
+    val stType = lt.snapshot.schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(stType("_1").dataType == org.apache.spark.sql.types.LongType)
+    assert(stType.fieldNames.contains("_3"))
+    val sts = lt.snapshot.select("_key", "st._1", "st._3").orderBy("_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    assert(sts.toSeq == Seq(
+      ("a", 1L, None), // pre-widening file: upcast + absent field null
+      ("b", 6000000000L, Some(true))))
     // an un-widenable change (long -> string payload) fails the commit
     // loudly (ANSI cast error or the manifest's incompatible-change guard,
     // whichever fires first) and leaves the table state untouched
