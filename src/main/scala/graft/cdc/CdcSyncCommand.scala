@@ -157,7 +157,8 @@ object CdcSyncCommand {
         cfg.partitionField match {
           case Some(pf) =>
             val plake = new graft.lake.PartitionedLakeTable(
-              spark, cfg.path, pf, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
+              spark, cfg.path, pf, cfg.numBuckets,
+              filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable)
             // write.operation=insert: bulk-load fast path, no LWW merge agg
             // (ref insert/bulk_insert routing, :172-183).
             if (insertOp) plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
@@ -171,7 +172,8 @@ object CdcSyncCommand {
             plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
           case None =>
             val lake = new LakeTable(
-              spark, cfg.path, cfg.numBuckets, bloomOnWrite = cfg.bloomEnable)
+              spark, cfg.path, cfg.numBuckets,
+              filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable)
             if (insertOp) lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
             else lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Deletes: key-only left-anti (ref :186-190).

@@ -17,6 +17,8 @@ package graft.cdc
   *    (applied after the SQL transform if both are set).
   *  - `<db>.<table>.timestampFormat` — payload timestamp format override.
   *  - `<db>.<table>.buckets` — LakeTable bucket count (scale knob).
+  *  - `<db>.<table>.files.per.bucket` — intra-bucket write parallelism
+  *    (key-salted; raise together with buckets at scale).
   *  - `<db>.<table>.partition.field` — optional payload column to
   *    partition the lake table by (mirrors
   *    `hoodie.datasource.write.partitionpath.field`).
@@ -42,6 +44,7 @@ final case class TableConfig(
     transformerClass: Option[String],
     timestampFormat: String,
     numBuckets: Int,
+    filesPerBucket: Int,
     partitionField: Option[String],
     tiebreakField: Option[String],
     bloomEnable: Boolean,
@@ -87,6 +90,7 @@ object TableConfig {
       transformerClass = scoped.get("transformer.class").filter(_.nonEmpty),
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
+      filesPerBucket = scoped.get("files.per.bucket").map(_.toInt).getOrElse(1),
       partitionField = scoped.get("partition.field").filter(_.nonEmpty),
       tiebreakField = scoped.get("dedup.tiebreak.field").filter(_.nonEmpty),
       bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean),

@@ -30,6 +30,7 @@ final class PartitionedLakeTable(
     val basePath: String,
     val partitionCol: String,
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
+    val filesPerBucket: Int = 1,
     val bloomOnWrite: Boolean = true) {
 
   private val PartPrefix = "p="

@@ -203,6 +203,37 @@ class CdcEndToEndSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("BatchTransformer")))
   }
 
+  test("write.operation=insert routes through the bulk path; upserts still merge after") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) + ("db.person.write.operation" -> "insert")
+    // initial load: unique keys through the no-merge bulk path
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}"""))).toDF("value"),
+      opts, batchId = 1L)
+    // replay of the same batch is still a no-op under insert
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 9L, "upsert", Seq(
+        """{"id":1,"name":"GHOST","age":99}"""))).toDF("value"),
+      opts, batchId = 1L)
+    val lake = new LakeTable(spark, s"$root/db/ods_db_person", 4)
+    assert(lake.snapshot.count() == 2)
+    // a later batch under default upsert semantics merges on top
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":1,"name":"ann2","age":31}"""))).toDF("value"),
+      options(root), batchId = 2L)
+    val got = lake.snapshot.select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ann2"), (2L, "bob")))
+    // invalid operation value fails config resolution loudly
+    val e = intercept[IllegalArgumentException](CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 3L, "upsert", Seq("""{"id":9,"name":"x","age":1}""")))
+        .toDF("value"),
+      options(root) + ("db.person.write.operation" -> "bogus"), batchId = 3L))
+    assert(e.getMessage.contains("write.operation"))
+  }
+
   test("raw archival sink archives envelope text; batch replay doesn't duplicate") {
     val root = tempDir("cdc-").toString
     val rawDir = s"$root/raw"
