@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
   *    of the timed runs — this host shows 2-5x run-to-run variance on
   *    identical workloads (noisy neighbor / IO), and min is the standard
   *    noise-robust benchmark statistic.
+  *
+  * Round-6 additions (VERDICT r5 "Next round" #1/#4 — root-causing host
+  * regressions needs data, not timings):
+  *  - `"stats"` per query: task-level CPU/GC/shuffle/spill totals over the
+  *    three runs, via [[org.apache.spark.graft.BenchProbe]]. GC-heavy =
+  *    heap pressure; cpu << run = contention/IO; spill > 0 = memory misfit.
+  *  - deterministic storage cleanup between queries: any RDD a query left
+  *    persisted (e.g. `localCheckpoint` intermediates pinned until the
+  *    ContextCleaner notices) is unpersisted so block-manager occupancy
+  *    cannot leak across queries and slow later ones.
+  *  - `SPARK_GRAFT_ONLY=q27,q34` runs a comma-separated subset (substring
+  *    match), for fast single-query iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,12 +47,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val probe = new org.apache.spark.graft.BenchProbe
+    probe.install(spark.sparkContext)
     // Warm the session with a parquet-backed query so the timed loop never
     // pays one-time costs (parquet reader + codegen init, view registration).
     Tables.registerAll(spark, sfDir)
     spark.sql("SELECT sum(l_quantity) FROM lineitem").write
       .format("noop").mode("overwrite").save()
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -55,19 +71,28 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Left(e.getClass.getSimpleName)
         }
-      name -> outcome
+      // Unpersist anything the query left in the block manager (method-local
+      // localCheckpoints are otherwise pinned until GC + ContextCleaner):
+      // accumulated blocks from 50 queries x 3 runs would evict/gc-thrash
+      // later queries in the 8g bench heap.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> (outcome, probe.harvest(spark.sparkContext))
     }
     val qs = results.map {
-      case (k, Right(sec)) => s""""$k":$sec"""
-      case (k, Left(_))    => s""""$k":-1"""
+      case (k, (Right(sec), _)) => s""""$k":$sec"""
+      case (k, (Left(_), _))    => s""""$k":-1"""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => s""""$k":"$e"""" }
+    val stats = results.map { case (k, (_, st)) =>
+      s""""$k":{${st.toSeq.sortBy(_._1).map { case (m, v) => s""""$m":$v""" }.mkString(",")}}"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (Left(e), _)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(s)) => s }.sum
-    val nOk = results.count(_._2.isRight)
+    val total = results.collect { case (_, (Right(s), _)) => s }.sum
+    val nOk = results.count(_._2._1.isRight)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}""")
+        s""""errors":$errs,"stats":$stats,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nOk < names.size) sys.exit(1)
   }

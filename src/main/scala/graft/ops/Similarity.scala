@@ -414,12 +414,12 @@ object Similarity {
       bandBits: Int = 8,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    // Materialize the tiny (id, band, bh) index once (localCheckpoint, not
-    // persist: the block is freed by the ContextCleaner when the plan is
-    // dropped — a method-local persist() would pin cache for the session):
-    // the signature pass is the expensive narrow stage, and without
-    // materialization both sides of the bucket self-join recompute it.
-    val banded = bandedIndex(df, ps, bandBits, idCol, embCol).localCheckpoint()
+    // Both sides of the bucket self-join share this identical (id, band,
+    // bh) subplan; its shuffle stage is evaluated once via AQE stage reuse,
+    // so no explicit materialization (a localCheckpoint here wrote every
+    // partition through the block manager for no reuse gain — see
+    // DedupDocs.jaccardPairs, measured round 6).
+    val banded = bandedIndex(df, ps, bandBits, idCol, embCol)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))

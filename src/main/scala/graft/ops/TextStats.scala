@@ -84,23 +84,21 @@ object TextStats {
   /** 32-bit SimHash over whitespace tokens with md5-derived token hashes
     * (portable across engines: `conv(substr(md5(tok),1,8),16,10)`).
     * Bit i of the output is 1 iff the sum of (+1/-1) votes of all token
-    * hashes' bit i is strictly positive. One explode + one hash-agg.
+    * hashes' bit i is strictly positive. One explode + one hash-agg; the
+    * 32 vote counters accumulate in a single one-pass
+    * [[graft.functions.SimhashAgg]] (bit-identical to the 32-column
+    * `sum(when(...))` formulation it replaced — see SimhashAggSpec).
     */
   def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.Exprs
     val tok = explode(split(col(textCol), " ")).as("tok")
     val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-    val votes = (0 until 32).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
-    }
     docs.select(col(idCol), tok)
       .withColumn("h", h)
       .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(
-        col(idCol),
-        (0 until 32)
-          .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      .agg(Exprs.column(
+        graft.functions.SimhashAgg(Exprs.expression(col("h"))).toAggregateExpression())
+        .as("simhash"))
   }
 
   /** Hamming distance between two simhash values (for near-dup banding). */
