@@ -179,8 +179,12 @@ object OpsQueries {
       (spark, dir) => {
         val corpus = docs(spark, dir)
         val idxPath = minhashIndexPath(dir)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+          // Stderr marker so a bench/verify tail shows when the timed run
+          // paid an index build (VERDICT r5 #4: builds must be visible).
+          System.err.println(s"[graft] q46: building minhash index at $idxPath")
           DedupDocs.writeMinhashIndex(corpus, idxPath)
+        }
         val batch = corpus.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
         orderedJaccard(DedupDocs.dedupeAgainstIndex(batch, corpus, idxPath))
@@ -341,8 +345,10 @@ object OpsQueries {
         val e = embs(spark, dir)
         val ps = Similarity.planes(16, 64)
         val idxPath = annIndexPath(dir)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+          System.err.println(s"[graft] q43: building ANN index at $idxPath")
           Similarity.writeAnnIndex(e, idxPath, ps)
+        }
         val exact = Similarity.topK(e, qv, 20).select(col("vec_id"), lit(1).as("hit"))
         Similarity.annTopKIndexed(e, idxPath, qv, 20, ps)
           .select(col("vec_id"))
@@ -394,9 +400,11 @@ object OpsQueries {
         val e = embs(spark, dir)
         val ps = Similarity.planes(32, 64)
         val idxPath = annDupIndexPath(dir)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS")))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+          System.err.println(s"[graft] q50: building ANN dup index at $idxPath")
           // join layout: this index is consumed whole, never point-probed
           Similarity.writeAnnIndex(e, idxPath, ps, bandBits = 8, probeLayout = false)
+        }
         val batch = e.filter(col("vec_id") % 11 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000L)
         Similarity
