@@ -48,35 +48,67 @@ final case class TableConfig(
     partitionField: Option[String],
     tiebreakField: Option[String],
     bloomEnable: Boolean,
-    operation: String)
+    operation: String,
+    /** Unrecognized `<db>.<table>.*` keys, prefix-stripped — the generic
+      * passthrough the reference gets by merging the whole user option map
+      * into the Hudi writer config (`BinlogSyncHoodieCommand.scala:128-139,
+      * 160-183`). Surfaced to [[graft.util.ConfigAwareTransformer]] plugins
+      * so an unanticipated per-table knob always has an escape hatch.
+      */
+    extras: Map[String, String] = Map.empty)
 
 object TableConfig {
 
   val PathTemplateKey = "option.lake.path"
+  /** Reference-compat alias for [[PathTemplateKey]]
+    * (`BinlogSyncHoodieCommand.scala:40`). */
+  val RefPathTemplateKey = "option.hoodie.path"
+  /** Reference-compat GLOBAL transformer SQL (`BinlogSyncHoodieCommand
+    * .scala:42`) — applies to every table without a per-table override. */
+  val RefTransformerSqlKey = "hoodie.transformer.sql"
   val DbPlaceholder = "{db}"
   val TablePlaceholder = "{table}"
   val RecordKeySuffix = "recordkey.field"
   val DefaultNumBuckets = 16
 
+  /** Our per-table suffix -> the reference's Hudi-config suffix (README.md
+    * :47-58 shape). Native names win when both are present.
+    */
+  private val RefAliases: Map[String, String] = Map(
+    RecordKeySuffix -> "hoodie.datasource.write.recordkey.field",
+    "path" -> "hoodie.base.path",
+    "dedup.tiebreak.field" -> "hoodie.datasource.write.precombine.field",
+    "partition.field" -> "hoodie.datasource.write.partitionpath.field")
+
+  private val Recognized: Set[String] = Set(
+    RecordKeySuffix, "path", "transformer.sql", "transformer.class",
+    "timestampFormat", "buckets", "files.per.bucket", "partition.field",
+    "dedup.tiebreak.field", "bloom.enable", "write.operation") ++
+    RefAliases.values
+
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
-    * `:253-255`).
+    * `:253-255`). Accepts the reference's own option names as synonyms
+    * (zero-cost migration): per-table `hoodie.*` keys via [[RefAliases]],
+    * the `option.hoodie.path` template, and global
+    * `hoodie.transformer.sql`.
     */
   def resolve(options: Map[String, String], db: String, table: String): TableConfig = {
     val prefix = s"$db.$table."
     val scoped = options.collect {
       case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
     }
+    def get(suffix: String): Option[String] =
+      scoped.get(suffix).orElse(RefAliases.get(suffix).flatMap(scoped.get))
     val keyFieldKey = s"$prefix$RecordKeySuffix"
-    val recordKeys = scoped.getOrElse(
-      RecordKeySuffix,
+    val recordKeys = get(RecordKeySuffix).getOrElse(
       throw new IllegalArgumentException(s"config [$keyFieldKey] must be required!"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (recordKeys.isEmpty)
       throw new IllegalArgumentException(s"config [$keyFieldKey] must be non-empty!")
 
-    val path = scoped.get("path").orElse(
-      options.get(PathTemplateKey)
+    val path = get("path").orElse(
+      options.get(PathTemplateKey).orElse(options.get(RefPathTemplateKey))
         .map(_.replace(DbPlaceholder, db).replace(TablePlaceholder, table)))
       .getOrElse(throw new IllegalArgumentException(
         s"table [$db.$table] path is empty, $PathTemplateKey must be required!"))
@@ -86,18 +118,20 @@ object TableConfig {
       table = table,
       recordKeyFields = recordKeys,
       path = path,
-      transformerSql = scoped.get("transformer.sql").filter(_.nonEmpty),
+      transformerSql = scoped.get("transformer.sql")
+        .orElse(options.get(RefTransformerSqlKey)).filter(_.nonEmpty),
       transformerClass = scoped.get("transformer.class").filter(_.nonEmpty),
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
       filesPerBucket = scoped.get("files.per.bucket").map(_.toInt).getOrElse(1),
-      partitionField = scoped.get("partition.field").filter(_.nonEmpty),
-      tiebreakField = scoped.get("dedup.tiebreak.field").filter(_.nonEmpty),
+      partitionField = get("partition.field").filter(_.nonEmpty),
+      tiebreakField = get("dedup.tiebreak.field").filter(_.nonEmpty),
       bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean),
       operation = scoped.getOrElse("write.operation", "upsert") match {
         case op @ ("upsert" | "insert") => op
         case bad => throw new IllegalArgumentException(
           s"config [$prefix" + s"write.operation] must be upsert|insert, got [$bad]!")
-      })
+      },
+      extras = scoped.view.filterKeys(k => !Recognized.contains(k)).toMap)
   }
 }

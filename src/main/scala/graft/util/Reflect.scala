@@ -12,6 +12,18 @@ trait BatchTransformer {
   def transform(df: DataFrame): DataFrame
 }
 
+/** A [[BatchTransformer]] that also receives the table's passthrough
+  * options — the unrecognized `<db>.<table>.*` keys collected into
+  * [[graft.cdc.TableConfig.extras]]. This is the engine's escape hatch for
+  * per-table knobs it didn't anticipate, mirroring the reference's
+  * merge-everything-into-writer-config behavior
+  * (`BinlogSyncHoodieCommand.scala:128-139,160-183`).
+  */
+trait ConfigAwareTransformer extends BatchTransformer {
+  def transform(df: DataFrame, options: Map[String, String]): DataFrame
+  override def transform(df: DataFrame): DataFrame = transform(df, Map.empty)
+}
+
 /** Reflective instantiation (the engine's answer to the reference's
   * reflection helpers,
   * `/root/reference/src/main/java/tech/odes/common/lang/ScalaReflectionHelper.scala:11-31`

@@ -11,6 +11,17 @@ class AgePlusTen extends graft.util.BatchTransformer {
     df.withColumn("age", org.apache.spark.sql.functions.col("age") + 10)
 }
 
+/** Config-aware plugin used by the passthrough-extras test: reads its
+  * bump amount from the table's unrecognized `<db>.<table>.*` keys.
+  */
+class AgeBumpFromExtras extends graft.util.ConfigAwareTransformer {
+  override def transform(
+      df: org.apache.spark.sql.DataFrame,
+      options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("age",
+      org.apache.spark.sql.functions.col("age") + options("age.bump").toLong)
+}
+
 /** End-to-end CDC replay vs an in-memory map oracle (SURVEY.md §5.3):
   * synthetic binlog JSON batches → CdcSyncCommand → read tables back.
   * Covers multi-table routing, delete-heavy streams, and replayed-batch
@@ -65,6 +76,40 @@ class CdcEndToEndSpec extends SparkSpec {
       .select("id", "name", "age").as[(Long, String, Long)].collect().sortBy(_._1)
     assert(person.toSeq == Seq((1L, "ann2", 31L), (3L, "cyn", 50L)))
 
+    val city = new LakeTable(spark, s"$root/db/ods_db_city", 2).snapshot
+      .select("code", "pop").as[(String, Long)].collect().sortBy(_._1)
+    assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
+  }
+
+  test("multi-table staging stages on the lake FileSystem and cleans up") {
+    val root = tempDir("cdc-").toString
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""")),
+      env("db", "city", citySchema, 1L, "upsert", Seq(
+        """{"code":"nyc","pop":8}""")))
+    // Derived staging root: _graft_staging NEXT TO the table paths (the
+    // lake FileSystem — executor-visible on a real cluster), never the
+    // driver's java.io.tmpdir.
+    CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 1L)
+    val derived = new java.io.File(s"$root/db/_graft_staging")
+    assert(derived.isDirectory, "staging root should be created beside the tables")
+    assert(derived.listFiles().isEmpty, "per-batch staging dirs must be cleaned up")
+    // Explicit option.staging.path wins over the derived default.
+    val explicitRoot = s"$root/explicit_stage"
+    val batch2 = Seq(
+      env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":2,"name":"bob","age":40}""")),
+      env("db", "city", citySchema, 2L, "upsert", Seq(
+        """{"code":"sf","pop":1}""")))
+    CdcSyncCommand.run(
+      batch2.toDF("value"),
+      options(root) + (CdcSyncCommand.StagingPathKey -> explicitRoot), batchId = 2L)
+    val explicitDir = new java.io.File(explicitRoot)
+    assert(explicitDir.isDirectory && explicitDir.listFiles().isEmpty)
+    val person = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(person.toSeq == Seq((1L, "ann"), (2L, "bob")))
     val city = new LakeTable(spark, s"$root/db/ods_db_city", 2).snapshot
       .select("code", "pop").as[(String, Long)].collect().sortBy(_._1)
     assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
@@ -253,6 +298,27 @@ class CdcEndToEndSpec extends SparkSpec {
       opts, batchId = 2L)
     val after = CdcSource.jsonDirBatch(spark, rawDir).as[String].collect()
     assert(after.length == 2, s"replay must not duplicate raw rows: ${after.length}")
+  }
+
+  test("keepbinlog aliases archive raw text; extras reach config-aware plugins") {
+    val root = tempDir("cdc-").toString
+    val rawDir = s"$root/binlog"
+    val opts = options(root) ++ Map(
+      // reference names, not ours (BinlogSyncHoodieCommand.scala:35-38)
+      "option.keepbinlog.enable" -> "true",
+      "option.binlog.path" -> rawDir,
+      "db.person.transformer.class" -> classOf[graft.cdc.AgeBumpFromExtras].getName,
+      // unanticipated per-table knob -> TableConfig.extras -> plugin
+      "db.person.age.bump" -> "5")
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert",
+        Seq("""{"id":1,"name":"ann","age":30}"""))).toDF("value"),
+      opts, batchId = 1L)
+    val raw = CdcSource.jsonDirBatch(spark, rawDir).as[String].collect()
+    assert(raw.length == 1 && raw.head.contains("\"tableName\":\"person\""))
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("age").as[Long].collect()
+    assert(got.toSeq == Seq(35L))
   }
 
   test("missing per-table config fails the batch with the reference error shape") {

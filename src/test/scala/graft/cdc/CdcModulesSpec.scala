@@ -177,6 +177,40 @@ class CdcModulesSpec extends SparkSpec {
     assert(e2.getMessage.contains("option.lake.path"))
   }
 
+  test("TableConfig accepts the reference's exact README option names") {
+    // README.md:47-58 shape: per-table hoodie.* keys + option.hoodie.path.
+    val opts = Map(
+      "option.hoodie.path" -> "/hudi/tmp/{db}/ods_{db}_{table}",
+      "db_issue_clear.person.hoodie.base.path" -> "/hudi/tmp/db_issue_clear/ods_db_issue_clear_person",
+      "db_issue_clear.person.hoodie.table.name" -> "ods_db_issue_clear_person",
+      "db_issue_clear.person.hoodie.datasource.write.recordkey.field" -> "id",
+      "db_issue_clear.person.hoodie.datasource.write.precombine.field" -> "id",
+      "db_issue_clear.person.hoodie.datasource.write.keygenerator.class" ->
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator",
+      "hoodie.transformer.sql" -> "SELECT * FROM <SRC>")
+    val cfg = TableConfig.resolve(opts, "db_issue_clear", "person")
+    assert(cfg.recordKeyFields == Seq("id"))
+    assert(cfg.path == "/hudi/tmp/db_issue_clear/ods_db_issue_clear_person")
+    assert(cfg.tiebreakField.contains("id"))
+    assert(cfg.transformerSql.contains("SELECT * FROM <SRC>"))
+    // unanticipated per-table knobs flow through to extras (passthrough)
+    assert(cfg.extras("hoodie.table.name") == "ods_db_issue_clear_person")
+    assert(cfg.extras.contains("hoodie.datasource.write.keygenerator.class"))
+    assert(!cfg.extras.contains("hoodie.base.path"), "recognized aliases are not extras")
+    // option.hoodie.path templating kicks in without the explicit base path
+    val cfg2 = TableConfig.resolve(
+      opts - "db_issue_clear.person.hoodie.base.path", "db_issue_clear", "person")
+    assert(cfg2.path == "/hudi/tmp/db_issue_clear/ods_db_issue_clear_person")
+    // native names win over reference aliases when both are present
+    val cfg3 = TableConfig.resolve(
+      opts ++ Map(
+        "db_issue_clear.person.recordkey.field" -> "code",
+        "db_issue_clear.person.transformer.sql" -> "SELECT 1 FROM <SRC>"),
+      "db_issue_clear", "person")
+    assert(cfg3.recordKeyFields == Seq("code"))
+    assert(cfg3.transformerSql.contains("SELECT 1 FROM <SRC>"))
+  }
+
   // ---- Transformer --------------------------------------------------------
 
   test("Transformer substitutes <SRC> and drops its temp view") {
