@@ -62,6 +62,17 @@ final class LakeIO(base: String, conf: Configuration) {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
 
+  def readBytes(p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
   def readString(p: HPath): String = {
     val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
     try {
@@ -137,4 +148,22 @@ object LakeIO {
     * local paths.
     */
   val ForceGenericProp = "graft.lake.io.generic"
+}
+
+/** Ships a Hadoop `Configuration` inside task closures (it is not
+  * `java.io.Serializable`; it IS `Writable`) — needed when executors write
+  * lake sidecar files through the table's own FileSystem. Same pattern as
+  * Spark's internal SerializableConfiguration.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }

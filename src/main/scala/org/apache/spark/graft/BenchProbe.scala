@@ -51,3 +51,12 @@ class BenchProbe extends SparkListener {
 
   def install(sc: SparkContext): Unit = sc.addSparkListener(this)
 }
+
+object BenchProbe {
+  /** Drain the shared listener bus (QueryExecutionListener events ride the
+    * same bus) — lets tests observe asynchronously-delivered plans.
+    */
+  def drain(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(10000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+}

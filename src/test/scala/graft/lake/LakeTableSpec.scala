@@ -97,6 +97,72 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.select("_key").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("bloom sidecars are files beside the data; manifest holds only paths") {
+    val dir = tempDir("lake-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    val manifestJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_commits", "v00000001.json")), "UTF-8")
+    // No inline blob: at production bucket counts an inlined-bloom manifest
+    // is hundreds of MB read per commit; ours must stay KB-sized.
+    assert(manifestJson.length < 8192, s"manifest must stay small: ${manifestJson.length}B")
+    val m = LakeTable.Manifest.fromJson(manifestJson)
+    assert(m.bloomFiles.nonEmpty)
+    m.bloomFiles.foreach { case (b, rel) =>
+      assert(rel.endsWith(s"/${LakeTable.BloomFileName}") && rel.contains(s"b=$b"), rel)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel)),
+        s"sidecar file must exist: $rel")
+    }
+    // `_`-prefixed sidecars are invisible to the parquet reader
+    assert(lt.snapshot.count() == 3)
+    // and the carried-forward paths keep pruning deletes (absent keys -> no version)
+    val v = lt.latestVersion
+    lt.delete(Seq("definitely-absent").toDF(LakeTable.KeyCol))
+    assert(lt.latestVersion == v)
+  }
+
+  test("delete bloom-prune runs through the native expression, no Scala UDF node") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 8)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
+    // parquet-backed key set: a LocalRelation input would be constant-folded
+    // driver-side by ConvertToLocalRelation, leaving no plan to check
+    val keysPath = tempDir("lake-keys-").toString
+    Seq("a", "not-here").toDF(LakeTable.KeyCol).write.mode("overwrite").parquet(keysPath)
+    val pruned = lt.bloomPrune(
+      spark.read.parquet(keysPath), lt.latestManifest().get)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"expected the native prune expression in:\n$plan")
+    assert(!plan.contains("UDF"), s"prune plan must not carry a UDF node:\n$plan")
+    // the filter stage stays inside whole-stage codegen
+    assert(pruned.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.toString.contains("bloom_might_contain")),
+      s"prune must stay in WholeStageCodegen:\n$plan")
+    // semantics: proven-absent key is pruned, present key passes
+    assert(pruned.as[String].collect().toSeq == Seq("a"))
+    lt.delete(Seq("a", "not-here").toDF(LakeTable.KeyCol))
+    assert(lt.snapshot.select("_key").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("vacuumed commitIds stay replay-proof; snapshotAt names the vacuum") {
+    // One bucket: the second upsert rewrites it, so vacuum can reclaim v1.
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 1)
+    lt.upsert(rows(("a", 1L, "a1")), commitId = "c1")
+    val v1 = lt.latestVersion.get
+    lt.upsert(rows(("b", 2L, "b1")), commitId = "c2")
+    assert(lt.vacuum(keepVersions = 1) >= 1)
+    // replaying the vacuumed batch's commitId must STILL be a no-op
+    assert(lt.isCommitted("c1"))
+    lt.upsert(rows(("a", 9L, "GHOST")), commitId = "c1")
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a1"), ("b", "b1")))
+    // time travel to the vacuumed version fails with the explicit error
+    val e = intercept[IllegalArgumentException](lt.snapshotAt(v1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("upsert∘delete sequences converge to replayed-map state") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     val ops = Seq( // (op, key, ts, payload)
