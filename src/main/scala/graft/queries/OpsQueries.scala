@@ -485,6 +485,34 @@ object OpsQueries {
           |       count(*) AS cnt
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- event-time: watermarked tumbling-window aggregation ------------
+    // The SAME EventTimeOps.windowedAgg operator the streaming suite
+    // exercises with state/watermark semantics, oracle-checked here in
+    // batch (the watermark is a no-op on a batch frame, the window
+    // bucketing is identical). events.ts is BIGINT epoch-nanos
+    // (nanosAsLong): both engines truncate to MICROS the same way —
+    // Spark via integer DIV 1000, DuckDB when narrowing TIMESTAMP_NS to
+    // its micros TIMESTAMP — so hour buckets agree bit-exactly. The sum
+    // aggregates decimal-exactly; one final cast to double.
+    "q51_event_windows" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        graft.streaming.EventTimeOps
+          .windowedAgg(ev, "ets", "event_type", "1 hour", "10 minutes")(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+          .select(
+            col("win_start"), col("event_type"), col("n"),
+            col("sum_dec").cast("double").as("sum_value"))
+          .orderBy("win_start", "event_type")
+      },
+      Some(
+        """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- multimodal: binary payload + frame sampling -------------------
     "q38_multimodal_frames" -> QueryDef(
       (spark, dir) =>

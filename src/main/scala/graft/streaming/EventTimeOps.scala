@@ -27,22 +27,36 @@ final case class SessionState(startMillis: Long, endMillis: Long, nEvents: Long)
   */
 object EventTimeOps {
 
-  /** Watermarked tumbling-window aggregate per key: late data beyond
-    * `watermarkDelay` is dropped and window state is evicted.
+  /** Watermarked tumbling-window aggregation per key with caller-supplied
+    * aggregate columns: late data beyond `watermarkDelay` is dropped and
+    * window state is evicted. Works identically over a batch DataFrame
+    * (the watermark is a no-op there) — which is what lets the SAME
+    * operator be oracle-checked in batch (q51) and state-tested in
+    * streaming (EventTimeOpsSpec).
     */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String)(aggExprs: org.apache.spark.sql.Column*): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("win_start", col("window.start"))
+      .drop("window")
+
+  /** Watermarked tumbling-window count per key. */
   def windowedCounts(
       events: DataFrame,
       tsCol: String,
       keyCol: String,
       windowDuration: String,
       watermarkDelay: String): DataFrame =
-    events
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
-      .agg(count(lit(1)).as("n"))
-      .select(
-        col(s"window.start").as("win_start"),
-        col(keyCol), col("n"))
+    windowedAgg(events, tsCol, keyCol, windowDuration, watermarkDelay)(
+      count(lit(1)).as("n"))
+      .select(col("win_start"), col(keyCol), col("n"))
 
   /** Gap-based sessionization: events of a user belong to one session
     * while consecutive gaps stay below `gapMillis`. A closed session is
