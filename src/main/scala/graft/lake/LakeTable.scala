@@ -39,7 +39,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Commits are atomic: the manifest is written to a temp file and published
   * if-absent via [[LakeIO.publishIfAbsent]] (hard link on local FS,
   * NameNode-atomic no-overwrite rename on HDFS) — it fails if the version
-  * file already exists — optimistic single-writer. Each commit records a caller
+  * file already exists. A writer that loses the publish race re-reads the
+  * winner's manifest, re-merges on top of it, and retries (bounded by
+  * [[LakeTable.MaxCommitRetries]]) — optimistic concurrency where multiple
+  * CDC streams on one table all make progress. Each commit records a caller
   * `commitId` (e.g. streaming `batchId`); replaying an already-committed id
   * is a no-op, giving exactly-once table state over at-least-once batch
   * delivery (stronger than the reference, which ignores `batchId`,
@@ -373,70 +376,92 @@ final class LakeTable(
         .collect().map(_.getInt(0)).toSet
       if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
 
-      val prev = latestManifest()
-      val old = prev match {
-        case Some(m) => readBuckets(m, affected)
-        case None =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row],
-            inc.schema.fields.foldLeft(new StructType()) { (s, f) => s.add(f) })
+      // Optimistic-concurrency loop: merge against the latest manifest and
+      // try to publish the next version; when a CONCURRENT writer wins the
+      // publish race, re-read its manifest and re-merge on top of it
+      // (bounded attempts) — two CDC streams on one table both make
+      // progress instead of one failing its batch. The orphaned data dir
+      // of a lost attempt is removed before retrying.
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val prev = latestManifest()
+        val old = prev match {
+          case Some(m) => readBuckets(m, affected)
+          case None =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              inc.schema.fields.foldLeft(new StructType()) { (s, f) => s.add(f) })
+        }
+        val merged = merge(old, inc)
+
+        val version = prev.map(_.version).getOrElse(0L) + 1L
+        val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
+        val outDir = s"$basePath/$relDir"
+        // One shuffle partition per affected bucket -> one file group per
+        // bucket per version (the Hudi bucket-index layout). Partition count
+        // scales with touched buckets, not table size. `filesPerBucket > 1`
+        // adds intra-bucket write parallelism (key-salted) for bucket sizes
+        // beyond one task — raise it together with numBuckets at scale.
+        val toWrite = merged.withColumn(BucketCol, bucketOf(col(KeyCol)))
+        val partitioned =
+          if (!shuffle) toWrite // bulkInsert sortMode=none: task-local write
+          else if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
+          else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
+        // Optional Z-order clustering inside each file: rows sorted by the
+        // Morton code of two dimension keys, so parquet row-group min/max
+        // stats prune range predicates on either dimension.
+        val clustered = zorderBy match {
+          case Seq(a, b) if merged.columns.contains(a) && merged.columns.contains(b) =>
+            import org.apache.spark.sql.graft.Exprs
+            val z = Exprs.column(graft.functions.InterleaveBits(
+              Exprs.expression(col(a).cast("long")),
+              Exprs.expression(col(b).cast("long"))))
+            partitioned.sortWithinPartitions(col(BucketCol), z)
+          case _ => partitioned
+        }
+        clustered
+          .write.partitionBy(BucketCol).mode("errorifexists")
+          .parquet(outDir)
+
+        // Buckets that ended up empty after the merge have no b=<i> dir.
+        val written: Set[Int] =
+          io.list(new HPath(outDir)).collect { case BucketDirRe(b) => b.toInt }.toSet
+
+        val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
+        val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
+
+        // Bloom sidecars for rewritten buckets (key-pruning for lookup()),
+        // built from the parquet just written (column-pruned key read) via a
+        // distributed bloom merge — no keys ever reach the driver, and the
+        // serialized filters are written as per-bucket `_bloom` FILES beside
+        // the data by the executors that hold them (the manifest records only
+        // their paths: inlining base64 blooms made the single manifest JSON
+        // grow with buckets x bloom size — hundreds of MB at production
+        // bucket counts, re-read on the driver for every commit; VERDICT r5
+        // "What's wrong" #2). Two extra jobs per commit; `bloomOnWrite =
+        // false` trades lookup pruning for write latency.
+        val carriedBlooms = prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected
+        val newBlooms =
+          if (bloomOnWrite) carriedBlooms ++ writeBloomSidecars(relDir, written)
+          else carriedBlooms
+
+        val schemaJson = mergedSchemaJson(prev, merged.schema)
+        val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
+        try {
+          publish(version, manifest)
+          committed = true
+        } catch {
+          case e: IllegalStateException =>
+            io.deleteRecursive(new HPath(outDir)) // lost attempt's orphan
+            // The concurrent winner may have been a replay of OUR commitId
+            // (two deliveries of one batch racing): then we're done.
+            if (isCommitted(commitId)) committed = true
+            else if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+              s"commit at $basePath lost the publish race $attempt times; giving up", e)
+            else attempt += 1
+        }
       }
-      val merged = merge(old, inc)
-
-      val version = latestVersion.getOrElse(0L) + 1L
-      val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
-      val outDir = s"$basePath/$relDir"
-      // One shuffle partition per affected bucket -> one file group per
-      // bucket per version (the Hudi bucket-index layout). Partition count
-      // scales with touched buckets, not table size. `filesPerBucket > 1`
-      // adds intra-bucket write parallelism (key-salted) for bucket sizes
-      // beyond one task — raise it together with numBuckets at scale.
-      val toWrite = merged.withColumn(BucketCol, bucketOf(col(KeyCol)))
-      val partitioned =
-        if (!shuffle) toWrite // bulkInsert sortMode=none: task-local write
-        else if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
-        else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
-      // Optional Z-order clustering inside each file: rows sorted by the
-      // Morton code of two dimension keys, so parquet row-group min/max
-      // stats prune range predicates on either dimension.
-      val clustered = zorderBy match {
-        case Seq(a, b) if merged.columns.contains(a) && merged.columns.contains(b) =>
-          import org.apache.spark.sql.graft.Exprs
-          val z = Exprs.column(graft.functions.InterleaveBits(
-            Exprs.expression(col(a).cast("long")),
-            Exprs.expression(col(b).cast("long"))))
-          partitioned.sortWithinPartitions(col(BucketCol), z)
-        case _ => partitioned
-      }
-      clustered
-        .write.partitionBy(BucketCol).mode("errorifexists")
-        .parquet(outDir)
-
-      // Buckets that ended up empty after the merge have no b=<i> dir.
-      val written: Set[Int] =
-        io.list(new HPath(outDir)).collect { case BucketDirRe(b) => b.toInt }.toSet
-
-      val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
-      val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
-
-      // Bloom sidecars for rewritten buckets (key-pruning for lookup()),
-      // built from the parquet just written (column-pruned key read) via a
-      // distributed bloom merge — no keys ever reach the driver, and the
-      // serialized filters are written as per-bucket `_bloom` FILES beside
-      // the data by the executors that hold them (the manifest records only
-      // their paths: inlining base64 blooms made the single manifest JSON
-      // grow with buckets x bloom size — hundreds of MB at production
-      // bucket counts, re-read on the driver for every commit; VERDICT r5
-      // "What's wrong" #2). Two extra jobs per commit; `bloomOnWrite =
-      // false` trades lookup pruning for write latency.
-      val carriedBlooms = prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected
-      val newBlooms =
-        if (bloomOnWrite) carriedBlooms ++ writeBloomSidecars(relDir, written)
-        else carriedBlooms
-
-      val schemaJson = mergedSchemaJson(prev, merged.schema)
-      val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
-      publish(version, manifest)
     } finally inc.unpersist()
   }
 
@@ -566,6 +591,9 @@ object LakeTable {
   val SeqCol = "_seq"
   val BucketCol = "b"
   val BloomFileName = "_bloom"
+  /** Bounded re-merge attempts when a concurrent writer wins the publish
+    * race (optimistic concurrency; see writeCommit). */
+  val MaxCommitRetries = 5
   val DefaultNumBuckets = 16
   val CommitsDirName = "_commits"
   val DataDirName = "data"
