@@ -321,6 +321,33 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(got.toSeq == Seq(35L))
   }
 
+  test("two CDC streams writing ONE table both make progress (retry-with-remerge)") {
+    val root = tempDir("cdc-").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (0 until 4).map { i =>
+          new java.util.concurrent.Callable[Either[Throwable, Int]] {
+            def call() =
+              try {
+                CdcSyncCommand.run(
+                  Seq(env("db", "person", personSchema, i.toLong, "upsert",
+                    Seq(s"""{"id":$i,"name":"n$i","age":$i}"""))).toDF("value"),
+                  options(root), batchId = 100L + i)
+                Right(i)
+              } catch { case e: Throwable => Left(e) }
+          }
+        }.asJava
+        pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    val failures = results.collect { case Left(e) => e }
+    assert(failures.isEmpty, s"concurrent streams must retry past publish races: $failures")
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 until 4).map(i => (i.toLong, s"n$i")))
+  }
+
   test("missing per-table config fails the batch with the reference error shape") {
     val root = tempDir("cdc-").toString
     val batch = Seq(
