@@ -78,6 +78,46 @@ class OpsSpec extends SparkSpec {
     assert(hits.contains((8001L, 7001L)), s"appended doc must be dedup-visible: $hits")
   }
 
+  test("streaming ingestion loop: foreachBatch dedupes each micro-batch against the stored index") {
+    // The production shape end-to-end: a document STREAM flows through
+    // dedupeAgainstIndex per micro-batch; survivors append to the stored
+    // minhash index (and the corpus), so later batches dedup against
+    // everything accepted before them — corpus work never re-runs.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.limit(40)
+    val idxDir = tempDir("mh-stream").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(corpus, idxDir)
+    @volatile var corpusAll = corpus.select("doc_id", "text")
+    @volatile var rejected = Set.empty[Long]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint() // stable across the two uses below
+        val dups = DedupDocs.dedupeAgainstIndex(b, corpusAll, idxDir)
+          .select(col("d1")).distinct().as[Long].collect().toSet
+        rejected = rejected ++ dups
+        val survivors = b.filter(!col("doc_id").isin(dups.toSeq: _*))
+        if (!survivors.isEmpty) {
+          DedupDocs.appendToMinhashIndex(survivors, idxDir)
+          corpusAll = corpusAll.unionByName(survivors.select("doc_id", "text")).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      // batch 1: one fresh doc (accepted) + one corpus copy (rejected)
+      val freshText = "entirely novel stream tokens xqz wvu rrt ppl mmx kkj hhg"
+      val copyText = corpus.filter($"doc_id" === 3L).select("text").as[String].head()
+      input.addData((7001L, freshText), (7002L, copyText))
+      q.processAllAvailable()
+      assert(rejected == Set(7002L), s"corpus copy must be caught in batch 1: $rejected")
+      // batch 2: a copy of batch 1's ACCEPTED doc — caught via the appended index
+      input.addData((8001L, freshText))
+      q.processAllAvailable()
+      assert(rejected == Set(7002L, 8001L),
+        s"batch-2 copy of an accepted batch-1 doc must be caught: $rejected")
+    } finally q.stop()
+  }
+
   test("incremental embedding near-dups catch re-keyed copies via the stored index") {
     val ps = Similarity.planes(32, 64)
     val idxDir = tempDir("emb-incr").resolve("idx").toString
