@@ -54,6 +54,7 @@ object Bench {
     Tables.registerAll(spark, sfDir)
     spark.sql("SELECT sum(l_quantity) FROM lineitem").write
       .format("noop").mode("overwrite").save()
+    probe.harvest(spark.sparkContext) // discard warmup task metrics
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))

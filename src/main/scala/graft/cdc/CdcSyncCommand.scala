@@ -46,6 +46,23 @@ object CdcSyncCommand {
     * use, which every executor can reach.
     */
   val StagingPathKey = "option.staging.path"
+  /** Disambiguates commit ids when SEVERAL independent CDC streams write
+    * the same table: each stream's batchIds start at 0, so without a
+    * per-stream namespace stream B's batch 0 would look like a replay of
+    * stream A's batch 0 and be silently skipped. Defaults to a hash of
+    * `checkpointLocation` when present (stable across restarts of the
+    * same query — replay idempotency keeps working), else empty (single
+    * stream, the common case).
+    */
+  val CommitNamespaceKey = "option.commit.namespace"
+
+  private[cdc] def commitNamespace(options: Map[String, String]): String =
+    options.get(CommitNamespaceKey)
+      .orElse(options.get("checkpointLocation").map { cp =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(cp.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      })
+      .map(_ + ":").getOrElse("")
 
   /** Run one micro-batch of envelope JSON (a 1-string-column DataFrame). */
   def run(
@@ -140,8 +157,9 @@ object CdcSyncCommand {
       // Batch saves without one (batchId < 0) get an EMPTY commitId — every
       // write applies — rather than a shared sentinel id that would make
       // LakeTable.isCommitted silently skip all but the first save.
+      val ns = commitNamespace(options)
       def commitIdFor(db: String, table: String, op: String): String =
-        if (batchId < 0) "" else s"b$batchId:$db.$table:$op"
+        if (batchId < 0) "" else s"${ns}b$batchId:$db.$table:$op"
 
       def sinkOne(mineOf: (String, String) => DataFrame)(
           meta: (String, String, String)): Unit = {
@@ -239,9 +257,14 @@ object CdcSyncCommand {
         val batchTag = if (batchId >= 0) batchId.toString else "adhoc"
         val stagingDir =
           s"$stagingRoot/batch-$batchTag-${java.util.UUID.randomUUID()}"
+        // Repartition on the partition columns first (CLAUDE.md perf rule:
+        // unaligned partitioned writes fan out tasks x dirs tiny files on
+        // the shared lake FS, and every micro-batch pays the per-file
+        // metadata cost on read-back + cleanup).
         winners
           .withColumn("_db", col(s"${Envelope.MetaCol}.databaseName"))
           .withColumn("_table", col(s"${Envelope.MetaCol}.tableName"))
+          .repartition(col("_db"), col("_table"))
           .write.partitionBy("_db", "_table").parquet(stagingDir)
         try {
           val staged = spark.read.parquet(stagingDir)

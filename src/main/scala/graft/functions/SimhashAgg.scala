@@ -23,12 +23,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Exact-compatibility contract with the old formulation (and the DuckDB
   * oracle's 32 `sum(CASE ...)` terms — see OpsQueries.duckSimhashCore):
-  * each row votes +1 on bit `i` if bit `i` of its hash is set, else -1;
-  * result bit `i` is 1 iff the group's vote sum is strictly positive.
-  * NULL hashes are skipped, matching `sum`'s null handling. Vote counters
+  * each row votes +1 on bit `i` if bit `i` of its hash is set, else -1 —
+  * INCLUDING NULL hashes, which vote -1 on every bit exactly like
+  * `when(... === 1, 1).otherwise(-1)` does for a null condition (`when`
+  * treats null as false and takes the otherwise branch). Vote counters
   * are Int: overflow needs 2^31 tokens in ONE document — not a real
   * document. Verified bit-identical to the composed-Column formulation in
-  * SimhashAggSpec.
+  * SimhashAggSpec (nulls included).
   */
 case class SimhashAgg(
     child: Expression,
@@ -50,14 +51,14 @@ case class SimhashAgg(
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var i = 0
-      while (i < 32) {
-        // +1 when bit set, -1 when clear: branch-free via 2*bit - 1.
-        buf(i) += (((h >>> i) & 1L).toInt << 1) - 1
-        i += 1
-      }
+    // A null hash votes -1 on every bit (h = 0 has no bit set), exactly
+    // like the legacy when(...).otherwise(-1) columns.
+    val h = if (v == null) 0L else v.asInstanceOf[Long]
+    var i = 0
+    while (i < 32) {
+      // +1 when bit set, -1 when clear: branch-free via 2*bit - 1.
+      buf(i) += (((h >>> i) & 1L).toInt << 1) - 1
+      i += 1
     }
     buf
   }

@@ -30,10 +30,7 @@ final class BloomKeyLookup(
   def contains(key: UTF8String): Boolean =
     key != null && {
       val bytes = key.getBytes
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-      val m = h % numBuckets
-      val b = (if (m < 0) m + numBuckets else m).toInt
+      val b = LakeTable.bucketOfKeyBytes(bytes, numBuckets)
       presentBuckets.contains(b) && {
         blooms.get(b) match {
           case Some(bf) => bf.mightContainBinary(bytes)

@@ -216,7 +216,7 @@ final class LakeTable(
     require(
       updates.columns.contains(TsCol),
       s"upsert data must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
-    writeCommit(updates, commitId) { (old, upd) =>
+    writeCommit(commitId)(_ => updates) { (old, upd) =>
       val oldTagged = old.withColumn(SeqCol, lit(0L))
       val updTagged = upd.withColumn(SeqCol, lit(1L))
       val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
@@ -270,7 +270,7 @@ final class LakeTable(
     require(
       sortMode == "partition" || sortMode == "none",
       s"sortMode must be 'partition' or 'none', got '$sortMode'")
-    writeCommit(rows, commitId, shuffle = sortMode == "partition") { (old, inc) =>
+    writeCommit(commitId, shuffle = sortMode == "partition")(_ => rows) { (old, inc) =>
       old.unionByName(inc, allowMissingColumns = true)
     }
   }
@@ -283,25 +283,27 @@ final class LakeTable(
     */
   def compact(commitId: String = ""): Unit =
     if (latestManifest().isDefined)
-      writeCommit(snapshot, commitId) { (_, inc) => inc }
+      writeCommit(commitId)(_ => snapshot) { (_, inc) => inc }
 
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
     * (`BinlogSyncHoodieCommand.scala:186-190`) as a left-anti join.
     */
   def delete(keys: DataFrame, commitId: String = ""): Unit = {
-    val manifest = latestManifest()
-    if (manifest.isEmpty) return // nothing to delete from
+    if (latestManifest().isEmpty) return // nothing to delete from
     // Bloom-prune the key set BEFORE buckets are marked affected: a key
     // whose bucket bloom proves absence cannot delete anything, so buckets
     // (and at the partitioned level, whole partitions) that only received
     // proven-absent keys are never rewritten — and if every key is absent
     // the commit short-circuits with NO new version. The filter runs
     // distributed over the key set (blooms deserialize once per task, no
-    // key ever reaches the driver).
-    writeCommit(bloomPrune(keys.select(KeyCol).distinct(), manifest.get), commitId) {
-      (old, ks) => old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
-    }
+    // key ever reaches the driver). The prune binds to EACH commit
+    // attempt's manifest: re-pruning against a stale pre-race manifest
+    // would let a concurrent writer's fresh inserts dodge the delete.
+    writeCommit(commitId) {
+      case Some(m) => bloomPrune(keys.select(KeyCol).distinct(), m)
+      case None => keys.select(KeyCol).distinct()
+    } { (old, ks) => old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti") }
   }
 
   private[lake] def bloomPrune(ks: DataFrame, m: Manifest): DataFrame =
@@ -360,32 +362,42 @@ final class LakeTable(
   /** Common commit protocol: figure out affected buckets, run `merge` over
     * (old rows of those buckets, incoming), write only those buckets, link
     * forward the rest, atomically publish the manifest.
+    *
+    * `incomingFor` derives the effective incoming rows FROM the manifest a
+    * given attempt merges against (delete uses it to bloom-prune its key
+    * set): it re-evaluates on every optimistic-concurrency retry, so a
+    * stale pre-race manifest can never decide what the commit touches.
     */
   private def writeCommit(
-      incoming: DataFrame, commitId: String, shuffle: Boolean = true)(
+      commitId: String, shuffle: Boolean = true)(
+      incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
-    require(
-      incoming.columns.contains(KeyCol),
-      s"incoming data must contain a '$KeyCol' column (got ${incoming.columns.mkString(",")})")
     if (isCommitted(commitId)) return // idempotent replay
-    val inc = incoming.persist()
-    try {
-      // Affected buckets: tiny driver collect (≤ numBuckets ints).
-      val affected = inc
-        .select(bucketOf(col(KeyCol)).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
 
-      // Optimistic-concurrency loop: merge against the latest manifest and
-      // try to publish the next version; when a CONCURRENT writer wins the
-      // publish race, re-read its manifest and re-merge on top of it
-      // (bounded attempts) — two CDC streams on one table both make
-      // progress instead of one failing its batch. The orphaned data dir
-      // of a lost attempt is removed before retrying.
-      var attempt = 0
-      var committed = false
-      while (!committed) {
-        val prev = latestManifest()
+    // Optimistic-concurrency loop: merge against the latest manifest and
+    // try to publish the next version; when a CONCURRENT writer wins the
+    // publish race, re-read its manifest and re-merge on top of it
+    // (bounded attempts) — two CDC streams on one table both make
+    // progress instead of one failing its batch. The orphaned data dir
+    // of a lost attempt is removed before retrying.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      // A concurrent delivery of the SAME commitId may have landed while
+      // this writer was merging: re-check before every attempt (and again
+      // right before publish) so a replayed batch can't apply twice.
+      if (commitId.nonEmpty && attempt > 0 && isCommitted(commitId)) return
+      val prev = latestManifest()
+      val inc = incomingFor(prev).persist()
+      try {
+        require(
+          inc.columns.contains(KeyCol),
+          s"incoming data must contain a '$KeyCol' column (got ${inc.columns.mkString(",")})")
+        // Affected buckets: tiny driver collect (≤ numBuckets ints).
+        val affected = inc
+          .select(bucketOf(col(KeyCol)).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
         val old = prev match {
           case Some(m) => readBuckets(m, affected)
           case None =>
@@ -448,6 +460,13 @@ final class LakeTable(
 
         val schemaJson = mergedSchemaJson(prev, merged.schema)
         val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
+        // Last idempotency gate before publish: narrows the duplicate
+        // window for two same-commitId deliveries racing to the publish
+        // call itself (which is atomic per version).
+        if (commitId.nonEmpty && isCommitted(commitId)) {
+          io.deleteRecursive(new HPath(outDir))
+          return
+        }
         try {
           publish(version, manifest)
           committed = true
@@ -458,11 +477,11 @@ final class LakeTable(
             // (two deliveries of one batch racing): then we're done.
             if (isCommitted(commitId)) committed = true
             else if (attempt >= MaxCommitRetries) throw new IllegalStateException(
-              s"commit at $basePath lost the publish race $attempt times; giving up", e)
+              s"commit at $basePath lost the publish race ${attempt + 1} times; giving up", e)
             else attempt += 1
         }
-      }
-    } finally inc.unpersist()
+      } finally inc.unpersist()
+    }
   }
 
   /** Remove data version dirs no longer referenced by the latest
@@ -541,11 +560,25 @@ final class LakeTable(
       .agg(bloomUdaf(col(KeyCol)).as("bloom"))
       .foreachPartition { (it: Iterator[Row]) =>
         it.foreach { r =>
-          val p = new HPath(s"$base/$relDir/$bucketCol=${r.getInt(0)}/$fileName")
-          val fs = p.getFileSystem(sconf.value)
-          val out = fs.create(p, true)
+          // Write-temp-then-rename: a raw create(overwrite) would let a
+          // speculative/zombie task attempt truncate a sidecar the
+          // published manifest already references. Rename-if-absent makes
+          // the first attempt win; a losing attempt's content is
+          // byte-identical anyway (bloom merge is a commutative bit-OR),
+          // so an existing target is success, not an error.
+          val target = new HPath(s"$base/$relDir/$bucketCol=${r.getInt(0)}/$fileName")
+          val fs = target.getFileSystem(sconf.value)
+          val tmp = new HPath(
+            target.getParent, s".tmp-bloom-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
           try out.write(r.getAs[Array[Byte]](1))
           finally out.close()
+          val renamed = fs.rename(tmp, target)
+          if (!renamed) {
+            fs.delete(tmp, false)
+            if (!fs.exists(target))
+              throw new java.io.IOException(s"failed to publish bloom sidecar $target")
+          }
         }
       }
     written.map(b => b -> s"$relDir/$BucketCol=$b/$BloomFileName").toMap
@@ -604,8 +637,16 @@ object LakeTable {
   private def versionFileName(v: Long): String = "v%08d.json".format(v)
 
   /** Driver-side mirror of `bucketOf` (xxhash64 with Spark's default seed). */
-  def bucketOfKey(key: String, numBuckets: Int): Int = {
-    val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def bucketOfKey(key: String, numBuckets: Int): Int =
+    bucketOfKeyBytes(key.getBytes(java.nio.charset.StandardCharsets.UTF_8), numBuckets)
+
+  /** THE bucket function, over the key's UTF-8 bytes — the single
+    * implementation behind `bucketOf` (Column), [[bucketOfKey]] (String)
+    * and [[BloomKeyLookup]] (UTF8String): three call sites, one hash, so
+    * a seed/modulo change can't silently diverge a prune from the write
+    * path.
+    */
+  def bucketOfKeyBytes(bytes: Array[Byte], numBuckets: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(
         bytes,

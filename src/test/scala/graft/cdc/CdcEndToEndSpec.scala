@@ -322,6 +322,11 @@ class CdcEndToEndSpec extends SparkSpec {
   }
 
   test("two CDC streams writing ONE table both make progress (retry-with-remerge)") {
+    // INDEPENDENT streams: each has its own checkpoint, so batchIds all
+    // start at 0 — the SAME batchId from different streams must not look
+    // like a replay. The per-stream commit namespace (derived from
+    // checkpointLocation) disambiguates; the publish-race retry then lets
+    // every stream land its batch.
     val root = tempDir("cdc-").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val results =
@@ -334,7 +339,8 @@ class CdcEndToEndSpec extends SparkSpec {
                 CdcSyncCommand.run(
                   Seq(env("db", "person", personSchema, i.toLong, "upsert",
                     Seq(s"""{"id":$i,"name":"n$i","age":$i}"""))).toDF("value"),
-                  options(root), batchId = 100L + i)
+                  options(root) + ("checkpointLocation" -> s"$root/ckpt-stream-$i"),
+                  batchId = 0L) // every stream's first batch
                 Right(i)
               } catch { case e: Throwable => Left(e) }
           }
@@ -346,6 +352,15 @@ class CdcEndToEndSpec extends SparkSpec {
     val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
       .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
     assert(got.toSeq == (0 until 4).map(i => (i.toLong, s"n$i")))
+    // and a REPLAY of one stream's batch 0 (same checkpoint) stays a no-op
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 99L, "upsert",
+        Seq("""{"id":0,"name":"REPLAY","age":99}"""))).toDF("value"),
+      options(root) + ("checkpointLocation" -> s"$root/ckpt-stream-0"),
+      batchId = 0L)
+    val after = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .filter($"id" === 0L).select("name").as[String].collect()
+    assert(after.toSeq == Seq("n0"), "same-stream replay must stay idempotent")
   }
 
   test("missing per-table config fails the batch with the reference error shape") {

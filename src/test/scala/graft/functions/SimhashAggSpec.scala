@@ -47,18 +47,28 @@ class SimhashAggSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Long]("a") == r.getAs[Long]("b"), s"doc ${r.get(0)}"))
   }
 
-  test("null hashes are skipped like sum's null handling") {
+  test("null hashes vote -1 on every bit, like the legacy when/otherwise columns") {
     import spark.implicits._
-    // Direct aggregate over a hash column with nulls: only non-null rows vote.
     val df = Seq(
       (1L, Some(0xFFFFFFFFL)), (1L, None), (1L, Some(0xFFFFFFFFL)),
       (2L, None)).toDF("id", "h")
     val agg = Exprs.column(SimhashAgg(Exprs.expression(col("h"))).toAggregateExpression())
-    val out = df.groupBy("id").agg(agg.as("sig")).orderBy("id").collect()
-    // group 1: two all-ones hashes -> every bit votes +2 -> all 32 bits set.
-    assert(out(0).getLong(1) == 0xFFFFFFFFL)
-    // group 2: no votes at all -> no bit strictly positive -> 0.
-    assert(out(1).getLong(1) == 0L)
+    val got = df.groupBy("id").agg(agg.as("sig"))
+    // the legacy shape over the same nullable column must agree exactly
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
+    }
+    val legacy = df.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(
+        col("id"),
+        (0 until 32)
+          .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("legacy_sig"))
+    val joined = got.join(legacy, "id").orderBy("id").collect()
+    joined.foreach(r => assert(r.getAs[Long]("sig") == r.getAs[Long]("legacy_sig"), s"id ${r.get(0)}"))
+    // group 1: +2 -1 = +1 per bit -> all 32 bits set; group 2: -1 -> 0.
+    assert(joined(0).getAs[Long]("sig") == 0xFFFFFFFFL)
+    assert(joined(1).getAs[Long]("sig") == 0L)
   }
 
   test("serialize/deserialize round-trips the vote buffer") {
