@@ -7,23 +7,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * a key whose bucket has a bloom sidecar is absent if the bloom says so; a
   * data-bearing bucket without a sidecar conservatively answers true.
   *
-  * Ships to executors serialized inside [[graft.functions.BloomMightContainExpr]];
-  * the blooms deserialize ONCE per task (`@transient lazy`), not per row.
-  * Works on the raw UTF-8 bytes: Spark's `BloomFilter.putString` hashes the
-  * UTF-8 encoding, and `LakeTable.bucketOfKey` xxhash64's the same bytes —
-  * so no String materialization per key.
+  * Ships to executors serialized inside [[graft.functions.BloomMightContainExpr]]
+  * carrying only the sidecars' PATHS — never the filter bytes. At
+  * production bucket counts (thousands of buckets x ~MB filters) an
+  * eagerly-decoded byte map would serialize GBs into every delete plan;
+  * instead each task lazily loads just the blooms of the buckets its rows
+  * actually hash to (once per task per bucket, cached in a concurrent map).
+  * `LakeTable.bloomPrune` bucket-aligns the key set first when the table
+  * is wide, so a task touches O(buckets/tasks) sidecars, not all of them.
+  *
+  * Hashing works on the raw UTF-8 bytes: Spark's `BloomFilter.putString`
+  * hashes the UTF-8 encoding, and the bucket function
+  * ([[LakeTable.bucketOfKeyBytes]] — the same implementation behind the
+  * write path's `bucketOf`) xxhash64's the same bytes — no String
+  * materialization per key.
   */
 final class BloomKeyLookup(
-    bloomBytes: Map[Int, Array[Byte]],
+    bloomPaths: Map[Int, String],
+    basePath: String,
+    conf: SerializableHadoopConf,
     presentBuckets: Set[Int],
     numBuckets: Int)
     extends Serializable {
 
-  @transient private lazy val blooms
-      : Map[Int, org.apache.spark.util.sketch.BloomFilter] =
-    bloomBytes.map { case (b, bytes) =>
-      b -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+  private val Missing = "missing" // sentinel for buckets without a sidecar
+
+  private def bloomFor(b: Int): Option[org.apache.spark.util.sketch.BloomFilter] =
+    cache.computeIfAbsent(b, _ =>
+      bloomPaths.get(b) match {
+        case Some(rel) =>
+          val p = new org.apache.hadoop.fs.Path(basePath, rel)
+          val in = p.getFileSystem(conf.value).open(p)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        case None => Missing
+      }) match {
+      case bf: org.apache.spark.util.sketch.BloomFilter => Some(bf)
+      case _ => None
     }
 
   /** Called from generated code (one static-shaped call per row). */
@@ -32,7 +54,7 @@ final class BloomKeyLookup(
       val bytes = key.getBytes
       val b = LakeTable.bucketOfKeyBytes(bytes, numBuckets)
       presentBuckets.contains(b) && {
-        blooms.get(b) match {
+        bloomFor(b) match {
           case Some(bf) => bf.mightContainBinary(bytes)
           case None => true
         }

@@ -311,18 +311,24 @@ final class LakeTable(
     // skip the filter pass entirely.
     if (m.bloomFiles.isEmpty && m.buckets.size == numBuckets) ks
     else {
-      // Sidecar reads are bounded by bucket count; the lookup ships with
-      // the plan and filters via the codegen'd native expression (no UDF
-      // node — the whole prune stage stays in WholeStageCodegen).
+      // The lookup ships only sidecar PATHS with the plan (at thousands
+      // of buckets the filter BYTES would be GBs in the task binary);
+      // tasks lazy-load just the blooms their rows hash to, and the
+      // filter runs through the codegen'd native expression (no UDF node
+      // — the prune stage stays in WholeStageCodegen). For wide tables
+      // the key set is bucket-aligned first so each task opens
+      // O(buckets/tasks) sidecars instead of potentially all of them;
+      // narrow tables skip that shuffle (every task can afford 64 loads).
       import org.apache.spark.sql.graft.Exprs
-      val lookup = new BloomKeyLookup(readBloomBytes(m), m.buckets.keySet, numBuckets)
-      ks.filter(Exprs.column(graft.functions.BloomMightContainExpr(
+      val lookup = new BloomKeyLookup(
+        m.bloomFiles, basePath,
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+        m.buckets.keySet, numBuckets)
+      val aligned =
+        if (numBuckets <= 64) ks else ks.repartition(bucketOf(col(KeyCol)))
+      aligned.filter(Exprs.column(graft.functions.BloomMightContainExpr(
         Exprs.expression(col(KeyCol)), lookup)))
     }
-
-  /** Deserialize-free sidecar fetch: bucket -> raw bloom bytes. */
-  private def readBloomBytes(m: Manifest): Map[Int, Array[Byte]] =
-    m.bloomFiles.map { case (b, rel) => b -> io.readBytes(new HPath(basePath, rel)) }
 
   /** Point lookup of a set of keys: prunes to the buckets the keys hash to,
     * then (if bloom sidecars exist) skips buckets whose bloom filter proves

@@ -145,6 +145,22 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.select("_key").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("wide table (buckets > 64): bucket-aligned lazy-bloom delete prune stays correct") {
+    val lt = new LakeTable(spark, tempDir("lake-wide-").toString, numBuckets = 128)
+    val data = (0 until 300).map(i => (s"k$i", 1L, s"v$i"))
+    lt.upsert(data.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val v = lt.latestVersion
+    // all-absent delete: every key bloom-proven absent -> NO new version,
+    // through the repartition(bucketOf) + lazy sidecar-load path
+    lt.delete((0 until 50).map(i => s"absent$i").toDF(LakeTable.KeyCol))
+    assert(lt.latestVersion == v)
+    // mixed delete: present keys go, absent keys prune away
+    lt.delete((Seq("k1", "k77", "nope") ++ (0 until 20).map(i => s"gone$i"))
+      .toDF(LakeTable.KeyCol))
+    assert(lt.snapshot.count() == 298)
+    assert(lt.lookup(Seq("k1")).isEmpty && lt.lookup(Seq("k2")).count() == 1)
+  }
+
   test("vacuumed commitIds stay replay-proof; snapshotAt names the vacuum") {
     // One bucket: the second upsert rewrites it, so vacuum can reclaim v1.
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 1)
