@@ -53,6 +53,20 @@ object CdcSyncCommand {
     * `checkpointLocation` when present (stable across restarts of the
     * same query — replay idempotency keeps working), else empty (single
     * stream, the common case).
+    *
+    * Two caveats:
+    *  - the sink only sees a `checkpointLocation` set per-query via
+    *    `.option(...)`; a query checkpointed through the SESSION conf
+    *    (`spark.sql.streaming.checkpointLocation` + queryName) resolves
+    *    its checkpoint outside the options map, gets the empty namespace,
+    *    and multi-stream batch-id collisions are NOT protected — set
+    *    this key (or a per-query checkpointLocation option) explicitly
+    *    when several streams share one table;
+    *  - enabling a namespace CHANGES the commit-id format: a stream
+    *    upgraded in place replays its in-flight batch under the new id
+    *    and re-applies it. Drain the stream (let its last batch commit)
+    *    before switching namespaces — same operational rule as changing
+    *    any commit-protocol setting.
     */
   val CommitNamespaceKey = "option.commit.namespace"
 

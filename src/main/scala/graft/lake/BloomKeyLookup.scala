@@ -39,9 +39,17 @@ final class BloomKeyLookup(
       bloomPaths.get(b) match {
         case Some(rel) =>
           val p = new org.apache.hadoop.fs.Path(basePath, rel)
-          val in = p.getFileSystem(conf.value).open(p)
-          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-          finally in.close()
+          // A sidecar can disappear mid-job (concurrent commit + vacuum
+          // reclaiming the version dir the plan captured): degrade to "no
+          // sidecar" — conservative true, the prune just prunes less. The
+          // eager-bytes design had a microsecond version of this window;
+          // lazy loading stretches it to job lifetime, so it must be
+          // handled, not assumed away.
+          try {
+            val in = p.getFileSystem(conf.value).open(p)
+            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          } catch { case _: java.io.FileNotFoundException => Missing }
         case None => Missing
       }) match {
       case bf: org.apache.spark.util.sketch.BloomFilter => Some(bf)

@@ -283,7 +283,7 @@ final class LakeTable(
     */
   def compact(commitId: String = ""): Unit =
     if (latestManifest().isDefined)
-      writeCommit(commitId)(_ => snapshot) { (_, inc) => inc }
+      writeCommit(commitId, manifestDependent = true)(_ => snapshot) { (_, inc) => inc }
 
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
@@ -300,7 +300,7 @@ final class LakeTable(
     // key ever reaches the driver). The prune binds to EACH commit
     // attempt's manifest: re-pruning against a stale pre-race manifest
     // would let a concurrent writer's fresh inserts dodge the delete.
-    writeCommit(commitId) {
+    writeCommit(commitId, manifestDependent = true) {
       case Some(m) => bloomPrune(keys.select(KeyCol).distinct(), m)
       case None => keys.select(KeyCol).distinct()
     } { (old, ks) => old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti") }
@@ -371,14 +371,29 @@ final class LakeTable(
     *
     * `incomingFor` derives the effective incoming rows FROM the manifest a
     * given attempt merges against (delete uses it to bloom-prune its key
-    * set): it re-evaluates on every optimistic-concurrency retry, so a
-    * stale pre-race manifest can never decide what the commit touches.
+    * set): when `manifestDependent`, it re-evaluates on every
+    * optimistic-concurrency retry, so a stale pre-race manifest can never
+    * decide what the commit touches; manifest-independent callers
+    * (upsert/bulkInsert/compact) persist their incoming ONCE and reuse it
+    * across retries — no recompute of the full incoming plan per attempt.
     */
   private def writeCommit(
-      commitId: String, shuffle: Boolean = true)(
+      commitId: String,
+      shuffle: Boolean = true,
+      manifestDependent: Boolean = false)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
-    if (isCommitted(commitId)) return // idempotent replay
+    if (isCommitted(commitId)) return // idempotent replay (ONE full history scan)
+
+    // Cheap incremental idempotency gate for the retry loop: the entry
+    // check above already scanned the full history, so later gates only
+    // need to look at versions committed SINCE then — a handful of
+    // manifest reads, not O(table age) per gate (a long-lived CDC table
+    // has thousands of versions).
+    val scannedThrough = latestVersion.getOrElse(0L)
+    def freshlyCommitted(): Boolean = commitId.nonEmpty &&
+      versions().filter(_ > scannedThrough)
+        .exists(v => readManifest(v).commitId == commitId)
 
     // Optimistic-concurrency loop: merge against the latest manifest and
     // try to publish the next version; when a CONCURRENT writer wins the
@@ -388,13 +403,16 @@ final class LakeTable(
     // of a lost attempt is removed before retrying.
     var attempt = 0
     var committed = false
-    while (!committed) {
+    var reused: Option[DataFrame] = None // persisted-once incoming (manifest-independent)
+    try while (!committed) {
       // A concurrent delivery of the SAME commitId may have landed while
       // this writer was merging: re-check before every attempt (and again
       // right before publish) so a replayed batch can't apply twice.
-      if (commitId.nonEmpty && attempt > 0 && isCommitted(commitId)) return
+      if (attempt > 0 && freshlyCommitted()) return
       val prev = latestManifest()
-      val inc = incomingFor(prev).persist()
+      val inc =
+        if (manifestDependent) incomingFor(prev).persist()
+        else reused.getOrElse { val d = incomingFor(prev).persist(); reused = Some(d); d }
       try {
         require(
           inc.columns.contains(KeyCol),
@@ -469,7 +487,7 @@ final class LakeTable(
         // Last idempotency gate before publish: narrows the duplicate
         // window for two same-commitId deliveries racing to the publish
         // call itself (which is atomic per version).
-        if (commitId.nonEmpty && isCommitted(commitId)) {
+        if (freshlyCommitted()) {
           io.deleteRecursive(new HPath(outDir))
           return
         }
@@ -481,13 +499,13 @@ final class LakeTable(
             io.deleteRecursive(new HPath(outDir)) // lost attempt's orphan
             // The concurrent winner may have been a replay of OUR commitId
             // (two deliveries of one batch racing): then we're done.
-            if (isCommitted(commitId)) committed = true
+            if (freshlyCommitted()) committed = true
             else if (attempt >= MaxCommitRetries) throw new IllegalStateException(
               s"commit at $basePath lost the publish race ${attempt + 1} times; giving up", e)
             else attempt += 1
         }
-      } finally inc.unpersist()
-    }
+      } finally if (manifestDependent) inc.unpersist()
+    } finally reused.foreach(_.unpersist())
   }
 
   /** Remove data version dirs no longer referenced by the latest
@@ -567,11 +585,14 @@ final class LakeTable(
       .foreachPartition { (it: Iterator[Row]) =>
         it.foreach { r =>
           // Write-temp-then-rename: a raw create(overwrite) would let a
-          // speculative/zombie task attempt truncate a sidecar the
-          // published manifest already references. Rename-if-absent makes
-          // the first attempt win; a losing attempt's content is
-          // byte-identical anyway (bloom merge is a commutative bit-OR),
-          // so an existing target is success, not an error.
+          // speculative/zombie task attempt TRUNCATE a sidecar mid-read
+          // after the manifest was published; the rename makes each
+          // publish atomic. The correctness invariant is that every
+          // attempt of a partition produces byte-identical bloom bytes
+          // (deterministic sizing + commutative bit-OR merge), so it does
+          // not matter which attempt's file survives — note local POSIX
+          // rename REPLACES an existing target while HDFS rename fails on
+          // one; both outcomes are fine under that invariant.
           val target = new HPath(s"$base/$relDir/$bucketCol=${r.getInt(0)}/$fileName")
           val fs = target.getFileSystem(sconf.value)
           val tmp = new HPath(
