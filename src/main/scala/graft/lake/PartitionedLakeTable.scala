@@ -72,7 +72,9 @@ final class PartitionedLakeTable(
   private def partDir(v: String): String = s"$basePath/$PartPrefix${encode(v)}"
 
   def partitionTable(value: String): LakeTable =
-    new LakeTable(spark, partDir(value), numBuckets, bloomOnWrite = bloomOnWrite)
+    new LakeTable(
+      spark, partDir(value), numBuckets,
+      filesPerBucket = filesPerBucket, bloomOnWrite = bloomOnWrite)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

@@ -145,6 +145,12 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.select("_key").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("PartitionedLakeTable propagates filesPerBucket to its partition tables") {
+    val plake = new PartitionedLakeTable(
+      spark, tempDir("plake-fpb-").toString, "part", numBuckets = 2, filesPerBucket = 3)
+    assert(plake.partitionTable("x").filesPerBucket == 3)
+  }
+
   test("wide table (buckets > 64): bucket-aligned lazy-bloom delete prune stays correct") {
     val lt = new LakeTable(spark, tempDir("lake-wide-").toString, numBuckets = 128)
     val data = (0 until 300).map(i => (s"k$i", 1L, s"v$i"))
