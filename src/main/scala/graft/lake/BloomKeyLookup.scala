@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BloomKeyLookup(
     bloomPaths: Map[Int, String],
     basePath: String,
-    conf: SerializableHadoopConf,
+    conf: org.apache.spark.util.SerializableConfiguration,
     presentBuckets: Set[Int],
     numBuckets: Int)
     extends Serializable {
@@ -68,7 +68,4 @@ final class BloomKeyLookup(
         }
       }
     }
-
-  def containsString(key: String): Boolean =
-    key != null && contains(UTF8String.fromString(key))
 }

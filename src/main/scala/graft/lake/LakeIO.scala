@@ -150,20 +150,3 @@ object LakeIO {
   val ForceGenericProp = "graft.lake.io.generic"
 }
 
-/** Ships a Hadoop `Configuration` inside task closures (it is not
-  * `java.io.Serializable`; it IS `Writable`) — needed when executors write
-  * lake sidecar files through the table's own FileSystem. Same pattern as
-  * Spark's internal SerializableConfiguration.
-  */
-final class SerializableHadoopConf(@transient var value: Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}

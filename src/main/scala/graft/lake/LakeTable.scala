@@ -83,6 +83,13 @@ final class LakeTable(
 
   def latestVersion: Option[Long] = versions().lastOption
 
+  /** commitId of `version`, or None if its manifest vanished (vacuumed
+    * between a listing and the read — callers fall back to vacuumedIds).
+    */
+  private def manifestCommitId(version: Long): Option[String] =
+    try Some(readManifest(version).commitId)
+    catch { case _: java.io.FileNotFoundException => None }
+
   private def readManifest(version: Long): Manifest =
     Manifest.fromJson(io.readString(new HPath(commitsDir, versionFileName(version))))
 
@@ -322,10 +329,15 @@ final class LakeTable(
       import org.apache.spark.sql.graft.Exprs
       val lookup = new BloomKeyLookup(
         m.bloomFiles, basePath,
-        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration),
         m.buckets.keySet, numBuckets)
+      // The alignment shuffle exists only to bound per-task sidecar
+      // opens — with no sidecars at all (bloomOnWrite=false, pruning on
+      // bucket presence alone) it would be a pure waste.
       val aligned =
-        if (numBuckets <= 64) ks else ks.repartition(bucketOf(col(KeyCol)))
+        if (numBuckets <= 64 || m.bloomFiles.isEmpty) ks
+        else ks.repartition(bucketOf(col(KeyCol)))
       aligned.filter(Exprs.column(graft.functions.BloomMightContainExpr(
         Exprs.expression(col(KeyCol)), lookup)))
     }
@@ -342,10 +354,14 @@ final class LakeTable(
       val pruned = wanted.filter { b =>
         m.bloomFiles.get(b) match {
           case Some(rel) =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(
-                io.readBytes(new HPath(basePath, rel))))
-            keys.exists(k => bucketOfKey(k, numBuckets) == b && bf.mightContainString(k))
+            // Same vanished-sidecar race as BloomKeyLookup (concurrent
+            // commit + vacuum): degrade to cannot-prune, don't crash.
+            try {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  io.readBytes(new HPath(basePath, rel))))
+              keys.exists(k => bucketOfKey(k, numBuckets) == b && bf.mightContainString(k))
+            } catch { case _: java.io.FileNotFoundException => true }
           case None => true // no sidecar: cannot prune
         }
       }
@@ -383,17 +399,30 @@ final class LakeTable(
       manifestDependent: Boolean = false)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
-    if (isCommitted(commitId)) return // idempotent replay (ONE full history scan)
+    // Entry idempotency scan and the incremental gates below share ONE
+    // versions() snapshot: deriving scannedThrough from a LATER listing
+    // would let a same-commitId commit that landed mid-scan fall between
+    // the full scan and the `> scannedThrough` filter — and be applied
+    // twice.
+    val seenVersions = versions()
+    if (commitId != null && commitId.nonEmpty && (
+        seenVersions.exists(v => manifestCommitId(v).contains(commitId)) ||
+          vacuumedIds.values.exists(_ == commitId)))
+      return // idempotent replay (ONE full history scan)
 
     // Cheap incremental idempotency gate for the retry loop: the entry
     // check above already scanned the full history, so later gates only
     // need to look at versions committed SINCE then — a handful of
     // manifest reads, not O(table age) per gate (a long-lived CDC table
-    // has thousands of versions).
-    val scannedThrough = latestVersion.getOrElse(0L)
-    def freshlyCommitted(): Boolean = commitId.nonEmpty &&
-      versions().filter(_ > scannedThrough)
-        .exists(v => readManifest(v).commitId == commitId)
+    // has thousands of versions). Versions a concurrent vacuum tombstones
+    // mid-gate resolve through vacuumedIds instead of crashing the batch.
+    val scannedThrough = seenVersions.lastOption.getOrElse(0L)
+    def freshlyCommitted(): Boolean = commitId != null && commitId.nonEmpty && {
+      val vac = vacuumedIds
+      versions().filter(_ > scannedThrough).exists(v =>
+        manifestCommitId(v).orElse(vac.get(v)).contains(commitId)) ||
+        vac.exists { case (v, id) => v > scannedThrough && id == commitId }
+    }
 
     // Optimistic-concurrency loop: merge against the latest manifest and
     // try to publish the next version; when a CONCURRENT writer wins the
@@ -575,7 +604,8 @@ final class LakeTable(
     import org.apache.spark.sql.Encoders
     val bloomUdaf = udaf(new BloomAggregator(maxN, 0.01), Encoders.STRING)
     // Locals only in the closure (LakeTable itself is not serializable).
-    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val base = basePath
     val bucketCol = BucketCol
     val fileName = BloomFileName
