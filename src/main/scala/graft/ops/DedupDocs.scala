@@ -216,7 +216,19 @@ object DedupDocs {
     bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
       .repartition(col("band")) // one file per band dir (see writeAnnIndex)
       .write.mode("overwrite").partitionBy("band").parquet(path)
+    IndexMeta.write(docs.sparkSession, path, minhashMeta(n, numHashes, bands))
   }
+
+  /** Probing with different shingle/hash/band parameters than the build
+    * joins incompatible hash spaces — silent recall loss. Stamped on the
+    * artifact; validated by every consumer (see [[IndexMeta]]).
+    */
+  private def minhashMeta(n: Int, numHashes: Int, bands: Int): Map[String, String] =
+    Map(
+      "kind" -> "minhash",
+      "shingle" -> n.toString,
+      "numHashes" -> numHashes.toString,
+      "bands" -> bands.toString)
 
   /** Append a (deduplicated) batch's bands to an existing
     * [[writeMinhashIndex]] artifact — the accept step of the incremental
@@ -233,6 +245,7 @@ object DedupDocs {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands))
     bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
       .repartition(col("band")) // one appended file per band dir
       .write.mode("append").partitionBy("band").parquet(path)
@@ -266,6 +279,7 @@ object DedupDocs {
       num: Int = 1,
       den: Int = 2): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    IndexMeta.validate(batch.sparkSession, indexPath, minhashMeta(n, numHashes, bands))
     // One batch shingle subplan feeds signatures AND verify sets (AQE
     // stage reuse — see jaccardPairs).
     val bsh = shingles(batch, idCol, textCol, n)

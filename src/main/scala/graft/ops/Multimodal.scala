@@ -25,7 +25,10 @@ object Multimodal {
       col(idCol),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
-        length(col(textCol)).as("n_bytes"),
+        // length over the ENCODED payload = bytes; length(text) would be
+        // a char count and under-report for any multi-byte text, breaking
+        // consumers doing offset math against the binary payload.
+        length(encode(col(textCol), "UTF-8")).as("n_bytes"),
         col("lang").as("lang"),
         col("source").as("source")).as("meta"))
 

@@ -60,7 +60,12 @@ object Similarity {
       embCol: String = "embedding",
       quantized: Boolean = false): DataFrame = {
     val sim = if (quantized) quantizedCosine(col(embCol), query) else cosine(col(embCol), query)
-    df.select(col(idCol), sim.as("sim")).orderBy(col("sim").desc, col(idCol)).limit(k)
+    // A zero-norm embedding scores NaN, and Spark (and DuckDB) sort NaN
+    // ABOVE every real number — one bad vector would top every query's
+    // result. Cosine is undefined there: exclude, don't rank.
+    df.select(col(idCol), sim.as("sim"))
+      .filter(!isnan(col("sim")))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
   /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
@@ -82,13 +87,24 @@ object Similarity {
     org.apache.spark.sql.graft.Exprs.column(
       graft.functions.PlaneSignature(org.apache.spark.sql.graft.Exprs.expression(emb), ps))
 
+  /** Bands in a `ps.length`-plane signature cut into `bandBits`-bit bands;
+    * rejects a remainder (silently dropped planes = silent recall loss —
+    * same invariant DedupDocs requires of numHashes % bands).
+    */
+  private def nBandsOf(ps: Array[Array[Double]], bandBits: Int): Int = {
+    require(
+      bandBits > 0 && ps.length % bandBits == 0,
+      s"bandBits ($bandBits) must divide the plane count (${ps.length})")
+    ps.length / bandBits
+  }
+
   /** Attach signature + banded bucket ids (bands of `bandBits` bits). */
   def signBuckets(
       df: DataFrame,
       ps: Array[Array[Double]],
       bandBits: Int = 4,
       embCol: String = "embedding"): DataFrame = {
-    val nBands = ps.length / bandBits
+    val nBands = nBandsOf(ps, bandBits)
     val sig = signature(col(embCol), ps)
     val bandCols = (0 until nBands).map { b =>
       struct(
@@ -112,7 +128,7 @@ object Similarity {
       bandBits: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val nBands = ps.length / bandBits
+    val nBands = nBandsOf(ps, bandBits)
     df.withColumn("_sig", signature(col(embCol), ps))
       .select(
         col(idCol),
@@ -155,7 +171,17 @@ object Similarity {
       idx.repartition(col("band"), col("bh"))
         .write.mode("overwrite").partitionBy("band", "bh").parquet(path)
     else idx.write.mode("overwrite").parquet(path)
+    IndexMeta.write(df.sparkSession, path, annMeta(ps, bandBits, probeLayout))
   }
+
+  private def annMeta(
+      ps: Array[Array[Double]], bandBits: Int, probeLayout: Boolean): Map[String, String] =
+    Map(
+      "kind" -> "ann",
+      "planes" -> s"${ps.length}x${ps(0).length}",
+      "planesFp" -> IndexMeta.fingerprint(ps),
+      "bandBits" -> bandBits.toString,
+      "probeLayout" -> probeLayout.toString)
 
   /** Append NEW vectors' bands to an existing [[writeAnnIndex]] artifact —
     * the incremental-ingestion step (new parquet files land inside the
@@ -170,6 +196,7 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       probeLayout: Boolean = true): Unit = {
+    IndexMeta.validate(df.sparkSession, path, annMeta(ps, bandBits, probeLayout))
     val idx = bandedIndex(df, ps, bandBits, idCol, embCol)
     if (probeLayout)
       idx.repartition(col("band"), col("bh")) // one appended file per dir
@@ -182,7 +209,13 @@ object Similarity {
     */
   def queryBands(
       query: Seq[Double], ps: Array[Array[Double]], bandBits: Int): Seq[(Int, Long)] = {
-    val nBands = ps.length / bandBits
+    val nBands = nBandsOf(ps, bandBits)
+    // zip would silently truncate a mismatched query to the plane width
+    // and probe garbage buckets; the stored side collapses the same
+    // mismatch to signature 0 — fail loudly instead.
+    require(
+      query.length == ps(0).length,
+      s"query dimension ${query.length} != plane dimension ${ps(0).length}")
     val qSig = ps.zipWithIndex.map { case (p, i) =>
       val dot = p.zip(query).map { case (a, b) => a * b }.sum
       if (dot > 0) 1L << i else 0L
@@ -223,6 +256,11 @@ object Similarity {
       bandBits: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    IndexMeta.validate(corpus.sparkSession, indexPath, Map(
+      "kind" -> "ann",
+      "planesFp" -> IndexMeta.fingerprint(ps),
+      "bandBits" -> bandBits.toString,
+      "probeLayout" -> "true")) // point probes need the pruned layout
     val qBands = queryBands(query, ps, bandBits)
     val idx = corpus.sparkSession.read.parquet(indexPath)
     val cand = idx
@@ -243,6 +281,7 @@ object Similarity {
       embCol: String): DataFrame =
     cand.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col(idCol), cosine(col(embCol), query).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: see topK
       .orderBy(col("sim").desc, col(idCol)).limit(k)
 
   /** IVF (inverted-file) index: assign every vector to its nearest
@@ -265,19 +304,21 @@ object Similarity {
         graft.functions.NearestCentroid(
           org.apache.spark.sql.graft.Exprs.expression(col(embCol)), centroids)))
 
-  /** Deterministic stride-sampled centroids (every n/k-th vector). */
+  /** Deterministic hash-sampled centroids: the k corpus vectors with the
+    * smallest xxhash64(id) — a uniform id-space-INDEPENDENT sample (the
+    * previous `id % (n/k)` stride silently under-sampled sparse or offset
+    * id ranges), and one TakeOrdered job instead of a count() pass plus a
+    * filter scan.
+    */
   def ivfCentroids(
       df: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Array[Array[Double]] = {
-    val n = df.count()
-    val stride = (n / k).max(1)
-    df.filter(col(idCol) % stride === 0)
-      .orderBy(idCol).limit(k)
+      embCol: String = "embedding"): Array[Array[Double]] =
+    df.orderBy(xxhash64(col(idCol)).asc, col(idCol))
+      .limit(k)
       .select(embCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-  }
 
   /** The query's `nProbe` nearest centroid ids (driver-side: k dot
     * products over one vector).
@@ -309,6 +350,7 @@ object Similarity {
     ivfAssign(df, centroids, idCol, embCol)
       .filter(col("centroid").isin(probed: _*))
       .select(col(idCol), cosine(col(embCol), query).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: see topK
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
@@ -322,11 +364,15 @@ object Similarity {
       path: String,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit =
+      embCol: String = "embedding"): Unit = {
     ivfAssign(df, centroids, idCol, embCol)
       .select(col(idCol), col("centroid"))
       .repartition(col("centroid")) // one file per centroid dir
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    IndexMeta.write(df.sparkSession, path, Map(
+      "kind" -> "ivf",
+      "centroidsFp" -> IndexMeta.fingerprint(centroids)))
+  }
 
   /** IVF top-k against a stored [[writeIvfIndex]] artifact: reads only the
     * probed centroid directories, joins candidate ids back to the corpus
@@ -341,6 +387,9 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    IndexMeta.validate(corpus.sparkSession, indexPath, Map(
+      "kind" -> "ivf",
+      "centroidsFp" -> IndexMeta.fingerprint(centroids)))
     val probed = probedCentroids(query, centroids, nProbe)
     val cand = corpus.sparkSession.read.parquet(indexPath)
       .filter(col("centroid").isin(probed: _*))
@@ -357,6 +406,28 @@ object Similarity {
     * arithmetic (bit-identical across engines — the oracle-safe mode).
     * Returns `(id1 = batch id, id2 = corpus id, sim)`.
     */
+  /** Exact cosine of a candidate PAIR's two embedding columns. One shared
+    * implementation for both near-dup paths: the bit-identical oracle
+    * contract depends on the exact left-to-right fold order, so the
+    * arithmetic must not fork per call site. `quantized` uses integer
+    * dot/norms (engine-portable; see [[quantizedCosine]]).
+    */
+  private def pairCosine(e1: Column, e2: Column, quantized: Boolean): Column =
+    if (quantized) {
+      val dot = aggregate(
+        zip_with(e1, e2, (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
+      def nrm(c: Column) =
+        sqrt(aggregate(c, lit(0L), (acc, x) => acc + qz(x) * qz(x)).cast("double"))
+      dot.cast("double") / (nrm(e1) * nrm(e2))
+    } else {
+      val dot = aggregate(
+        zip_with(e1, e2, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      def nrm(c: Column) =
+        sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      dot / (nrm(e1) * nrm(e2))
+    }
+
   def nearDupsAgainstIndex(
       batch: DataFrame,
       corpus: DataFrame,
@@ -367,6 +438,10 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       quantized: Boolean = false): DataFrame = {
+    IndexMeta.validate(batch.sparkSession, indexPath, Map(
+      "kind" -> "ann",
+      "planesFp" -> IndexMeta.fingerprint(ps),
+      "bandBits" -> bandBits.toString)) // either layout joins fine
     val bIdx = bandedIndex(batch, ps, bandBits, idCol, embCol)
     val cIdx = batch.sparkSession.read.parquet(indexPath)
     val cand = bIdx.as("b")
@@ -376,22 +451,7 @@ object Similarity {
     val verified = cand
       .join(batch.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
       .join(corpus.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
-    val sim =
-      if (quantized) {
-        val dot = aggregate(
-          zip_with(col("e1"), col("e2"), (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
-        def nrm(c: Column) =
-          sqrt(aggregate(c, lit(0L), (acc, x) => acc + qz(x) * qz(x)).cast("double"))
-        dot.cast("double") / (nrm(col("e1")) * nrm(col("e2")))
-      } else {
-        val dot = aggregate(
-          zip_with(col("e1"), col("e2"), (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x)
-        def nrm(c: Column) =
-          sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-        dot / (nrm(col("e1")) * nrm(col("e2")))
-      }
-    verified.withColumn("sim", sim)
+    verified.withColumn("sim", pairCosine(col("e1"), col("e2"), quantized))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
@@ -427,9 +487,7 @@ object Similarity {
     val verified = cand
       .join(df.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
       .join(df.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
-    val dot = aggregate(zip_with(col("e1"), col("e2"), (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    verified.withColumn("sim", dot / (norm(col("e1")) * norm(col("e2"))))
+    verified.withColumn("sim", pairCosine(col("e1"), col("e2"), quantized = false))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted sum/count aggregation: exactly `groupBy(keyCols).agg(sum,
-    * count)` semantics, executed in two shuffles with bounded per-reducer
-    * fan-in. `aggs` maps output name -> (column, "sum" | "count" | "min" | "max").
+  /** Salted sum/count/min/max aggregation: exactly
+    * `groupBy(keyCols).agg(...)` semantics, executed in two shuffles with
+    * bounded per-reducer fan-in. `aggs` maps output name ->
+    * (column, "sum" | "count" | "min" | "max").
     */
   def saltedAgg(
       df: DataFrame,
@@ -28,6 +29,7 @@ object Skew {
       aggs: Map[String, (Column, String)],
       saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0)
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
     // Phase 1: partial aggregate per (key, salt). The salt just needs to be
     // uniform — the merged result is identical for any salt assignment.
     val salted = df.withColumn("_salt", (rand(42) * saltBuckets).cast("int"))

@@ -132,7 +132,15 @@ object EventTimeOps {
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.tsMillis - s.endMillis <= gapMillis =>
-          cur = Some(SessionState(s.startMillis, e.tsMillis, s.nEvents + 1))
+          // min/max, not overwrite: a cross-batch out-of-order event that
+          // is still above the watermark (so not dropped as late) must not
+          // REGRESS the session end — that would wrongly close the session
+          // for the next in-order event, register the event-time timeout
+          // too early, and could emit endMillis < startMillis.
+          cur = Some(SessionState(
+            math.min(s.startMillis, e.tsMillis),
+            math.max(s.endMillis, e.tsMillis),
+            s.nEvents + 1))
         case Some(s) =>
           closedSessions +=
             Session(userId, s.startMillis, s.endMillis, s.nEvents, closed = true)

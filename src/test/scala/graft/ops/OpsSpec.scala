@@ -131,6 +131,38 @@ class OpsSpec extends SparkSpec {
     assert(Set((7003L, 3L), (7009L, 9L)).subsetOf(pairs), s"copies must match sources: $pairs")
   }
 
+  test("index artifacts are stamped; probing with mismatched parameters fails loudly") {
+    val ps = Similarity.planes(16, 64)
+    val idxDir = tempDir("idx-meta").resolve("idx").toString
+    Similarity.writeAnnIndex(embs, idxDir, ps, bandBits = 4)
+    // wrong band width -> incompatible hash space -> must throw, not lose recall
+    val e = intercept[IllegalArgumentException](
+      Similarity.annTopKIndexed(embs, idxDir, Seq.fill(64)(0.1), 5, ps, bandBits = 8))
+    assert(e.getMessage.contains("bandBits"))
+    // wrong planes (different seed) -> different signatures -> must throw
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.annTopKIndexed(embs, idxDir, Seq.fill(64)(0.1), 5,
+        Similarity.planes(16, 64, seed = 7L), bandBits = 4))
+    assert(e2.getMessage.contains("planesFp"))
+    // matching parameters pass validation
+    assert(Similarity.annTopKIndexed(embs, idxDir, Seq.fill(64)(0.1), 5, ps, bandBits = 4)
+      .count() >= 0)
+    // minhash: mismatched shingle width at probe time fails loudly too
+    val mhDir = tempDir("idx-meta-mh").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(docs.limit(20), mhDir)
+    val e3 = intercept[IllegalArgumentException](
+      DedupDocs.dedupeAgainstIndex(docs.limit(5), docs.limit(20), mhDir, n = 2))
+    assert(e3.getMessage.contains("shingle"))
+  }
+
+  test("bandBits must divide the plane count; query dimension must match planes") {
+    val ps = Similarity.planes(32, 64)
+    intercept[IllegalArgumentException](Similarity.bandedIndex(embs, ps, bandBits = 5))
+    intercept[IllegalArgumentException](Similarity.queryBands(Seq.fill(64)(0.1), ps, 5))
+    intercept[IllegalArgumentException](
+      Similarity.queryBands(Seq.fill(32)(0.1), ps, 8)) // 32-dim query, 64-dim planes
+  }
+
   test("appendToAnnIndex makes new vectors probe-visible") {
     val ps = Similarity.planes(16, 64)
     val idxDir = tempDir("ann-app").resolve("idx").toString

@@ -32,6 +32,30 @@ class EventTimeOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order event cannot regress the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventTimeOps.sessionize(input.toDS(), gapMillis = 10000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_ooo").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1L, 100000L))
+      q.processAllAvailable()
+      // batch 2 arrives out of order: 98000 is EARLIER than the stored end
+      // (100000) but within gap; 109000 is within gap of the TRUE max end.
+      // Overwrite-semantics would set end=98000 and wrongly close at
+      // 109000; min/max keeps the session open and the bounds sane.
+      input.addData(Event(1L, 98000L), Event(1L, 109000L))
+      q.processAllAvailable()
+      // close it with a far-future event and check the emitted bounds
+      input.addData(Event(1L, 500000L))
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo").as[Session].collect()
+      assert(got.toSeq == Seq(Session(1L, 98000L, 109000L, 3L, closed = true)),
+        s"session bounds must span min..max of merged events: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes open sessions once the watermark passes end+gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
