@@ -38,14 +38,17 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (registeredDir.get(spark) != dir) {
-      val allOk = names.forall { n =>
+      // map-then-forall, NOT a bare forall: forall short-circuits on the
+      // first failure and would leave every LATER table unregistered —
+      // exactly the all-queries-sink coupling this method exists to avoid.
+      val allOk = names.map { n =>
         try { load(spark, dir, n).createOrReplaceTempView(n); true }
         catch {
           case e: Exception =>
             System.err.println(s"[tables] skipping $n: ${e.getMessage}")
             false
         }
-      }
+      }.forall(identity)
       if (allOk) registeredDir.put(spark, dir)
     }
   }

@@ -25,6 +25,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A PREVIOUS run's output must not survive this run's failure:
+        // the gate reuses outDir, and a stale parquet dir would let
+        // selfcheck PASS a regressed query.
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -23,6 +23,13 @@ object KeyGen {
   /** Key column over raw record JSON: one CASE arm per configured table.
     * Records of tables absent from `keyFields` get a null key (callers
     * validate observed tables against config first — ref `:253-255` throws).
+    *
+    * A key FIELD missing from (or null in) the payload contributes the
+    * literal "null", NOT an empty slot: `concat_ws` silently skips nulls,
+    * so without the coalesce `{"a":"x"}` and `{"a":"x","b":null}` under
+    * key fields [a,b] would collapse to one `_key` and LWW would silently
+    * drop a record. (The reference's Java string-join renders a null
+    * value as "null" — same distinctness.)
     */
   def forTables(
       dbCol: Column,
@@ -33,9 +40,14 @@ object KeyGen {
       .foldLeft(lit(null).cast("string")) { case (acc, ((db, table), fields)) =>
         when(
           dbCol === db && tableCol === table,
-          concat_ws("_", fields.map(f => get_json_object(valueCol, s"$$.$f")): _*))
+          concat_ws("_", fields.map(f =>
+            coalesce(get_json_object(valueCol, s"$$.$f"), lit("null"))): _*))
           .otherwise(acc)
       }
-    md5(concat_ws("_", dbCol, tableCol, keyVals))
+    // keyVals is null exactly for unconfigured tables: keep the key null
+    // there (concat_ws would skip the null and mint a shared md5(db_table)
+    // key that collapses the whole table to one row).
+    when(keyVals.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws("_", dbCol, tableCol, keyVals)))
   }
 }

@@ -473,7 +473,8 @@ object Similarity {
       ps: Array[Array[Double]],
       bandBits: Int = 8,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      quantized: Boolean = false): DataFrame = {
     // Both sides of the bucket self-join share this identical (id, band,
     // bh) subplan; its shuffle stage is evaluated once via AQE stage reuse,
     // so no explicit materialization (a localCheckpoint here wrote every
@@ -487,7 +488,7 @@ object Similarity {
     val verified = cand
       .join(df.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
       .join(df.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
-    verified.withColumn("sim", pairCosine(col("e1"), col("e2"), quantized = false))
+    verified.withColumn("sim", pairCosine(col("e1"), col("e2"), quantized))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }

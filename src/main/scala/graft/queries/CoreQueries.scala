@@ -256,10 +256,16 @@ object CoreQueries {
       Some("SELECT true AS parts_ok, true AS orders_ok")),
 
     // ---- scalar subquery ----------------------------------------------
+    // avg over raw doubles is summation-order dependent (shuffle-fetch
+    // order in Spark vs sequential in DuckDB) — rows within ~1e-5 of the
+    // threshold could flip membership. DECIMAL sum is exact in both
+    // engines; one final cast + division is deterministic.
     "q20_scalar_subquery" -> same(
       """SELECT o_orderkey, o_totalprice
          FROM orders
-         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+         WHERE o_totalprice > 2 * (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           FROM orders)
          ORDER BY o_orderkey"""),
 
     // ---- grouping sets --------------------------------------------------

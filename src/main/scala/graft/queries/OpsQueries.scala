@@ -381,10 +381,14 @@ object OpsQueries {
       Some("SELECT CAST(20 AS BIGINT) AS n_ivf, true AS recall_ok")),
 
     // ---- embedding near-dup pairs via LSH buckets ----------------------
+    // quantized verify: the oracle computes the 0.95 threshold in
+    // floor(x*1e7) integer arithmetic, so the Spark side must too — a
+    // double-cosine verify could disagree with it at the boundary.
     "q37_emb_neardup" -> QueryDef(
       (spark, dir) =>
         Similarity.nearDupPairs(
-            embs(spark, dir), 0.95, Similarity.planes(32, 64), bandBits = 8)
+            embs(spark, dir), 0.95, Similarity.planes(32, 64), bandBits = 8,
+            quantized = true)
           .select(col("id1"), col("id2")).orderBy("id1", "id2"),
       Some(duckNearDup)),
 
@@ -436,10 +440,20 @@ object OpsQueries {
             |FROM part ORDER BY z, p_partkey LIMIT 500""".stripMargin)
       },
       Some {
-        val terms = (0 until 21).flatMap { i =>
+        // Full 32 bits per key, matching the native expression (a 21-bit
+        // oracle silently diverges once p_partkey >= 2^21, i.e. SF >~ 10).
+        // Shift 63 would overflow DuckDB's checked BIGINT shift, so the
+        // sign-bit term adds the two's-complement value directly; all
+        // other terms are disjoint positive bits, so + == bitwise-or.
+        val terms = (0 until 32).flatMap { i =>
+          val pkShift = 2 * i + 1
           Seq(
             s"(((CAST(p_size AS BIGINT) >> $i) & 1) << ${2 * i})",
-            s"(((CAST(p_partkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+            if (pkShift < 63)
+              s"(((CAST(p_partkey AS BIGINT) >> $i) & 1) << $pkShift)"
+            else
+              s"(CASE WHEN ((CAST(p_partkey AS BIGINT) >> $i) & 1) = 1 " +
+                "THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END)")
         }.mkString(" + ")
         s"""SELECT p_partkey, $terms AS z
            |FROM part ORDER BY z, p_partkey LIMIT 500""".stripMargin

@@ -60,6 +60,25 @@ class CdcModulesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("KeyGen: missing key fields stay distinct; unconfigured tables key null") {
+    val df = Seq(
+      ("db1", "t1", """{"a":"x"}"""),            // b missing entirely
+      ("db1", "t1", """{"a":"x","b":null}"""),   // b explicit null (same key as missing)
+      ("db1", "t1", """{"a":"x","b":"y"}"""),    // b present -> distinct key
+      ("db9", "t9", """{"a":"x"}""")             // unconfigured table
+    ).toDF("db", "table", "value")
+    val keyed = df.withColumn("k",
+      KeyGen.forTables(col("db"), col("table"), col("value"),
+        Map(("db1", "t1") -> Seq("a", "b"))))
+    val ks = keyed.select("k").collect().map(r => Option(r.getString(0)))
+    // missing and explicit-null agree (both JSON-extract to null -> "null")
+    assert(ks(0) == ks(1))
+    // but a real value is a DIFFERENT key — concat_ws must not skip the slot
+    assert(ks(0) != ks(2))
+    // unconfigured table -> null key, not a shared md5(db_table)
+    assert(ks(3).isEmpty)
+  }
+
   test("KeyGen routes different tables to their own key fields") {
     val df = Seq(
       ("""{"a":1,"z":9}""", "db1", "t1"),
