@@ -27,9 +27,10 @@ object Transformer {
     df.createOrReplaceTempView(view)
     // spark.sql analyzes eagerly, so the returned plan no longer needs the
     // catalog entry; drop it to keep the catalog clean across micro-batches.
-    val out = df.sparkSession.sql(sql.replace(SrcPlaceholder, view))
-    df.sparkSession.catalog.dropTempView(view)
-    out
+    // finally: a failing user SQL (analysis error, retried every
+    // micro-batch) must not leak one UUID-named view per attempt.
+    try df.sparkSession.sql(sql.replace(SrcPlaceholder, view))
+    finally df.sparkSession.catalog.dropTempView(view)
   }
 
   /** Convenience: run SQL over a set of named tables (registered as views). */

@@ -35,8 +35,16 @@ class CdcLakeSinkProvider extends StreamSinkProvider
       sqlContext: SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],
-      outputMode: OutputMode): Sink =
+      outputMode: OutputMode): Sink = {
+    // Partitioning is configured per table (`<db>.<table>.partition.field`),
+    // not per stream: silently accepting .partitionBy would land data
+    // unpartitioned while the user relies on pruning that never happens.
+    require(
+      partitionColumns.isEmpty,
+      s"cdc-lake ignores writeStream.partitionBy (got ${partitionColumns.mkString(",")}); " +
+        "use the per-table <db>.<table>.partition.field option instead")
     new CdcLakeSink(parameters)
+  }
 
   /** Batch write parity (reference E2,
     * `BinlogSyncHoodieCommand.scala:231-234` re-entering its own source
@@ -71,15 +79,19 @@ class LakeSnapshotRelation(
     ctx: SQLContext,
     parameters: Map[String, String]) extends BaseRelation with TableScan {
 
-  private def table: LakeTable = new LakeTable(
+  // ONE snapshot pinned for the relation's lifetime: separate reads for
+  // schema and buildScan could observe different committed versions under
+  // a concurrent writer (e.g. an int->long widening between planning and
+  // execution -> Row/It schema mismatch at runtime).
+  private lazy val snapshot: org.apache.spark.sql.DataFrame = new LakeTable(
     ctx.sparkSession,
     parameters.getOrElse("path",
       throw new IllegalArgumentException("cdc-lake read requires a path option")),
-    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets))
+    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)).snapshot
 
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = table.snapshot.schema
-  override def buildScan(): RDD[Row] = table.snapshot.rdd
+  override def schema: StructType = snapshot.schema
+  override def buildScan(): RDD[Row] = snapshot.rdd
 }
 
 object CdcLakeSinkProvider {

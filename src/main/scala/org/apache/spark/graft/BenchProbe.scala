@@ -19,14 +19,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * public `SparkListener` API.
   */
 class BenchProbe extends SparkListener {
-  private val runMs, cpuMs, gcMs, shufReadB, shufWriteB, spillB, tasks = new LongAdder
+  private val runMs, cpuNanos, gcMs, shufReadB, shufWriteB, spillB, tasks = new LongAdder
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
     if (m != null) {
       tasks.add(1)
       runMs.add(m.executorRunTime)
-      cpuMs.add(m.executorCpuTime / 1000000L)
+      // accumulate NANOS: per-task ms truncation would zero out the many
+      // sub-millisecond tasks the 4 MB-split bench runs, making CPU-bound
+      // queries look like pure scheduling overhead
+      cpuNanos.add(m.executorCpuTime)
       gcMs.add(m.jvmGCTime)
       shufReadB.add(m.shuffleReadMetrics.totalBytesRead)
       shufWriteB.add(m.shuffleWriteMetrics.bytesWritten)
@@ -41,7 +44,7 @@ class BenchProbe extends SparkListener {
     val out = Map(
       "tasks" -> tasks.sumThenReset(),
       "run_ms" -> runMs.sumThenReset(),
-      "cpu_ms" -> cpuMs.sumThenReset(),
+      "cpu_ms" -> cpuNanos.sumThenReset() / 1000000L,
       "gc_ms" -> gcMs.sumThenReset(),
       "shuffle_read_b" -> shufReadB.sumThenReset(),
       "shuffle_write_b" -> shufWriteB.sumThenReset(),
