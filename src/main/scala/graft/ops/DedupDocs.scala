@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at three cost tiers:
@@ -48,9 +49,38 @@ object DedupDocs {
       .distinct()
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * hot-shingle guard for every inverted-index consumer. A viral shingle
+    * (license block, boilerplate header) is a single join key whose df²
+    * self-join output lands in ONE task no matter how the buckets are
+    * spread: the classic skewed-key stage-staller at 100 TB. A shingle
+    * shared by thousands of documents carries no discriminating signal, so
+    * dropping it is standard practice (it changes the metric only for
+    * pairs whose overlap depended on non-discriminating shingles).
+    *
+    * Computed as a window count over `partition by shingle`: when the
+    * input is already hash-partitioned on `shingle` (the pinned
+    * repartition in [[jaccardPairs]]) the window reuses that exchange and
+    * its sort feeds the downstream sort-merge self-join — the cap costs no
+    * extra shuffle on the hot path.
+    */
+  private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+
   /** Exact Jaccard >= num/den pairs via the inverted index:
     * co-occurrence counts from a shingle self-join, set sizes from a
     * per-doc count, `jac = c / (na + nb - c)`.
+    *
+    * `maxDf` (default: uncapped) drops shingles with document frequency
+    * above the cap BEFORE the self-join (see [[capDf]]). Set sizes
+    * (`na`/`nb`) are computed in the same capped shingle space, so `jac`
+    * stays a true Jaccard over the discriminating shingles and
+    * [[minhashVerifiedPairs]] with the same cap computes the identical
+    * metric.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -58,7 +88,8 @@ object DedupDocs {
       textCol: String = "text",
       n: Int = 3,
       num: Int = 1,
-      den: Int = 2): DataFrame = {
+      den: Int = 2,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // The shingle index feeds the per-doc set-size count AND both sides of
     // the self-join, but is NOT materialized here: the three consumers
     // share an identical distinct-shuffle subplan, which AQE stage reuse
@@ -67,14 +98,17 @@ object DedupDocs {
     // benched 2.0 s vs 1.2 s for plain exchange reuse at sf0.1, with the
     // gap widening on IO-contended hosts).
     val sh0 = shingles(docs, idCol, textCol, n)
-    val cnt = sh0.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Pin the self-join to an explicit hash partitioning on the join key:
     // the index is small in BYTES but the join OUTPUT is sum(df^2) rows, so
     // AQE's size-based coalescing (or a broadcast pick) would serialize the
     // expensive part into one task. A user repartition is respected by AQE
-    // and co-locates both sides with zero extra join shuffle.
-    val sh = sh0.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("shingle"))
+    // and co-locates both sides with zero extra join shuffle. The df cap
+    // rides the same exchange (window over `partition by shingle`).
+    val sh = capDf(
+      sh0.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("shingle")),
+      maxDf)
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val co = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
@@ -277,12 +311,14 @@ object DedupDocs {
       numHashes: Int = 64,
       bands: Int = 16,
       num: Int = 1,
-      den: Int = 2): DataFrame = {
+      den: Int = 2,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     IndexMeta.validate(batch.sparkSession, indexPath, minhashMeta(n, numHashes, bands))
     // One batch shingle subplan feeds signatures AND verify sets (AQE
-    // stage reuse — see jaccardPairs).
-    val bsh = shingles(batch, idCol, textCol, n)
+    // stage reuse — see jaccardPairs). The df cap applies within the BATCH
+    // shingle space (the stored index carries no corpus-wide df).
+    val bsh = capDf(shingles(batch, idCol, textCol, n), maxDf)
     val bIdx = bandedFromShingles(bsh, idCol, numHashes, bands)
     val cIdx = batch.sparkSession.read.parquet(indexPath)
     val cand = bIdx.as("b")
@@ -310,6 +346,12 @@ object DedupDocs {
   /** LSH candidates verified with exact Jaccard (computed per candidate
     * pair via `array_intersect` on the two shingle sets — no inverted-index
     * join, no cross join).
+    *
+    * `maxDf` applies [[capDf]] to the verify sets (and the signatures fed
+    * by the same capped shingle set), so with the same cap this computes
+    * the IDENTICAL metric to [[jaccardPairs]] — required for the two paths
+    * to share an oracle — and a viral shingle cannot bloat the per-doc
+    * `collect_set` payloads shipped through the verify join either.
     */
   def minhashVerifiedPairs(
       docs: DataFrame,
@@ -319,12 +361,13 @@ object DedupDocs {
       numHashes: Int = 64,
       bands: Int = 16,
       num: Int = 1,
-      den: Int = 2): DataFrame = {
+      den: Int = 2,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     // One shingle subplan feeds signature building AND the exact
     // verification sets — the distinct shuffle is shared via AQE stage
     // reuse (see jaccardPairs).
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = capDf(shingles(docs, idCol, textCol, n), maxDf)
     val cand = candidatesFromShingles(sh, idCol, numHashes, bands)
     val sets = sh
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))

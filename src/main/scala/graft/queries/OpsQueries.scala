@@ -155,16 +155,24 @@ object OpsQueries {
           |GROUP BY md5(text) ORDER BY keeper""".stripMargin)),
 
     // ---- dedup: exact n-gram Jaccard via inverted index ----------------
+    // maxDf = 100: the hot-shingle guard is ON in the shipped query (a
+    // viral shingle's df² self-join output is the one skewed-key
+    // stage-staller at scale). Observed max df is 7 @ sf0.01 and 25 @
+    // sf0.1, so no shingle is actually dropped and the uncapped DuckDB
+    // oracle still hash-matches; the plan carries the guard regardless
+    // (PlanShapeSpec pins the filter below the self-join).
     "q27_dedup_jaccard" -> QueryDef(
-      (spark, dir) => orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir))),
+      (spark, dir) => orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir), maxDf = 100)),
       Some(duckJaccardPairs)),
 
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the
-    // verified output equals the exact inverted-index pairs.
+    // verified output equals the exact inverted-index pairs. Same maxDf as
+    // q27 — the two paths compute the identical capped metric.
     "q28_dedup_minhash" -> QueryDef(
-      (spark, dir) => orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir))),
+      (spark, dir) =>
+        orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir), maxDf = 100)),
       Some(duckJaccardPairs)),
 
     // ---- dedup: INCREMENTAL batch-vs-indexed-corpus --------------------
