@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the r7 driver-host bench showed q46 spending 39 s of
+  // task time in GC (vs 21 s CPU) under the old 8g heap — 32 concurrent
+  // local[32] tasks each holding collect_set shingle payloads need the
+  // headroom, and every bench/verify host has >= 64 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -245,24 +245,36 @@ object DedupDocs {
       textCol: String = "text",
       n: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): Unit = {
+      bands: Int = 16,
+      maxDf: Int = Int.MaxValue): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+    bandedFromShingles(capDf(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one file per band dir (see writeAnnIndex)
       .write.mode("overwrite").partitionBy("band").parquet(path)
-    IndexMeta.write(docs.sparkSession, path, minhashMeta(n, numHashes, bands))
+    IndexMeta.write(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
   }
 
   /** Probing with different shingle/hash/band parameters than the build
     * joins incompatible hash spaces — silent recall loss. Stamped on the
     * artifact; validated by every consumer (see [[IndexMeta]]).
+    *
+    * `maxDf` is part of the stamp: an index built from capped shingle
+    * sets produces different signatures than an uncapped build, so a
+    * probe with a different cap is the same silent-recall-loss bug. The
+    * cap's df population is PER INGESTION UNIT (the whole corpus at
+    * build, each batch at append/probe, the candidate set at verify) —
+    * the approximation that lets the incremental path work without a
+    * corpus-wide df table, which is the one piece of global state this
+    * path exists to avoid. Choose `maxDf` well above any real batch
+    * size-dependent df so the unit populations agree on what is "hot".
     */
-  private def minhashMeta(n: Int, numHashes: Int, bands: Int): Map[String, String] =
+  private def minhashMeta(n: Int, numHashes: Int, bands: Int, maxDf: Int): Map[String, String] =
     Map(
       "kind" -> "minhash",
       "shingle" -> n.toString,
       "numHashes" -> numHashes.toString,
-      "bands" -> bands.toString)
+      "bands" -> bands.toString,
+      "maxDf" -> maxDf.toString)
 
   /** Append a (deduplicated) batch's bands to an existing
     * [[writeMinhashIndex]] artifact — the accept step of the incremental
@@ -277,10 +289,12 @@ object DedupDocs {
       textCol: String = "text",
       n: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): Unit = {
+      bands: Int = 16,
+      maxDf: Int = Int.MaxValue): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands))
-    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+    IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
+    bandedFromShingles(
+        capDf(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one appended file per band dir
       .write.mode("append").partitionBy("band").parquet(path)
   }
@@ -314,10 +328,14 @@ object DedupDocs {
       den: Int = 2,
       maxDf: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    IndexMeta.validate(batch.sparkSession, indexPath, minhashMeta(n, numHashes, bands))
+    // maxDf is stamped on the artifact (see minhashMeta): probing with a
+    // different cap than the build joins incompatible minhash spaces.
+    IndexMeta.validate(batch.sparkSession, indexPath, minhashMeta(n, numHashes, bands, maxDf))
     // One batch shingle subplan feeds signatures AND verify sets (AQE
     // stage reuse — see jaccardPairs). The df cap applies within the BATCH
-    // shingle space (the stored index carries no corpus-wide df).
+    // shingle space here and within the candidate-corpus space at verify —
+    // per-unit populations, the no-global-state approximation documented
+    // on minhashMeta.
     val bsh = capDf(shingles(batch, idCol, textCol, n), maxDf)
     val bIdx = bandedFromShingles(bsh, idCol, numHashes, bands)
     val cIdx = batch.sparkSession.read.parquet(indexPath)
@@ -330,7 +348,9 @@ object DedupDocs {
     // Re-shingle ONLY the candidate corpus docs (bounded by candidate count).
     val candCorpus = corpusDocs.join(
       cand.select(col("d2")).distinct().withColumnRenamed("d2", idCol), Seq(idCol))
-    val cSets = shingles(candCorpus, idCol, textCol, n)
+    // Same cap as the batch side, so the verify Jaccard is symmetric
+    // (capped s1 vs capped s2) — df counted within the candidate set.
+    val cSets = capDf(shingles(candCorpus, idCol, textCol, n), maxDf)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
       .withColumnRenamed(idCol, "d2")
     cand.join(bSets, "d1").join(cSets, "d2")

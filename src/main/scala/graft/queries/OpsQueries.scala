@@ -41,12 +41,24 @@ object OpsQueries {
 
   private val stopList = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  // Shared DuckDB fragments.
+  /** Hot-shingle cap shared by the q27/q28 Spark calls AND their DuckDB
+    * oracle, so both sides compute the capped metric BY CONSTRUCTION —
+    * previously the oracle was uncapped and matched only because the
+    * observed max df (7 @ sf0.01, 25 @ sf0.1) sat under the cap, a
+    * data-dependent invariant that a regenerated corpus could break.
+    */
+  private val JaccardMaxDf = 100
+
+  // Shared DuckDB fragments. The QUALIFY mirrors DedupDocs.capDf: shingles
+  // above the df cap are dropped before BOTH the self-join and the per-doc
+  // set-size count.
   private val duckShingles =
-    """w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
-      |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
-      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM ix),
-      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1)""".stripMargin
+    s"""w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+       |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle FROM ix),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |       QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardMaxDf),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1)""".stripMargin
 
   private val duckJaccardPairs =
     s"""WITH $duckShingles,
@@ -155,14 +167,16 @@ object OpsQueries {
           |GROUP BY md5(text) ORDER BY keeper""".stripMargin)),
 
     // ---- dedup: exact n-gram Jaccard via inverted index ----------------
-    // maxDf = 100: the hot-shingle guard is ON in the shipped query (a
+    // JaccardMaxDf: the hot-shingle guard is ON in the shipped query (a
     // viral shingle's df² self-join output is the one skewed-key
-    // stage-staller at scale). Observed max df is 7 @ sf0.01 and 25 @
-    // sf0.1, so no shingle is actually dropped and the uncapped DuckDB
-    // oracle still hash-matches; the plan carries the guard regardless
-    // (PlanShapeSpec pins the filter below the self-join).
+    // stage-staller at scale), and the DuckDB oracle applies the SAME cap
+    // (QUALIFY in duckShingles), so both sides compute the capped metric
+    // by construction — no dependence on the corpus staying cap-free.
+    // PlanShapeSpec pins the _df filter below the self-join; OpsSpec has
+    // the behavioral hot-shingle-drop case.
     "q27_dedup_jaccard" -> QueryDef(
-      (spark, dir) => orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir), maxDf = 100)),
+      (spark, dir) =>
+        orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir), maxDf = JaccardMaxDf)),
       Some(duckJaccardPairs)),
 
     // ---- dedup: minhash + banded LSH + exact verify --------------------
@@ -172,7 +186,7 @@ object OpsQueries {
     // q27 — the two paths compute the identical capped metric.
     "q28_dedup_minhash" -> QueryDef(
       (spark, dir) =>
-        orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir), maxDf = 100)),
+        orderedJaccard(DedupDocs.minhashVerifiedPairs(docs(spark, dir), maxDf = JaccardMaxDf)),
       Some(duckJaccardPairs)),
 
     // ---- dedup: INCREMENTAL batch-vs-indexed-corpus --------------------

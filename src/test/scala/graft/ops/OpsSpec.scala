@@ -45,6 +45,55 @@ class OpsSpec extends SparkSpec {
     assert(verified == exact)
   }
 
+  test("maxDf drops hot shingles: capped jaccard keeps only discriminating pairs") {
+    // Docs 1-5 share the viral trigram "common common common" (df = 5);
+    // each also carries one unique trigram. Docs 6-7 are identical.
+    val hot = (1 to 5).map(i => (i.toLong, s"common common common tail$i"))
+    val dup = Seq((6L, "x y z q r"), (7L, "x y z q r"))
+    val d = (hot ++ dup).toDF("doc_id", "text")
+    // Uncapped at jac >= 1/3: every hot pair shares 1 of its 2 shingles
+    // (jac = 1/3) plus the planted dup — 10 + 1 pairs.
+    val uncapped = DedupDocs.jaccardPairs(d, num = 1, den = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 11, s"uncapped must keep boilerplate pairs: $uncapped")
+    // maxDf = 4 drops the df-5 viral shingle (its ONLY discriminating
+    // content was boilerplate) but keeps the df-2 dup shingles.
+    val capped = DedupDocs.jaccardPairs(d, num = 1, den = 3, maxDf = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((6L, 7L)), s"capped must keep only the true dup: $capped")
+    // Same cap through the minhash-LSH path computes the identical metric.
+    val mh = DedupDocs.minhashVerifiedPairs(d, num = 1, den = 3, maxDf = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(mh == capped, s"minhash path must match capped exact path: $mh")
+  }
+
+  test("maxDf is stamped on the minhash index and enforced end-to-end") {
+    val hot = (1 to 5).map(i => (i.toLong, s"common common common tail$i"))
+    val dup = Seq((6L, "x y z q r"), (7L, "x y z q r"))
+    val corpus = (hot ++ dup).toDF("doc_id", "text")
+    val idxDir = tempDir("mh-dfcap").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(corpus, idxDir, maxDf = 4)
+    // probing with a different cap = incompatible minhash spaces -> loud
+    val e = intercept[IllegalArgumentException](
+      DedupDocs.dedupeAgainstIndex(corpus.limit(1), corpus, idxDir))
+    assert(e.getMessage.contains("maxDf"))
+    val e2 = intercept[IllegalArgumentException](
+      DedupDocs.appendToMinhashIndex(corpus.limit(1), idxDir, maxDf = 3))
+    assert(e2.getMessage.contains("maxDf"))
+    // matching cap: a batch copy of the planted dup matches both sources
+    // (signatures agree because the dup shingles survive the cap on both
+    // sides; verify is symmetric capped-vs-capped)
+    val batch = Seq((106L, "x y z q r")).toDF("doc_id", "text")
+    val pairs = DedupDocs.dedupeAgainstIndex(batch, corpus, idxDir, maxDf = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((106L, 6L), (106L, 7L)), s"dup batch must match sources: $pairs")
+    // a batch that is ONLY boilerplate finds nothing: the hot shingle was
+    // dropped from the index at build, so no band can collide with it
+    val boiler = Seq((200L, "common common common common common")).toDF("doc_id", "text")
+    assert(DedupDocs.dedupeAgainstIndex(boiler, corpus, idxDir, maxDf = 4).isEmpty,
+      "boilerplate-only batch must not match a capped index")
+  }
+
   test("incremental dedup finds batch-vs-corpus duplicates via the stored index") {
     val corpus = docs.limit(60)
     val idxDir = tempDir("mh-idx").resolve("idx").toString

@@ -73,6 +73,22 @@ class PlanShapeSpec extends SparkSpec {
       "assignment scan must carry centroid partition filters")
   }
 
+  test("jaccardPairs df cap: the _df filter sits BELOW the shingle self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val plan = DedupDocs.jaccardPairs(docs, maxDf = 100).queryExecution.optimizedPlan
+    def hasDfFilter(p: LogicalPlan): Boolean = p.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name == "_df") => f
+    }.isDefined
+    // The cap must prune hot shingles before the df² blow-up: some join in
+    // the optimized plan must carry the _df filter in BOTH input subtrees
+    // (the shingle self-join), not above the join output.
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected joins in:\n$plan")
+    assert(joins.exists(j => hasDfFilter(j.left) && hasDfFilter(j.right)),
+      s"_df cap must filter below both sides of the shingle self-join:\n$plan")
+  }
+
   test("predicate and projection push into the base parquet scan") {
     val df = graft.Tables.load(spark, sfDir, "lineitem")
       .filter($"l_quantity" > 40).select("l_orderkey", "l_quantity")
