@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Scratch probe main (not part of the driver contract): measures ANN/IVF
+  * recall against exact top-k at a given SF dir, for calibrating the
+  * recall gates. Run:
+  * `sbt "runMain graft.Probe /root/testdata/sf0.01"`.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val qv = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = Similarity.topK(e, qv, 20).select(col("vec_id"), lit(1).as("hit"))
+    def recall(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val hits = df.select(col("vec_id")).join(exact, Seq("vec_id"), "left")
+        .agg(coalesce(sum(col("hit")), lit(0))).head().getLong(0)
+      println(s"[probe] $name hits=$hits/20")
+    }
+    recall(Similarity.annTopK(e, qv, 20, Similarity.planes(16, 64)), "ann")
+    val cents = Similarity.ivfCentroids(e, 16)
+    recall(Similarity.ivfTopK(e, qv, 20, cents, nProbe = 4), "ivf nProbe=4")
+    spark.stop()
+  }
+}

@@ -55,13 +55,14 @@ object CdcSyncCommand {
     * stream, the common case).
     *
     * Two caveats:
-    *  - the sink only sees a `checkpointLocation` set per-query via
-    *    `.option(...)`; a query checkpointed through the SESSION conf
+    *  - a query checkpointed through the SESSION conf
     *    (`spark.sql.streaming.checkpointLocation` + queryName) resolves
-    *    its checkpoint outside the options map, gets the empty namespace,
-    *    and multi-stream batch-id collisions are NOT protected — set
-    *    this key (or a per-query checkpointLocation option) explicitly
-    *    when several streams share one table;
+    *    its checkpoint outside the options map; [[graft.sources.CdcLakeSink]]
+    *    closes that hole by injecting the active query's RESOLVED
+    *    checkpoint root before calling [[run]]. Only a stream with no
+    *    checkpoint at all (temp checkpoint, deleted on stop) falls back to
+    *    the empty namespace — such a stream has no cross-run replay
+    *    contract to protect anyway;
     *  - enabling a namespace CHANGES the commit-id format: a stream
     *    upgraded in place replays its in-flight batch under the new id
     *    and re-applies it. Drain the stream (let its last batch commit)

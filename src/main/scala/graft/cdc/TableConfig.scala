@@ -22,6 +22,11 @@ package graft.cdc
   *  - `<db>.<table>.partition.field` — optional payload column to
   *    partition the lake table by (mirrors
   *    `hoodie.datasource.write.partitionpath.field`).
+  *  - `<db>.<table>.keygen.class` — optional keygenerator DECLARATION
+  *    (mirrors `hoodie.datasource.write.keygenerator.class`, README.md:59):
+  *    Nonpartitioned / Simple / ComplexKeyGenerator validate the
+  *    key+partition options against the derivation this engine performs;
+  *    unknown classes fail loudly instead of being silently ignored.
   *  - `<db>.<table>.bloom.enable` — build bloom sidecars on write (default
   *    true; disable to trade `lookup()` key pruning for write latency).
   *  - `<db>.<table>.write.operation` — `upsert` (default) or `insert`:
@@ -78,13 +83,14 @@ object TableConfig {
     RecordKeySuffix -> "hoodie.datasource.write.recordkey.field",
     "path" -> "hoodie.base.path",
     "dedup.tiebreak.field" -> "hoodie.datasource.write.precombine.field",
-    "partition.field" -> "hoodie.datasource.write.partitionpath.field")
+    "partition.field" -> "hoodie.datasource.write.partitionpath.field",
+    "keygen.class" -> "hoodie.datasource.write.keygenerator.class")
 
   private val Recognized: Set[String] = Set(
     RecordKeySuffix, "path", "transformer.sql", "transformer.class",
     "timestampFormat", "buckets", "files.per.bucket", "partition.field",
-    "dedup.tiebreak.field", "bloom.enable", "write.operation") ++
-    RefAliases.values
+    "dedup.tiebreak.field", "bloom.enable", "write.operation",
+    "keygen.class") ++ RefAliases.values
 
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
@@ -113,6 +119,46 @@ object TableConfig {
       .getOrElse(throw new IllegalArgumentException(
         s"table [$db.$table] path is empty, $PathTemplateKey must be required!"))
 
+    // Keygenerator interpretation (VERDICT r6 #5): the reference passes
+    // `hoodie.datasource.write.keygenerator.class` straight to Hudi
+    // (README.md:59,65); here the class name is a VALIDATED declaration of
+    // the key/partition-path derivation this engine already performs —
+    // configs that would change Hudi's derivation (a keygen we don't
+    // emulate, or options contradicting the declared keygen) fail loudly
+    // instead of silently writing a different layout.
+    val partitionFieldOpt = get("partition.field").filter(_.nonEmpty)
+    get("keygen.class").map(_.trim).filter(_.nonEmpty).foreach { cls =>
+      cls.substring(cls.lastIndexOf('.') + 1) match {
+        case "NonpartitionedKeyGenerator" =>
+          // Keys from recordkey.field, NO partition path — the engine's
+          // default behavior. A partition.field alongside it contradicts
+          // the declared layout.
+          if (partitionFieldOpt.nonEmpty)
+            throw new IllegalArgumentException(
+              s"table [$db.$table]: NonpartitionedKeyGenerator contradicts " +
+                s"partition.field=[${partitionFieldOpt.get}] — drop one of the two!")
+        case "SimpleKeyGenerator" =>
+          // Hudi's default: exactly one record key + one partition field.
+          if (recordKeys.size != 1)
+            throw new IllegalArgumentException(
+              s"table [$db.$table]: SimpleKeyGenerator requires exactly one " +
+                s"recordkey field, got [${recordKeys.mkString(",")}] — use " +
+                "ComplexKeyGenerator for composite keys!")
+          if (partitionFieldOpt.isEmpty)
+            throw new IllegalArgumentException(
+              s"table [$db.$table]: SimpleKeyGenerator requires a " +
+                "partition.field (hoodie.datasource.write.partitionpath.field)!")
+        case "ComplexKeyGenerator" =>
+          // Composite record keys, optional partition fields — both native.
+          ()
+        case other =>
+          throw new IllegalArgumentException(
+            s"table [$db.$table]: unsupported keygenerator class [$cls] — " +
+              "supported: NonpartitionedKeyGenerator, SimpleKeyGenerator, " +
+              s"ComplexKeyGenerator (got [$other])!")
+      }
+    }
+
     TableConfig(
       db = db,
       table = table,
@@ -124,7 +170,7 @@ object TableConfig {
       timestampFormat = scoped.getOrElse("timestampFormat", Envelope.DefaultTimestampFormat),
       numBuckets = scoped.get("buckets").map(_.toInt).getOrElse(DefaultNumBuckets),
       filesPerBucket = scoped.get("files.per.bucket").map(_.toInt).getOrElse(1),
-      partitionField = get("partition.field").filter(_.nonEmpty),
+      partitionField = partitionFieldOpt,
       tiebreakField = get("dedup.tiebreak.field").filter(_.nonEmpty),
       bloomEnable = scoped.get("bloom.enable").forall(_.toBoolean),
       operation = scoped.getOrElse("write.operation", "upsert") match {

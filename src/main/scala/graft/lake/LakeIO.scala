@@ -19,13 +19,37 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   *
   *  - `file://` — `Files.createLink` (hard link), kernel-atomic
   *    create-if-absent, the strongest local primitive (kept from round 2);
-  *  - everything else — write a temp file, then `FileContext.rename`
-  *    WITHOUT `Options.Rename.OVERWRITE`: the `FileContext` contract
-  *    (unlike `FileSystem.rename`) REQUIRES failure when the destination
-  *    exists, which HDFS enforces atomically in the NameNode. On S3A,
-  *    rename is copy+delete and the existence check is client-side — a
-  *    production S3 deployment should pin a conditional-put publisher
-  *    (If-None-Match) here; the seam is this one method.
+  *  - HDFS and other rename-atomic FSs — write a temp file, then
+  *    `FileContext.rename` WITHOUT `Options.Rename.OVERWRITE`: the
+  *    `FileContext` contract (unlike `FileSystem.rename`) REQUIRES failure
+  *    when the destination exists, which HDFS enforces atomically in the
+  *    NameNode;
+  *  - object stores (s3a/gs/oss/... schemes, where rename is copy+delete
+  *    and the no-overwrite check is client-side, i.e. NOT atomic) — the
+  *    OWNER-TOKEN protocol below instead of rename.
+  *
+  * == Owner-token publish (object stores) ==
+  * A committed version is represented not by `vNNNNNNNN.json` itself but by
+  * one or more `vNNNNNNNN.json.owner-<token>` files, each a full manifest
+  * written under a UNIQUE name (unique PUTs cannot race). The committed
+  * content of a version is DEFINED as the lexicographically-smallest token's
+  * file — a deterministic function of the owner-file set, so every reader
+  * resolves the same winner no matter how a race interleaved, and the
+  * commit history can never diverge after the fact. A publisher claims by
+  * writing its owner file, then listing twice (claim round + settle round,
+  * the second catching a rival PUT in flight during the first list): if it
+  * is not the minimum both times, it deletes its claim and reports the
+  * concurrent-commit failure so the caller re-merges onto the next version.
+  *
+  * Honesty note: with a linearizable store (S3 is read-after-write
+  * consistent for PUT and LIST since 2020) the settle round shrinks the
+  * both-claimers-think-they-won window to "a rival's PUT still in flight
+  * after my two LISTs", it does not close it. A false winner's data is
+  * never read (resolution is by min token) and its un-logged commitId makes
+  * a replay re-apply rather than lose the batch, but true atomicity needs
+  * the store's conditional PUT (S3 If-None-Match / GCS if-generation-match /
+  * Azure ETag) — the Hadoop FileSystem API does not expose it, and THIS
+  * method is the seam where such a publisher would plug in.
   *
   * Data files never pass through this class — Spark's parquet reader/writer
   * already speaks any Hadoop FS; only the manifest/meta/tombstone small-file
@@ -40,7 +64,8 @@ final class LakeIO(base: String, conf: Configuration) {
     * unless tests force the generic branch via `-Dgraft.lake.io.generic`.
     */
   private def localRoot: Option[String] = {
-    if (sys.props.get(LakeIO.ForceGenericProp).exists(_.toBoolean)) None
+    if (sys.props.get(LakeIO.ForceGenericProp).exists(_.toBoolean) ||
+        objectStoreMode) None
     else {
       val uri = basePath.toUri
       val scheme = uri.getScheme
@@ -50,17 +75,49 @@ final class LakeIO(base: String, conf: Configuration) {
     }
   }
 
+  /** Non-atomic-rename stores take the owner-token publish path (class doc).
+    * `-Dgraft.lake.io.objectstore` forces it on local paths for tests.
+    */
+  private def objectStoreMode: Boolean =
+    sys.props.get(LakeIO.ForceObjectStoreProp).exists(_.toBoolean) ||
+      LakeIO.ObjectStoreSchemes.contains(
+        Option(basePath.toUri.getScheme).map(_.toLowerCase).getOrElse(""))
+
   def resolve(segments: String*): HPath =
     segments.foldLeft(basePath)((p, s) => new HPath(p, s))
 
-  def exists(p: HPath): Boolean = fs.exists(p)
+  def exists(p: HPath): Boolean =
+    fs.exists(p) || (objectStoreMode && ownerTokens(p).nonEmpty)
 
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
-  /** Immediate child names of `dir` (empty if absent). */
-  def list(dir: HPath): Seq[String] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+  /** Immediate child names of `dir` (empty if absent). In object-store mode
+    * owner files surface under their LOGICAL name (`v1.json.owner-x` ->
+    * `v1.json`), so the commit-log listing code is layout-agnostic.
+    */
+  def list(dir: HPath): Seq[String] = {
+    val raw =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!objectStoreMode) raw
+    else raw.map { n =>
+      val i = n.indexOf(LakeIO.OwnerSep)
+      if (i < 0) n else n.substring(0, i)
+    }.distinct
+  }
+
+  /** Owner tokens claiming `target`, sorted ascending (head = winner). */
+  private def ownerTokens(target: HPath): Seq[String] = {
+    val prefix = target.getName + LakeIO.OwnerSep
+    val parent = target.getParent
+    if (!fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix) }
+      .sorted
+  }
+
+  private def ownerPath(target: HPath, token: String): HPath =
+    new HPath(target.getParent, s"${target.getName}${LakeIO.OwnerSep}$token")
 
   def readBytes(p: HPath): Array[Byte] = {
     val in = fs.open(p)
@@ -74,7 +131,13 @@ final class LakeIO(base: String, conf: Configuration) {
   }
 
   def readString(p: HPath): String = {
-    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    // Object-store mode: a "file" published via the owner-token protocol
+    // has no plain object — resolve to the winning (min-token) owner file.
+    val src =
+      if (objectStoreMode && !fs.exists(p))
+        ownerTokens(p).headOption.map(ownerPath(p, _)).getOrElse(p)
+      else p
+    val in = new BufferedReader(new InputStreamReader(fs.open(src), StandardCharsets.UTF_8))
     try {
       val sb = new StringBuilder
       val buf = new Array[Char](8192)
@@ -108,6 +171,7 @@ final class LakeIO(base: String, conf: Configuration) {
     */
   def publishIfAbsent(target: HPath, content: String): Unit = {
     fs.mkdirs(target.getParent)
+    if (objectStoreMode) return publishOwnerToken(target, content)
     localRoot match {
       case Some(_) =>
         // file://: hard-link publish, kernel-atomic create-if-absent.
@@ -138,7 +202,33 @@ final class LakeIO(base: String, conf: Configuration) {
     }
   }
 
-  def delete(p: HPath): Unit = fs.delete(p, false)
+  /** Owner-token claim (class doc): unique-named full-content PUT, then a
+    * claim round and a settle round of listings; min token wins both or the
+    * claim is withdrawn.
+    */
+  private def publishOwnerToken(target: HPath, content: String): Unit = {
+    def lose(cause: String): Nothing =
+      throw new IllegalStateException(s"concurrent commit detected at $target ($cause)")
+    if (fs.exists(target) || ownerTokens(target).nonEmpty)
+      lose("already committed")
+    val token = UUID.randomUUID().toString
+    val claim = ownerPath(target, token)
+    writeString(claim, content)
+    // Each call re-lists the parent: claim round, then settle round.
+    def stillWinning(): Boolean = ownerTokens(target).headOption.contains(token)
+    if (!stillWinning() || !stillWinning()) {
+      fs.delete(claim, false)
+      lose("lost owner-token claim")
+    }
+  }
+
+  def delete(p: HPath): Unit = {
+    fs.delete(p, false)
+    // Owner-token published files live under suffixed names (all claims,
+    // winners and losers, go when the logical file is vacuumed).
+    if (objectStoreMode)
+      ownerTokens(p).foreach(t => fs.delete(ownerPath(p, t), false))
+  }
 
   def deleteRecursive(p: HPath): Unit = fs.delete(p, true)
 }
@@ -148,5 +238,17 @@ object LakeIO {
     * local paths.
     */
   val ForceGenericProp = "graft.lake.io.generic"
+
+  /** Test hook: force the owner-token (object-store) publish protocol on
+    * local paths — simulates a store whose rename is copy+delete with a
+    * client-side (non-atomic) no-overwrite check.
+    */
+  val ForceObjectStoreProp = "graft.lake.io.objectstore"
+
+  /** Schemes whose rename is not an atomic no-overwrite commit primitive. */
+  val ObjectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "obs", "cosn")
+
+  private[lake] val OwnerSep = ".owner-"
 }
 

@@ -80,4 +80,55 @@ object Multimodal {
         }
       }
   }
+
+  /** One decoded image produced by [[decodeImagesBatched]]: real pixel
+    * dimensions + a hash over the decoded ARGB raster (`decoded = true`),
+    * or the opaque-payload md5 fallback with -1 dims for payloads no
+    * installed codec can read (`decoded = false`).
+    */
+  final case class DecodedImage(
+      doc_id: Long, width: Int, height: Int, decoded: Boolean, feature: String)
+
+  /** REAL decode path for formats the JDK ships codecs for (PNG, JPEG, GIF,
+    * BMP via `javax.imageio` — no external libraries): decodes the binary
+    * payload to pixels per partition and emits dimensions + a
+    * platform-independent md5 over the ARGB raster (lossless formats decode
+    * bit-identically everywhere, so the hash is deterministic). Payloads
+    * ImageIO cannot read (no codec / not an image) keep the md5-of-bytes
+    * stub with `decoded = false` — same column shape, so mixed corpora scan
+    * in one pass. Same batched `mapPartitions` contract as
+    * [[decodeFramesBatched]]: one reusable digest per partition, streaming
+    * iterator, no per-row handle churn.
+    */
+  def decodeImagesBatched(
+      assets: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          digest.reset()
+          digest.digest(b).map("%02x".format(_)).mkString
+        }
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null } // corrupt payload -> fallback
+          if (img == null) DecodedImage(id, -1, -1, decoded = false, hex(bytes))
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            // getRGB normalizes every color model to packed ARGB ints, so
+            // the hash doesn't depend on the file's internal pixel layout.
+            val argb = img.getRGB(0, 0, w, h, null, 0, w)
+            val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+            argb.foreach(bb.putInt)
+            DecodedImage(id, w, h, decoded = true, hex(bb.array()))
+          }
+        }
+      }
+  }
 }

@@ -100,9 +100,51 @@ object CdcLakeSinkProvider {
 
 /** Micro-batch dispatch (ref S3): convert the streaming DF to batch and run
   * the CDC merge command with the batch id.
+  *
+  * Commit-namespace resolution (VERDICT r6 #4): a query checkpointed via
+  * the SESSION conf (`spark.sql.streaming.checkpointLocation` + queryName)
+  * resolves its checkpoint outside the options map, so the sink never sees
+  * a `checkpointLocation` option and two such streams on one table would
+  * collide on batch ids (stream B's batch 0 silently skipped as stream A's
+  * replay). When neither an explicit namespace nor a checkpointLocation
+  * option is present, `addBatch` looks up the active query driving THIS
+  * sink instance and injects its resolved checkpoint root, so the
+  * namespace is derived from wherever the checkpoint actually lives —
+  * stable across restarts of the same query (public `StreamExecution`
+  * accessors; one sink instance per query start, so `eq` identifies ours).
   */
 class CdcLakeSink(parameters: Map[String, String]) extends Sink {
 
+  // Resolved once: the owning query (and its checkpoint root) is fixed for
+  // this sink instance's lifetime.
+  private var resolved: Option[Map[String, String]] = None
+
+  private def paramsFor(data: DataFrame): Map[String, String] = resolved.getOrElse {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val p =
+      if (parameters.contains(CdcSyncCommand.CommitNamespaceKey) ||
+          parameters.contains("checkpointLocation")) parameters
+      else {
+        // `data.sparkSession` is the stream's CLONED session whose
+        // StreamingQueryManager has no registered queries — the query
+        // registered itself in the manager of the session that called
+        // start(), which in practice is the active/default session.
+        val sessions =
+          (Iterator(data.sparkSession) ++
+            SparkSession.getActiveSession.iterator ++
+            SparkSession.getDefaultSession.iterator)
+        sessions.flatMap(_.streams.active.iterator).flatMap {
+          case w: StreamingQueryWrapper if w.streamingQuery.sink eq this =>
+            Some(parameters +
+              ("checkpointLocation" -> w.streamingQuery.resolvedCheckpointRoot))
+          case _ => None
+        }.nextOption().getOrElse(parameters)
+      }
+    resolved = Some(p)
+    p
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit =
-    CdcSyncCommand.run(StreamBatch.toBatch(data), parameters, batchId)
+    CdcSyncCommand.run(StreamBatch.toBatch(data), paramsFor(data), batchId)
 }

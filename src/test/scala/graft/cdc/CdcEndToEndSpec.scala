@@ -193,6 +193,85 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "ann", None), (2L, "bob", Some("b@x"))))
   }
 
+  test("reference README option block runs verbatim (keygenerator declared)") {
+    // The per-table block from /root/reference/README.md:46-65, unchanged
+    // except the paths point at the test dir: hoodie.base.path,
+    // hoodie.table.name, recordkey/precombine fields, and
+    // keygenerator.class=NonpartitionedKeyGenerator must all be accepted
+    // with their reference names (VERDICT r6 #5).
+    val root = tempDir("cdc-").toString
+    val opts = Map(
+      "option.hoodie.path" -> s"$root/{db}/ods_{db}_{table}",
+      "db_issue_clear.person.hoodie.base.path" -> s"$root/db_issue_clear/ods_db_issue_clear_person",
+      "db_issue_clear.person.hoodie.table.name" -> "ods_db_issue_clear_person",
+      "db_issue_clear.person.hoodie.datasource.write.recordkey.field" -> "id",
+      "db_issue_clear.person.hoodie.datasource.write.precombine.field" -> "id",
+      "db_issue_clear.person.hoodie.datasource.write.keygenerator.class" ->
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator",
+      "db_issue_clear.student.hoodie.base.path" -> s"$root/db_issue_clear/ods_db_issue_clear_student",
+      "db_issue_clear.student.hoodie.table.name" -> "ods_db_issue_clear_student",
+      "db_issue_clear.student.hoodie.datasource.write.recordkey.field" -> "id",
+      "db_issue_clear.student.hoodie.datasource.write.precombine.field" -> "id",
+      "db_issue_clear.student.hoodie.datasource.write.keygenerator.class" ->
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator")
+    val batch = Seq(
+      env("db_issue_clear", "person", personSchema, 1L, "upsert",
+        Seq("""{"id":1,"name":"ann","age":30}""")),
+      env("db_issue_clear", "student", personSchema, 1L, "upsert",
+        Seq("""{"id":7,"name":"stu","age":20}""")))
+    CdcSyncCommand.run(batch.toDF("value"), opts, batchId = 0L)
+    val person = new LakeTable(spark,
+      s"$root/db_issue_clear/ods_db_issue_clear_person").snapshot
+    val student = new LakeTable(spark,
+      s"$root/db_issue_clear/ods_db_issue_clear_student").snapshot
+    assert(person.select("id", "name").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "ann")))
+    assert(student.select("id", "name").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "stu")))
+  }
+
+  test("keygenerator declarations validate instead of being silently ignored") {
+    def resolve(extra: (String, String)*): TableConfig =
+      TableConfig.resolve(
+        Map("option.lake.path" -> "/tmp/{db}/{table}",
+          "db.t.recordkey.field" -> "id") ++ extra, "db", "t")
+    // Unknown keygen class -> loud failure, not extras passthrough.
+    val e1 = intercept[IllegalArgumentException] {
+      resolve("db.t.hoodie.datasource.write.keygenerator.class" ->
+        "org.apache.hudi.keygen.TimestampBasedKeyGenerator")
+    }
+    assert(e1.getMessage.contains("unsupported keygenerator"))
+    // Nonpartitioned + a partition field contradict each other.
+    val e2 = intercept[IllegalArgumentException] {
+      resolve(
+        "db.t.keygen.class" -> "NonpartitionedKeyGenerator",
+        "db.t.partition.field" -> "region")
+    }
+    assert(e2.getMessage.contains("contradicts"))
+    // Simple requires exactly one key + a partition field.
+    val e3 = intercept[IllegalArgumentException] {
+      resolve(
+        "db.t.keygen.class" -> "SimpleKeyGenerator",
+        "db.t.recordkey.field" -> "id,name")
+    }
+    assert(e3.getMessage.contains("exactly one"))
+    val e4 = intercept[IllegalArgumentException] {
+      resolve("db.t.keygen.class" -> "SimpleKeyGenerator")
+    }
+    assert(e4.getMessage.contains("partition.field"))
+    // The two supported layouts resolve cleanly.
+    assert(resolve("db.t.keygen.class" -> "NonpartitionedKeyGenerator")
+      .partitionField.isEmpty)
+    val complex = resolve(
+      "db.t.keygen.class" -> "org.apache.hudi.keygen.ComplexKeyGenerator",
+      "db.t.recordkey.field" -> "id,name")
+    assert(complex.recordKeyFields == Seq("id", "name"))
+    val simple = resolve(
+      "db.t.keygen.class" -> "SimpleKeyGenerator",
+      "db.t.partition.field" -> "region")
+    assert(simple.partitionField.contains("region"))
+  }
+
   test("transformer hook applies per-table SQL before the merge") {
     val root = tempDir("cdc-").toString
     val opts = options(root) +

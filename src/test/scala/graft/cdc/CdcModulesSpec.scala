@@ -214,7 +214,8 @@ class CdcModulesSpec extends SparkSpec {
     assert(cfg.transformerSql.contains("SELECT * FROM <SRC>"))
     // unanticipated per-table knobs flow through to extras (passthrough)
     assert(cfg.extras("hoodie.table.name") == "ods_db_issue_clear_person")
-    assert(cfg.extras.contains("hoodie.datasource.write.keygenerator.class"))
+    // keygenerator.class is INTERPRETED (validated declaration), not extras
+    assert(!cfg.extras.contains("hoodie.datasource.write.keygenerator.class"))
     assert(!cfg.extras.contains("hoodie.base.path"), "recognized aliases are not extras")
     // option.hoodie.path templating kicks in without the explicit base path
     val cfg2 = TableConfig.resolve(

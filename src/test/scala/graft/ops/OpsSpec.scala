@@ -393,4 +393,40 @@ class OpsSpec extends SparkSpec {
       .collect().map(f => (f.doc_id, f.frame_idx, f.feature)).sortBy(r => (r._1, r._2))
     assert(batched.toSeq == exprSide.toSeq)
   }
+
+  test("decodeImagesBatched decodes real PNG pixels; opaque payloads fall back to the stub") {
+    // Deterministic generated PNGs: the JDK ships the codec (javax.imageio),
+    // so this is a REAL decode — width/height/raster come from pixel data,
+    // not metadata. Expected values computed driver-side from the same
+    // BufferedImage before encoding.
+    def png(seed: Int, w: Int, h: Int): (Array[Byte], String) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 31 + x * 7 + y * 13) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+      argb.foreach(bb.putInt)
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(bb.array()).map("%02x".format(_)).mkString
+      (out.toByteArray, expected)
+    }
+    val (png1, hash1) = png(1, 5, 3)
+    val (png2, hash2) = png(2, 8, 8)
+    val opaque = "not an image".getBytes("UTF-8")
+    val opaqueHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(opaque).map("%02x".format(_)).mkString
+    val assets = Seq((1L, png1), (2L, png2), (3L, opaque))
+      .toDF("doc_id", "payload").repartition(3)
+    val got = Multimodal.decodeImagesBatched(assets)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).width == 5 && got(1L).height == 3 && got(1L).decoded)
+    assert(got(1L).feature == hash1)
+    assert(got(2L).width == 8 && got(2L).height == 8 && got(2L).decoded)
+    assert(got(2L).feature == hash2)
+    // Non-image payload: dims -1, md5-of-bytes stub, flagged undecoded.
+    assert(got(3L).width == -1 && !got(3L).decoded && got(3L).feature == opaqueHash)
+  }
 }

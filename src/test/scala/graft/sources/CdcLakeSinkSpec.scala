@@ -108,6 +108,55 @@ class CdcLakeSinkSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "ann")))
   }
 
+  test("two session-conf-checkpointed streams on one table both make progress") {
+    // Neither stream passes a checkpointLocation OPTION: the checkpoint is
+    // resolved from the session conf + queryName, which the sink can't see
+    // in its options map. The sink must still derive distinct commit
+    // namespaces (from the active query's resolved checkpoint root) or
+    // stream B's batch 0 is silently skipped as a replay of stream A's.
+    implicit val sqlCtx = spark.sqlContext
+    val root = tempDir("sink-").toString
+    spark.conf.set("spark.sql.streaming.checkpointLocation", s"$root/_session_ckpt")
+    try {
+      def start(input: MemoryStream[String], name: String) = input.toDF().writeStream
+        .format("cdc-lake")
+        .queryName(name)
+        .option("option.lake.path", s"$root/{db}/{table}")
+        .option("db.person.recordkey.field", "id")
+        .option("db.person.buckets", "4")
+        .start()
+
+      val inA = MemoryStream[String]; val inB = MemoryStream[String]
+      val qA = start(inA, "streamA"); val qB = start(inB, "streamB")
+      try {
+        inA.addData(env(1L, "upsert", """{"id":1,"name":"from-a"}"""))
+        qA.processAllAvailable()
+        // B's batch 0 lands AFTER A's batch 0 committed — without a
+        // namespace its commit id would collide and be dropped.
+        inB.addData(env(2L, "upsert", """{"id":2,"name":"from-b"}"""))
+        qB.processAllAvailable()
+      } finally { qA.stop(); qB.stop() }
+
+      val got = new LakeTable(spark, s"$root/db/person", 4).snapshot
+        .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "from-a"), (2L, "from-b")))
+
+      // Restart A against its session-conf checkpoint: the re-offered batch
+      // must be skipped (same resolved checkpoint root -> same namespace ->
+      // replay idempotency still holds across restarts).
+      val inA2 = MemoryStream[String]
+      inA2.addData(env(1L, "upsert", """{"id":1,"name":"REPLAY"}"""))
+      val qA2 = start(inA2, "streamA")
+      try {
+        inA2.addData(env(5L, "upsert", """{"id":1,"name":"a-v2"}"""))
+        qA2.processAllAvailable()
+      } finally qA2.stop()
+      val after = new LakeTable(spark, s"$root/db/person", 4).snapshot
+        .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+      assert(after.toSeq == Seq((1L, "a-v2"), (2L, "from-b")))
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("Sink.addBatch with a replayed batchId is a no-op (provider-level)") {
     val root = tempDir("sink-").toString
     val params = Map(
