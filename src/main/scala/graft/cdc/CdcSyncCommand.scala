@@ -70,6 +70,15 @@ object CdcSyncCommand {
     *    any commit-protocol setting.
     */
   val CommitNamespaceKey = "option.commit.namespace"
+  /** Register each synced table in the Spark session catalog after the
+    * merge (the reference passes `hoodie.datasource.hive_sync.*` through
+    * to Hudi's Hive sync; graft tables are path-addressed, so the
+    * equivalent is an EXTERNAL datasource table over the `cdc-lake`
+    * relation provider — `spark.table("db.t")` / SQL then always reads
+    * the current snapshot). Global key; the reference's per-table
+    * `hoodie.datasource.hive_sync.enable` extra works as a synonym.
+    */
+  val CatalogSyncKey = "option.catalog.sync"
 
   private[cdc] def commitNamespace(options: Map[String, String]): String =
     options.get(CommitNamespaceKey)
@@ -292,6 +301,54 @@ object CdcSyncCommand {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
       }
+      // Catalog sync (driver-side, after all merges land): cheap no-op when
+      // the registration is already valid.
+      val globalSync = options.get(CatalogSyncKey).exists(_.toBoolean)
+      metas.foreach { case (db, table, _) =>
+        val cfg = configs((db, table))
+        val enabled = globalSync ||
+          cfg.extras.get("hoodie.datasource.hive_sync.enable").exists(_.toBoolean)
+        if (enabled) syncCatalog(spark, cfg)
+      }
     } finally records.unpersist()
+  }
+
+  /** Register `cfg`'s lake table in the session catalog as an external
+    * datasource table (`USING cdc-lake`) named by the reference's
+    * hive-sync options when present (`hive_sync.database` /
+    * `hive_sync.table` / `hoodie.table.name`), else `<db>.<table>`.
+    *
+    * Spark persists the creation-time schema for v1 datasource tables and
+    * re-checks it against the relation on every read, so a schema-widening
+    * commit (int->long) invalidates the registration — detected here by
+    * resolving the table, and repaired by re-registering (the same
+    * alter-on-change shape as Hudi's Hive sync).
+    */
+  private[cdc] def syncCatalog(spark: SparkSession, cfg: TableConfig): Unit = {
+    val db = cfg.extras.getOrElse("hoodie.datasource.hive_sync.database", cfg.db)
+    val tbl = cfg.extras.getOrElse(
+      "hoodie.datasource.hive_sync.table",
+      cfg.extras.getOrElse("hoodie.table.name", cfg.table))
+    val ident = s"`$db`.`$tbl`"
+    def create(): Unit = spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $ident
+         |USING `${graft.sources.CdcLakeSinkProvider.ShortName}`
+         |OPTIONS (path '${cfg.path}', buckets '${cfg.numBuckets}')""".stripMargin)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    if (!spark.catalog.tableExists(db, tbl)) create()
+    else {
+      // Drop the session's cached LogicalRelation first: without this a
+      // reader keeps the relation (and snapshot) resolved BEFORE this
+      // batch's commit, and the drift check below would test the cache,
+      // not the stored schema.
+      spark.catalog.refreshTable(ident)
+      val resolvable =
+        try { spark.table(ident).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!resolvable) { // stored schema drifted from the lake's (widening)
+        spark.sql(s"DROP TABLE IF EXISTS $ident")
+        create()
+      }
+    }
   }
 }

@@ -71,6 +71,25 @@ object DedupDocs {
       .filter(col("_df") <= maxDf)
       .drop("_df")
 
+  /** Same cap as [[capDf]], shaped for consumers that do NOT already
+    * shuffle on `shingle`: an anti-join against the hot-shingle list
+    * instead of a window. The window form re-sorts every shingle row —
+    * free in [[jaccardPairs]] whose pinned exchange + sort-merge self-join
+    * need exactly that partitioning, pure overhead in the minhash paths
+    * whose next operation groups by DOC id (measured r8: q28 6.5 s with
+    * the window vs 2.5 s with the anti-join at sf0.1). The hot list is
+    * tiny by construction (shingles with df > cap — boilerplate, license
+    * blocks), so AQE picks a broadcast anti-join and the shingle stream
+    * is never reshuffled; its count-distinct aggregation is map-side
+    * combinable, a fraction of the window's full sort.
+    */
+  private def capDfAnti(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("shingle"),
+      Seq("shingle"), "left_anti")
+
   /** Exact Jaccard >= num/den pairs via the inverted index:
     * co-occurrence counts from a shingle self-join, set sizes from a
     * per-doc count, `jac = c / (na + nb - c)`.
@@ -248,7 +267,7 @@ object DedupDocs {
       bands: Int = 16,
       maxDf: Int = Int.MaxValue): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    bandedFromShingles(capDf(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
+    bandedFromShingles(capDfAnti(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one file per band dir (see writeAnnIndex)
       .write.mode("overwrite").partitionBy("band").parquet(path)
     IndexMeta.write(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
@@ -294,7 +313,7 @@ object DedupDocs {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
     bandedFromShingles(
-        capDf(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
+        capDfAnti(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one appended file per band dir
       .write.mode("append").partitionBy("band").parquet(path)
   }
@@ -336,7 +355,7 @@ object DedupDocs {
     // shingle space here and within the candidate-corpus space at verify —
     // per-unit populations, the no-global-state approximation documented
     // on minhashMeta.
-    val bsh = capDf(shingles(batch, idCol, textCol, n), maxDf)
+    val bsh = capDfAnti(shingles(batch, idCol, textCol, n), maxDf)
     val bIdx = bandedFromShingles(bsh, idCol, numHashes, bands)
     val cIdx = batch.sparkSession.read.parquet(indexPath)
     val cand = bIdx.as("b")
@@ -350,7 +369,7 @@ object DedupDocs {
       cand.select(col("d2")).distinct().withColumnRenamed("d2", idCol), Seq(idCol))
     // Same cap as the batch side, so the verify Jaccard is symmetric
     // (capped s1 vs capped s2) — df counted within the candidate set.
-    val cSets = capDf(shingles(candCorpus, idCol, textCol, n), maxDf)
+    val cSets = capDfAnti(shingles(candCorpus, idCol, textCol, n), maxDf)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
       .withColumnRenamed(idCol, "d2")
     cand.join(bSets, "d1").join(cSets, "d2")
@@ -387,7 +406,7 @@ object DedupDocs {
     // One shingle subplan feeds signature building AND the exact
     // verification sets — the distinct shuffle is shared via AQE stage
     // reuse (see jaccardPairs).
-    val sh = capDf(shingles(docs, idCol, textCol, n), maxDf)
+    val sh = capDfAnti(shingles(docs, idCol, textCol, n), maxDf)
     val cand = candidatesFromShingles(sh, idCol, numHashes, bands)
     val sets = sh
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))

@@ -272,6 +272,47 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(simple.partitionField.contains("region"))
   }
 
+  test("catalog sync registers lake tables; schema widening re-registers") {
+    // The reference's hoodie.datasource.hive_sync surface: after the merge,
+    // spark.table / SQL must see the current snapshot through the catalog.
+    val root = tempDir("cdc-").toString
+    val opts = options(root) ++ Map(
+      "option.catalog.sync" -> "true",
+      // reference-style per-table hive-sync naming flows through extras
+      "db.person.hoodie.datasource.hive_sync.table" -> "ods_person")
+    val narrow = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("age", IntegerType))).json
+    CdcSyncCommand.run(
+      Seq(env("db", "person", narrow, 1L, "upsert",
+        Seq("""{"id":1,"name":"ann","age":30}"""))).toDF("value"),
+      opts, batchId = 0L)
+    assert(spark.catalog.tableExists("db", "ods_person"))
+    assert(spark.sql("SELECT name FROM db.ods_person").as[String].collect().toSeq
+      == Seq("ann"))
+
+    // Widen age int->long via in-band schema drift: the stored catalog
+    // schema goes stale; the next synced batch must repair registration.
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 2L, "upsert",
+        Seq("""{"id":2,"name":"bob","age":40}"""))).toDF("value"),
+      opts, batchId = 1L)
+    val got = spark.sql("SELECT id, name, age FROM db.ods_person ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ann", 30L), (2L, "bob", 40L)))
+
+    // Per-table synonym without the global key also syncs.
+    CdcSyncCommand.run(
+      Seq(env("db", "city", citySchema, 1L, "upsert",
+        Seq("""{"code":"ber","pop":3600000}"""))).toDF("value"),
+      options(root) + ("db.city.hoodie.datasource.hive_sync.enable" -> "true"),
+      batchId = 0L)
+    assert(spark.catalog.tableExists("db", "city"))
+    assert(spark.sql("SELECT pop FROM db.city").as[Long].collect().toSeq
+      == Seq(3600000L))
+  }
+
   test("transformer hook applies per-table SQL before the merge") {
     val root = tempDir("cdc-").toString
     val opts = options(root) +
