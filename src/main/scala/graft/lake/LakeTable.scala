@@ -136,11 +136,29 @@ final class LakeTable(
     * side — carried-forward buckets cannot contain changes, so the diff
     * cost scales with what actually changed, not table size.
     */
-  def incremental(sinceVersion: Long): DataFrame = {
+  def incremental(sinceVersion: Long): DataFrame =
+    incrementalBetween(sinceVersion, latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"empty table at $basePath")))
+
+  /** Rows changed in versions `(sinceVersion, untilVersion]` — the bounded
+    * variant backing [[graft.sources.LakeIncrementalSource]] (each
+    * micro-batch covers exactly one committed version range, so replays
+    * after a checkpoint restart are deterministic). `sinceVersion = 0`
+    * means "from the beginning": every row of `untilVersion`'s snapshot.
+    * Hard-deleted keys do not appear (copy-on-write incremental reads
+    * carry no tombstones — same contract as Hudi COW incremental
+    * queries); a vacuumed `sinceVersion` manifest fails loudly.
+    */
+  def incrementalBetween(sinceVersion: Long, untilVersion: Long): DataFrame = {
+    require(
+      versions().contains(untilVersion),
+      s"no committed version $untilVersion at $basePath")
+    val newest = readManifest(untilVersion)
+    if (sinceVersion == 0L)
+      return readBuckets(newest, newest.buckets.keySet)
     require(
       versions().contains(sinceVersion),
       s"no committed version $sinceVersion at $basePath")
-    val newest = latestManifest().get
     val old = readManifest(sinceVersion)
     val changedBuckets = newest.buckets.collect {
       case (b, dir) if !old.buckets.get(b).contains(dir) => b

@@ -2,11 +2,11 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graft.StreamBatch
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSinkProvider, TableScan}
+  StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -27,9 +27,35 @@ import graft.lake.LakeTable
   * Unlike the reference, `batchId` is propagated for idempotent replay.
   */
 class CdcLakeSinkProvider extends StreamSinkProvider
+    with StreamSourceProvider
     with CreatableRelationProvider with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = CdcLakeSinkProvider.ShortName
+
+  /** Streaming incremental read (see [[LakeIncrementalSource]]):
+    * `spark.readStream.format("cdc-lake").option("path", p).load()`.
+    * The schema comes from the table's current snapshot — the table must
+    * have at least one commit when the stream starts (a user-specified
+    * schema is rejected: rows are whatever the lake holds).
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "cdc-lake readStream derives its schema from the lake table; drop .schema(...)")
+    (CdcLakeSinkProvider.ShortName,
+      new LakeIncrementalSource(sqlContext, parameters).schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeIncrementalSource(sqlContext, parameters)
 
   override def createSink(
       sqlContext: SQLContext,

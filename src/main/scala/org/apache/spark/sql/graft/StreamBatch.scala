@@ -22,6 +22,17 @@ object StreamBatch {
     val spark = ds.sparkSession
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** The inverse direction, for v1 `Source.getBatch` implementations: a
+    * batch-planned DataFrame re-flagged streaming so MicroBatchExecution
+    * accepts it (same zero-copy `internalCreateDataFrame` shim).
+    */
+  def toStreaming(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }
 
 /** Column↔Expression bridge (`Column(expr)`/`col.expr` went internal in Spark 4). */
