@@ -421,4 +421,70 @@ object DedupDocs {
         col("d1"), col("d2"), col("c"), col("na"), col("nb"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
   }
+
+  /** Dedup GROUP assignment — connected components over a near-dup pair
+    * list (`d1`, `d2` columns, any of [[jaccardPairs]] /
+    * [[minhashVerifiedPairs]] / [[simhashNearDupPairs]]): every document
+    * gets `group_id` = the smallest doc id reachable through near-dup
+    * edges (docs in no pair are their own singleton group). This is the
+    * step after pair detection in a training-data pipeline: keep one doc
+    * per group, drop the rest.
+    *
+    * Distributed min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors — one shuffle per round
+    * (edge-label join + groupBy), labels persisted per round and the
+    * previous round unpersisted (iterative algorithms are the case where
+    * materialization IS warranted: every round is a NEW plan shape, and
+    * without it lineage re-evaluates all prior rounds). Rounds needed =
+    * the largest component's min-label eccentricity; near-dup components
+    * are dense and tiny (duplicates of one source doc), so this converges
+    * in 2-3 rounds in practice — `maxIters` bounds adversarial chains,
+    * and convergence is detected exactly (a count of changed labels per
+    * round). At 100 TB the per-round cost is one shuffle of (node, label)
+    * pairs joined against the edge list — no component is ever
+    * materialized on one machine.
+    *
+    * The returned DataFrame is backed by the final round's persisted
+    * labels; callers that keep it long-term should `.unpersist()` via
+    * `spark.sharedState`/catalog cache tooling or write it out.
+    */
+  def dupGroups(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .persist()
+    // Only edge-touched nodes can ever change label: iterate over THEM
+    // (usually a tiny fraction of the corpus — near-dup components), and
+    // attach the untouched singletons with one final left join.
+    var labels = edges.select(col("u").cast("long").as("u")).distinct()
+      .withColumn("label", col("u"))
+      .persist()
+    try {
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+          .groupBy("u").agg(min(col("nl")).as("nmin"))
+        // Carry the previous label through the round so convergence is one
+        // filter over the (persisted) round output, not an extra join.
+        val next = labels.withColumnRenamed("label", "_old")
+          .join(nbrMin, Seq("u"), "left")
+          .select(col("u"), col("_old"),
+            least(col("_old"), coalesce(col("nmin"), col("_old"))).as("label"))
+          .persist()
+        val changes = next.filter(col("label") =!= col("_old")).count()
+        labels.unpersist(blocking = false)
+        labels = next.drop("_old")
+        converged = changes == 0
+        it += 1
+      }
+      docs.select(col(idCol).cast("long").as(idCol)).distinct()
+        .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
+    } finally edges.unpersist(blocking = false)
+  }
 }

@@ -192,6 +192,38 @@ object OpsQueries {
         orderedJaccard(DedupDocs.jaccardPairs(docs(spark, dir), maxDf = JaccardMaxDf)),
       Some(duckJaccardPairs)),
 
+    // ---- dedup: GROUP assignment (connected components) ----------------
+    // The post-pair-detection step: group_id = smallest doc id reachable
+    // through >=0.5-Jaccard edges (min-label propagation, one shuffle per
+    // round; docs in no pair are singleton groups). Oracle = DuckDB
+    // recursive-CTE transitive closure over the SAME capped pair list.
+    "q52_dedup_groups" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        DedupDocs.dupGroups(d, DedupDocs.jaccardPairs(d, maxDf = JaccardMaxDf))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $duckShingles,
+           |co AS (SELECT a.doc_id d1, b.doc_id d2, CAST(count(*) AS BIGINT) c
+           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT d1, d2
+           |       FROM co JOIN cnt ca ON co.d1 = ca.doc_id
+           |               JOIN cnt cb ON co.d2 = cb.doc_id
+           |       WHERE c * 2 >= (ca.n + cb.n - c)),
+           |edges AS (SELECT d1 u, d2 v FROM pr UNION SELECT d2 u, d1 v FROM pr),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |mn AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |       CAST(CASE WHEN mn.mv IS NULL OR d.doc_id < mn.mv
+           |                 THEN d.doc_id ELSE mn.mv END AS BIGINT) AS group_id
+           |FROM documents d LEFT JOIN mn ON d.doc_id = mn.u
+           |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

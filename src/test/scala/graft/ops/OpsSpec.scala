@@ -240,6 +240,22 @@ class OpsSpec extends SparkSpec {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("dupGroups assigns min-reachable-id components; chains converge; singletons stand alone") {
+    val ds = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} via a CHAIN (1-2, 2-3 — needs multiple
+    // propagation rounds), {5,6}, singletons {4}, {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val got = DedupDocs.dupGroups(ds, pairs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a longer chain, worst case for min-label propagation: 10-11-...-15
+    val chain = (10L until 15L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val chained = DedupDocs.dupGroups((10L to 15L).toDF("doc_id"), chain)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(chained.forall(_._2 == 10L), s"chain must collapse to one group: ${chained.toSeq}")
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key distribution") {
     // 90% of rows hit one hot key
     val rows = (1 to 2000).map { i =>
