@@ -103,4 +103,42 @@ object TextStats {
 
   /** Hamming distance between two simhash values (for near-dup banding). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Per-document distinctive-term extraction — the tf-idf shape with an
+    * ENGINE-PORTABLE ranking: terms rank by `(tf DESC, df ASC, term ASC)`
+    * after dropping terms with document frequency above `maxDf`
+    * (non-discriminating vocabulary), a total order over integers+strings
+    * that any engine reproduces bit-exactly. A float `tf*ln(N/df)` score
+    * would rank identically for fixed tf whenever df is smaller — but its
+    * VALUE depends on each engine's `ln` rounding (neither `java.lang.Math
+    * .log` nor libm is correctly-rounded), so the score itself is not
+    * oracle-comparable; consumers who want the float can compute it from
+    * the emitted (tf, df) integers.
+    *
+    * One tokens pass feeds both the per-(doc, term) tf aggregation and
+    * the per-term df aggregation (shared subplan, AQE stage reuse); the
+    * rank window partitions by doc — bounded by per-doc vocabulary, no
+    * global sort.
+    */
+  def topTerms(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") <= maxDf)
+    tf.join(df, "tok")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("tf").desc, col("df").asc, col("tok").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("rank"))
+  }
 }

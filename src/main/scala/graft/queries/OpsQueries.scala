@@ -224,6 +224,28 @@ object OpsQueries {
            |FROM documents d LEFT JOIN mn ON d.doc_id = mn.u
            |ORDER BY doc_id""".stripMargin)),
 
+    // ---- text: distinctive terms (portable tf-idf shape) ---------------
+    // Integer/string-total-order ranking (tf DESC, df ASC, term ASC) after
+    // a df cap — engine-portable where a float ln-based score is not (see
+    // TextStats.topTerms).
+    "q53_top_terms" -> QueryDef(
+      (spark, dir) =>
+        TextStats.topTerms(docs(spark, dir)).orderBy("doc_id", "rank"),
+      Some(
+        """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+          |           FROM documents),
+          |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+          |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+          |       FROM tk2 GROUP BY 1, 2),
+          |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) df
+          |       FROM tk2 GROUP BY 1),
+          |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+          |             row_number() OVER (PARTITION BY tf.doc_id
+          |               ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) rn
+          |      FROM tf JOIN df USING (tok) WHERE df.df <= 100)
+          |SELECT doc_id, tok, tf, df, CAST(rn AS BIGINT) AS rank
+          |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

@@ -152,4 +152,26 @@ object EventTimeOps {
     cur.foreach(state.update)
     closedSessions.result()
   }
+
+  /** Streaming ingest dedup: emit each key ONCE, with state bounded by the
+    * watermark instead of growing forever — the shape a document-ingest
+    * pipeline needs when its upstream is at-least-once (re-crawls,
+    * retried batches). Spark-first: this is exactly
+    * `dropDuplicatesWithinWatermark`, so the whole operator compiles to
+    * the built-in streaming dedup with watermark-evicted state; the
+    * wrapper just fixes the contract (watermark BEFORE dedup, keys must
+    * not include the event-time column — including it would make
+    * re-deliveries with a fresh timestamp pass as new).
+    */
+  def dedupeStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    require(keyCols.nonEmpty && !keyCols.contains(tsCol),
+      s"dedup keys must be non-empty and exclude the event-time column $tsCol")
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 }

@@ -274,6 +274,27 @@ class OpsSpec extends SparkSpec {
 
   // ---- text stats ---------------------------------------------------------
 
+  test("topTerms ranks by (tf desc, df asc, term asc) under the df cap") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"))
+      .toDF("doc_id", "text")
+    // maxDf=1: banana/cherry (df 2) dropped; doc1 keeps apple, doc2 date.
+    val capped = TextStats.topTerms(df, k = 5, maxDf = 1)
+      .select("doc_id", "tok", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._5))
+    assert(capped.toSeq == Seq(
+      (1L, "apple", 2L, 1L, 1L),
+      (2L, "date", 1L, 1L, 1L)))
+    // uncapped: tf dominates, df breaks ties, then the term string.
+    val full = TextStats.topTerms(df, k = 2, maxDf = 100)
+      .select("doc_id", "tok", "rank")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(full.toSeq == Seq(
+      (1L, "apple", 1L), (1L, "banana", 2L), // banana ties cherry on tf+df, wins on name
+      (2L, "cherry", 1L), (2L, "date", 2L))) // date df=1 beats banana df=2 at tf=1
+  }
+
   test("withStats computes token/punct/stopword counts") {
     val df = Seq((1L, "the cat, and a dog.", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -32,6 +32,39 @@ class EventTimeOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream emits each doc id once across micro-batches (at-least-once upstream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventTimeOps.dedupeStream(
+      input.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id"), "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:00:00"), 1L, "a"),
+        (t("2024-01-01 10:00:01"), 1L, "a-dup-same-batch"),
+        (t("2024-01-01 10:00:02"), 2L, "b"))
+      q.processAllAvailable()
+      // re-delivery in a LATER batch, still within the watermark
+      input.addData(
+        (t("2024-01-01 10:00:03"), 1L, "a-dup-next-batch"),
+        (t("2024-01-01 10:00:04"), 3L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select($"doc_id", $"text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"each key exactly once, first delivery wins: ${got.toSeq}")
+    } finally q.stop()
+
+    // keys including the event-time column defeat the purpose: rejected.
+    intercept[IllegalArgumentException] {
+      EventTimeOps.dedupeStream(
+        Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDF("ts", "doc_id"),
+        Seq("doc_id", "ts"), "ts", "10 seconds")
+    }
+  }
+
   test("cross-batch out-of-order event cannot regress the open session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
