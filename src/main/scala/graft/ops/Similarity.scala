@@ -320,6 +320,53 @@ object Similarity {
       .select(embCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
+  /** Lloyd-refined centroids: hash-sampled seeds ([[ivfCentroids]])
+    * improved by `iters` distributed k-means rounds — the quality path
+    * for CLUSTERED corpora, where refined centroids align partitions with
+    * the real clusters and probed recall approaches 1.0 at nProbe << k
+    * (on isotropic data no centroid scheme helps; see the q45 notes).
+    *
+    * Each round: one [[ivfAssign]] pass (native one-pass argmax) + a
+    * per-(centroid, dimension) mean via posexplode — a shuffle of
+    * n x dim skinny rows with map-side combine, never anything
+    * driver-sized except the k x dim centroid matrix itself (which is
+    * already a broadcast literal by design). Centroids are NORMALIZED to
+    * unit length after each mean (cosine k-means — spherical); clusters
+    * that lose every member keep their previous centroid. Deterministic:
+    * seeds are deterministic, assignment is deterministic, means don't
+    * depend on row order up to float-sum association (documented: use for
+    * index building, not for oracle-hashed queries).
+    */
+  def ivfCentroidsKMeans(
+      df: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = ivfCentroids(df, k, idCol, embCol)
+    val dim = cents.headOption.map(_.length).getOrElse(return cents)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(df, cents, idCol, embCol)
+        .select(col("centroid"), posexplode(col(embCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i).clone())
+      val touched = Array.fill(k)(false)
+      means.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = r.getDouble(2)
+        touched(c) = true
+      }
+      for (i <- 0 until k if touched(i)) {
+        val n = math.sqrt(next(i).map(x => x * x).sum)
+        if (n > 0) for (p <- 0 until dim) next(i)(p) /= n
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** The query's `nProbe` nearest centroid ids (driver-side: k dot
     * products over one vector).
     */

@@ -385,6 +385,40 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((9001L, 9002L)))
   }
 
+  test("k-means-refined IVF centroids align partitions with planted clusters") {
+    // 4 well-separated directions in 8-dim, 40 noisy members each: after
+    // Lloyd refinement every ground-truth cluster must land in ONE
+    // partition (purity), and nProbe=1 must recall the exact top-k for an
+    // in-cluster query — the clustered-corpus quality story hash-sampled
+    // centroids can't tell (a random member seed may sit in a cluster's
+    // noise fringe; the refined centroid is the cluster mean).
+    val rnd = new scala.util.Random(7)
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val vecs = for {
+      (d, ci) <- dirs.zipWithIndex
+      j <- 0 until 40
+    } yield (ci * 40L + j, d.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f), ci)
+    val df = vecs.toDF("vec_id", "embedding", "truth")
+    val cents = Similarity.ivfCentroidsKMeans(df, 4, iters = 4)
+    // purity: every truth-cluster assigned to exactly one centroid, and
+    // distinct clusters to distinct centroids
+    val assign = Similarity.ivfAssign(df, cents)
+      .select($"truth", $"centroid").as[(Int, Int)].collect()
+    val byTruth = assign.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byTruth.values.forall(_.size == 1), s"impure partitions: $byTruth")
+    assert(byTruth.values.flatten.toSet.size == 4, s"merged clusters: $byTruth")
+    // nProbe=1 with refined centroids: full recall for an in-cluster query
+    val q = dirs.head.map(_.toDouble).toSeq
+    val exact = Similarity.topK(df, q, 10).select("vec_id").as[Long].collect().toSet
+    val probed = Similarity.ivfTopK(df, q, 10, cents, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed == exact, s"nProbe=1 must be exact on a pure partition")
+  }
+
   test("IVF top-k: probed search recalls most of exact top-k") {
     val cents = Similarity.ivfCentroids(embs, 8)
     assert(cents.length == 8 && cents.head.length == 64)
