@@ -24,9 +24,18 @@ object Verify {
     // single-query iteration — same contract as Bench's filter. selfcheck
     // only compares the dirs that exist, so a partial dump is comparable.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
+    // SPARK_GRAFT_EXPLAIN=1: print each selected query's formatted physical
+    // plan instead of dumping results — the plan-shape audit loop
+    // (.explain until it's the plan you'd want, not the first that passes).
+    val explainOnly = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
       .foreach { case (name, fn) =>
+        if (explainOnly) {
+          println(s"\n===== $name =====")
+          try fn(spark, sfDir).explain("formatted")
+          catch { case e: Throwable => println(s"[explain] $name failed: ${e.getMessage}") }
+        } else
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
