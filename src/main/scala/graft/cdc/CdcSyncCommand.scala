@@ -214,7 +214,8 @@ object CdcSyncCommand {
           case Some(pf) =>
             val plake = new graft.lake.PartitionedLakeTable(
               spark, cfg.path, pf, cfg.numBuckets,
-              filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable)
+              filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable,
+              zorderBy = cfg.zorderFields)
             // write.operation=insert: bulk-load fast path, no LWW merge agg
             // (ref insert/bulk_insert routing, :172-183).
             if (insertOp) plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
@@ -229,7 +230,8 @@ object CdcSyncCommand {
           case None =>
             val lake = new LakeTable(
               spark, cfg.path, cfg.numBuckets,
-              filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable)
+              filesPerBucket = cfg.filesPerBucket, zorderBy = cfg.zorderFields,
+              bloomOnWrite = cfg.bloomEnable)
             if (insertOp) lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
             else lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Deletes: key-only left-anti (ref :186-190).

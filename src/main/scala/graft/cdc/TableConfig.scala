@@ -29,6 +29,10 @@ package graft.cdc
   *    unknown classes fail loudly instead of being silently ignored.
   *  - `<db>.<table>.bloom.enable` — build bloom sidecars on write (default
   *    true; disable to trade `lookup()` key pruning for write latency).
+  *  - `<db>.<table>.zorder.fields` — exactly two comma-separated numeric
+  *    payload columns: bucket files are written clustered by their Morton
+  *    code, so parquet row-group stats prune 2-D range predicates
+  *    (mirrors `hoodie.clustering.plan.strategy.sort.columns`).
   *  - `<db>.<table>.write.operation` — `upsert` (default) or `insert`:
   *    `insert` routes batches through [[graft.lake.LakeTable.bulkInsert]]
   *    (no LWW merge aggregation — the initial-load fast path; mirrors
@@ -54,6 +58,7 @@ final case class TableConfig(
     tiebreakField: Option[String],
     bloomEnable: Boolean,
     operation: String,
+    zorderFields: Seq[String] = Nil,
     /** Unrecognized `<db>.<table>.*` keys, prefix-stripped — the generic
       * passthrough the reference gets by merging the whole user option map
       * into the Hudi writer config (`BinlogSyncHoodieCommand.scala:128-139,
@@ -84,13 +89,14 @@ object TableConfig {
     "path" -> "hoodie.base.path",
     "dedup.tiebreak.field" -> "hoodie.datasource.write.precombine.field",
     "partition.field" -> "hoodie.datasource.write.partitionpath.field",
-    "keygen.class" -> "hoodie.datasource.write.keygenerator.class")
+    "keygen.class" -> "hoodie.datasource.write.keygenerator.class",
+    "zorder.fields" -> "hoodie.clustering.plan.strategy.sort.columns")
 
   private val Recognized: Set[String] = Set(
     RecordKeySuffix, "path", "transformer.sql", "transformer.class",
     "timestampFormat", "buckets", "files.per.bucket", "partition.field",
     "dedup.tiebreak.field", "bloom.enable", "write.operation",
-    "keygen.class") ++ RefAliases.values
+    "keygen.class", "zorder.fields") ++ RefAliases.values
 
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
@@ -177,6 +183,12 @@ object TableConfig {
         case op @ ("upsert" | "insert") => op
         case bad => throw new IllegalArgumentException(
           s"config [$prefix" + s"write.operation] must be upsert|insert, got [$bad]!")
+      },
+      zorderFields = get("zorder.fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil) match {
+        case zs if zs.isEmpty || zs.size == 2 => zs
+        case bad => throw new IllegalArgumentException(
+          s"config [$prefix" + s"zorder.fields] takes exactly two columns, got [${bad.mkString(",")}]!")
       },
       extras = scoped.view.filterKeys(k => !Recognized.contains(k)).toMap)
   }

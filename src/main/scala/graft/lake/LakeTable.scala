@@ -129,6 +129,40 @@ final class LakeTable(
     readBuckets(m, m.buckets.keySet)
   }
 
+  /** Restore (rollback): publish a NEW version whose manifest replicates
+    * `version`'s — Hudi's restore/rollback shape. No data files move or
+    * are deleted; the undone versions stay time-travel-addressable until
+    * `vacuum` sweeps them, and vacuum keeps every dir the restored
+    * manifest still references. Goes through the same publish-if-absent
+    * commit protocol as writes (bounded retry on a lost race) and the same
+    * commitId idempotency (a replayed restore is a no-op). Returns the
+    * published version.
+    */
+  def restoreTo(version: Long, commitId: String = ""): Long = synchronized {
+    require(
+      !vacuumedIds.contains(version),
+      s"version $version at $basePath was vacuumed — cannot restore to it")
+    require(versions().contains(version), s"no committed version $version at $basePath")
+    if (isCommitted(commitId)) return latestVersion.get
+    val target = readManifest(version)
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val next = latestVersion.getOrElse(0L) + 1L
+      try {
+        publish(next, target.copy(version = next, commitId = commitId))
+        return next
+      } catch {
+        case _: IllegalStateException =>
+          // a concurrent writer took `next`; if it was OUR replayed
+          // commitId, the restore already happened
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"restore to $version lost the publish race $MaxCommitRetries times at $basePath")
+  }
+
   /** Incremental read: rows whose (`_key`, `_ts`) state changed after
     * `sinceVersion` — inserts and updates since that commit (deletes are
     * absent; diff keys via a left-anti the other way for tombstones).

@@ -31,7 +31,8 @@ final class PartitionedLakeTable(
     val partitionCol: String,
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
     val filesPerBucket: Int = 1,
-    val bloomOnWrite: Boolean = true) {
+    val bloomOnWrite: Boolean = true,
+    val zorderBy: Seq[String] = Nil) {
 
   private val PartPrefix = "p="
 
@@ -74,7 +75,8 @@ final class PartitionedLakeTable(
   def partitionTable(value: String): LakeTable =
     new LakeTable(
       spark, partDir(value), numBuckets,
-      filesPerBucket = filesPerBucket, bloomOnWrite = bloomOnWrite)
+      filesPerBucket = filesPerBucket, zorderBy = zorderBy,
+      bloomOnWrite = bloomOnWrite)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

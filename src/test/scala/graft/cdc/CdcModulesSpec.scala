@@ -194,6 +194,15 @@ class CdcModulesSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       TableConfig.resolve(Map("db1.t1.recordkey.field" -> "a"), "db1", "t1"))
     assert(e2.getMessage.contains("option.lake.path"))
+    // zorder.fields: exactly two columns, hoodie clustering alias accepted
+    val z = TableConfig.resolve(opts + ("db1.t1.zorder.fields" -> "x, y"), "db1", "t1")
+    assert(z.zorderFields == Seq("x", "y"))
+    val zAlias = TableConfig.resolve(
+      opts + ("db1.t1.hoodie.clustering.plan.strategy.sort.columns" -> "u,v"), "db1", "t1")
+    assert(zAlias.zorderFields == Seq("u", "v"))
+    val e3 = intercept[IllegalArgumentException](
+      TableConfig.resolve(opts + ("db1.t1.zorder.fields" -> "x"), "db1", "t1"))
+    assert(e3.getMessage.contains("zorder.fields"))
   }
 
   test("TableConfig accepts the reference's exact README option names") {

@@ -562,6 +562,38 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("restoreTo rolls back without touching data; replay idempotent; vacuum-safe") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
+    val v1 = lt.latestVersion.get
+    lt.upsert(rows(("a", 2L, "a2"), ("c", 2L, "c1")))
+    lt.delete(Seq("b").toDF(LakeTable.KeyCol))
+    val vPre = lt.latestVersion.get
+
+    val rv = lt.restoreTo(v1, commitId = "restore-1")
+    assert(rv == vPre + 1, "restore publishes a NEW version")
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a1"), ("b", "b1")), "state rolled back to v1")
+    // undone versions stay time-travel-addressable until vacuumed
+    assert(lt.snapshotAt(vPre).select("payload").as[String].collect().sorted.toSeq
+      == Seq("a2", "c1"))
+    // the restore is a commit like any other: replays are no-ops
+    assert(lt.restoreTo(v1, commitId = "restore-1") == rv)
+    assert(lt.latestVersion.contains(rv))
+    // incremental across the restore emits the reverted rows (no tombstones)
+    val inc = lt.incrementalBetween(vPre, rv).select("_key", "payload")
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(inc.toSeq == Seq(("a", "a1"), ("b", "b1")))
+    // vacuum keeps everything the restored manifest references
+    lt.vacuum(keepVersions = 1)
+    val after = lt.snapshot.select("_key", "payload").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(after.toSeq == Seq(("a", "a1"), ("b", "b1")))
+    // restoring to a vacuumed version fails loudly
+    intercept[IllegalArgumentException](lt.restoreTo(vPre))
+  }
+
   test("incremental read returns exactly the rows changed since a version") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
