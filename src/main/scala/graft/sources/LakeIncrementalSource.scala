@@ -1,16 +1,39 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamBatch
 import org.apache.spark.sql.types.StructType
 
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, PartitionedLakeTable}
 
-/** Streaming incremental read over a [[LakeTable]] — the counterpart of
-  * Hudi's streaming incremental query (`hoodie.datasource.query.type=
-  * incremental` under `readStream`, the read side of SURVEY.md §2.8):
+/** Version-vector offset for partitioned tables: each partition's
+  * committed version, JSON-serialized with SORTED keys so offset equality
+  * (which Spark derives from the json) is stable.
+  */
+final case class VectorOffset(versions: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    versions.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    mapper.writeValueAsString(root)
+  }
+}
+
+object VectorOffset {
+  def parse(json: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val node = new ObjectMapper().readTree(json)
+    node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+}
+
+/** Streaming incremental read over a [[LakeTable]] or
+  * [[PartitionedLakeTable]] — the counterpart of Hudi's streaming
+  * incremental query (`hoodie.datasource.query.type=incremental` under
+  * `readStream`, the read side of SURVEY.md §2.8):
   *
   * {{{
   *   spark.readStream.format("cdc-lake")
@@ -18,18 +41,20 @@ import graft.lake.LakeTable
   *     .load()
   * }}}
   *
-  * Offsets are COMMITTED VERSIONS: `getOffset` reports the table's latest
-  * version, and each micro-batch reads exactly
-  * [[LakeTable.incrementalBetween]] `(start, end]` — bucket-pruned to the
-  * file groups rewritten in that range, never a full-table diff. Batch
-  * boundaries are therefore deterministic under checkpoint replay (the
-  * same version range always yields the same rows, until a vacuum drops
-  * the range's manifests — which fails loudly rather than silently
-  * skipping).
+  * The layout is self-detected from the path (`_table.json` marks a
+  * partitioned table). Offsets are COMMITTED VERSIONS — a scalar for
+  * plain tables, a per-partition version VECTOR ([[VectorOffset]]) for
+  * partitioned ones (partitions version independently; a scalar cannot
+  * address them). Each micro-batch reads exactly
+  * `incrementalBetween(start, end]` (per partition, for vectors) —
+  * bucket-pruned to the file groups rewritten in that range, never a
+  * full-table diff, and deterministic under checkpoint replay (the same
+  * version range always yields the same rows, until a vacuum drops the
+  * range's manifests — which fails loudly rather than silently skipping).
   *
   * Contract notes (documented, not silent):
   *  - the first batch is the full snapshot at the then-latest version
-  *    (version range `(0, v]`);
+  *    (version range `(0, v]`, every partition for vectors);
   *  - hard deletes emit no tombstones (copy-on-write incremental — same
   *    as Hudi COW);
   *  - the schema is frozen at query start; a schema-widening commit
@@ -40,33 +65,53 @@ class LakeIncrementalSource(
     ctx: SQLContext,
     parameters: Map[String, String]) extends Source {
 
-  private val lake = new LakeTable(
-    ctx.sparkSession,
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("cdc-lake readStream requires a path option")),
-    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets))
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException("cdc-lake readStream requires a path option"))
+  private val buckets =
+    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
+
+  private val partitioned: Option[PartitionedLakeTable] =
+    PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
+  private lazy val plain = new LakeTable(ctx.sparkSession, path, buckets)
 
   // Frozen at query start (Structured Streaming requires a fixed schema
   // per query run; restart the stream to pick up a widened schema).
-  override val schema: StructType = lake.snapshot.schema
+  override val schema: StructType =
+    partitioned.map(_.snapshot.schema).getOrElse(plain.snapshot.schema)
 
-  override def getOffset: Option[Offset] = lake.latestVersion.map(LongOffset(_))
+  override def getOffset: Option[Offset] = partitioned match {
+    case Some(p) =>
+      val vec = p.currentVersions
+      if (vec.isEmpty) None else Some(VectorOffset(vec))
+    case None => plain.latestVersion.map(LongOffset(_))
+  }
 
-  private def version(o: Offset): Long = o match {
+  private def scalar(o: Offset): Long = o match {
     case LongOffset(v) => v
     case other => other.json().trim.toLong // SerializedOffset after restart
   }
 
+  private def vector(o: Offset): Map[String, Long] = o match {
+    case VectorOffset(m) => m
+    case other => VectorOffset.parse(other.json())
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val since = start.map(version).getOrElse(0L)
-    val until = version(end)
-    val batch = lake.incrementalBetween(since, until)
-    if (batch.schema != schema)
+    val batch = partitioned match {
+      case Some(p) =>
+        p.incrementalBetweenVec(start.map(vector).getOrElse(Map.empty), vector(end))
+      case None =>
+        plain.incrementalBetween(start.map(scalar).getOrElse(0L), scalar(end))
+    }
+    if (batch.schema != schema && batch.schema.nonEmpty)
       throw new IllegalStateException(
         s"lake table schema changed mid-stream (query started with $schema, " +
-          s"versions ($since, $until] carry ${batch.schema}); restart the " +
-          "stream from its checkpoint to adopt the new schema")
-    StreamBatch.toStreaming(batch)
+          s"range ending at ${end.json()} carries ${batch.schema}); restart " +
+          "the stream from its checkpoint to adopt the new schema")
+    StreamBatch.toStreaming(
+      if (batch.schema.isEmpty) ctx.sparkSession.createDataFrame(
+        ctx.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else batch)
   }
 
   override def stop(): Unit = ()

@@ -631,6 +631,31 @@ class LakeTableSpec extends SparkSpec {
     assert(all.toSeq == Seq(("a", "va2"), ("b", "vb")))
   }
 
+  test("partitioned incremental: version vector addresses partitions independently") {
+    val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    plt.upsert(Seq(
+      ("a", 1L, "2024-01-01", "va"), ("b", 1L, "2024-01-01", "vb"),
+      ("c", 1L, "2024-01-02", "vc"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    val vec = plt.currentVersions
+    assert(vec.keySet == Set("2024-01-01", "2024-01-02"))
+
+    // change ONE existing partition + create a NEW one
+    plt.upsert(Seq(
+      ("a", 2L, "2024-01-01", "va2"),
+      ("d", 2L, "2024-01-03", "vd"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    val inc = plt.incrementalSince(vec)
+      .select("_key", "day", "payload").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(inc.toSeq == Seq(
+      ("a", "2024-01-01", "va2"), // changed row, partition col re-attached
+      ("d", "2024-01-03", "vd")), // new partition: everything
+      s"untouched 2024-01-02 must contribute nothing: ${inc.toSeq}")
+    // a fresh vector reads as empty (no partition scans at all)
+    assert(plt.incrementalSince(plt.currentVersions).isEmpty)
+  }
+
   test("routed deletes touch only their partition; untouched partitions keep their version") {
     val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
     plt.upsert(Seq(
