@@ -118,6 +118,27 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schema widening mid-stream fails the feed loudly with a restart instruction") {
+    val dir = tempDir("lakesrc-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 1)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n"))
+    val q = startFeed(dir, s"$dir/_ckpt", "widenfeed")
+    try {
+      q.processAllAvailable()
+      // int -> long widening commit invalidates the frozen stream schema
+      lt.upsert(Seq(("b", 2L, 2L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        throw new IllegalStateException("feed must not survive a schema change")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("restart the stream"))),
+        s"wrong failure: $e")
+    } finally q.stop()
+  }
+
   test("CDC sink output chains into a downstream lake feed") {
     // cdc-lake as BOTH ends of a pipeline: envelopes -> CDC merge ->
     // lake table -> streaming incremental read.
