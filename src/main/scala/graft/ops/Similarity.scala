@@ -455,25 +455,18 @@ object Similarity {
     */
   /** Exact cosine of a candidate PAIR's two embedding columns. One shared
     * implementation for both near-dup paths: the bit-identical oracle
-    * contract depends on the exact left-to-right fold order, so the
-    * arithmetic must not fork per call site. `quantized` uses integer
-    * dot/norms (engine-portable; see [[quantizedCosine]]).
+    * contract depends on the exact arithmetic sequence, so it must not
+    * fork per call site. Native one-pass expression (the composed form
+    * allocated a zip_with array and folded THREE aggregates per candidate
+    * — `PairCosineSpec` property-tests bit-compatibility against it);
+    * `quantized` uses integer dot/norms (engine-portable; see
+    * [[quantizedCosine]]).
     */
   private def pairCosine(e1: Column, e2: Column, quantized: Boolean): Column =
-    if (quantized) {
-      val dot = aggregate(
-        zip_with(e1, e2, (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
-      def nrm(c: Column) =
-        sqrt(aggregate(c, lit(0L), (acc, x) => acc + qz(x) * qz(x)).cast("double"))
-      dot.cast("double") / (nrm(e1) * nrm(e2))
-    } else {
-      val dot = aggregate(
-        zip_with(e1, e2, (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      def nrm(c: Column) =
-        sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      dot / (nrm(e1) * nrm(e2))
-    }
+    org.apache.spark.sql.graft.Exprs.column(graft.functions.PairCosine(
+      org.apache.spark.sql.graft.Exprs.expression(e1),
+      org.apache.spark.sql.graft.Exprs.expression(e2),
+      quantized, Scale))
 
   def nearDupsAgainstIndex(
       batch: DataFrame,
