@@ -31,25 +31,23 @@ object Similarity {
     */
   val Scale = 1e7
 
-  private def qz(x: Column): Column = floor(x.cast("double") * Scale).cast("long")
+  /** Exact double-precision cosine (left-to-right fold over the array).
+    * Native one-pass expression — the composed form allocated a zip_with
+    * array and folded two aggregates per row; `QueryCosineSpec`
+    * property-tests bit-compatibility against it.
+    */
+  def cosine(emb: Column, query: Seq[Double]): Column =
+    org.apache.spark.sql.graft.Exprs.column(graft.functions.QueryCosine(
+      org.apache.spark.sql.graft.Exprs.expression(emb),
+      query.toArray, quantized = false, Scale))
 
-  /** Exact double-precision cosine (left-to-right fold over the array). */
-  def cosine(emb: Column, query: Seq[Double]): Column = {
-    val q = array(query.map(lit): _*)
-    val dot = aggregate(zip_with(emb, q, (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = math.sqrt(query.map(x => x * x).sum)
-    dot / (na * lit(nb))
-  }
-
-  /** Engine-portable exact cosine: integer dot/norms, one final division. */
-  def quantizedCosine(emb: Column, query: Seq[Double]): Column = {
-    val q = array(query.map(lit): _*)
-    val dot = aggregate(zip_with(emb, q, (a, b) => qz(a) * qz(b)), lit(0L), (acc, x) => acc + x)
-    val na = aggregate(emb, lit(0L), (acc, x) => acc + qz(x) * qz(x))
-    val nb = aggregate(q, lit(0L), (acc, x) => acc + qz(x) * qz(x))
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-  }
+  /** Engine-portable exact cosine: integer dot/norms, one final division
+    * (same native one-pass expression, quantized mode).
+    */
+  def quantizedCosine(emb: Column, query: Seq[Double]): Column =
+    org.apache.spark.sql.graft.Exprs.column(graft.functions.QueryCosine(
+      org.apache.spark.sql.graft.Exprs.expression(emb),
+      query.toArray, quantized = true, Scale))
 
   /** Brute-force exact top-k: per-partition top-k + merge (TakeOrdered). */
   def topK(
