@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/split operators for training-data pipelines.
+  *
+  * The split must be a pure function of the RECORD KEY — not of row order,
+  * partitioning, or corpus size — so that (a) re-runs and engine changes
+  * reproduce it bit-for-bit, (b) a document keeps its split when the
+  * corpus around it grows (no train/test leakage across dataset
+  * versions), and (c) any engine can recompute it for audit. Hash is
+  * md5-derived (not xxhash64/crc32, whose integer variants differ across
+  * engines): bucket = first 15 hex digits of md5(key-as-string) mod 100 —
+  * 60 bits, exact in BIGINT and DOUBLE alike, uniform to ~1e-16.
+  *
+  * Scale shape: one codegen'd per-row projection, zero shuffles — the
+  * split column is computable inside any scan.
+  */
+object Sampling {
+
+  /** Deterministic per-key bucket in [0, 100). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  /** Attach a `split` column from cumulative percentage ranges, e.g.
+    * `Seq("train" -> 98, "val" -> 1, "test" -> 1)` (must sum to 100).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"split percentages must be positive and sum to 100: $splits")
+    val bucket = hashBucket(col(keyCol))
+    val bounds = splits.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
+    val expr = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+}

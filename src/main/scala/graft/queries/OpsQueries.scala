@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DedupDocs, Multimodal, Similarity, TextStats}
+import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver-visible entries for the LLM-training-data operators
   * (`documents` / `embeddings` tables), each implemented in the DataFrame
@@ -245,6 +245,26 @@ object OpsQueries {
           |      FROM tf JOIN df USING (tok) WHERE df.df <= 100)
           |SELECT doc_id, tok, tf, df, CAST(rn AS BIGINT) AS rank
           |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- sampling: deterministic hash split ----------------------------
+    // Train/val/test assignment as a pure function of the record key
+    // (md5-derived bucket — portable, so the oracle recomputes the SAME
+    // split row by row; xxhash64 would not be).
+    "q54_hash_split" -> QueryDef(
+      (spark, dir) =>
+        Sampling.hashSplit(
+          docs(spark, dir), "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH b AS (SELECT doc_id,
+          |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CASE WHEN bucket < 90 THEN 'train'
+          |            WHEN bucket < 95 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9

@@ -256,6 +256,28 @@ class OpsSpec extends SparkSpec {
     assert(chained.forall(_._2 == 10L), s"chain must collapse to one group: ${chained.toSeq}")
   }
 
+  test("hashSplit is deterministic, key-stable under corpus growth, and validates") {
+    val small = (1L to 500L).toDF("id")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val assign1 = Sampling.hashSplit(small, "id", splits)
+      .as[(Long, String)].collect().toMap
+    // same keys -> same split on re-run
+    val assign2 = Sampling.hashSplit(small, "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(assign1 == assign2)
+    // growing the corpus never moves an existing key's split (no leakage)
+    val grown = Sampling.hashSplit((1L to 2000L).toDF("id"), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(assign1.forall { case (k, s) => grown(k) == s })
+    // fractions are approximately honored
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1600 && counts("val") > 40 && counts("test") > 40,
+      s"badly skewed split: $counts")
+    // invalid percentages rejected
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(small, "id", Seq("a" -> 50, "b" -> 49)))
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key distribution") {
     // 90% of rows hit one hot key
     val rows = (1 to 2000).map { i =>
