@@ -210,6 +210,12 @@ object CdcSyncCommand {
         val delKeys = mine.filter(Envelope.isDelete).select(LakeTable.KeyCol)
 
         val insertOp = cfg.operation == "insert"
+        // Inline compaction cadence (ref hoodie.compact.inline.*): after
+        // every Nth batch, coalesce the table's file groups. Deterministic
+        // from batchId (NOT wall clock), so a replayed batch re-derives
+        // the same decision and the scoped commitId makes it a no-op.
+        val compactDue =
+          cfg.compactEvery > 0 && batchId >= 0 && (batchId + 1) % cfg.compactEvery == 0
         cfg.partitionField match {
           case Some(pf) =>
             val plake = new graft.lake.PartitionedLakeTable(
@@ -227,6 +233,7 @@ object CdcSyncCommand {
               .decode(mine.filter(Envelope.isDelete), schemaJson, cfg.timestampFormat)
               .select(col(LakeTable.KeyCol), col(pf))
             plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
+            if (compactDue) plake.compact(commitIdFor(db, table, "compact"))
           case None =>
             val lake = new LakeTable(
               spark, cfg.path, cfg.numBuckets,
@@ -236,6 +243,7 @@ object CdcSyncCommand {
             else lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
             // Deletes: key-only left-anti (ref :186-190).
             lake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
+            if (compactDue) lake.compact(commitIdFor(db, table, "compact"))
         }
       }
 

@@ -33,6 +33,11 @@ package graft.cdc
   *    payload columns: bucket files are written clustered by their Morton
   *    code, so parquet row-group stats prune 2-D range predicates
   *    (mirrors `hoodie.clustering.plan.strategy.sort.columns`).
+  *  - `<db>.<table>.compact.every` — inline compaction cadence: after
+  *    every Nth micro-batch the table's bucket file groups are coalesced
+  *    (mirrors `hoodie.compact.inline.max.delta.commits`; 0/absent =
+  *    off). Use with `write.operation=insert`, whose zero-shuffle loads
+  *    accumulate small files by design.
   *  - `<db>.<table>.write.operation` — `upsert` (default) or `insert`:
   *    `insert` routes batches through [[graft.lake.LakeTable.bulkInsert]]
   *    (no LWW merge aggregation — the initial-load fast path; mirrors
@@ -59,6 +64,7 @@ final case class TableConfig(
     bloomEnable: Boolean,
     operation: String,
     zorderFields: Seq[String] = Nil,
+    compactEvery: Int = 0,
     /** Unrecognized `<db>.<table>.*` keys, prefix-stripped — the generic
       * passthrough the reference gets by merging the whole user option map
       * into the Hudi writer config (`BinlogSyncHoodieCommand.scala:128-139,
@@ -90,13 +96,14 @@ object TableConfig {
     "dedup.tiebreak.field" -> "hoodie.datasource.write.precombine.field",
     "partition.field" -> "hoodie.datasource.write.partitionpath.field",
     "keygen.class" -> "hoodie.datasource.write.keygenerator.class",
-    "zorder.fields" -> "hoodie.clustering.plan.strategy.sort.columns")
+    "zorder.fields" -> "hoodie.clustering.plan.strategy.sort.columns",
+    "compact.every" -> "hoodie.compact.inline.max.delta.commits")
 
   private val Recognized: Set[String] = Set(
     RecordKeySuffix, "path", "transformer.sql", "transformer.class",
     "timestampFormat", "buckets", "files.per.bucket", "partition.field",
     "dedup.tiebreak.field", "bloom.enable", "write.operation",
-    "keygen.class", "zorder.fields") ++ RefAliases.values
+    "keygen.class", "zorder.fields", "compact.every") ++ RefAliases.values
 
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
@@ -189,6 +196,11 @@ object TableConfig {
         case zs if zs.isEmpty || zs.size == 2 => zs
         case bad => throw new IllegalArgumentException(
           s"config [$prefix" + s"zorder.fields] takes exactly two columns, got [${bad.mkString(",")}]!")
+      },
+      compactEvery = get("compact.every").map(_.toInt).getOrElse(0) match {
+        case n if n >= 0 => n
+        case bad => throw new IllegalArgumentException(
+          s"config [$prefix" + s"compact.every] must be >= 0, got [$bad]!")
       },
       extras = scoped.view.filterKeys(k => !Recognized.contains(k)).toMap)
   }

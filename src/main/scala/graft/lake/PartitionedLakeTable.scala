@@ -201,6 +201,16 @@ final class PartitionedLakeTable(
   def vacuum(keepVersions: Int = 1): Int =
     partitions.map(partitionTable(_).vacuum(keepVersions)).sum
 
+  /** Compact every partition's bucket file groups (commitId scoped per
+    * partition, so a replayed compaction skips exactly the partitions
+    * that already ran).
+    */
+  def compact(commitId: String = ""): Unit =
+    partitions.foreach { v =>
+      partitionTable(v).compact(
+        if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+
   /** Full-table read (union of partitions, partition value re-attached). */
   def snapshot: DataFrame = read(partitions)
 

@@ -313,6 +313,31 @@ class CdcEndToEndSpec extends SparkSpec {
       == Seq(3600000L))
   }
 
+  test("inline compaction runs on its batch cadence and replays idempotently") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) ++ Map(
+      "db.person.write.operation" -> "insert",
+      "db.person.compact.every" -> "2")
+    def batch(id: Long, rows: String*): Unit =
+      CdcSyncCommand.run(
+        Seq(env("db", "person", personSchema, id + 1, "upsert", rows)).toDF("value"),
+        opts, batchId = id)
+
+    batch(0L, """{"id":1,"name":"a","age":1}""")
+    val lake = new LakeTable(spark, s"$root/db/ods_db_person", 4)
+    val vAfterB0 = lake.latestVersion.get
+    // batch 1 completes the cadence: insert commit + compaction commit
+    batch(1L, """{"id":2,"name":"b","age":2}""")
+    val vAfterB1 = lake.latestVersion.get
+    assert(vAfterB1 == vAfterB0 + 2,
+      s"expected insert + compaction commits, got $vAfterB0 -> $vAfterB1")
+    assert(lake.snapshot.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // replayed batch: neither the insert nor the compaction re-applies
+    batch(1L, """{"id":9,"name":"REPLAY","age":9}""")
+    assert(lake.latestVersion.contains(vAfterB1))
+    assert(lake.snapshot.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("transformer hook applies per-table SQL before the merge") {
     val root = tempDir("cdc-").toString
     val opts = options(root) +
