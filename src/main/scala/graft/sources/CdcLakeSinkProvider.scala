@@ -97,9 +97,11 @@ class CdcLakeSinkProvider extends StreamSinkProvider
     new LakeSnapshotRelation(sqlContext, parameters)
 }
 
-/** Current-snapshot relation over a LakeTable dir (v1 `TableScan`: Spark
-  * plans the scan; column pruning/pushdown happen on the snapshot read
-  * inside `buildScan`'s DataFrame anyway since it is parquet-backed).
+/** Current-snapshot relation over a LakeTable OR PartitionedLakeTable dir
+  * (layout self-detected from `_table.json`, like the streaming source).
+  * v1 `TableScan`: Spark plans the scan; column pruning/pushdown happen on
+  * the snapshot read inside `buildScan`'s DataFrame anyway since it is
+  * parquet-backed.
   */
 class LakeSnapshotRelation(
     ctx: SQLContext,
@@ -109,11 +111,15 @@ class LakeSnapshotRelation(
   // schema and buildScan could observe different committed versions under
   // a concurrent writer (e.g. an int->long widening between planning and
   // execution -> Row/It schema mismatch at runtime).
-  private lazy val snapshot: org.apache.spark.sql.DataFrame = new LakeTable(
-    ctx.sparkSession,
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("cdc-lake read requires a path option")),
-    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)).snapshot
+  private lazy val snapshot: org.apache.spark.sql.DataFrame = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("cdc-lake read requires a path option"))
+    val buckets =
+      parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
+    graft.lake.PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
+      .map(_.snapshot)
+      .getOrElse(new LakeTable(ctx.sparkSession, path, buckets).snapshot)
+  }
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = snapshot.schema

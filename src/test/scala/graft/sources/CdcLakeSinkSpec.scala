@@ -157,6 +157,19 @@ class CdcLakeSinkSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
+  test("batch read self-detects a partitioned table layout") {
+    val root = tempDir("sink-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, root, "day", numBuckets = 2)
+    plt.upsert(Seq(
+      ("a", 1L, "2024-01-01", "va"), ("c", 1L, "2024-01-02", "vc"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    val got = spark.read.format("cdc-lake").option("buckets", "2").load(root)
+      .select("_key", "day", "payload").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01", "va"), ("c", "2024-01-02", "vc")))
+  }
+
   test("Sink.addBatch with a replayed batchId is a no-op (provider-level)") {
     val root = tempDir("sink-").toString
     val params = Map(
