@@ -458,6 +458,19 @@ class LakeTableSpec extends SparkSpec {
       assert(lt.vacuum(keepVersions = 1) >= 1)
       assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("v2"))
 
+      // Partitioned layout on the same protocol: _table.json and every
+      // per-partition commit go through owner-token publishes too.
+      val pdir = tempDir("lake-os-p-").toString
+      val plt = new PartitionedLakeTable(spark, pdir, "day", numBuckets = 2)
+      plt.upsert(Seq(("a", 1L, "2024-01-01", "va"), ("c", 1L, "2024-01-02", "vc"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+      plt.upsert(Seq(("a", 2L, "2024-01-01", "va2"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+      assert(plt.snapshot.select("_key", "payload").as[(String, String)]
+        .collect().sortBy(_._1).toSeq == Seq(("a", "va2"), ("c", "vc")))
+      assert(PartitionedLakeTable.open(spark, pdir, 2).isDefined,
+        "layout detection must resolve the owner-token-published _table.json")
+
       // Primitive-level checks on a scratch dir (not the table's log).
       // Same-version double publish: second claim loses.
       val io = new LakeIO(dir, spark.sparkContext.hadoopConfiguration)
