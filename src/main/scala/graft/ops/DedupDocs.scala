@@ -482,6 +482,12 @@ object DedupDocs {
         converged = changes == 0
         it += 1
       }
+      // A silent exit here would return WRONG groups (labels still
+      // propagating) — dedup decisions ride on this, so fail loudly.
+      if (!converged) throw new IllegalStateException(
+        s"dupGroups did not converge within $maxIters rounds — the pair " +
+          "graph has a min-label path longer than maxIters; raise maxIters " +
+          "(rounds needed = the largest component's min-label eccentricity)")
       docs.select(col(idCol).cast("long").as(idCol)).distinct()
         .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))

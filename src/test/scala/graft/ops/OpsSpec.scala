@@ -254,6 +254,12 @@ class OpsSpec extends SparkSpec {
     val chained = DedupDocs.dupGroups((10L to 15L).toDF("doc_id"), chain)
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(chained.forall(_._2 == 10L), s"chain must collapse to one group: ${chained.toSeq}")
+    // a maxIters too small for the chain fails LOUDLY instead of
+    // returning half-propagated groups
+    val e = intercept[IllegalStateException] {
+      DedupDocs.dupGroups((10L to 15L).toDF("doc_id"), chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("hashSplit is deterministic, key-stable under corpus growth, and validates") {
