@@ -104,6 +104,28 @@ object TextStats {
   /** Hamming distance between two simhash values (for near-dup banding). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Scrub URLs and email addresses from a text column — the standard
+    * pre-training PII/noise pass — emitting the scrubbed text plus match
+    * counts (so a pipeline can ALSO filter on "too many links" style
+    * heuristics without a second regex pass over the corpus; the counts
+    * reuse the same patterns). Patterns are deliberately RE2-simple so
+    * any engine reproduces them byte-for-byte (oracle-checked). Narrow
+    * per-row codegen'd builtins, zero shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def withScrubbed(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).cast("long"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col(textCol), UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"))
+
   /** Per-document distinctive-term extraction — the tf-idf shape with an
     * ENGINE-PORTABLE ranking: terms rank by `(tf DESC, df ASC, term ASC)`
     * after dropping terms with document frequency above `maxDf`

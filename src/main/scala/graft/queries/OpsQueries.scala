@@ -246,6 +246,25 @@ object OpsQueries {
           |SELECT doc_id, tok, tf, df, CAST(rn AS BIGINT) AS rank
           |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- text: URL/email scrubbing (PII pass) --------------------------
+    // URL scrub runs FIRST in both engines (an email-looking token inside
+    // a URL path is already gone when the email pattern runs) — order is
+    // part of the contract.
+    "q55_scrub" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withScrubbed(docs(spark, dir))
+          .select(col("doc_id"), col("n_urls"), col("n_emails"), col("scrubbed"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  regexp_replace(
+          |    regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- sampling: deterministic hash split ----------------------------
     // Train/val/test assignment as a pure function of the record key
     // (md5-derived bucket — portable, so the oracle recomputes the SAME

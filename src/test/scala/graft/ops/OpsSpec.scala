@@ -323,6 +323,20 @@ class OpsSpec extends SparkSpec {
       (2L, "cherry", 1L), (2L, "date", 2L))) // date df=1 beats banana df=2 at tf=1
   }
 
+  test("withScrubbed replaces URLs then emails and counts both") {
+    val df = Seq(
+      (1L, "see https://ex.com/a?x=1 or mail bob@ex.com and ann@site.org"),
+      (2L, "no pii here"),
+      (3L, "http://plain.link only"))
+      .toDF("doc_id", "text")
+    val got = TextStats.withScrubbed(df)
+      .select("doc_id", "n_urls", "n_emails", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 2L, "see <URL> or mail <EMAIL> and <EMAIL>")))
+    assert(got(1) == ((2L, 0L, 0L, "no pii here")))
+    assert(got(2) == ((3L, 1L, 0L, "<URL> only")))
+  }
+
   test("withStats computes token/punct/stopword counts") {
     val df = Seq((1L, "the cat, and a dog.", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
