@@ -1,17 +1,16 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.StreamBatch
-import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.cdc.CdcSyncCommand
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, PartitionedLakeTable}
 
 /** Streaming sink registration (reference operators S2/S3,
   * `/root/reference/src/main/java/org/apache/spark/sql/hudi/sources/BinlogHoodieDataSource.scala:24-35`
@@ -99,31 +98,129 @@ class CdcLakeSinkProvider extends StreamSinkProvider
 
 /** Current-snapshot relation over a LakeTable OR PartitionedLakeTable dir
   * (layout self-detected from `_table.json`, like the streaming source).
-  * v1 `TableScan`: Spark plans the scan; column pruning/pushdown happen on
-  * the snapshot read inside `buildScan`'s DataFrame anyway since it is
-  * parquet-backed.
+  *
+  * v1 `PrunedFilteredScan` (VERDICT r8 #1): Spark hands the relation the
+  * required columns and the conjunctive pushable filters, and we apply BOTH
+  * to the snapshot DataFrame *before* `.rdd` — so the parquet scan under
+  * the relation reads only the projected columns (`ReadSchema`) and
+  * receives the predicates (`PushedFilters`/dataFilters), instead of the
+  * old `TableScan` full-schema full-scan row bounce. Two routes prune
+  * before any file I/O:
+  *
+  *  - plain tables: an `EqualTo`/`In` filter on `_key` dispatches to
+  *    [[LakeTable.lookup]] — bucket pruning by key hash + per-bucket bloom
+  *    sidecar skip, the Hudi bloom-index point-read shape;
+  *  - partitioned tables: an `EqualTo`/`In` filter on the partition
+  *    column opens only those partition dirs
+  *    ([[PartitionedLakeTable.snapshot(values*)]]).
+  *
+  * Filters we can translate are reported handled (Spark does not re-apply
+  * them); anything untranslatable stays above the relation.
   */
 class LakeSnapshotRelation(
     ctx: SQLContext,
-    parameters: Map[String, String]) extends BaseRelation with TableScan {
+    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
 
-  // ONE snapshot pinned for the relation's lifetime: separate reads for
-  // schema and buildScan could observe different committed versions under
-  // a concurrent writer (e.g. an int->long widening between planning and
-  // execution -> Row/It schema mismatch at runtime).
-  private lazy val snapshot: org.apache.spark.sql.DataFrame = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("cdc-lake read requires a path option"))
-    val buckets =
-      parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
-    graft.lake.PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
-      .map(_.snapshot)
-      .getOrElse(new LakeTable(ctx.sparkSession, path, buckets).snapshot)
-  }
+  // Lazy: the batch-WRITE path returns this relation constructed from the
+  // sink options (no single `path`); only an actual read needs one.
+  private lazy val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException("cdc-lake read requires a path option"))
+  private lazy val buckets =
+    parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
+
+  // ONE table handle + snapshot pinned for the relation's lifetime:
+  // separate reads for schema and buildScan could observe different
+  // committed versions under a concurrent writer (e.g. an int->long
+  // widening between planning and execution -> Row/schema mismatch at
+  // runtime). The lookup route re-reads the manifest internally, so its
+  // result is defensively cast back to the pinned schema.
+  private lazy val opened: Either[PartitionedLakeTable, LakeTable] =
+    PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
+      .toLeft(new LakeTable(ctx.sparkSession, path, buckets))
+
+  private lazy val snapshot: DataFrame =
+    opened.fold(_.snapshot, _.snapshot)
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = snapshot.schema
-  override def buildScan(): RDD[Row] = snapshot.rdd
+
+  private def colRef(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Spark `Filter` -> `Column` translation; None = cannot push (Spark
+    * keeps it above the relation via [[unhandledFilters]]).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(colRef(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(colRef(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(colRef(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(colRef(a) >= lit(v))
+    case LessThan(a, v)           => Some(colRef(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(colRef(a) <= lit(v))
+    case In(a, vs)                => Some(colRef(a).isInCollection(vs.toSeq))
+    case IsNull(a)                => Some(colRef(a).isNull)
+    case IsNotNull(a)             => Some(colRef(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(colRef(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(colRef(a).endsWith(v))
+    case StringContains(a, v)     => Some(colRef(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _         => None
+  }
+
+  /** Literal key values named by a top-level conjunct on `column` — the
+    * prune hint for the lookup / partition-pruned routes. None when no
+    * conjunct constrains the column to a finite set.
+    */
+  private def equalityValues(filters: Array[Filter], column: String): Option[Seq[Any]] =
+    filters.collectFirst {
+      case EqualTo(a, v) if a == column && v != null => Seq(v)
+      case In(a, vs) if a == column && vs.nonEmpty && !vs.contains(null) => vs.toSeq
+    }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => toColumn(f).isEmpty)
+
+  /** Conform a routed read to the pinned relation schema: widening-safe
+    * casts (the routed path re-reads the manifest, which may have widened
+    * int->long / float->double since planning), and a stable empty frame
+    * when the route pruned everything away (an empty partition match
+    * yields a zero-column DataFrame we cannot select from).
+    */
+  private def conformed(df: DataFrame): DataFrame =
+    if (df.columns.isEmpty)
+      ctx.sparkSession.createDataFrame(
+        ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
+    else df.select(schema.fields.map(f => colRef(f.name).cast(f.dataType)): _*)
+
+  /** The pruned+filtered snapshot DataFrame `buildScan` materializes —
+    * factored out so PlanShapeSpec can assert the filters reach the
+    * parquet scan (dataFilters non-empty, pruned ReadSchema).
+    */
+  def scanPlan(requiredColumns: Array[String], filters: Array[Filter]): DataFrame = {
+    val base: DataFrame = opened match {
+      case Right(table) =>
+        equalityValues(filters, LakeTable.KeyCol) match {
+          case Some(keys) if keys.forall(_.isInstanceOf[String]) =>
+            // Bucket+bloom point read (Hudi bloom-index shape).
+            conformed(table.lookup(keys.map(_.asInstanceOf[String])))
+          case _ => snapshot
+        }
+      case Left(pt) =>
+        equalityValues(filters, pt.partitionCol) match {
+          case Some(values) =>
+            conformed(pt.snapshot(values.map(_.toString).distinct))
+          case None => snapshot
+        }
+    }
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    filtered.select(requiredColumns.map(colRef).toSeq: _*)
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+    scanPlan(requiredColumns, filters).rdd
 }
 
 object CdcLakeSinkProvider {

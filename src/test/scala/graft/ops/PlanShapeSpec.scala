@@ -89,6 +89,65 @@ class PlanShapeSpec extends SparkSpec {
       s"_df cap must filter below both sides of the shingle self-join:\n$plan")
   }
 
+  test("cdc-lake snapshot read: filter + projection reach the parquet scan (VERDICT r8 #1)") {
+    import org.apache.spark.sql.sources.{GreaterThan, EqualTo}
+    val dir = tempDir("plan-lake").resolve("t").toString
+    val lt = new graft.lake.LakeTable(spark, dir, numBuckets = 4)
+    lt.upsert(
+      Seq(("a", 1L, 10, "x"), ("b", 1L, 20, "y"), ("c", 1L, 30, "z"))
+        .toDF("_key", "_ts", "amount", "payload"))
+
+    // Outer v1 plan: the relation reports the filter handled (pushed).
+    val df = spark.read.format("cdc-lake").option("path", dir).load()
+      .filter($"amount" > 15).select("_key", "amount")
+    val rowScan = df.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(rowScan.isDefined, s"expected RowDataSourceScanExec in:\n${df.queryExecution.sparkPlan}")
+    assert(rowScan.get.handledFilters.nonEmpty,
+      s"relation must handle the pushed filter, got: ${rowScan.get}")
+    assert(df.as[(String, Int)].collect().sorted.toSeq == Seq(("b", 20), ("c", 30)))
+
+    // Inner scan plan: the filter reaches the parquet scan (dataFilters
+    // non-empty) and the ReadSchema is pruned to the projection.
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "4"))
+    val inner = rel.scanPlan(Array("_key", "amount"), Array(GreaterThan("amount", 15)))
+    val s = scans(inner).head
+    assert(s.dataFilters.nonEmpty, s"filter must reach the lake parquet scan: $s")
+    assert(s.requiredSchema.fieldNames.toSet == Set("_key", "amount"),
+      s"projection must prune the lake scan schema, got ${s.requiredSchema.fieldNames.toSeq}")
+
+    // EqualTo(_key) routes through bucket+bloom lookup: the scan opens a
+    // strict subset of the table's bucket dirs.
+    val keyed = rel.scanPlan(Array("_key", "payload"), Array(EqualTo("_key", "a")))
+    val keyedScans = scans(keyed)
+    assert(keyedScans.nonEmpty)
+    val openedDirs = keyedScans.flatMap(_.relation.location.rootPaths).distinct
+    assert(openedDirs.size < 4,
+      s"_key equality must bucket-prune the lookup, opened: $openedDirs")
+    assert(keyed.select("payload").as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("cdc-lake partitioned read: partition equality opens only matching dirs") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tempDir("plan-plake").resolve("t").toString
+    val pt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
+    pt.upsert(
+      Seq(("a", 1L, "d1", "x"), ("b", 1L, "d2", "y"), ("c", 1L, "d3", "z"))
+        .toDF("_key", "_ts", "day", "payload"))
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "2"))
+    val pruned = rel.scanPlan(Array("_key", "day"), Array(EqualTo("day", "d2")))
+    val opened = scans(pruned).flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(opened.nonEmpty && opened.forall(_.contains("p=d2")),
+      s"partition equality must open only p=d2 dirs, opened: ${opened.mkString(", ")}")
+    assert(pruned.select("_key").as[String].collect().toSeq == Seq("b"))
+    // a no-match partition value yields an empty, schema-stable frame
+    val none = rel.scanPlan(Array("_key"), Array(EqualTo("day", "zzz")))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("_key"))
+  }
+
   test("predicate and projection push into the base parquet scan") {
     val df = graft.Tables.load(spark, sfDir, "lineitem")
       .filter($"l_quantity" > 40).select("l_orderkey", "l_quantity")
