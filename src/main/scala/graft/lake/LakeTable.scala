@@ -275,29 +275,69 @@ final class LakeTable(
     require(
       updates.columns.contains(TsCol),
       s"upsert data must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
-    writeCommit(commitId)(_ => updates) { (old, upd) =>
-      val oldTagged = old.withColumn(SeqCol, lit(0L))
-      val updTagged = upd.withColumn(SeqCol, lit(1L))
-      val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
-      val cols = unioned.columns.filter(_ != SeqCol)
-      // Hash-agg LWW (map-side combinable): the row with max (_ts, _seq)
-      // wins; updates beat the snapshot on equal _ts. Within-batch ties
-      // (equal _ts AND _seq) break on a row-content hash: an arbitrary but
-      // DETERMINISTIC total order, so replays and different partitionings
-      // converge to the same table state. Callers with a semantic tie-break
-      // (e.g. CdcSyncCommand's dedup.tiebreak.field) pre-dedup upstream.
-      // Spark prohibits hash expressions over MapType — payload columns
-      // containing a map anywhere in their type go through to_json first
-      // (same bytes => same hash, so the order stays deterministic).
-      val hashIn = cols.map { c =>
-        if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
+    writeCommit(commitId)(_ => updates)(lwwMerge)
+  }
+
+  /** Hash-agg LWW (map-side combinable): the row with max (_ts, _seq)
+    * wins; updates beat the snapshot on equal _ts. Within-batch ties
+    * (equal _ts AND _seq) break on a row-content hash: an arbitrary but
+    * DETERMINISTIC total order, so replays and different partitionings
+    * converge to the same table state. Callers with a semantic tie-break
+    * (e.g. CdcSyncCommand's dedup.tiebreak.field) pre-dedup upstream.
+    * Spark prohibits hash expressions over MapType — payload columns
+    * containing a map anywhere in their type go through to_json first
+    * (same bytes => same hash, so the order stays deterministic).
+    */
+  private def lwwMerge(old: DataFrame, upd: DataFrame): DataFrame = {
+    val oldTagged = old.withColumn(SeqCol, lit(0L))
+    val updTagged = upd.withColumn(SeqCol, lit(1L))
+    val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val cols = unioned.columns.filter(_ != SeqCol)
+    val hashIn = cols.map { c =>
+      if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+    unioned
+      .groupBy(col(KeyCol))
+      .agg(max_by(
+        struct(cols.map(col).toIndexedSeq: _*),
+        struct(col(TsCol), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
+      .select("_r.*")
+  }
+
+  /** Apply a batch's upserts AND deletes as ONE commit — one manifest
+    * publish, one bloom pass, one new version (VERDICT r8 #2: the CDC
+    * micro-batch previously paid two full commit constants per table).
+    * Semantics: LWW-merge `updates` into the affected buckets, then drop
+    * rows whose `_key` is in `deleteKeys` (on overlap, deletes win; the
+    * CDC caller's LWW split makes the two sides disjoint anyway).
+    *
+    * Delete keys are bloom-pruned against EACH commit attempt's manifest
+    * (same rule as [[delete]]); proven-absent keys mark no bucket
+    * affected, so a batch of only-absent deletes and no upserts commits
+    * no version at all.
+    */
+  def merge(updates: DataFrame, deleteKeys: DataFrame, commitId: String = ""): Unit = {
+    require(
+      updates.columns.contains(TsCol),
+      s"merge updates must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
+    val delCol = "_graft_del"
+    writeCommit(commitId, manifestDependent = true) { prev =>
+      val ks = deleteKeys.select(KeyCol).distinct()
+      // The bloom reflects PRE-batch state: a key this very batch upserts
+      // must survive the prune, or upsert-then-delete-in-one-batch would
+      // resurrect it (small semi-join of two batch-sized key sets).
+      val inBatch = ks.join(updates.select(KeyCol), Seq(KeyCol), "left_semi")
+      val pruned = prev match {
+        case Some(m) => bloomPrune(ks, m).unionByName(inBatch).distinct()
+        case None => inBatch // empty table: only in-batch keys can match
       }
-      unioned
-        .groupBy(col(KeyCol))
-        .agg(max_by(
-          struct(cols.map(col).toIndexedSeq: _*),
-          struct(col(TsCol), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
-        .select("_r.*")
+      updates.withColumn(delCol, lit(false))
+        .unionByName(pruned.withColumn(delCol, lit(true)), allowMissingColumns = true)
+    } { (old, inc) =>
+      val ups = inc.filter(!col(delCol)).drop(delCol)
+      val ks = inc.filter(col(delCol)).select(KeyCol)
+      lwwMerge(old.drop(delCol), ups)
+        .join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
     }
   }
 

@@ -134,6 +134,55 @@ final class PartitionedLakeTable(
     } finally pool.shutdown()
   }
 
+  /** Partition-routed combined upsert+delete — ONE commit per touched
+    * partition per batch (see [[LakeTable.merge]]). `deleteKeys` carries
+    * the partition column (CDC delete envelopes include the deleted
+    * row's payload): a partition named by updates and/or routed deletes
+    * gets one [[LakeTable.merge]] commit; delete keys with a NULL
+    * partition value fall back to the global bloom-pruned [[delete]]
+    * path (separate commits — the rare payload-less envelope case).
+    */
+  def merge(updates: DataFrame, deleteKeys: DataFrame, commitId: String = ""): Unit = {
+    require(
+      updates.columns.contains(partitionCol),
+      s"merge updates must contain partition column '$partitionCol'")
+    require(
+      deleteKeys.columns.contains(partitionCol),
+      s"merge deleteKeys must contain partition column '$partitionCol'")
+    val upVals = updates
+      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
+    require(
+      !upVals.contains(null),
+      s"null $partitionCol in updates — partition values must be non-null")
+    val delRows = deleteKeys
+      .select(col(LakeTable.KeyCol), col(partitionCol).cast("string").as("_p"))
+    val delVals = delRows.select("_p").distinct().collect().map(_.getString(0))
+    writeMetaIfAbsent(updates.schema(partitionCol).dataType)
+    val existing = partitions.toSet
+    // Targets: every partition receiving updates, plus EXISTING partitions
+    // receiving only deletes (deleting from a partition that was never
+    // written is a no-op, skip the dispatch entirely).
+    val targets =
+      (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(targets.length).max(1))
+    try {
+      val tasks = targets.map { v =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            partitionTable(v).merge(
+              updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol),
+              delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
+              if (commitId.isEmpty) "" else s"$commitId:p=$v")
+        }
+      }.asJava
+      pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
+    } finally pool.shutdown()
+    if (delVals.contains(null))
+      delete(
+        delRows.filter(col("_p").isNull).select(LakeTable.KeyCol),
+        commitId = if (commitId.isEmpty) "" else s"$commitId:global")
+  }
+
   /** Delete keys from the given partitions (all partitions if None —
     * key-only deletes must visit every partition, same as Hudi's
     * global-index delete). Even on the global path, each partition's

@@ -51,6 +51,65 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq("a", "c"))
   }
 
+  test("merge applies upserts + deletes in ONE commit; replay idempotent") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    val before = lt.latestVersion.get
+    // one batch: update a, insert d, delete b — ONE new version
+    lt.merge(
+      rows(("a", 2L, "a2"), ("d", 1L, "d1")),
+      Seq("b").toDF(LakeTable.KeyCol),
+      commitId = "m1")
+    assert(lt.latestVersion.get == before + 1, "combined merge must commit exactly one version")
+    val got = lt.snapshot.select("_key", "payload").as[(String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a2"), ("c", "c1"), ("d", "d1")))
+    // replayed commitId: no-op, no version growth
+    lt.merge(
+      rows(("a", 9L, "STALE-REPLAY")), Seq("c").toDF(LakeTable.KeyCol), commitId = "m1")
+    assert(lt.latestVersion.get == before + 1)
+    assert(lt.snapshot.count() == 3)
+    // overlap: a key both upserted and deleted in one merge -> delete wins
+    lt.merge(rows(("e", 1L, "e1")), Seq("e").toDF(LakeTable.KeyCol), commitId = "m2")
+    assert(lt.snapshot.filter($"_key" === "e").count() == 0)
+  }
+
+  test("merge with only proven-absent deletes and no upserts commits NO version") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1")))
+    val before = lt.latestVersion.get
+    lt.merge(rows(), Seq("zzz", "yyy").toDF(LakeTable.KeyCol), commitId = "m-absent")
+    assert(lt.latestVersion.get == before, "all-absent delete-only merge must not commit")
+    // delete-only merge of a PRESENT key still commits one version
+    lt.merge(rows(), Seq("a").toDF(LakeTable.KeyCol), commitId = "m-del")
+    assert(lt.latestVersion.get == before + 1 && lt.snapshot.count() == 0)
+  }
+
+  test("partitioned merge: one commit per touched partition, routed deletes") {
+    val dir = tempDir("plake-").toString
+    val pt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
+    def prows(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    pt.upsert(prows(("a", 1L, "d1", "a1"), ("b", 1L, "d2", "b1"), ("c", 1L, "d3", "c1")))
+    val v1 = pt.partitionTable("d1").latestVersion.get
+    val v3 = pt.partitionTable("d3").latestVersion.get
+    // batch: update a (d1), delete b (d2) — d3 untouched
+    pt.merge(
+      prows(("a", 2L, "d1", "a2")),
+      Seq(("b", "d2")).toDF(LakeTable.KeyCol, "day"),
+      commitId = "pm1")
+    assert(pt.partitionTable("d1").latestVersion.get == v1 + 1)
+    assert(pt.partitionTable("d3").latestVersion.get == v3, "untouched partition must keep its version")
+    val got = pt.snapshot.select("_key", "payload").as[(String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a2"), ("c", "c1")))
+    // replay of the SAME batch: nothing moves
+    pt.merge(
+      prows(("a", 2L, "d1", "a2")),
+      Seq(("b", "d2")).toDF(LakeTable.KeyCol, "day"),
+      commitId = "pm1")
+    assert(pt.partitionTable("d1").latestVersion.get == v1 + 1)
+    assert(pt.snapshot.count() == 2)
+  }
+
   test("bulkInsert appends without merge; later upserts still LWW-correct") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     lt.bulkInsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), commitId = "load-1")
