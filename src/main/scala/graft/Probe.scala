@@ -33,6 +33,27 @@ object Probe {
     recall(Similarity.annTopK(e, qv, 20, Similarity.planes(16, 64)), "ann")
     val cents = Similarity.ivfCentroids(e, 16)
     recall(Similarity.ivfTopK(e, qv, 20, cents, nProbe = 4), "ivf nProbe=4")
+
+    // Shingle-hash collision check: the dedup verify joins compare
+    // xxhash64(shingle) sets (DedupDocs.shingleHash); the hashed metric is
+    // bit-identical to the string-set metric iff this prints 0.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sh = docs
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) - lit(2), lit(0))),
+        i => concat_ws(" ",
+          element_at(split(col("text"), " "), i),
+          element_at(split(col("text"), " "), i + 1),
+          element_at(split(col("text"), " "), i + 2)))).as("shingle"))
+      .distinct()
+    val (nSh, nHash) = {
+      val r = sh.agg(
+        count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("shingle"))).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    println(s"[probe] shingle-hash collisions=${nSh - nHash} over $nSh distinct shingles")
     spark.stop()
   }
 }

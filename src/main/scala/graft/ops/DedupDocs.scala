@@ -83,6 +83,20 @@ object DedupDocs {
     * is never reshuffled; its count-distinct aggregation is map-side
     * combinable, a fraction of the window's full sort.
     */
+  /** 64-bit shingle fingerprint used in the exact-verify joins: the
+    * verify payload ships `collect_set` per candidate doc through a join,
+    * and full shingle STRINGS (~3 words each) were the widest payload in
+    * the engine — the one GC signature in the r8 driver bench (q28:
+    * 74.7 s GC on 8.9 s wall). Hashing shrinks it ~5-10×. Intersection /
+    * set-size counts are exact iff the corpus' distinct shingles are
+    * collision-free under xxhash64 — expected collisions ≈ n²/2⁶⁵, ~1e-7
+    * even at 10⁹ distinct shingles; verified zero at both oracle scales
+    * (`graft.Probe` prints the count, r9) and equivalence with the
+    * string-set metric is pinned by OpsSpec's minhash-vs-exact case and
+    * the shared q27/q28 DuckDB oracle.
+    */
+  private def shingleHash: org.apache.spark.sql.Column = xxhash64(col("shingle"))
+
   private def capDfAnti(sh: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
     else sh.join(
@@ -362,7 +376,7 @@ object DedupDocs {
       .join(cIdx.as("c"), col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
       .select(col(s"b.$idCol").as("d1"), col(s"c.$idCol").as("d2"))
       .distinct()
-    val bSets = bsh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s1"))
+    val bSets = bsh.groupBy(col(idCol)).agg(collect_set(shingleHash).as("s1"))
       .withColumnRenamed(idCol, "d1")
     // Re-shingle ONLY the candidate corpus docs (bounded by candidate count).
     val candCorpus = corpusDocs.join(
@@ -370,7 +384,7 @@ object DedupDocs {
     // Same cap as the batch side, so the verify Jaccard is symmetric
     // (capped s1 vs capped s2) — df counted within the candidate set.
     val cSets = capDfAnti(shingles(candCorpus, idCol, textCol, n), maxDf)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
+      .groupBy(col(idCol)).agg(collect_set(shingleHash).as("s2"))
       .withColumnRenamed(idCol, "d2")
     cand.join(bSets, "d1").join(cSets, "d2")
       .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
@@ -409,7 +423,7 @@ object DedupDocs {
     val sh = capDfAnti(shingles(docs, idCol, textCol, n), maxDf)
     val cand = candidatesFromShingles(sh, idCol, numHashes, bands)
     val sets = sh
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+      .groupBy(col(idCol)).agg(collect_set(shingleHash).as("sset"))
     cand
       .join(sets.select(col(idCol).as("d1"), col("sset").as("s1")), "d1")
       .join(sets.select(col(idCol).as("d2"), col("sset").as("s2")), "d2")
