@@ -76,6 +76,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
+  // Content equality over the centroid matrix (see QueryCosine: Array
+  // fields default to reference identity, defeating plan/exchange reuse).
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroid =>
+      child == n.child && centroids.length == n.centroids.length &&
+        centroids.indices.forall(i => java.util.Arrays.equals(centroids(i), n.centroids(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child, Integer.valueOf(centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()))
+
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }

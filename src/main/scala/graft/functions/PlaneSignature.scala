@@ -73,6 +73,18 @@ case class PlaneSignature(child: Expression, planes: Array[Array[Double]])
       isNull = FalseLiteral)
   }
 
+  // Content equality over the plane matrix (see QueryCosine: Array
+  // fields default to reference identity, defeating plan/exchange reuse).
+  override def equals(other: Any): Boolean = other match {
+    case p: PlaneSignature =>
+      child == p.child && planes.length == p.planes.length &&
+        planes.indices.forall(i => java.util.Arrays.equals(planes(i), p.planes(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child, Integer.valueOf(planes.map(java.util.Arrays.hashCode).toSeq.hashCode()))
+
   override protected def withNewChildInternal(newChild: Expression): PlaneSignature =
     copy(child = newChild)
 }

@@ -74,6 +74,23 @@ case class QueryCosine(
     """)
   }
 
+  // Case-class equality on an Array field is reference identity, so two
+  // semantically identical expressions built from separate `.toArray`
+  // copies (q36/q43 build the exact and ANN sides independently) would
+  // never compare equal — defeating canonicalization, common-subexpression
+  // elimination, and exchange reuse (ADVICE r8). Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case q: QueryCosine =>
+      child == q.child && quantized == q.quantized && scale == q.scale &&
+        java.util.Arrays.equals(query, q.query)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child, java.lang.Boolean.valueOf(quantized),
+      java.lang.Double.valueOf(scale),
+      Integer.valueOf(java.util.Arrays.hashCode(query)))
+
   override protected def withNewChildInternal(newChild: Expression): QueryCosine =
     copy(child = newChild)
 }

@@ -273,11 +273,22 @@ final class PartitionedLakeTable(
       partitionTable(v).snapshot.withColumn(partitionCol, reattached(v, dt))
     }
     parts match {
-      case Seq() => spark.emptyDataFrame
+      case Seq() => emptyFrame
       case head +: tail =>
         tail.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
     }
   }
+
+  /** Empty result with the TABLE's schema (ADVICE r8): `spark
+    * .emptyDataFrame` is ZERO-column, and batch consumers that
+    * select/union a no-partitions-matched read or a nothing-changed
+    * incremental fail on the missing columns. Cost: manifest reads only
+    * (the union plan is lazy and carries no rows); a never-written table
+    * has no schema to offer and keeps the zero-column frame.
+    */
+  private def emptyFrame: DataFrame =
+    if (partitions.isEmpty) spark.emptyDataFrame
+    else snapshot.limit(0)
 
   /** The VERSION VECTOR a consumer holds to read this table
     * incrementally: each partition's latest committed version. Partitions
@@ -314,7 +325,7 @@ final class PartitionedLakeTable(
         .withColumn(partitionCol, reattached(v, dt)))
     }
     parts match {
-      case Seq() => spark.emptyDataFrame
+      case Seq() => emptyFrame // schema-stable empty, not zero-column
       case head +: tail =>
         tail.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
     }

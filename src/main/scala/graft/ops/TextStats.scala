@@ -113,7 +113,9 @@ object TextStats {
     * per-row codegen'd builtins, zero shuffle.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^ ]+"
+  // \S, not [^ ]: a match must stop at ANY whitespace — the space-only
+  // class swallowed tabs/newlines and the text following them (ADVICE r8).
+  val UrlPattern = "https?://\\S+"
 
   def withScrubbed(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -257,11 +257,11 @@ object OpsQueries {
           .orderBy("doc_id"),
       Some(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+          |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
           |  CAST(len(regexp_extract_all(text,
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
           |  regexp_replace(
-          |    regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+          |    regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
           |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -57,9 +57,12 @@ object VectorOffset {
   *    (version range `(0, v]`, every partition for vectors);
   *  - hard deletes emit no tombstones (copy-on-write incremental — same
   *    as Hudi COW);
-  *  - the schema is frozen at query start; a schema-widening commit
-  *    mid-stream fails the batch with an explicit restart instruction
-  *    instead of emitting rows the frozen schema would misread.
+  *  - the schema is frozen at query start; a batch that is losslessly
+  *    NARROWER (stale partition after a widening, missing nullable
+  *    column) is cast up to the frozen schema, while a commit WIDER than
+  *    the frozen schema fails the batch with an explicit restart
+  *    instruction instead of emitting rows the frozen schema would
+  *    misread (see [[conformToFrozen]]).
   */
 class LakeIncrementalSource(
     ctx: SQLContext,
@@ -103,15 +106,47 @@ class LakeIncrementalSource(
       case None =>
         plain.incrementalBetween(start.map(scalar).getOrElse(0L), scalar(end))
     }
-    if (batch.schema != schema && batch.schema.nonEmpty)
-      throw new IllegalStateException(
-        s"lake table schema changed mid-stream (query started with $schema, " +
-          s"range ending at ${end.json()} carries ${batch.schema}); restart " +
-          "the stream from its checkpoint to adopt the new schema")
-    StreamBatch.toStreaming(
-      if (batch.schema.isEmpty) ctx.sparkSession.createDataFrame(
+    StreamBatch.toStreaming(conformToFrozen(batch, end))
+  }
+
+  /** Conform a micro-batch to the frozen query schema. A batch that is
+    * losslessly NARROWER — int under long, float under double, a missing
+    * nullable column — is cast/filled up to the frozen schema instead of
+    * failing: on a partitioned table, widening only rewrites partitions
+    * that receive rows, so a later micro-batch covering a stale (still
+    * narrow) partition deterministically carries the narrower schema and
+    * a restart would NOT help (ADVICE r8 — the throw permanently wedged
+    * the stream). Only a batch WIDER than or incompatible with the frozen
+    * schema throws, where a restart genuinely adopts the new schema.
+    */
+  private def conformToFrozen(batch: DataFrame, end: Offset): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.functions.{col, lit}
+    def fail(why: String): Nothing = throw new IllegalStateException(
+      s"lake table schema changed mid-stream (query started with $schema, " +
+        s"range ending at ${end.json()} carries ${batch.schema}: $why); " +
+        "restart the stream from its checkpoint to adopt the new schema")
+    if (batch.schema == schema) batch
+    else if (batch.schema.isEmpty)
+      ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else batch)
+    else {
+      val extra = batch.columns.filterNot(c => schema.fieldNames.contains(c))
+      if (extra.nonEmpty) fail(s"new column(s) ${extra.mkString(", ")}")
+      val cols = schema.fields.map { f =>
+        batch.schema.find(_.name == f.name) match {
+          case Some(bf) if bf.dataType == f.dataType => col(f.name)
+          case Some(bf) if Cast.canUpCast(bf.dataType, f.dataType) =>
+            col(f.name).cast(f.dataType).as(f.name)
+          case Some(bf) =>
+            fail(s"column ${f.name} widened beyond the frozen type " +
+              s"(${f.dataType.simpleString} -> ${bf.dataType.simpleString})")
+          case None if f.nullable => lit(null).cast(f.dataType).as(f.name)
+          case None => fail(s"non-nullable column ${f.name} missing from the batch")
+        }
+      }
+      batch.select(cols.toIndexedSeq: _*)
+    }
   }
 
   override def stop(): Unit = ()

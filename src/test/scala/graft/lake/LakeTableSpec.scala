@@ -728,6 +728,20 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.incrementalSince(plt.currentVersions).isEmpty)
   }
 
+  test("partitioned no-change incremental and no-match reads keep the table schema") {
+    val pt = new graft.lake.PartitionedLakeTable(
+      spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    pt.upsert(Seq(("a", 1L, "d1", "x"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    // ADVICE r8: these returned spark.emptyDataFrame (ZERO columns),
+    // breaking batch consumers that select/union the result.
+    val inc = pt.incrementalSince(pt.currentVersions)
+    assert(inc.isEmpty && inc.columns.toSet == pt.snapshot.columns.toSet,
+      s"no-change incremental must keep the schema, got ${inc.columns.toSeq}")
+    val none = pt.snapshot(Seq("zzz"))
+    assert(none.isEmpty && none.columns.toSet == pt.snapshot.columns.toSet)
+  }
+
   test("routed deletes touch only their partition; untouched partitions keep their version") {
     val plt = new PartitionedLakeTable(spark, tempDir("plake-").toString, "day", numBuckets = 2)
     plt.upsert(Seq(

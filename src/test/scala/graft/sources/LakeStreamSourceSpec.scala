@@ -139,6 +139,42 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned feed: stale narrow partition after widening is cast up, not wedged") {
+    // Widening only rewrites partitions that receive rows, so a later
+    // micro-batch covering only a still-int partition carries a schema
+    // losslessly NARROWER than the frozen one — it must be cast up, not
+    // thrown (a restart deterministically replays the same narrow batch:
+    // the ADVICE r8 permanent wedge).
+    val dir = tempDir("lakesrc-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
+    plt.upsert(Seq(("a", 1L, "d1", 1), ("b", 1L, "d2", 2))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "n"))
+    // widen ONLY d2 to long; d1 stays int on disk
+    plt.upsert(Seq(("b", 2L, "d2", 20L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "n"))
+
+    val q = spark.readStream.format("cdc-lake")
+      .option("path", dir).option("buckets", "2").load()
+      .writeStream.format("memory").queryName("stalefeed")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable() // frozen schema: n is LONG (union snapshot)
+      assert(spark.table("stalefeed").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // a batch touching ONLY the stale still-int partition
+      plt.upsert(Seq(("a", 3L, "d1", 10))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "n"))
+      q.processAllAvailable() // must NOT throw
+      val got = spark.table("stalefeed").select("_key", "n")
+        .as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+      // first batch = LWW snapshot (b already at 20), then the d1 delta
+      assert(got.toSeq == Seq(("a", 1L), ("a", 10L), ("b", 20L)),
+        s"stale-partition batch lost or mangled: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("CDC sink output chains into a downstream lake feed") {
     // cdc-lake as BOTH ends of a pipeline: envelopes -> CDC merge ->
     // lake table -> streaming incremental read.
