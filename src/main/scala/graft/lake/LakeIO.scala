@@ -48,8 +48,15 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * never read (resolution is by min token) and its un-logged commitId makes
   * a replay re-apply rather than lose the batch, but true atomicity needs
   * the store's conditional PUT (S3 If-None-Match / GCS if-generation-match /
-  * Azure ETag) — the Hadoop FileSystem API does not expose it, and THIS
-  * method is the seam where such a publisher would plug in.
+  * Azure ETag) — which the Hadoop FileSystem API does not expose. That seam
+  * is [[LakeIO.ConditionalPublisher]]: when one is registered (programmatic
+  * or by class name via `graft.lake.io.conditionalPublisher`), object-store
+  * publishes route through its atomic create-if-absent at the PLAIN object
+  * name and the owner-token protocol is bypassed entirely; without one, the
+  * owner-token path remains the default. A table's publishers must be
+  * configured consistently across writers — mixed concurrent owner-token
+  * and conditional-PUT commits to the SAME version fall back to the
+  * owner-token guarantees.
   *
   * Data files never pass through this class — Spark's parquet reader/writer
   * already speaks any Hadoop FS; only the manifest/meta/tombstone small-file
@@ -171,7 +178,18 @@ final class LakeIO(base: String, conf: Configuration) {
     */
   def publishIfAbsent(target: HPath, content: String): Unit = {
     fs.mkdirs(target.getParent)
-    if (objectStoreMode) return publishOwnerToken(target, content)
+    if (objectStoreMode) return LakeIO.conditionalPublisher match {
+      case Some(p) =>
+        // exists() also sees owner-token-published versions, so a store
+        // migrated from the owner-token protocol can't be double-committed.
+        if (exists(target))
+          throw new IllegalStateException(
+            s"concurrent commit detected at $target (already committed)")
+        if (!p.putIfAbsent(fs, target, content.getBytes(StandardCharsets.UTF_8)))
+          throw new IllegalStateException(
+            s"concurrent commit detected at $target (conditional PUT refused)")
+      case None => publishOwnerToken(target, content)
+    }
     localRoot match {
       case Some(_) =>
         // file://: hard-link publish, kernel-atomic create-if-absent.
@@ -250,5 +268,44 @@ object LakeIO {
     Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "obs", "cosn")
 
   private[lake] val OwnerSep = ".owner-"
+
+  /** Conditional-PUT publish primitive for object stores that expose an
+    * atomic create-if-absent the Hadoop FileSystem API does not surface
+    * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure blob ETag
+    * `If-None-Match: *`). Contract: atomically create `target` with
+    * `content` and return true, or return false WITHOUT writing iff the
+    * object already exists; the store must guarantee at most one of any
+    * set of concurrent PUTs to the same name succeeds. When registered,
+    * object-store commits are strictly atomic and the owner-token
+    * two-winners window (class doc) is closed.
+    */
+  trait ConditionalPublisher {
+    def putIfAbsent(fs: FileSystem, target: HPath, content: Array[Byte]): Boolean
+  }
+
+  /** System property naming a [[ConditionalPublisher]] implementation with
+    * a zero-arg constructor (reflectively loaded, instance cached).
+    */
+  val ConditionalPublisherProp = "graft.lake.io.conditionalPublisher"
+
+  @volatile private var registeredPublisher: Option[ConditionalPublisher] = None
+  @volatile private var propPublisher: Option[(String, ConditionalPublisher)] = None
+
+  /** Programmatic registration (overrides the system property). */
+  def registerConditionalPublisher(p: ConditionalPublisher): Unit =
+    registeredPublisher = Some(p)
+
+  def clearConditionalPublisher(): Unit = registeredPublisher = None
+
+  private[lake] def conditionalPublisher: Option[ConditionalPublisher] =
+    registeredPublisher.orElse(sys.props.get(ConditionalPublisherProp).map { cn =>
+      propPublisher match {
+        case Some((name, p)) if name == cn => p
+        case _ =>
+          val p = graft.util.Reflect.instantiate(cn, classOf[ConditionalPublisher])
+          propPublisher = Some((cn, p))
+          p
+      }
+    })
 }
 

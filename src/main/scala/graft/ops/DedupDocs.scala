@@ -27,6 +27,63 @@ object DedupDocs {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
+  /** Cross-document duplicated-SPAN statistics — the "exact substring
+    * dedup" signal: long verbatim spans repeated across documents are
+    * memorization fuel even when whole-document near-dup metrics stay
+    * low, so training pipelines measure and strip them (suffix-array
+    * dedup in the literature; here the distributed approximation over
+    * word `k`-gram spans). A span is CONTAMINATED when its exact text
+    * occurs in >= 2 DISTINCT documents.
+    *
+    * Output: one row per input document —
+    * `(id, n_spans, n_dup_spans, dup_frac)`. Documents shorter than `k`
+    * words have zero spans and `dup_frac = 0`.
+    *
+    * Scale shape: spans ship as 60-bit md5-prefix fingerprints (8-byte
+    * longs, engine-portable — [[Sampling.hashBucket]]'s hash family),
+    * never as span text; the df count is one map-side-combinable shuffle
+    * on the fingerprint; the contaminated-fingerprint list is small by
+    * construction (true cross-doc repeats only) so AQE broadcasts the
+    * back-join; the per-doc rollup is one narrow shuffle keyed by doc id.
+    * Nothing here is ever corpus² and no driver-side collection exists.
+    */
+  def spanStats(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 words: $k")
+    val ws = col("_ws")
+    val grams = docs
+      .withColumn("_ws", split(col(textCol), " "))
+      .filter(size(ws) >= k)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(1), size(ws) - lit(k - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(k)))), 1, 15), 16, 10)
+            .cast("long")))
+          .as("fp"))
+    val hot = grams.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= 2)
+      .select(col("fp"), lit(1L).as("_dup"))
+    val per = grams.join(hot, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_spans"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Distinct (id, shingle) pairs of word `n`-grams. Documents shorter
     * than `n` words yield no shingles (same convention as the oracle's
     * `generate_series`).

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/split operators for training-data pipelines.
@@ -38,5 +39,38 @@ object Sampling {
       case (((name, _), bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Sequence packing for training: documents are concatenated in a
+    * deterministic key order and chopped into fixed `budget`-token bins;
+    * a document's `bin` is the bin index of its FIRST token in the
+    * concatenated stream (concat-and-chunk packing — sequences may cross
+    * bin boundaries, as GPT-style pretraining loaders allow). The
+    * assignment is a pure function of (key order, token counts), so
+    * re-runs reproduce it bit-for-bit.
+    *
+    * Packing is per-SHARD (`key mod shards`): the running-sum window
+    * partitions by shard, so `shards` tasks pack concurrently. A single
+    * global ordered cumsum would serialize the whole corpus through one
+    * window partition — the non-scalable shape this deliberately avoids.
+    * Bins are therefore numbered within a shard; `(shard, bin)` is the
+    * global bin identity.
+    *
+    * Output: input columns plus `shard`, `n_tok`, `bin`.
+    */
+  def packBins(
+      df: DataFrame,
+      keyCol: String,
+      tokens: Column,
+      budget: Int,
+      shards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(shards > 0, s"shard count must be positive: $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", col(keyCol) % shards)
+      .withColumn("n_tok", tokens.cast("long"))
+      .withColumn("bin",
+        ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
   }
 }

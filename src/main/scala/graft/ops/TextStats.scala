@@ -32,6 +32,48 @@ object TextStats {
         col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Gopher-style repetition quality signals (the "repetitious content"
+    * family of pretraining filters): most-frequent-token count and
+    * duplicate-bigram count per document, plus an integer-threshold
+    * `keep` flag — top token must be <= 20% of tokens AND duplicate
+    * bigrams <= 10% of bigrams. Thresholds compare by exact integer
+    * cross-multiplication (`top*5 <= n`), no float epsilon.
+    *
+    * Pure per-row array math over codegen'd builtins — zero shuffles,
+    * computable inside any scan. The top-token count walks
+    * distinct × tokens pairs per row; document token counts bound it
+    * (a corpus of book-length rows would want a native single-pass
+    * expression, the [[graft.functions.SimhashAgg]] pattern).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = col("_toks")
+    val bg = col("_bg")
+    val nDistinctBg = size(array_distinct(bg))
+    docs
+      .withColumn("_toks", filter(split(col(textCol), " "), t => t =!= ""))
+      .withColumn("_bg",
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("_top",
+        coalesce(
+          array_max(transform(array_distinct(toks), u => size(filter(toks, x => x === u)))),
+          lit(0)))
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tok"),
+        col("_top").cast("long").as("top_tok_n"),
+        size(bg).cast("long").as("n_bigrams"),
+        nDistinctBg.cast("long").as("n_distinct_bigrams"),
+        when(col("_top") * 5 <= size(toks) &&
+            (size(bg) - nDistinctBg) * 10 <= size(bg), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
   /** Corpus profile per language: doc counts, token sums, exact-integer
     * sums emitted, averages as a single division.
     */

@@ -285,6 +285,84 @@ object OpsQueries {
           |            ELSE 'test' END AS split
           |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup: cross-doc duplicated spans (exact-substring signal) ----
+    // Word 8-gram spans occurring verbatim in >= 2 distinct documents,
+    // rolled up per doc. Spans travel as 60-bit md5-prefix longs in BOTH
+    // engines (portable, 8 bytes) — never as span text.
+    "q56_span_dedup" -> QueryDef(
+      (spark, dir) => DedupDocs.spanStats(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i FROM w),
+          |g AS (SELECT doc_id,
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp
+          |      FROM ix),
+          |hot AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+          |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |               CAST(sum(CASE WHEN hot.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |                 AS n_dup_spans
+          |        FROM g LEFT JOIN hot ON g.fp = hot.fp GROUP BY g.doc_id)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |       coalesce(per.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+          |       coalesce(per.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+          |       CASE WHEN coalesce(per.n_spans, 0) = 0 THEN CAST(0 AS DOUBLE)
+          |            ELSE CAST(per.n_dup_spans AS DOUBLE) / CAST(per.n_spans AS DOUBLE)
+          |       END AS dup_frac
+          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- sampling: sequence packing (concat-and-chunk token bins) ------
+    // Per-shard deterministic packing so the running-sum window
+    // parallelizes (a global ordered cumsum = one serial window task).
+    // Output: per-(shard, bin) doc and token counts.
+    "q57_seq_pack" -> QueryDef(
+      (spark, dir) =>
+        Sampling.packBins(
+            docs(spark, dir), "doc_id", size(split(col("text"), " ")),
+            budget = 128, shards = 32)
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(col("shard").cast("long").as("shard"), col("bin"),
+            col("n_docs"), col("n_tokens"))
+          .orderBy("shard", "bin"),
+      Some(
+        """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+          |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+          |           FROM documents),
+          |c AS (SELECT doc_id, shard, n_tok,
+          |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |                              ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+          |b AS (SELECT shard, (cum - n_tok) // 128 AS bin, n_tok FROM c)
+          |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+          |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+
+    // ---- text: Gopher-style repetition quality filter ------------------
+    // Integer-threshold keep flag: top token <= 20% of tokens AND
+    // duplicate bigrams <= 10% of bigrams (exact cross-multiplication,
+    // both engines).
+    "q58_repetition" -> QueryDef(
+      (spark, dir) => TextStats.repetitionStats(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |             list_filter(string_split(text,' '), x -> x <> '') AS ws
+          |           FROM documents),
+          |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+          |        CAST(coalesce(list_max(list_transform(list_distinct(ws),
+          |               u -> len(list_filter(ws, x -> x = u)))), 0) AS BIGINT) AS top_tok_n,
+          |        CASE WHEN len(ws) >= 2
+          |             THEN list_transform(generate_series(1, len(ws)-1),
+          |                    i -> ws[i]||' '||ws[i+1])
+          |             ELSE [] END AS bg
+          |      FROM t)
+          |SELECT doc_id, n_tok, top_tok_n,
+          |       CAST(len(bg) AS BIGINT) AS n_bigrams,
+          |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+          |       CAST(CASE WHEN top_tok_n * 5 <= n_tok
+          |                  AND (len(bg) - len(list_distinct(bg))) * 10 <= len(bg)
+          |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

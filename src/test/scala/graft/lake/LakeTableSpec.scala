@@ -4,6 +4,31 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Test [[LakeIO.ConditionalPublisher]]: hard-link publish — kernel-atomic
+  * create-if-absent over the local store, standing in for a real store's
+  * conditional PUT (S3 If-None-Match / GCS ifGenerationMatch=0). Top-level
+  * class so the reflective `graft.lake.io.conditionalPublisher` property
+  * path can instantiate it by name.
+  */
+class LinkConditionalPublisher extends LakeIO.ConditionalPublisher {
+  def putIfAbsent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      content: Array[Byte]): Boolean = {
+    val dir = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".cp-tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, content)
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}
+
 class LakeTableSpec extends SparkSpec {
   import spark.implicits._
 
@@ -567,6 +592,74 @@ class LakeTableSpec extends SparkSpec {
       assert(results.size == 1, s"exactly one racer must win, got $results")
       assert(io.readString(race) == s"""{"racer":${results.head}}""")
     } finally System.clearProperty(LakeIO.ForceObjectStoreProp)
+  }
+
+  test("conditional-PUT publisher replaces the owner-token protocol when registered") {
+    System.setProperty(LakeIO.ForceObjectStoreProp, "true")
+    LakeIO.registerConditionalPublisher(new LinkConditionalPublisher)
+    try {
+      // Full lifecycle through the conditional path: commits are PLAIN
+      // manifest objects, no owner files anywhere.
+      val dir = tempDir("lake-cp-").toString
+      val lt = new LakeTable(spark, dir, numBuckets = 2)
+      lt.upsert(rows(("a", 1L, "v1")), commitId = "c1")
+      lt.upsert(rows(("a", 2L, "v2"), ("b", 2L, "w")))
+      lt.delete(Seq("b").toDF(LakeTable.KeyCol))
+      assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("v2"))
+      assert(lt.isCommitted("c1"))
+      assert(lt.snapshotAt(1L).select("payload").as[String].collect().toSeq == Seq("v1"))
+      import scala.jdk.CollectionConverters._
+      val commitFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_commits"))
+        .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("v")).toSeq
+      assert(commitFiles.nonEmpty && commitFiles.forall(!_.contains(".owner-")),
+        s"conditional-PUT mode must write plain manifests only, got $commitFiles")
+
+      // Concurrent publishers: the store's atomic create arbitrates.
+      val io = new LakeIO(dir, spark.sparkContext.hadoopConfiguration)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_scratch"))
+      val race = io.resolve("_scratch", "v1.json")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val winners =
+        try (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+            def call(): Option[Int] =
+              try { io.publishIfAbsent(race, s"""{"racer":$i}"""); Some(i) }
+              catch { case _: IllegalStateException => None }
+          })
+        }.flatMap(_.get())
+        finally pool.shutdown()
+      assert(winners.size == 1, s"exactly one racer must win, got $winners")
+      assert(io.readString(race) == s"""{"racer":${winners.head}}""")
+
+      // A version already committed via owner tokens (pre-migration
+      // history) must refuse a conditional re-publish.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_scratch", "v2.json.owner-aaa"), """{"from":"a"}""")
+      intercept[IllegalStateException](
+        io.publishIfAbsent(io.resolve("_scratch", "v2.json"), """{"from":"c"}"""))
+
+      // Reflective property path: clear the programmatic registration and
+      // name the class instead — publishes still take the conditional path.
+      LakeIO.clearConditionalPublisher()
+      System.setProperty(
+        LakeIO.ConditionalPublisherProp, classOf[LinkConditionalPublisher].getName)
+      try {
+        io.publishIfAbsent(io.resolve("_scratch", "v3.json"), """{"p":"prop"}""")
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "_scratch", "v3.json")))
+      } finally System.clearProperty(LakeIO.ConditionalPublisherProp)
+
+      // Without any publisher the owner-token protocol is back.
+      io.publishIfAbsent(io.resolve("_scratch", "v4.json"), """{"p":"ot"}""")
+      val v4 = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_scratch"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v4.json")).toSeq
+      assert(v4.nonEmpty && v4.forall(_.contains(".owner-")),
+        s"owner-token fallback expected, got $v4")
+    } finally {
+      LakeIO.clearConditionalPublisher()
+      System.clearProperty(LakeIO.ForceObjectStoreProp)
+    }
   }
 
   test("z-order clustering prunes row groups for a 2-D range predicate") {

@@ -542,4 +542,66 @@ class OpsSpec extends SparkSpec {
     // Non-image payload: dims -1, md5-of-bytes stub, flagged undecoded.
     assert(got(3L).width == -1 && !got(3L).decoded && got(3L).feature == opaqueHash)
   }
+
+  // ---- span dedup / packing / repetition filter ---------------------------
+
+  test("spanStats flags spans shared across documents; short docs get zero spans") {
+    val df = Seq(
+      (1L, "a b c d e f g h p1 q1"),   // 3 spans; "a b c d e f g h" also in doc 2
+      (2L, "z a b c d e f g h q2"),    // 3 spans; one shared with doc 1
+      (3L, "k l m n o p q r s t"),     // 3 spans, all unique
+      (4L, "one two")                  // shorter than k=8 -> no spans
+    ).toDF("doc_id", "text")
+    val got = DedupDocs.spanStats(df)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 3L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("spanStats counts every position of a contaminated span") {
+    // The shared span appears twice in doc 1 (positions 1 and 9) and once
+    // in doc 2: all three positions are contaminated.
+    val span = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"$span $span"),
+      (2L, s"x $span")
+    ).toDF("doc_id", "text")
+    val got = DedupDocs.spanStats(df)
+      .select("doc_id", "n_dup_spans").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L && got(2L) == 1L)
+  }
+
+  test("packBins assigns bins by start offset in the concatenated shard stream") {
+    // shards=1: one stream. Token counts 4,5,3,8,10 -> start offsets
+    // 0,4,9,12,20 -> bins 0,0,0,1,2 under budget 10.
+    val df = Seq((0L, 4), (1L, 5), (2L, 3), (3L, 8), (4L, 10)).toDF("k", "n")
+    val got = Sampling.packBins(df, "k", col("n"), budget = 10, shards = 1)
+      .select("k", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("packBins packs shards independently and deterministically") {
+    val df = Seq((0L, 6), (1L, 6), (2L, 6), (3L, 6)).toDF("k", "n")
+    val got = Sampling.packBins(df, "k", col("n"), budget = 10, shards = 2)
+      .select("k", "shard", "bin").as[(Long, Long, Long)].collect().toSet
+    // shard 0 = keys 0,2 (offsets 0,6 -> bins 0,0); shard 1 = keys 1,3.
+    assert(got == Set((0L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (3L, 1L, 0L)))
+  }
+
+  test("repetitionStats rejects repetitive docs and keeps diverse ones") {
+    val df = Seq(
+      (1L, "x x x x x"),               // top 5/5, dup bigrams 3/4 -> reject
+      (2L, "a b c d e f g h i j"),     // all distinct -> keep
+      (3L, "a")                        // single token: top = 100% -> reject
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 5L, 5L, 4L, 1L, 0L),
+      (2L, 10L, 1L, 9L, 9L, 1L),
+      (3L, 1L, 1L, 0L, 0L, 0L)))
+  }
 }
