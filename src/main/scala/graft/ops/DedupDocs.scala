@@ -54,6 +54,13 @@ object DedupDocs {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span length must be >= 2 words: $k")
     val ws = col("_ws")
+    // Build the span STRINGS inside the higher-order lambda (HOFs evaluate
+    // interpreted — string assembly is all they should pay for), but
+    // fingerprint AFTER the explode: md5/substring/conv then run
+    // whole-stage-codegen'd over a plain attribute instead of interpreted
+    // per lambda element (measured 3-4x on the q56 path). The span string
+    // never crosses an exchange — the projection to the 8-byte fp happens
+    // in the scan stage.
     val grams = docs
       .withColumn("_ws", split(col(textCol), " "))
       .filter(size(ws) >= k)
@@ -61,9 +68,11 @@ object DedupDocs {
         col(idCol),
         explode(transform(
           sequence(lit(1), size(ws) - lit(k - 1)),
-          i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(k)))), 1, 15), 16, 10)
-            .cast("long")))
-          .as("fp"))
+          i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)))
+          .as("_gram"))
+      .select(
+        col(idCol),
+        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("fp"))
     val hot = grams.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= 2)

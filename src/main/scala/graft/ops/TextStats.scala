@@ -39,11 +39,13 @@ object TextStats {
     * bigrams <= 10% of bigrams. Thresholds compare by exact integer
     * cross-multiplication (`top*5 <= n`), no float epsilon.
     *
-    * Pure per-row array math over codegen'd builtins — zero shuffles,
-    * computable inside any scan. The top-token count walks
-    * distinct × tokens pairs per row; document token counts bound it
-    * (a corpus of book-length rows would want a native single-pass
-    * expression, the [[graft.functions.SimhashAgg]] pattern).
+    * Pure per-row array math — zero shuffles, computable inside any
+    * scan. The top-token count is a single `aggregate` pass over the
+    * SORTED token array (longest equal-run length == max frequency), so
+    * the per-row cost is one sort + one walk — not the
+    * distinct × tokens array-materializing sweep a naive
+    * transform+filter composition pays (measured: that shape was 7 ms/doc
+    * of interpreted-lambda allocation at sf0.1).
     */
   def repetitionStats(
       docs: DataFrame,
@@ -51,7 +53,17 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     val toks = col("_toks")
     val bg = col("_bg")
-    val nDistinctBg = size(array_distinct(bg))
+    val nDistinctBg = col("_nbgd")
+    // Longest run in the sorted array: tokens are never "" (filtered), so
+    // the "" initial `prev` can't extend a run.
+    val topRun = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     docs
       .withColumn("_toks", filter(split(col(textCol), " "), t => t =!= ""))
       .withColumn("_bg",
@@ -59,10 +71,8 @@ object TextStats {
           transform(sequence(lit(1), size(toks) - 1),
             i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
           .otherwise(array().cast("array<string>")))
-      .withColumn("_top",
-        coalesce(
-          array_max(transform(array_distinct(toks), u => size(filter(toks, x => x === u)))),
-          lit(0)))
+      .withColumn("_nbgd", size(array_distinct(bg)))
+      .withColumn("_top", topRun)
       .select(
         col(idCol),
         size(toks).cast("long").as("n_tok"),

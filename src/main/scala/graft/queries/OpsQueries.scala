@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, TextStats, Vocab}
 
 /** Driver-visible entries for the LLM-training-data operators
   * (`documents` / `embeddings` tables), each implemented in the DataFrame
@@ -362,6 +362,29 @@ object OpsQueries {
           |                  AND (len(bg) - len(list_distinct(bg))) * 10 <= len(bg)
           |             THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- text: vocabulary build + token-id encoding --------------------
+    // Tokenizer prep: top-20 frequency-ranked vocab (total order by
+    // (count DESC, token ASC) — deterministic), documents rewritten to
+    // (pos, token_id) with OOV = -1 through an explicit broadcast join.
+    // The corpus vocabulary is ~31 tokens, so size 20 exercises both the
+    // in-vocab and OOV paths.
+    "q59_vocab_encode" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        Vocab.encode(d, Vocab.build(d, size = 20)).orderBy("doc_id", "pos")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+          |tk AS (SELECT doc_id, i AS pos, ws[i] AS tok FROM ix WHERE ws[i] <> ''),
+          |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) n FROM tk GROUP BY tok),
+          |voc AS (SELECT tok,
+          |          CAST(row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS BIGINT) AS id
+          |        FROM cnt ORDER BY n DESC, tok ASC LIMIT 20)
+          |SELECT CAST(tk.doc_id AS BIGINT) AS doc_id, CAST(tk.pos AS BIGINT) AS pos,
+          |       coalesce(voc.id, CAST(-1 AS BIGINT)) AS token_id
+          |FROM tk LEFT JOIN voc USING (tok) ORDER BY doc_id, pos""".stripMargin)),
 
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9

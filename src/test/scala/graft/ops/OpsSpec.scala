@@ -591,6 +591,23 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (3L, 1L, 0L)))
   }
 
+  test("vocab build ranks by (count desc, token asc); encode maps OOV to -1") {
+    val df = Seq(
+      (1L, "b a a c"),
+      (2L, "a b  z")          // double space -> empty split artifact at pos 3
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, z=1 -> vocab(2) = a:0, b:1; c,z OOV.
+    val voc = Vocab.build(df, size = 2)
+      .select("tok", "n", "id").as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(voc.toSeq == Seq(("a", 3L, 0L), ("b", 2L, 1L)))
+    val enc = Vocab.encode(df, Vocab.build(df, size = 2))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(enc.toSeq == Seq(
+      (1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 0L), (1L, 4L, -1L),
+      // doc 2: empty artifact at raw pos 3 skipped, 'z' keeps raw pos 4.
+      (2L, 1L, 0L), (2L, 2L, 1L), (2L, 4L, -1L)))
+  }
+
   test("repetitionStats rejects repetitive docs and keeps diverse ones") {
     val df = Seq(
       (1L, "x x x x x"),               // top 5/5, dup bigrams 3/4 -> reject
