@@ -53,26 +53,7 @@ object DedupDocs {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span length must be >= 2 words: $k")
-    val ws = col("_ws")
-    // Build the span STRINGS inside the higher-order lambda (HOFs evaluate
-    // interpreted — string assembly is all they should pay for), but
-    // fingerprint AFTER the explode: md5/substring/conv then run
-    // whole-stage-codegen'd over a plain attribute instead of interpreted
-    // per lambda element (measured 3-4x on the q56 path). The span string
-    // never crosses an exchange — the projection to the 8-byte fp happens
-    // in the scan stage.
-    val grams = docs
-      .withColumn("_ws", split(col(textCol), " "))
-      .filter(size(ws) >= k)
-      .select(
-        col(idCol),
-        explode(transform(
-          sequence(lit(1), size(ws) - lit(k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)))
-          .as("_gram"))
-      .select(
-        col(idCol),
-        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("fp"))
+    val grams = spanFingerprints(docs, k, idCol, textCol)
     val hot = grams.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= 2)
@@ -91,6 +72,63 @@ object DedupDocs {
         when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .as("dup_frac"))
+  }
+
+  /** Benchmark DECONTAMINATION: per training document, the number of its
+    * `k`-word spans that occur verbatim anywhere in `evalDocs` (the
+    * held-out benchmark/eval corpus). Training examples that quote an
+    * eval item inflate measured model quality, so pipelines drop or flag
+    * any doc with `n_contam_spans > 0` before training.
+    *
+    * Output: one row per training document — `(id, n_contam_spans)`.
+    *
+    * Scale shape: both corpora reduce to 60-bit span fingerprints in the
+    * scan stage ([[spanStats]]'s hash family); the eval fingerprint set
+    * is distinct-ed (benchmark corpora are tiny next to training data, so
+    * AQE broadcasts it) and the probe is a fingerprint-keyed join —
+    * training text is scanned exactly once and never shuffled as text.
+    */
+  def contaminationAgainst(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalFps = spanFingerprints(evalDocs, k, idCol, textCol)
+      .select(col("fp")).distinct()
+    val per = spanFingerprints(train, k, idCol, textCol)
+      .join(evalFps.withColumn("_hit", lit(1L)), Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_contam_spans"))
+    train.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"))
+  }
+
+  /** `(id, fp)` — one 60-bit md5-prefix fingerprint per `k`-word span
+    * position. The span STRINGS are built inside the higher-order lambda
+    * (HOFs evaluate interpreted — string assembly is all they should pay
+    * for), but the fingerprint is taken AFTER the explode so
+    * md5/substring/conv run whole-stage-codegen'd over a plain attribute
+    * instead of interpreted per lambda element (measured 3-4x on the q56
+    * path). The span string never crosses an exchange — the projection to
+    * the 8-byte fp happens in the scan stage.
+    */
+  private def spanFingerprints(
+      docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
+    val ws = col("_ws")
+    docs
+      .withColumn("_ws", split(col(textCol), " "))
+      .filter(size(ws) >= k)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(1), size(ws) - lit(k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)))
+          .as("_gram"))
+      .select(
+        col(idCol),
+        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("fp"))
   }
 
   /** Distinct (id, shingle) pairs of word `n`-grams. Documents shorter

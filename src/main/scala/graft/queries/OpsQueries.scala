@@ -363,6 +363,33 @@ object OpsQueries {
           |             THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup: benchmark decontamination ------------------------------
+    // Eval set = every 50th doc; training docs flagged by verbatim 8-gram
+    // overlap with any eval doc. The one contaminated doc at sf0.01 is a
+    // planted near-dup of an eval item.
+    "q60_decontaminate" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        DedupDocs.contaminationAgainst(
+            d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i FROM w),
+          |g AS (SELECT doc_id,
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp
+          |      FROM ix),
+          |ev AS (SELECT DISTINCT fp FROM g WHERE doc_id % 50 = 0),
+          |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n
+          |         FROM g t JOIN ev ON t.fp = ev.fp
+          |         WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |       coalesce(hits.n, CAST(0 AS BIGINT)) AS n_contam_spans
+          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          |WHERE d.doc_id % 50 <> 0
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- text: vocabulary build + token-id encoding --------------------
     // Tokenizer prep: top-20 frequency-ranked vocab (total order by
     // (count DESC, token ASC) — deterministic), documents rewritten to

@@ -574,6 +574,19 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == 2L && got(2L) == 1L)
   }
 
+  test("contaminationAgainst counts train spans occurring verbatim in the eval set") {
+    val span = "a b c d e f g h"
+    val train = Seq(
+      (1L, s"$span tail1 tail2"),      // 3 spans, 1 shared with eval
+      (2L, "k l m n o p q r s"),       // clean
+      (3L, "x y")                      // too short for spans
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"pre $span post")).toDF("doc_id", "text")
+    val got = DedupDocs.contaminationAgainst(train, eval_)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
   test("packBins assigns bins by start offset in the concatenated shard stream") {
     // shards=1: one stream. Token counts 4,5,3,8,10 -> start offsets
     // 0,4,9,12,20 -> bins 0,0,0,1,2 under budget 10.

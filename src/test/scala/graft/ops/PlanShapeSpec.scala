@@ -156,4 +156,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"),
       s"projection must prune the scan schema, got ${s.requiredSchema.fieldNames.toSeq}")
   }
+
+  test("span ops never shuffle text: every exchange payload is numeric-only") {
+    // The span string is projected to its 8-byte fingerprint in the scan
+    // stage; a refactor that lets gram/text STRINGS cross an exchange
+    // reintroduces the widest shuffle payload in the engine (r8 q28
+    // lesson, pre-hashing).
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    for (df <- Seq(
+        DedupDocs.spanStats(d),
+        DedupDocs.contaminationAgainst(
+          d.filter($"doc_id" % 50 =!= 0), d.filter($"doc_id" % 50 === 0)))) {
+      val stringShuffles = shuffles(df.queryExecution.sparkPlan).filter(
+        _.child.output.exists(_.dataType == org.apache.spark.sql.types.StringType))
+      assert(stringShuffles.isEmpty,
+        s"span-op exchanges must carry fingerprints, not strings:\n$stringShuffles")
+    }
+  }
+
+  test("vocab encode probes the corpus through a broadcast join") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val plan = Vocab.encode(d, Vocab.build(d, size = 20)).queryExecution.sparkPlan
+    assert(plan.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.isDefined,
+      s"the vocab dimension must broadcast — a shuffle join here reshuffles the corpus:\n$plan")
+  }
 }
