@@ -41,6 +41,31 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic stratified downsampling — the corpus-MIXING primitive
+    * (rebalance languages/sources toward a target distribution): keep a
+    * row iff its [[hashBucket]] falls under its stratum's percentage.
+    * Because the bucket is a pure function of the record key (not of the
+    * stratum, row order, or corpus size), a document's keep/drop fate is
+    * stable as the corpus grows, reproducible across engines, and
+    * CONSISTENT across pipelines sampling at different rates: the kept
+    * set at 20% is a subset of the kept set at 50%.
+    *
+    * Zero shuffle — a codegen'd filter computable inside any scan.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Seq[(String, Int)],
+      defaultPct: Int): DataFrame = {
+    require((rates.map(_._2) :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      s"stratum percentages must be in [0, 100]: $rates default=$defaultPct")
+    val pct = rates.foldRight(lit(defaultPct): Column) {
+      case ((stratum, p), rest) => when(col(strataCol) === stratum, lit(p)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(keyCol)) < pct)
+  }
+
   /** Sequence packing for training: documents are concatenated in a
     * deterministic key order and chopped into fixed `budget`-token bins;
     * a document's `bin` is the bin index of its FIRST token in the

@@ -363,6 +363,26 @@ object OpsQueries {
           |             THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ---- sampling: stratified corpus mixing ----------------------------
+    // Per-language deterministic downsampling (en 80%, de 50%, rest 20%)
+    // on the same md5 key bucket as q54 — the kept set is a pure function
+    // of (doc_id, lang), stable under corpus growth.
+    "q61_stratified_sample" -> QueryDef(
+      (spark, dir) =>
+        Sampling.stratifiedSample(
+            docs(spark, dir), "doc_id", "lang",
+            Seq("en" -> 80, "de" -> 50), defaultPct = 20)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH b AS (SELECT doc_id, lang,
+          |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+          |FROM b
+          |WHERE bucket < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END)
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: benchmark decontamination ------------------------------
     // Eval set = every 50th doc; training docs flagged by verbatim 8-gram
     // overlap with any eval doc. The one contaminated doc at sf0.01 is a

@@ -621,6 +621,25 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L), (2L, 2L, 1L), (2L, 4L, -1L)))
   }
 
+  test("stratifiedSample: nested rates, growth stability, 0/100 strata") {
+    val d1 = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val kept50 = Sampling.stratifiedSample(d1, "doc_id", "lang", Seq("en" -> 50), 100)
+      .filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    val kept20 = Sampling.stratifiedSample(d1, "doc_id", "lang", Seq("en" -> 20), 100)
+      .filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    // Nested-rate consistency: the 20% sample is a subset of the 50% one.
+    assert(kept20.subsetOf(kept50) && kept20.size < kept50.size)
+    // 0 and 100 are exact.
+    assert(Sampling.stratifiedSample(d1, "doc_id", "lang", Seq("en" -> 0), 100)
+      .filter($"lang" === "en").count() == 0)
+    assert(Sampling.stratifiedSample(d1, "doc_id", "lang", Seq.empty, 100).count() == 400)
+    // Growth stability: adding rows never flips an existing doc's fate.
+    val d2 = (0L until 800L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val keptGrown = Sampling.stratifiedSample(d2, "doc_id", "lang", Seq("en" -> 50), 100)
+      .filter($"lang" === "en" && $"doc_id" < 400).select("doc_id").as[Long].collect().toSet
+    assert(keptGrown == kept50)
+  }
+
   test("repetitionStats rejects repetitive docs and keeps diverse ones") {
     val df = Seq(
       (1L, "x x x x x"),               // top 5/5, dup bigrams 3/4 -> reject
