@@ -89,6 +89,66 @@ object Multimodal {
   final case class DecodedImage(
       doc_id: Long, width: Int, height: Int, decoded: Boolean, feature: String)
 
+  /** One resized image produced by [[resizeImagesBatched]]: the re-encoded
+    * PNG payload plus a hash of the resized ARGB raster (`resized = true`),
+    * or the original payload passed through untouched with -1 dims when no
+    * installed codec can read it (`resized = false`).
+    */
+  final case class ResizedImage(
+      doc_id: Long, width: Int, height: Int, resized: Boolean,
+      payload: Array[Byte], feature: String)
+
+  /** REAL resize path (JDK-only, `java.awt` software rendering — no
+    * external libraries): decode, scale to `targetW`×`targetH` with
+    * explicit NEAREST-NEIGHBOR interpolation (integer pixel selection —
+    * deterministic across platforms, unlike filtered kernels whose
+    * float rounding may vary), re-encode as PNG (lossless, so
+    * decode(payload) reproduces exactly the hashed raster). Payloads
+    * ImageIO cannot read pass through unchanged with `resized = false`.
+    * Same batched `mapPartitions` contract as [[decodeImagesBatched]].
+    */
+  def resizeImagesBatched(
+      assets: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          digest.reset()
+          digest.digest(b).map("%02x".format(_)).mkString
+        }
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val argb = dst.getRGB(0, 0, targetW, targetH, null, 0, targetW)
+            val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+            argb.foreach(bb.putInt)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            ResizedImage(id, targetW, targetH, resized = true, out.toByteArray, hex(bb.array()))
+          }
+        }
+      }
+  }
+
   /** REAL decode path for formats the JDK ships codecs for (PNG, JPEG, GIF,
     * BMP via `javax.imageio` — no external libraries): decodes the binary
     * payload to pixels per partition and emits dimensions + a

@@ -543,6 +543,38 @@ class OpsSpec extends SparkSpec {
     assert(got(3L).width == -1 && !got(3L).decoded && got(3L).feature == opaqueHash)
   }
 
+  test("resizeImagesBatched scales real pixels; output PNG round-trips to the hashed raster") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val opaque = "not an image".getBytes("UTF-8")
+    val assets = Seq((1L, png(8, 8)), (2L, opaque)).toDF("doc_id", "payload")
+    val got = Multimodal.resizeImagesBatched(assets, 4, 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    val r1 = got(1L)
+    assert(r1.resized && r1.width == 4 && r1.height == 4)
+    // The emitted PNG is lossless: decoding it reproduces the hashed raster.
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r1.payload))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    val argb = back.getRGB(0, 0, 4, 4, null, 0, 4)
+    val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+    argb.foreach(bb.putInt)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(bb.array()).map("%02x".format(_)).mkString
+    assert(r1.feature == expected)
+    // Determinism: a second run produces the identical feature.
+    assert(Multimodal.resizeImagesBatched(assets, 4, 4)
+      .collect().find(_.doc_id == 1L).get.feature == r1.feature)
+    // Non-image payload passes through untouched.
+    val r2 = got(2L)
+    assert(!r2.resized && r2.width == -1 && r2.payload.toSeq == opaque.toSeq)
+  }
+
   // ---- span dedup / packing / repetition filter ---------------------------
 
   test("spanStats flags spans shared across documents; short docs get zero spans") {
