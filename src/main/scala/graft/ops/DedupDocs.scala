@@ -39,13 +39,14 @@ object DedupDocs {
     * `(id, n_spans, n_dup_spans, dup_frac)`. Documents shorter than `k`
     * words have zero spans and `dup_frac = 0`.
     *
-    * Scale shape: spans ship as 60-bit md5-prefix fingerprints (8-byte
-    * longs, engine-portable — [[Sampling.hashBucket]]'s hash family),
-    * never as span text; the df count is one map-side-combinable shuffle
-    * on the fingerprint; the contaminated-fingerprint list is small by
-    * construction (true cross-doc repeats only) so AQE broadcasts the
-    * back-join; the per-doc rollup is one narrow shuffle keyed by doc id.
-    * Nothing here is ever corpus² and no driver-side collection exists.
+    * Scale shape: spans ship as 120-bit md5 fingerprints (two longs —
+    * engine-portable, [[Sampling.hashBucket]]'s hash family; see
+    * [[SpanFpCols]] for the collision budget), never as span text; the df
+    * count is one map-side-combinable shuffle on the fingerprint; the
+    * contaminated-fingerprint list is small by construction (true
+    * cross-doc repeats only) so AQE broadcasts the back-join; the per-doc
+    * rollup is one narrow shuffle keyed by doc id. Nothing here is ever
+    * corpus² and no driver-side collection exists.
     */
   def spanStats(
       docs: DataFrame,
@@ -54,11 +55,11 @@ object DedupDocs {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span length must be >= 2 words: $k")
     val grams = spanFingerprints(docs, k, idCol, textCol)
-    val hot = grams.groupBy(col("fp"))
+    val hot = grams.groupBy(SpanFpCols.map(col): _*)
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= 2)
-      .select(col("fp"), lit(1L).as("_dup"))
-    val per = grams.join(hot, Seq("fp"), "left")
+      .select(SpanFpCols.map(col) :+ lit(1L).as("_dup"): _*)
+    val per = grams.join(hot, SpanFpCols, "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -82,7 +83,7 @@ object DedupDocs {
     *
     * Output: one row per training document — `(id, n_contam_spans)`.
     *
-    * Scale shape: both corpora reduce to 60-bit span fingerprints in the
+    * Scale shape: both corpora reduce to 120-bit span fingerprints in the
     * scan stage ([[spanStats]]'s hash family); the eval fingerprint set
     * is distinct-ed (benchmark corpora are tiny next to training data, so
     * AQE broadcasts it) and the probe is a fingerprint-keyed join —
@@ -95,9 +96,9 @@ object DedupDocs {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val evalFps = spanFingerprints(evalDocs, k, idCol, textCol)
-      .select(col("fp")).distinct()
+      .select(SpanFpCols.map(col): _*).distinct()
     val per = spanFingerprints(train, k, idCol, textCol)
-      .join(evalFps.withColumn("_hit", lit(1L)), Seq("fp"), "left")
+      .join(evalFps.withColumn("_hit", lit(1L)), SpanFpCols, "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_contam_spans"))
     train.select(col(idCol))
@@ -105,15 +106,27 @@ object DedupDocs {
       .select(col(idCol), coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"))
   }
 
-  /** `(id, fp)` — one 60-bit md5-prefix fingerprint per `k`-word span
-    * position. The span STRINGS are built inside the higher-order lambda
-    * (HOFs evaluate interpreted — string assembly is all they should pay
-    * for), but the fingerprint is taken AFTER the explode so
-    * md5/substring/conv run whole-stage-codegen'd over a plain attribute
-    * instead of interpreted per lambda element (measured 3-4x on the q56
-    * path). The span string never crosses an exchange — the projection to
-    * the 8-byte fp happens in the scan stage.
+  /** `(id, fp1, fp2)` — a 120-bit md5 fingerprint (two 60-bit prefix
+    * longs) per `k`-word span position. TWO longs, not one: span df
+    * counting keys on the GLOBAL distinct-span population, so at 100 TB
+    * (~1e13 distinct spans) a single 60-bit hash would produce millions
+    * of false df>=2 collisions (n²/2⁶¹); at 120 bits the expectation is
+    * ~4e-11 — negligible — while the shuffle payload stays numeric
+    * (16 bytes). Contrast the per-doc-pair xxhash64 sets in the minhash
+    * verify paths, whose collision population is one document pair, where
+    * 64 bits suffice.
+    *
+    * The span STRINGS are built inside the higher-order lambda (HOFs
+    * evaluate interpreted — string assembly is all they should pay for),
+    * but the fingerprint is taken AFTER the explode so md5/substring/conv
+    * run whole-stage-codegen'd over a plain attribute instead of
+    * interpreted per lambda element (measured 3-4x on the q56 path; the
+    * two md5 calls share one evaluation via codegen subexpression
+    * elimination). The span string never crosses an exchange — the
+    * projection to the fingerprint happens in the scan stage.
     */
+  private[ops] val SpanFpCols = Seq("fp1", "fp2")
+
   private def spanFingerprints(
       docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
     val ws = col("_ws")
@@ -128,7 +141,8 @@ object DedupDocs {
           .as("_gram"))
       .select(
         col(idCol),
-        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("fp"))
+        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("fp1"),
+        conv(substring(md5(col("_gram")), 16, 15), 16, 10).cast("long").as("fp2"))
   }
 
   /** Distinct (id, shingle) pairs of word `n`-grams. Documents shorter

@@ -287,21 +287,25 @@ object OpsQueries {
 
     // ---- dedup: cross-doc duplicated spans (exact-substring signal) ----
     // Word 8-gram spans occurring verbatim in >= 2 distinct documents,
-    // rolled up per doc. Spans travel as 60-bit md5-prefix longs in BOTH
-    // engines (portable, 8 bytes) — never as span text.
+    // rolled up per doc. Spans travel as 120-bit md5 fingerprints (two
+    // longs) in BOTH engines — never as span text; see SpanFpCols for
+    // why 64 bits is not enough for a global span population.
     "q56_span_dedup" -> QueryDef(
       (spark, dir) => DedupDocs.spanStats(docs(spark, dir)).orderBy("doc_id"),
       Some(
         """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
           |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i FROM w),
           |g AS (SELECT doc_id,
-          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp1,
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),16,15))::BIGINT AS fp2
           |      FROM ix),
-          |hot AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+          |hot AS (SELECT fp1, fp2 FROM g GROUP BY fp1, fp2
+          |        HAVING count(DISTINCT doc_id) >= 2),
           |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-          |               CAST(sum(CASE WHEN hot.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |               CAST(sum(CASE WHEN hot.fp1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
           |                 AS n_dup_spans
-          |        FROM g LEFT JOIN hot ON g.fp = hot.fp GROUP BY g.doc_id)
+          |        FROM g LEFT JOIN hot ON g.fp1 = hot.fp1 AND g.fp2 = hot.fp2
+          |        GROUP BY g.doc_id)
           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
           |       coalesce(per.n_spans, CAST(0 AS BIGINT)) AS n_spans,
           |       coalesce(per.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
@@ -398,11 +402,12 @@ object OpsQueries {
         """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
           |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i FROM w),
           |g AS (SELECT doc_id,
-          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),1,15))::BIGINT AS fp1,
+          |        ('0x'||substr(md5(array_to_string(ws[i:i+7],' ')),16,15))::BIGINT AS fp2
           |      FROM ix),
-          |ev AS (SELECT DISTINCT fp FROM g WHERE doc_id % 50 = 0),
+          |ev AS (SELECT DISTINCT fp1, fp2 FROM g WHERE doc_id % 50 = 0),
           |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n
-          |         FROM g t JOIN ev ON t.fp = ev.fp
+          |         FROM g t JOIN ev ON t.fp1 = ev.fp1 AND t.fp2 = ev.fp2
           |         WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id)
           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
           |       coalesce(hits.n, CAST(0 AS BIGINT)) AS n_contam_spans
