@@ -65,7 +65,9 @@ object TextStats {
       },
       acc => acc("best"))
     docs
-      .withColumn("_toks", filter(split(col(textCol), " "), t => t =!= ""))
+      // Total on null text: a null would otherwise poison every derived
+      // column (size(null) = -1) and the keep flag with it.
+      .withColumn("_toks", filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= ""))
       .withColumn("_bg",
         when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1),

@@ -684,5 +684,10 @@ class OpsSpec extends SparkSpec {
       (1L, 5L, 5L, 4L, 1L, 0L),
       (2L, 10L, 1L, 9L, 9L, 1L),
       (3L, 1L, 1L, 0L, 0L, 0L)))
+    // Total on null text: zero counts, trivially kept — never null stats.
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextStats.repetitionStats(withNull)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((9L, 0L, 0L, 0L, 0L, 1L)))
   }
 }
