@@ -39,14 +39,11 @@ object Probe {
     // bit-identical to the string-set metric iff this prints 0.
     val docs = Tables.load(spark, sfDir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
-    val sh = docs
-      .select(explode(transform(
-        sequence(lit(1), greatest(size(split(col("text"), " ")) - lit(2), lit(0))),
-        i => concat_ws(" ",
-          element_at(split(col("text"), " "), i),
-          element_at(split(col("text"), " "), i + 1),
-          element_at(split(col("text"), " "), i + 2)))).as("shingle"))
-      .distinct()
+    // Reuse the production shingler: the previous inline copy crashed on
+    // any document shorter than 3 words (sequence(1, 0) DESCENDS in Spark,
+    // so element_at(ws, 0) threw) and re-split the text per element_at —
+    // exactly the pitfalls DedupDocs.shingles already handles.
+    val sh = graft.ops.DedupDocs.shingles(docs).select("shingle").distinct()
     val (nSh, nHash) = {
       val r = sh.agg(
         count(lit(1)).as("n"),

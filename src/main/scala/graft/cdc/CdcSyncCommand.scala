@@ -233,6 +233,15 @@ object CdcSyncCommand {
               // agg (ref insert/bulk_insert routing, :172-183).
               plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
+            } else if (plake.isCommitted(commitIdFor(db, table, "upsert"))) {
+              // MIGRATION replay: this batch (fully or partially)
+              // committed under the pre-merge two-id scheme before the
+              // upgrade. Re-running it through those ids completes or
+              // no-ops it; deriving the new ":merge" id instead would
+              // match nothing and re-apply the whole batch as a phantom
+              // commit (r9 review).
+              plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
+              plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
             } else
               // Upserts + routed deletes in ONE commit per touched
               // partition (one manifest publish + bloom pass per batch,
@@ -247,6 +256,10 @@ object CdcSyncCommand {
             if (insertOp) {
               lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               // Deletes: key-only left-anti (ref :186-190).
+              lake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
+            } else if (lake.isCommitted(commitIdFor(db, table, "upsert"))) {
+              // Pre-merge-scheme replay — see the partitioned branch.
+              lake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
               lake.delete(delKeys, commitId = commitIdFor(db, table, "delete"))
             } else
               // One combined commit per table per batch (VERDICT r8 #2).

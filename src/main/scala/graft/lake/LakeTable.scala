@@ -438,8 +438,12 @@ final class LakeTable(
     * then (if bloom sidecars exist) skips buckets whose bloom filter proves
     * absence — the engine's answer to Hudi's bloom-index file pruning
     * (`/root/reference/src/main/java/tech/odes/common/util/BloomFilter.java:75-103`).
+    *
+    * `atVersion` pins the manifest the lookup reads (snapshot-consistent
+    * routed reads — see `LakeSnapshotRelation`); default = latest.
     */
-  def lookup(keys: Seq[String]): DataFrame = latestManifest() match {
+  def lookup(keys: Seq[String], atVersion: Option[Long] = None): DataFrame =
+    atVersion.map(readManifest).orElse(latestManifest()) match {
     case None => snapshot
     case Some(m) =>
       val wanted = keys.map(k => bucketOfKey(k, numBuckets)).toSet

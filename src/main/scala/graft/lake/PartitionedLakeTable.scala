@@ -99,39 +99,54 @@ final class PartitionedLakeTable(
   def bulkInsert(updates: DataFrame, commitId: String = ""): Unit =
     writePartitions(updates, commitId)((lt, part, cid) => lt.bulkInsert(part, cid))
 
+  /** Distinct string partition values of `df`, with the null guard every
+    * dispatch path shares.
+    */
+  private def partitionValues(df: DataFrame, what: String): Seq[String] = {
+    val values = df
+      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
+    require(
+      !values.contains(null),
+      s"null $partitionCol in $what — partition values must be non-null")
+    values.toSeq
+  }
+
+  /** The one partition-dispatch skeleton every write path shares:
+    * independent per-partition work runs from a bounded driver pool (same
+    * pattern as CdcSyncCommand's per-table loop) so partition count, not
+    * partition order, drives wall clock; commit ids are scoped
+    * `$commitId:p=$v` so a replayed batch skips exactly the partitions
+    * that already committed.
+    */
+  private def dispatchPartitions(values: Seq[String], commitId: String)(
+      run: (LakeTable, String, String) => Unit): Unit = {
+    if (values.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(values.length).max(1))
+    try {
+      val tasks = values.map { v =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = run(
+            partitionTable(v), v,
+            if (commitId.isEmpty) "" else s"$commitId:p=$v")
+        }
+      }.asJava
+      pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
+    } finally pool.shutdown()
+  }
+
   private def writePartitions(updates: DataFrame, commitId: String)(
       write: (LakeTable, DataFrame, String) => Unit): Unit = {
     require(
       updates.columns.contains(partitionCol),
       s"updates must contain partition column '$partitionCol'")
-    val values = updates
-      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
-    require(
-      !values.contains(null),
-      s"null $partitionCol in updates — partition values must be non-null")
+    val values = partitionValues(updates, "updates")
     writeMetaIfAbsent(updates.schema(partitionCol).dataType)
-    // Independent per-partition merges: dispatch from a bounded driver
-    // pool (same pattern as CdcSyncCommand's per-table loop) so partition
-    // count doesn't serialize the write.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(values.length).max(1))
-    try {
-      val tasks = values.toSeq.map { v =>
-        new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            // The partition value is constant within the dir — elide the
-            // column from the stored files (re-attached on read), like any
-            // partitioned table format.
-            val part = updates
-              .filter(col(partitionCol).cast("string") === v)
-              .drop(partitionCol)
-            write(
-              partitionTable(v), part,
-              if (commitId.isEmpty) "" else s"$commitId:p=$v")
-          }
-        }
-      }.asJava
-      pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
-    } finally pool.shutdown()
+    dispatchPartitions(values, commitId) { (lt, v, cid) =>
+      // The partition value is constant within the dir — elide the
+      // column from the stored files (re-attached on read), like any
+      // partitioned table format.
+      write(lt, updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol), cid)
+    }
   }
 
   /** Partition-routed combined upsert+delete — ONE commit per touched
@@ -149,11 +164,7 @@ final class PartitionedLakeTable(
     require(
       deleteKeys.columns.contains(partitionCol),
       s"merge deleteKeys must contain partition column '$partitionCol'")
-    val upVals = updates
-      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
-    require(
-      !upVals.contains(null),
-      s"null $partitionCol in updates — partition values must be non-null")
+    val upVals = partitionValues(updates, "updates")
     val delRows = deleteKeys
       .select(col(LakeTable.KeyCol), col(partitionCol).cast("string").as("_p"))
     val delVals = delRows.select("_p").distinct().collect().map(_.getString(0))
@@ -163,20 +174,13 @@ final class PartitionedLakeTable(
     // receiving only deletes (deleting from a partition that was never
     // written is a no-op, skip the dispatch entirely).
     val targets =
-      (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct.toSeq
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(targets.length).max(1))
-    try {
-      val tasks = targets.map { v =>
-        new java.util.concurrent.Callable[Unit] {
-          def call(): Unit =
-            partitionTable(v).merge(
-              updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol),
-              delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
-              if (commitId.isEmpty) "" else s"$commitId:p=$v")
-        }
-      }.asJava
-      pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
-    } finally pool.shutdown()
+      (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct
+    dispatchPartitions(targets, commitId) { (lt, v, cid) =>
+      lt.merge(
+        updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol),
+        delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
+        cid)
+    }
     if (delVals.contains(null))
       delete(
         delRows.filter(col("_p").isNull).select(LakeTable.KeyCol),
@@ -261,19 +265,48 @@ final class PartitionedLakeTable(
     }
 
   /** Full-table read (union of partitions, partition value re-attached). */
-  def snapshot: DataFrame = read(partitions)
+  def snapshot: DataFrame = { val ps = partitions; read(ps, ps) }
 
   /** Partition-pruned read: only the named partitions' files are opened. */
-  def snapshot(values: Seq[String]): DataFrame =
-    read(values.filter(partitions.contains))
+  def snapshot(values: Seq[String]): DataFrame = {
+    val ps = partitions
+    read(values.filter(ps.contains), ps)
+  }
 
-  private def read(values: Seq[String]): DataFrame = {
+  /** Version-pinned full read: each partition of the vector at the version
+    * the caller holds (a [[currentVersions]] snapshot). Partitions born
+    * after the vector was taken are not read — the vector IS the table
+    * state being addressed. The consistent-read primitive for
+    * `LakeSnapshotRelation`: every route of one relation resolves the
+    * same vector, so a concurrent writer can never make two scans of the
+    * same relation disagree.
+    */
+  def snapshotAt(versions: Map[String, Long]): DataFrame = {
+    val ps = versions.keys.toSeq.sorted
+    readAt(ps, ps, versions)
+  }
+
+  /** Version-pinned pruned read: only the named partitions, at the pinned
+    * versions. No directory listing at all — the vector is the authority.
+    */
+  def snapshotAt(values: Seq[String], versions: Map[String, Long]): DataFrame =
+    readAt(values.distinct.filter(versions.contains), versions.keys.toSeq.sorted, versions)
+
+  private def read(values: Seq[String], all: Seq[String]): DataFrame =
+    assemble(values.map(v => v -> partitionTable(v).snapshot), all, None)
+
+  private def readAt(
+      values: Seq[String], all: Seq[String], versions: Map[String, Long]): DataFrame =
+    assemble(
+      values.map(v => v -> partitionTable(v).snapshotAt(versions(v))), all, Some(versions))
+
+  private def assemble(
+      parts: Seq[(String, DataFrame)],
+      all: Seq[String],
+      versions: Option[Map[String, Long]]): DataFrame = {
     val dt = partitionType
-    val parts = values.map { v =>
-      partitionTable(v).snapshot.withColumn(partitionCol, reattached(v, dt))
-    }
-    parts match {
-      case Seq() => emptyFrame
+    parts.map { case (v, df) => df.withColumn(partitionCol, reattached(v, dt)) } match {
+      case Seq() => emptyFrame(all, versions)
       case head +: tail =>
         tail.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
     }
@@ -283,12 +316,17 @@ final class PartitionedLakeTable(
     * .emptyDataFrame` is ZERO-column, and batch consumers that
     * select/union a no-partitions-matched read or a nothing-changed
     * incremental fail on the missing columns. Cost: manifest reads only
-    * (the union plan is lazy and carries no rows); a never-written table
-    * has no schema to offer and keeps the zero-column frame.
+    * (the union plan is lazy and carries no rows) against the LISTING THE
+    * CALLER ALREADY HOLDS — no re-listing (r9 review); a never-written
+    * table has no schema to offer and keeps the zero-column frame.
     */
-  private def emptyFrame: DataFrame =
-    if (partitions.isEmpty) spark.emptyDataFrame
-    else snapshot.limit(0)
+  private def emptyFrame(
+      all: Seq[String], versions: Option[Map[String, Long]]): DataFrame =
+    if (all.isEmpty) spark.emptyDataFrame
+    else versions match {
+      case Some(vec) => readAt(all, all, vec).limit(0)
+      case None => read(all, all).limit(0)
+    }
 
   /** The VERSION VECTOR a consumer holds to read this table
     * incrementally: each partition's latest committed version. Partitions
@@ -325,11 +363,24 @@ final class PartitionedLakeTable(
         .withColumn(partitionCol, reattached(v, dt)))
     }
     parts match {
-      case Seq() => emptyFrame // schema-stable empty, not zero-column
+      // Schema-stable empty, not zero-column; schema from the vector's
+      // own partitions when it has any (no directory listing on the idle
+      // nothing-changed poll — the streaming source's common case).
+      case Seq() =>
+        if (untilVersions.nonEmpty) emptyFrame(untilVersions.keys.toSeq.sorted, Some(untilVersions))
+        else emptyFrame(partitions, None)
       case head +: tail =>
         tail.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
     }
   }
+
+  /** True iff `commitId` was already applied to ANY partition (the
+    * per-partition scoped id `$commitId:p=<v>` is logged) — the replay /
+    * migration probe mirroring [[LakeTable.isCommitted]].
+    */
+  def isCommitted(commitId: String): Boolean =
+    commitId.nonEmpty &&
+      partitions.exists(v => partitionTable(v).isCommitted(s"$commitId:p=$v"))
 }
 
 object PartitionedLakeTable {

@@ -95,6 +95,7 @@ object DedupDocs {
       k: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 words: $k")
     val evalFps = spanFingerprints(evalDocs, k, idCol, textCol)
       .select(SpanFpCols.map(col): _*).distinct()
     val per = spanFingerprints(train, k, idCol, textCol)

@@ -79,7 +79,9 @@ object Sampling {
     * global ordered cumsum would serialize the whole corpus through one
     * window partition — the non-scalable shape this deliberately avoids.
     * Bins are therefore numbered within a shard; `(shard, bin)` is the
-    * global bin identity.
+    * global bin identity. Keys must be UNIQUE: a duplicated key makes the
+    * running-sum order within the tie unspecified, and with it the bin
+    * assignment of everything after the tie.
     *
     * Output: input columns plus `shard`, `n_tok`, `bin`.
     */

@@ -128,18 +128,28 @@ class LakeSnapshotRelation(
   private lazy val buckets =
     parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
 
-  // ONE table handle + snapshot pinned for the relation's lifetime:
+  // ONE table handle + VERSION(S) pinned for the relation's lifetime:
   // separate reads for schema and buildScan could observe different
   // committed versions under a concurrent writer (e.g. an int->long
   // widening between planning and execution -> Row/schema mismatch at
-  // runtime). The lookup route re-reads the manifest internally, so its
-  // result is defensively cast back to the pinned schema.
+  // runtime), and a routed read (key lookup / partition prune) resolving
+  // a NEWER version than the full-scan path would let one query mix two
+  // committed states (r9 review). Every route below reads the pinned
+  // version(s); new commits become visible to NEW relation instances
+  // (catalog sync re-registers per CDC batch; ad-hoc readers
+  // `REFRESH TABLE`).
   private lazy val opened: Either[PartitionedLakeTable, LakeTable] =
     PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
       .toLeft(new LakeTable(ctx.sparkSession, path, buckets))
 
-  private lazy val snapshot: DataFrame =
-    opened.fold(_.snapshot, _.snapshot)
+  private lazy val pinnedVersion: Option[Long] =
+    opened.fold(_ => None, _.latestVersion)
+  private lazy val pinnedVector: Map[String, Long] =
+    opened.fold(_.currentVersions, _ => Map.empty)
+
+  private lazy val snapshot: DataFrame = opened.fold(
+    pt => if (pinnedVector.isEmpty) pt.snapshot else pt.snapshotAt(pinnedVector),
+    t => pinnedVersion.map(t.snapshotAt).getOrElse(t.snapshot))
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = snapshot.schema
@@ -182,11 +192,12 @@ class LakeSnapshotRelation(
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => toColumn(f).isEmpty)
 
-  /** Conform a routed read to the pinned relation schema: widening-safe
-    * casts (the routed path re-reads the manifest, which may have widened
-    * int->long / float->double since planning), and a stable empty frame
-    * when the route pruned everything away (an empty partition match
-    * yields a zero-column DataFrame we cannot select from).
+  /** Conform a routed read to the pinned relation schema: a stable empty
+    * frame when the route pruned everything away (an empty partition
+    * match yields a zero-column DataFrame we cannot select from), plus
+    * defensive widening-safe casts — with every route pinned to the
+    * relation's version(s) the schemas already agree, so the casts are
+    * belt-and-braces, not load-bearing.
     */
   private def conformed(df: DataFrame): DataFrame =
     if (df.columns.isEmpty)
@@ -203,15 +214,24 @@ class LakeSnapshotRelation(
       case Right(table) =>
         equalityValues(filters, LakeTable.KeyCol) match {
           case Some(keys) if keys.forall(_.isInstanceOf[String]) =>
-            // Bucket+bloom point read (Hudi bloom-index shape).
-            conformed(table.lookup(keys.map(_.asInstanceOf[String])))
+            // Bucket+bloom point read (Hudi bloom-index shape), at the
+            // relation's pinned version.
+            conformed(table.lookup(keys.map(_.asInstanceOf[String]), pinnedVersion))
           case _ => snapshot
         }
       case Left(pt) =>
         equalityValues(filters, pt.partitionCol) match {
-          case Some(values) =>
-            conformed(pt.snapshot(values.map(_.toString).distinct))
-          case None => snapshot
+          case Some(values) if values.forall(_.isInstanceOf[String]) =>
+            // Route only STRING pushed values: the directory name is
+            // Spark's cast-to-string of the partition value, which Java
+            // toString of a typed literal (Timestamp, Decimal) need not
+            // match — a mismatched name would silently prune matching
+            // rows away (r9 review). Typed partition columns fall
+            // through to the pinned full scan; the filter still applies
+            // below.
+            conformed(pt.snapshotAt(
+              values.map(_.asInstanceOf[String]).distinct, pinnedVector))
+          case _ => snapshot
         }
     }
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))

@@ -142,6 +142,46 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(person.toSeq == Seq("a"))
   }
 
+  test("batch committed under the pre-merge two-id scheme replays without a phantom merge commit") {
+    // An in-flight checkpoint upgraded across the one-commit-per-table
+    // change: batch 5 already committed under the legacy ':upsert' id.
+    // The replay must route through the legacy ids (completing or
+    // no-oping) — deriving ':merge' would match nothing and re-apply the
+    // batch as a spurious new version (r9 review).
+    val root = tempDir("cdc-mig-").toString
+    val lake = new LakeTable(spark, s"$root/db/ods_db_person", 4)
+    lake.upsert(
+      Seq(("legacy-key", 1L, "legacy")).toDF("_key", "_ts", "payload"),
+      commitId = "b5:db.person:upsert")
+    assert(lake.latestVersion.contains(1L))
+
+    val batch = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq("""{"id":1,"name":"ann","age":30}""")),
+      env("db", "person", personSchema, 2L, "delete", Seq("""{"id":9,"name":"zz","age":1}""")))
+    CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 5L)
+    // Upsert skipped (legacy id committed); the delete key matches nothing
+    // (bloom-pruned all-absent -> no version). NO phantom ':merge' commit.
+    assert(lake.latestVersion.contains(1L),
+      s"legacy-committed batch must not re-apply, got version ${lake.latestVersion}")
+    assert(!lake.isCommitted("b5:db.person:merge"))
+
+    // A NEW batch id takes the merge path normally.
+    CdcSyncCommand.run(batch.toDF("value"), options(root), batchId = 6L)
+    assert(lake.isCommitted("b6:db.person:merge"))
+    assert(lake.latestVersion.contains(2L))
+  }
+
+  test("partitioned isCommitted sees any partition's scoped legacy commit") {
+    val root = tempDir("cdc-mig-p-").toString
+    val pt = new graft.lake.PartitionedLakeTable(spark, root, "day", numBuckets = 2)
+    pt.upsert(
+      Seq(("a", 1L, "d1", "x")).toDF("_key", "_ts", "day", "payload"),
+      commitId = "b3:db.t:upsert")
+    assert(pt.isCommitted("b3:db.t:upsert"))
+    assert(!pt.isCommitted("b3:db.t:merge"))
+    assert(!pt.isCommitted(""))
+  }
+
   test("random CDC replay converges to the in-memory map oracle") {
     val root = tempDir("cdc-").toString
     val rnd = new scala.util.Random(7)

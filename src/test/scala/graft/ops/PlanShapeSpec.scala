@@ -157,6 +157,48 @@ class PlanShapeSpec extends SparkSpec {
       s"projection must prune the scan schema, got ${s.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("cdc-lake partitioned read: typed partition values are not string-routed") {
+    import org.apache.spark.sql.sources.EqualTo
+    // A TIMESTAMP partition column: dirs are Spark's cast-to-string
+    // ('2024-01-02 00:00:00'), but a pushed Timestamp literal's Java
+    // toString is '2024-01-02 00:00:00.0' — routing on it would prune the
+    // matching dir away and silently return nothing (r9 review). Typed
+    // values must fall through to the full scan + filter.
+    val dir = tempDir("plan-plake-ts").resolve("t").toString
+    val pt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
+    val d1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val d2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    pt.upsert(Seq(("a", 1L, d1, "x"), ("b", 1L, d2, "y"))
+      .toDF("_key", "_ts", "day", "payload"))
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "2"))
+    val got = rel.scanPlan(Array("_key", "payload"), Array(EqualTo("day", d2)))
+    assert(got.select("_key").as[String].collect().toSeq == Seq("b"),
+      "typed partition equality must still find its rows via the full scan")
+  }
+
+  test("cdc-lake relation pins its version: routed reads agree with the full scan under a concurrent commit") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tempDir("plan-lake-pin").resolve("t").toString
+    val lt = new graft.lake.LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, "v1")).toDF("_key", "_ts", "payload"))
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "2"))
+    val full = rel.scanPlan(Array("payload"), Array.empty) // resolves + pins v1
+    assert(full.as[String].collect().toSeq == Seq("v1"))
+    lt.upsert(Seq(("a", 2L, "v2")).toDF("_key", "_ts", "payload")) // concurrent commit
+    // The bucket+bloom routed read built AFTER the commit must still see
+    // the relation's pinned version, not v2 — one relation, one version.
+    val keyed = rel.scanPlan(Array("payload"), Array(EqualTo("_key", "a")))
+    assert(keyed.as[String].collect().toSeq == Seq("v1"),
+      "routed read must resolve the relation's pinned version")
+    // A fresh relation sees the new commit.
+    val rel2 = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "2"))
+    assert(rel2.scanPlan(Array("payload"), Array(EqualTo("_key", "a")))
+      .as[String].collect().toSeq == Seq("v2"))
+  }
+
   test("span ops never shuffle text: every exchange payload is numeric-only") {
     // The span string is projected to its 8-byte fingerprint in the scan
     // stage; a refactor that lets gram/text STRINGS cross an exchange
