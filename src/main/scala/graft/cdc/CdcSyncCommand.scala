@@ -233,7 +233,15 @@ object CdcSyncCommand {
               // agg (ref insert/bulk_insert routing, :172-183).
               plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
-            } else if (plake.isCommitted(commitIdFor(db, table, "upsert"))) {
+            } else if (plake.isCommitted(
+                commitIdFor(db, table, "upsert"),
+                // Deterministic replay: a legacy scoped commit can only
+                // live in a partition this batch's own upserts name, so
+                // the probe is bounded to the batch's partitions (one
+                // small distinct-collect) instead of a full history scan
+                // of every table partition per batch.
+                typed.select(col(pf).cast("string")).distinct()
+                  .collect().map(_.getString(0)).toSeq)) {
               // MIGRATION replay: this batch (fully or partially)
               // committed under the pre-merge two-id scheme before the
               // upgrade. Re-running it through those ids completes or

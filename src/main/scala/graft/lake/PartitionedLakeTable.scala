@@ -379,8 +379,22 @@ final class PartitionedLakeTable(
     * migration probe mirroring [[LakeTable.isCommitted]].
     */
   def isCommitted(commitId: String): Boolean =
-    commitId.nonEmpty &&
-      partitions.exists(v => partitionTable(v).isCommitted(s"$commitId:p=$v"))
+    isCommitted(commitId, partitions)
+
+  /** Bounded probe: `commitId` committed in any of the partitions named by
+    * `among`. The hot-path variant — CDC's per-batch migration probe runs
+    * before EVERY merge, and a scoped commit can only live in a partition
+    * whose value the committing batch carried, so a deterministic replay
+    * need only probe its own partition values instead of paying a full
+    * commit-history scan per partition across the whole table.
+    */
+  def isCommitted(commitId: String, among: Seq[String]): Boolean =
+    commitId.nonEmpty && {
+      val ps = partitions.toSet
+      among.distinct.exists(v =>
+        v != null && ps.contains(v) &&
+          partitionTable(v).isCommitted(s"$commitId:p=$v"))
+    }
 }
 
 object PartitionedLakeTable {

@@ -180,6 +180,11 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(pt.isCommitted("b3:db.t:upsert"))
     assert(!pt.isCommitted("b3:db.t:merge"))
     assert(!pt.isCommitted(""))
+    // Bounded (hot-path) probe: only the named partitions are consulted.
+    assert(pt.isCommitted("b3:db.t:upsert", Seq("d1")))
+    assert(pt.isCommitted("b3:db.t:upsert", Seq(null, "d1", "nope")))
+    assert(!pt.isCommitted("b3:db.t:upsert", Seq("d2")))
+    assert(!pt.isCommitted("b3:db.t:upsert", Seq.empty))
   }
 
   test("random CDC replay converges to the in-memory map oracle") {
