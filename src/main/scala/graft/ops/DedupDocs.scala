@@ -626,4 +626,40 @@ object DedupDocs {
         .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
     } finally edges.unpersist(blocking = false)
   }
+
+  /** Survivor selection — the "keep one" half of near-dup removal: one
+    * canonical doc per [[dupGroups]] component, chosen by a deterministic
+    * total order (`rankBy` columns over the doc's own attributes, then
+    * `idCol` ascending as the final tiebreak). Emits every doc with its
+    * `group_id` and a BIGINT `keep` flag (1 = canonical or singleton,
+    * 0 = discarded duplicate), so callers can either filter the corpus or
+    * audit what was dropped.
+    *
+    * Scale shape: the ranking window runs over DUP-COMPONENT members
+    * only. Multi-doc group ids are exactly the labels some non-min member
+    * carries (`group_id != id`) — a set ∝ near-dup density, not corpus
+    * size — so the corpus is split with two joins against that small set
+    * (AQE broadcasts them) and singletons are flagged keep=1 without ever
+    * entering a window. Nothing reshuffles the full corpus on `group_id`.
+    */
+  def canonicalDocs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      rankBy: Seq[org.apache.spark.sql.Column],
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val groups = dupGroups(docs, pairs, idCol, maxIters)
+    val joined = docs.withColumn(idCol, col(idCol).cast("long"))
+      .join(groups, Seq(idCol))
+    val multi = groups.filter(col("group_id") =!= col(idCol))
+      .select("group_id").distinct()
+    val w = Window.partitionBy("group_id")
+      .orderBy(rankBy :+ col(idCol).asc: _*)
+    val ranked = joined.join(multi, Seq("group_id"), "left_semi")
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+    val singles = joined.join(multi, Seq("group_id"), "left_anti")
+      .withColumn("keep", lit(1L))
+    ranked.unionByName(singles)
+      .select(col(idCol), col("group_id"), col("keep"))
+  }
 }

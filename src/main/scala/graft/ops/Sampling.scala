@@ -41,6 +41,35 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic per-group cap — the DOMAIN-BALANCING primitive (bound
+    * how much any one crawl domain / source contributes): keep at most
+    * `n` rows per `groupCol`, selected by ascending 60-bit md5 hash of
+    * the key (key ascending as tiebreak for hash collisions). The kept
+    * set is a pure function of the group's key population — engine- and
+    * run-reproducible — but unlike [[stratifiedSample]] it is NOT
+    * growth-stable: a cap is a top-N, so a new key hashing below the
+    * group's cutoff evicts the old rank-n survivor. Use percentage
+    * strata when growth-stability matters more than a hard bound.
+    *
+    * Scale shape: `row_number <= n` over `(group, hash)` — Spark's
+    * WindowGroupLimit rewrites it to a per-task partial top-n BEFORE the
+    * exchange, so a hot domain ships at most n·tasks rows into its
+    * window partition, not its whole population.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      n: Int,
+      keyCol: String): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic stratified downsampling — the corpus-MIXING primitive
     * (rebalance languages/sources toward a target distribution): keep a
     * row iff its [[hashBucket]] falls under its stratum's percentage.

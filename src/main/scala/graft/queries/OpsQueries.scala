@@ -224,6 +224,45 @@ object OpsQueries {
            |FROM documents d LEFT JOIN mn ON d.doc_id = mn.u
            |ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup: canonical survivor per dup group -----------------------
+    // The "keep one" half of near-dup removal: within each q52 component,
+    // the longest doc survives (n_chars DESC, doc_id ASC tiebreak);
+    // singletons survive trivially. keep is BIGINT 0/1 (oracle dtype).
+    "q62_dedup_canonical" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        DedupDocs.canonicalDocs(
+            d, DedupDocs.jaccardPairs(d, maxDf = JaccardMaxDf),
+            rankBy = Seq(col("n_chars").desc))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $duckShingles,
+           |co AS (SELECT a.doc_id d1, b.doc_id d2, CAST(count(*) AS BIGINT) c
+           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT d1, d2
+           |       FROM co JOIN cnt ca ON co.d1 = ca.doc_id
+           |               JOIN cnt cb ON co.d2 = cb.doc_id
+           |       WHERE c * 2 >= (ca.n + cb.n - c)),
+           |edges AS (SELECT d1 u, d2 v FROM pr UNION SELECT d2 u, d1 v FROM pr),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |mn AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+           |g AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |             CAST(CASE WHEN mn.mv IS NULL OR d.doc_id < mn.mv
+           |                       THEN d.doc_id ELSE mn.mv END AS BIGINT) AS group_id,
+           |             d.n_chars
+           |      FROM documents d LEFT JOIN mn ON d.doc_id = mn.u)
+           |SELECT doc_id, group_id,
+           |       CAST(CASE WHEN row_number() OVER (
+           |                   PARTITION BY group_id
+           |                   ORDER BY n_chars DESC, doc_id) = 1
+           |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ---- text: distinctive terms (portable tf-idf shape) ---------------
     // Integer/string-total-order ranking (tf DESC, df ASC, term ASC) after
     // a df cap — engine-portable where a float ln-based score is not (see
@@ -385,6 +424,24 @@ object OpsQueries {
           |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
           |FROM b
           |WHERE bucket < (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- sampling: per-source cap (domain balancing) -------------------
+    // Bound any one source's contribution to 15 docs, selected by the
+    // portable md5 hash order (pure function of the key population; the
+    // window is WindowGroupLimit-rewritten to a partial top-n map-side).
+    "q63_source_cap" -> QueryDef(
+      (spark, dir) =>
+        Sampling.capPerGroup(docs(spark, dir), "source", 15, "doc_id")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id, source,
+          |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hk
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+          |FROM h
+          |QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) <= 15
           |ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup: benchmark decontamination ------------------------------

@@ -52,9 +52,20 @@ object VectorOffset {
   * version range always yields the same rows, until a vacuum drops the
   * range's manifests — which fails loudly rather than silently skipping).
   *
+  * Rate limiting (admission control — the `maxOffsetsPerTrigger`
+  * analogue): `option("maxVersionsPerBatch", n)` caps how many committed
+  * versions past the stream's position one micro-batch may cover (per
+  * partition, for vectors). A stream catching up on a long-lived table —
+  * or starting fresh against a large one — then chunks the backlog into
+  * bounded batches instead of materializing the whole version range in
+  * one, while a caught-up stream is unaffected. Replay stays
+  * deterministic: the capped end offset is checkpointed like any other.
+  *
   * Contract notes (documented, not silent):
   *  - the first batch is the full snapshot at the then-latest version
-  *    (version range `(0, v]`, every partition for vectors);
+  *    (version range `(0, v]`, every partition for vectors) — unless
+  *    rate-limited, in which case the snapshot arrives chunked across
+  *    the first ceil(v/n) batches;
   *  - hard deletes emit no tombstones (copy-on-write incremental — same
   *    as Hudi COW);
   *  - the schema is frozen at query start; a batch that is losslessly
@@ -77,6 +88,17 @@ class LakeIncrementalSource(
     PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
   private lazy val plain = new LakeTable(ctx.sparkSession, path, buckets)
 
+  private val maxVersions: Option[Long] = {
+    val mx = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    require(mx.forall(_ > 0), s"maxVersionsPerBatch must be positive: ${mx.get}")
+    mx
+  }
+
+  // The stream's position as of the last batch handed out — the base the
+  // rate limiter caps against. Restart replay syncs it: Spark re-calls
+  // getBatch with the checkpointed range before asking for a new offset.
+  private var lastEnd: Option[Offset] = None
+
   // Frozen at query start (Structured Streaming requires a fixed schema
   // per query run; restart the stream to pick up a widened schema).
   override val schema: StructType =
@@ -85,8 +107,24 @@ class LakeIncrementalSource(
   override def getOffset: Option[Offset] = partitioned match {
     case Some(p) =>
       val vec = p.currentVersions
-      if (vec.isEmpty) None else Some(VectorOffset(vec))
-    case None => plain.latestVersion.map(LongOffset(_))
+      if (vec.isEmpty) None
+      else Some(VectorOffset(maxVersions match {
+        case Some(mx) =>
+          val prev = lastEnd.map(vector).getOrElse(Map.empty)
+          // Per-partition cap: every partition advances at most mx
+          // versions per batch (all catch up concurrently). Caught-up
+          // partitions are unaffected (min picks the real version).
+          vec.map { case (k, v) => k -> math.min(v, prev.getOrElse(k, 0L) + mx) }
+        case None => vec
+      }))
+    case None =>
+      val latest = plain.latestVersion.map(LongOffset(_))
+      maxVersions match {
+        case Some(mx) =>
+          val prev = lastEnd.map(scalar).getOrElse(0L)
+          latest.map(l => LongOffset(math.min(l.offset, prev + mx)))
+        case None => latest
+      }
   }
 
   private def scalar(o: Offset): Long = o match {
@@ -100,6 +138,7 @@ class LakeIncrementalSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = Some(end)
     val batch = partitioned match {
       case Some(p) =>
         p.incrementalBetweenVec(start.map(vector).getOrElse(Map.empty), vector(end))

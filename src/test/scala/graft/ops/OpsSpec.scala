@@ -262,6 +262,41 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("canonicalDocs keeps the best-ranked doc per group, tiebreaks by id, singletons survive") {
+    // components {1,2,3} (chain), {5,6}; singletons {4}, {7}
+    val ds = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 9L), (6L, 9L), (7L, 1L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val got = DedupDocs.canonicalDocs(ds, pairs, rankBy = Seq(col("n_chars").desc))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // group 1: docs 2 and 3 tie on n_chars=30 -> lower id (2) wins over 3
+    // AND over the shorter 1; group 5: tie -> 5 wins; singletons keep.
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (4L, 4L, 1L),
+      (5L, 5L, 1L), (6L, 5L, 0L), (7L, 7L, 1L)))
+    // exactly one keeper per group
+    val keepers = got.filter(_._3 == 1L).map(_._2)
+    assert(keepers.toSeq.sorted == got.map(_._2).distinct.toSeq.sorted)
+  }
+
+  test("capPerGroup bounds each group deterministically; under-cap groups pass whole") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+      .union(Seq((1000L, "tiny")).toDF("k", "g"))
+    val got = Sampling.capPerGroup(df, "g", 5, "k")
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes("g0") == 5 && sizes("g1") == 5 && sizes("g2") == 5)
+    assert(sizes("tiny") == 1, "groups under the cap pass through whole")
+    // deterministic: same input -> identical kept set
+    val again = Sampling.capPerGroup(df, "g", 5, "k").select("k").as[Long].collect().sorted
+    assert(again.toSeq == got.select("k").as[Long].collect().sorted.toSeq)
+    // kept set at a lower cap is a subset of the higher cap (hash order is
+    // a fixed total order per group)
+    val cap3 = Sampling.capPerGroup(df, "g", 3, "k").select("k").as[Long].collect().toSet
+    assert(cap3.subsetOf(got.select("k").as[Long].collect().toSet))
+    intercept[IllegalArgumentException](Sampling.capPerGroup(df, "g", 0, "k"))
+  }
+
   test("hashSplit is deterministic, key-stable under corpus growth, and validates") {
     val small = (1L to 500L).toDF("id")
     val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)

@@ -199,6 +199,20 @@ class PlanShapeSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("v2"))
   }
 
+  test("capPerGroup gets the WindowGroupLimit partial top-n rewrite") {
+    // The cap must push a per-task partial limit BELOW the group exchange
+    // — otherwise a hot domain ships its whole population into one window
+    // partition (the non-scalable shape).
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val plan = Sampling.capPerGroup(d, "source", 15, "doc_id")
+      .queryExecution.sparkPlan
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a Partial WindowGroupLimit below the exchange in:\n$plan")
+  }
+
   test("span ops never shuffle text: every exchange payload is numeric-only") {
     // The span string is projected to its 8-byte fingerprint in the scan
     // stage; a refactor that lets gram/text STRINGS cross an exchange

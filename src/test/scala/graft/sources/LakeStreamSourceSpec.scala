@@ -83,6 +83,50 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerBatch chunks catch-up into bounded batches, then drains") {
+    val dir = tempDir("lakesrc-rate-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    // 5 committed versions before the stream starts — a backlog.
+    (1 to 5).foreach(i => lt.upsert(rows((s"k$i", i.toLong, s"v$i"))))
+    assert(lt.latestVersion.contains(5L))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("cdc-lake")
+      .option("path", dir).option("buckets", "2")
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(df.count()): Unit
+      }
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+      // (0,2], (2,4], (4,5] — the backlog arrives chunked, never all 5
+      // versions in one micro-batch; everything drains.
+      assert(sizes.sum == 5, s"all backlog rows must arrive: $sizes")
+      assert(sizes.forall(_ <= 2), s"no batch may span more than 2 versions: $sizes")
+      assert(sizes.length >= 3, s"expected the backlog chunked into >=3 batches: $sizes")
+
+      // A caught-up stream is unaffected: one new commit = one batch.
+      lt.upsert(rows(("k6", 6L, "v6")))
+      q.processAllAvailable()
+      assert(batchSizes.asScala.toSeq.filter(_ > 0).sum == 6)
+    } finally q.stop()
+
+    // Invalid cap fails loudly at query start.
+    val bad = intercept[Exception] {
+      val qq = spark.readStream.format("cdc-lake")
+        .option("path", dir).option("maxVersionsPerBatch", "0").load()
+        .writeStream.format("memory").queryName("ratebad")
+        .option("checkpointLocation", s"$dir/_ckpt_bad").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("partitioned table feed: vector offsets, only changed partitions scanned") {
     val dir = tempDir("lakesrc-").toString
     val plt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
@@ -115,6 +159,46 @@ class LakeStreamSourceSpec extends SparkSpec {
       assert(second.toSeq == Seq(
         ("a", "va"), ("a", "va2"), ("c", "vc"), ("d", "vd")),
         s"untouched partition re-emitted: ${second.toSeq}")
+    } finally q.stop()
+  }
+
+  test("partitioned rate limit caps each partition's versions per batch independently") {
+    val dir = tempDir("lakesrc-prate-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
+    // p1 has a 3-version backlog, p2 one version: per-partition cap 1
+    // means p1 drains over 3 batches while p2 finishes in the first.
+    (1 to 3).foreach(i => plt.upsert(
+      Seq((s"k$i", i.toLong, "2024-01-01", s"v$i"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")))
+    plt.upsert(Seq(("x", 1L, "2024-01-02", "vx"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, String)]]()
+    val q = spark.readStream.format("cdc-lake")
+      .option("path", dir).option("buckets", "2")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(df.select("_key", "day").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq): Unit
+      }
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq.filter(_.nonEmpty)
+      // every batch covers at most 1 version per partition => at most one
+      // row per partition per batch in this fixture
+      got.foreach { b =>
+        val perPart = b.groupBy(_._2).view.mapValues(_.size)
+        assert(perPart.forall(_._2 <= 1),
+          s"a batch carried >1 version of one partition: $got")
+      }
+      assert(got.flatten.map(_._1).sorted == Seq("k1", "k2", "k3", "x"),
+        s"backlog must drain completely: $got")
+      assert(got.length >= 3, s"p1's backlog must span >=3 batches: $got")
     } finally q.stop()
   }
 
