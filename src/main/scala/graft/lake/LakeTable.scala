@@ -464,6 +464,34 @@ final class LakeTable(
       readBuckets(m, pruned).filter(col(KeyCol).isin(keys: _*))
   }
 
+  /** Distributed key-membership probe — [[lookup]]'s sibling for
+    * BATCH-sized key sets (the read side of Hudi's bloom index, e.g.
+    * "which of this ingest batch's content hashes does the corpus already
+    * hold?"): returns the distinct keys of `keys` (a `_key` DataFrame)
+    * that exist in the table. Bloom sidecars first prove most absent keys
+    * absent — the codegen'd [[graft.functions.BloomMightContainExpr]]
+    * pass, fully distributed, no key ever on the driver — then ONLY the
+    * buckets the surviving candidates hash to are scanned, and the
+    * candidate set joins in as the broadcast build side of a semi-join:
+    * the table side streams, never shuffles. The bloom pass is evaluated
+    * twice (bucket choice + under the join) but sidecars are lazy-loaded
+    * and cached per task, so the second pass costs hashing only.
+    * `atVersion` pins the manifest (snapshot-consistent probes).
+    */
+  def probeKeys(keys: DataFrame, atVersion: Option[Long] = None): DataFrame =
+    atVersion.map(readManifest).orElse(latestManifest()) match {
+      case None => keys.select(KeyCol).limit(0)
+      case Some(m) =>
+        val cand = bloomPrune(keys.select(KeyCol).distinct(), m)
+        // Candidate buckets: tiny driver collect (≤ numBuckets ints).
+        val wanted = cand.select(bucketOf(col(KeyCol)).as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (wanted.isEmpty) cand.limit(0)
+        else readBuckets(m, wanted)
+          .join(broadcastIfSmall(cand), Seq(KeyCol), "left_semi")
+          .select(KeyCol).distinct()
+    }
+
   /** Broadcast hint only when the optimizer's size estimate fits under the
     * session's autoBroadcastJoinThreshold. Delete key sets and
     * `incremental()` prev sides are unbounded at scale — an unconditional

@@ -129,4 +129,51 @@ object Sampling {
       .withColumn("bin",
         ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
   }
+
+  /** Context-window chunking — [[packBins]]'s per-document sibling: split
+    * each document into token windows of `size` starting every `stride`
+    * tokens (overlap = `size - stride`; RAG indexing and
+    * fixed-context-pretraining both consume this shape). A window starts
+    * at every token offset `i * stride < n_tok`, so the tail chunk may be
+    * short but no token is dropped; empty/null documents emit no chunks.
+    * Chunk identity `(id, chunk_id)` and content are pure functions of
+    * the text — re-runs and engines reproduce them bit-for-bit.
+    *
+    * Scale shape: tokenize once into a bound array column, explode the
+    * start offsets, and `slice` AFTER the explode over the bound
+    * attribute — slice/concat_ws are codegen'd per chunk row; no lambda
+    * re-walks the array per element, and nothing shuffles (a pure
+    * per-row flatMap any scan can pipeline).
+    *
+    * Output: `idCol`, `chunk_id` (0-based), `n_chunk_tok`, `chunk`.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      size: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1 token: $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size]: stride=$stride size=$size")
+    val ws = col("_ws")
+    val start = col("chunk_id") * stride + 1 // slice is 1-based
+    docs
+      .withColumn("_ws",
+        filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= ""))
+      .filter(size_(ws) >= 1)
+      .select(
+        col(idCol), ws,
+        // integer division (Column `/` is double division; operands are
+        // non-negative so the int cast truncates = floors)
+        explode(sequence(lit(0), ((size_(ws) - 1) / stride).cast("int"))).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size_(slice(ws, start, lit(size))).cast("long").as("n_chunk_tok"),
+        concat_ws(" ", slice(ws, start, lit(size))).as("chunk"))
+  }
+
+  // `size` the Int parameter shadows functions.size in chunkDocs.
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -182,6 +182,30 @@ object TextStats {
           regexp_replace(col(textCol), UrlPattern, "<URL>"),
           EmailPattern, "<EMAIL>"))
 
+  /** Blocklist screening — the phrase-filter stage every production
+    * corpus pipeline runs (NSFW terms, boilerplate markers, license
+    * headers): per-doc count of matched phrases (substring semantics,
+    * multi-word phrases included) and a BIGINT keep flag (1 = clean).
+    * For a config-sized list the match is a codegen'd `contains` chain —
+    * one pass over the text per phrase, zero shuffle, no regex engine in
+    * the loop. (A list big enough to need Aho-Corasick should be
+    * compiled into a single custom expression; this surface is for the
+    * tens-of-phrases config case.)
+    */
+  def withBlocklist(
+      docs: DataFrame,
+      phrases: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must name at least one phrase")
+    require(phrases.forall(_.nonEmpty), s"empty blocklist phrase: $phrases")
+    val nBlocked = phrases
+      .map(p => when(col(textCol).contains(p), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_blocked", nBlocked)
+      .withColumn("keep", when(col("n_blocked") === 0, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Per-document distinctive-term extraction — the tf-idf shape with an
     * ENGINE-PORTABLE ranking: terms rank by `(tf DESC, df ASC, term ASC)`
     * after dropping terms with document frequency above `maxDf`

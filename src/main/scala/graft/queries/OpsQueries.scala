@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.lake.LakeTable
 import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, TextStats, Vocab}
 
 /** Driver-visible entries for the LLM-training-data operators
@@ -224,6 +225,51 @@ object OpsQueries {
            |FROM documents d LEFT JOIN mn ON d.doc_id = mn.u
            |ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup: exact incremental vs a lake-backed content index -------
+    // The content index IS a LakeTable keyed by md5(text): bulk-built from
+    // the corpus, probed by batches with `probeKeys` (bloom sidecars prove
+    // most fresh content absent without touching data files; only the
+    // surviving candidates' buckets are scanned, batch broadcast into the
+    // semi-join). The batch mixes fresh docs (id%5==0) with "re-crawled"
+    // corpus texts under new ids — exactly those must flag is_dup=1.
+    "q66_dedup_exact_incr" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        val corpus = d.filter(col("doc_id") % 5 =!= 0)
+        val index = new LakeTable(
+          spark,
+          java.nio.file.Files.createTempDirectory("graft-xidx-").toString +
+            "/" + java.util.UUID.randomUUID().toString.take(8),
+          numBuckets = 16)
+        index.bulkInsert(
+          corpus.select(md5(col("text")).as(LakeTable.KeyCol))
+            .distinct().withColumn(LakeTable.TsCol, lit(0L)),
+          commitId = "b1")
+        val recrawl = corpus.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text")).unionByName(recrawl)
+          .withColumn(LakeTable.KeyCol, md5(col("text")))
+        val present = index.probeKeys(batch.select(LakeTable.KeyCol))
+          .withColumn("_dup", lit(1L))
+        batch.join(present, Seq(LakeTable.KeyCol), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("_dup"), lit(0L)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+          |ch AS (SELECT DISTINCT md5(text) h FROM corpus),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 3)
+          |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+          |       CAST(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+          |FROM batch b LEFT JOIN ch c ON md5(b.text) = c.h
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: canonical survivor per dup group -----------------------
     // The "keep one" half of near-dup removal: within each q52 component,
     // the longest doc survives (n_chars DESC, doc_id ASC tiebreak);
@@ -443,6 +489,48 @@ object OpsQueries {
           |FROM h
           |QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) <= 15
           |ORDER BY doc_id""".stripMargin)),
+
+    // ---- sequences: context-window chunking ----------------------------
+    // 16-token windows every 7 tokens (overlap 9) — the RAG/pretraining
+    // chunk shape. Pure per-row flatMap: tokenize once, explode offsets,
+    // slice AFTER the explode (codegen'd; no interpreted lambda re-walk).
+    "q64_chunk" -> QueryDef(
+      (spark, dir) =>
+        Sampling.chunkDocs(docs(spark, dir), size = 16, stride = 7)
+          .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |             list_filter(string_split(text,' '), x -> x <> '') AS ws
+          |           FROM documents),
+          |c AS (SELECT doc_id, ws,
+          |        unnest(generate_series(0, (len(ws)-1)//7)) AS chunk_id
+          |      FROM t WHERE len(ws) >= 1)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(chunk_id AS BIGINT) AS chunk_id,
+          |       CAST(len(ws[chunk_id*7+1 : chunk_id*7+16]) AS BIGINT) AS n_chunk_tok,
+          |       array_to_string(ws[chunk_id*7+1 : chunk_id*7+16], ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- text: blocklist screening -------------------------------------
+    // Phrase blocklist (substring semantics, multi-word phrases): per-doc
+    // match count + keep flag, as a codegen'd contains chain.
+    "q65_blocklist" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withBlocklist(
+            docs(spark, dir), Seq("slow merge", "big data", "key value"))
+          .select(col("doc_id"), col("n_blocked"), col("keep"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST((CASE WHEN contains(text, 'slow merge') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN contains(text, 'big data') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN contains(text, 'key value') THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_blocked,
+          |       CAST(CASE WHEN NOT (contains(text, 'slow merge')
+          |                        OR contains(text, 'big data')
+          |                        OR contains(text, 'key value'))
+          |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup: benchmark decontamination ------------------------------
     // Eval set = every 50th doc; training docs flagged by verbatim 8-gram

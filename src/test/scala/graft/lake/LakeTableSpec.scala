@@ -371,6 +371,34 @@ class LakeTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k42", "v42"), ("k7", "v7")))
   }
 
+  test("probeKeys returns exactly the present keys, distributed, blooms on and off") {
+    for (blooms <- Seq(true, false)) {
+      val lt = new LakeTable(
+        spark, tempDir("lake-probe-").toString, numBuckets = 8, bloomOnWrite = blooms)
+      // empty table: schema-stable empty result
+      assert(lt.probeKeys(Seq("x").toDF(LakeTable.KeyCol)).count() == 0)
+      lt.upsert((0 until 100).map(i => (s"k$i", 1L, s"v$i"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+      val probe = (Seq("k7", "k42", "k99") ++ (0 until 50).map(i => s"absent$i") :+ "k7")
+        .toDF(LakeTable.KeyCol)
+      val got = lt.probeKeys(probe).as[String].collect().sorted
+      assert(got.toSeq == Seq("k42", "k7", "k99"), s"blooms=$blooms")
+      // all-absent probe: no rows (and with blooms, no bucket scanned)
+      assert(lt.probeKeys(Seq("nope").toDF(LakeTable.KeyCol)).count() == 0)
+    }
+  }
+
+  test("probeKeys pins the manifest version it was asked for") {
+    val lt = new LakeTable(spark, tempDir("lake-probe-v-").toString, numBuckets = 4)
+    lt.upsert(rows(("a", 1L, "a1")))
+    val v1 = lt.latestVersion
+    lt.upsert(rows(("b", 2L, "b1")))
+    val probe = Seq("a", "b").toDF(LakeTable.KeyCol)
+    assert(lt.probeKeys(probe).as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(lt.probeKeys(probe, atVersion = v1).as[String].collect().toSeq == Seq("a"),
+      "a pinned probe must not see keys committed after its version")
+  }
+
   test("bloomOnWrite=false skips sidecars; lookup still correct via bucket pruning") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 8, bloomOnWrite = false)
     val many = (0 until 50).map(i => (s"k$i", 1L, s"v$i"))

@@ -280,6 +280,43 @@ class OpsSpec extends SparkSpec {
     assert(keepers.toSeq.sorted == got.map(_._2).distinct.toSeq.sorted)
   }
 
+  test("chunkDocs windows every stride tokens, keeps the short tail, skips empty docs") {
+    val d = Seq(
+      (1L, "a b c d e f g"), // 7 tokens: starts 0,3,6 at stride 3
+      (2L, "x y"),           // single short chunk
+      (3L, ""),              // no chunks
+      (4L, null)             // no chunks
+    ).toDF("doc_id", "text")
+    val got = Sampling.chunkDocs(d, size = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "d e f g"),
+      (1L, 2L, 1L, "g"),
+      (2L, 0L, 2L, "x y")))
+    // stride == size: non-overlapping cover, every token exactly once
+    val cover = Sampling.chunkDocs(d.filter($"doc_id" === 1L), size = 3, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(cover.map(_._4).mkString(" ") == "a b c d e f g")
+    intercept[IllegalArgumentException](Sampling.chunkDocs(d, size = 4, stride = 5))
+    intercept[IllegalArgumentException](Sampling.chunkDocs(d, size = 0, stride = 1))
+  }
+
+  test("withBlocklist counts multi-word phrase hits; clean docs keep") {
+    val d = Seq(
+      (1L, "nothing to see"),
+      (2L, "some bad stuff here"),
+      (3L, "bad stuff and worse stuff"),
+      (4L, "badstuff run together")  // substring: matches only with space
+    ).toDF("doc_id", "text")
+    val got = TextStats.withBlocklist(d, Seq("bad stuff", "worse stuff"))
+      .select("doc_id", "n_blocked", "keep")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 0L, 1L)))
+    intercept[IllegalArgumentException](TextStats.withBlocklist(d, Seq.empty))
+    intercept[IllegalArgumentException](TextStats.withBlocklist(d, Seq("ok", "")))
+  }
+
   test("capPerGroup bounds each group deterministically; under-cap groups pass whole") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
       .union(Seq((1000L, "tiny")).toDF("k", "g"))
