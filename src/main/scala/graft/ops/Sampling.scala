@@ -161,12 +161,18 @@ object Sampling {
     docs
       .withColumn("_ws",
         filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= ""))
-      .filter(size_(ws) >= 1)
       .select(
         col(idCol), ws,
-        // integer division (Column `/` is double division; operands are
-        // non-negative so the int cast truncates = floors)
-        explode(sequence(lit(0), ((size_(ws) - 1) / stride).cast("int"))).as("chunk_id"))
+        // Empty docs are dropped by exploding an EMPTY array, not by a
+        // .filter: Catalyst pushes a filter below the _ws projection by
+        // substituting the expression, which would run the (interpreted)
+        // tokenize lambda twice per row. The when-guard also keeps
+        // `sequence` away from a negative bound (sequence DESCENDS on
+        // end < start). Integer division via int cast (Column `/` is
+        // double division; operands non-negative so truncation = floor).
+        explode(when(size_(ws) >= 1,
+            sequence(lit(0), ((size_(ws) - 1) / stride).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
       .select(
         col(idCol),
         col("chunk_id").cast("long").as("chunk_id"),
