@@ -233,28 +233,34 @@ object CdcSyncCommand {
               // agg (ref insert/bulk_insert routing, :172-183).
               plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
-            } else if (plake.isCommitted(
-                commitIdFor(db, table, "upsert"),
-                // Deterministic replay: a legacy scoped commit can only
-                // live in a partition this batch's own upserts name, so
-                // the probe is bounded to the batch's partitions (one
-                // small distinct-collect) instead of a full history scan
-                // of every table partition per batch.
-                typed.select(col(pf).cast("string")).distinct()
-                  .collect().map(_.getString(0)).toSeq)) {
-              // MIGRATION replay: this batch (fully or partially)
-              // committed under the pre-merge two-id scheme before the
-              // upgrade. Re-running it through those ids completes or
-              // no-ops it; deriving the new ":merge" id instead would
-              // match nothing and re-apply the whole batch as a phantom
-              // commit (r9 review).
-              plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
-              plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
-            } else
-              // Upserts + routed deletes in ONE commit per touched
-              // partition (one manifest publish + bloom pass per batch,
-              // VERDICT r8 #2 — previously two commit constants).
-              plake.merge(typed, delRouted, commitId = commitIdFor(db, table, "merge"))
+            } else {
+              // ONE distinct-collect of the batch's partition values
+              // feeds both the migration probe and the merge dispatch
+              // (mergeWith) — merge would otherwise re-run the same
+              // distinct job over the decoded batch (r9 review).
+              val upParts = typed.select(col(pf).cast("string")).distinct()
+                .collect().map(_.getString(0)).toSeq
+              // Deterministic replay: a legacy scoped commit can only
+              // live in a partition this batch's own upserts name, so
+              // the probe is bounded to the batch's partitions instead
+              // of a full history scan of every table partition.
+              if (plake.isCommitted(commitIdFor(db, table, "upsert"), upParts)) {
+                // MIGRATION replay: this batch (fully or partially)
+                // committed under the pre-merge two-id scheme before the
+                // upgrade. Re-running it through those ids completes or
+                // no-ops it; deriving the new ":merge" id instead would
+                // match nothing and re-apply the whole batch as a
+                // phantom commit (r9 review).
+                plake.upsert(typed, commitId = commitIdFor(db, table, "upsert"))
+                plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
+              } else
+                // Upserts + routed deletes in ONE commit per touched
+                // partition (one manifest publish + bloom pass per
+                // batch, VERDICT r8 #2 — previously two commit
+                // constants).
+                plake.mergeWith(
+                  typed, delRouted, commitIdFor(db, table, "merge"), upParts)
+            }
             if (compactDue) plake.compact(commitIdFor(db, table, "compact"))
           case None =>
             val lake = new LakeTable(

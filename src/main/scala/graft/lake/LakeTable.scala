@@ -83,6 +83,15 @@ final class LakeTable(
 
   def latestVersion: Option[Long] = versions().lastOption
 
+  /** Committed versions still present in the log that are strictly after
+    * `sinceVersion`, ascending — the streaming rate limiter's admission
+    * unit. Arithmetic caps (`since + n`) are wrong under [[vacuum]]:
+    * a vacuumed early version number no longer names a manifest, and an
+    * offset computed onto it wedges the consumer permanently.
+    */
+  def versionsAfter(sinceVersion: Long): Seq[Long] =
+    versions().filter(_ > sinceVersion)
+
   /** commitId of `version`, or None if its manifest vanished (vacuumed
     * between a listing and the read — callers fall back to vacuumedIds).
     */

@@ -164,7 +164,28 @@ final class PartitionedLakeTable(
     require(
       deleteKeys.columns.contains(partitionCol),
       s"merge deleteKeys must contain partition column '$partitionCol'")
-    val upVals = partitionValues(updates, "updates")
+    mergeWith(updates, deleteKeys, commitId, partitionValues(updates, "updates"))
+  }
+
+  /** [[merge]] with the updates' distinct partition values PRE-COLLECTED
+    * by the caller — CDC collects them once per batch for the migration
+    * probe, and re-collecting the same distinct inside merge would run a
+    * second job over the decoded batch for nothing.
+    */
+  def mergeWith(
+      updates: DataFrame,
+      deleteKeys: DataFrame,
+      commitId: String,
+      upVals: Seq[String]): Unit = {
+    require(
+      updates.columns.contains(partitionCol),
+      s"merge updates must contain partition column '$partitionCol'")
+    require(
+      deleteKeys.columns.contains(partitionCol),
+      s"merge deleteKeys must contain partition column '$partitionCol'")
+    require(
+      !upVals.contains(null),
+      s"null $partitionCol in updates — partition values must be non-null")
     val delRows = deleteKeys
       .select(col(LakeTable.KeyCol), col(partitionCol).cast("string").as("_p"))
     val delVals = delRows.select("_p").distinct().collect().map(_.getString(0))
@@ -374,6 +395,20 @@ final class PartitionedLakeTable(
     }
   }
 
+  /** Rate-limited version vector: per partition, the highest of the first
+    * `mx` committed versions STILL IN THE LOG past the consumer's
+    * position `prev` (vacuumed early history is skipped, never addressed
+    * — an arithmetic `prev + mx` could name a vacuumed manifest and wedge
+    * the stream), or the position itself when the partition is caught up.
+    * One log listing per partition — the same cost as [[currentVersions]].
+    */
+  def cappedVersions(prev: Map[String, Long], mx: Long): Map[String, Long] =
+    partitions.map { v =>
+      val p = prev.getOrElse(v, 0L)
+      v -> partitionTable(v).versionsAfter(p)
+        .take(mx.toInt).lastOption.getOrElse(p)
+    }.toMap.filter(_._2 > 0L)
+
   /** True iff `commitId` was already applied to ANY partition (the
     * per-partition scoped id `$commitId:p=<v>` is logged) — the replay /
     * migration probe mirroring [[LakeTable.isCommitted]].
@@ -386,15 +421,15 @@ final class PartitionedLakeTable(
     * before EVERY merge, and a scoped commit can only live in a partition
     * whose value the committing batch carried, so a deterministic replay
     * need only probe its own partition values instead of paying a full
-    * commit-history scan per partition across the whole table.
+    * commit-history scan per partition across the whole table. Unknown
+    * values are cheap no-ops (a missing partition dir lists empty), so no
+    * existence pre-filter — and no extra full-partition listing — is
+    * needed.
     */
   def isCommitted(commitId: String, among: Seq[String]): Boolean =
-    commitId.nonEmpty && {
-      val ps = partitions.toSet
-      among.distinct.exists(v =>
-        v != null && ps.contains(v) &&
-          partitionTable(v).isCommitted(s"$commitId:p=$v"))
-    }
+    commitId.nonEmpty &&
+      among.filter(_ != null).distinct
+        .exists(v => partitionTable(v).isCommitted(s"$commitId:p=$v"))
 }
 
 object PartitionedLakeTable {

@@ -198,8 +198,13 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     require(phrases.nonEmpty, "blocklist must name at least one phrase")
     require(phrases.forall(_.nonEmpty), s"empty blocklist phrase: $phrases")
+    // Total on null text: contains(NULL) is NULL which would fall to the
+    // otherwise-branch here but to ELSE 0 inside an oracle's negated
+    // CASE — pin the semantics explicitly (null text matches nothing,
+    // keep = 1) on both sides.
+    val t = coalesce(col(textCol), lit(""))
     val nBlocked = phrases
-      .map(p => when(col(textCol).contains(p), lit(1L)).otherwise(lit(0L)))
+      .map(p => when(t.contains(p), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
     docs
       .withColumn("n_blocked", nBlocked)

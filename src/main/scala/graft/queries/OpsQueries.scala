@@ -524,16 +524,17 @@ object OpsQueries {
           .select(col("doc_id"), col("n_blocked"), col("keep"))
           .orderBy("doc_id"),
       Some(
-        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |       CAST((CASE WHEN contains(text, 'slow merge') THEN 1 ELSE 0 END)
-          |          + (CASE WHEN contains(text, 'big data') THEN 1 ELSE 0 END)
-          |          + (CASE WHEN contains(text, 'key value') THEN 1 ELSE 0 END)
-          |            AS BIGINT) AS n_blocked,
-          |       CAST(CASE WHEN NOT (contains(text, 'slow merge')
-          |                        OR contains(text, 'big data')
-          |                        OR contains(text, 'key value'))
-          |             THEN 1 ELSE 0 END AS BIGINT) AS keep
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        """WITH b AS (
+          |  SELECT doc_id,
+          |         (CASE WHEN contains(coalesce(text, ''), 'slow merge') THEN 1 ELSE 0 END)
+          |       + (CASE WHEN contains(coalesce(text, ''), 'big data') THEN 1 ELSE 0 END)
+          |       + (CASE WHEN contains(coalesce(text, ''), 'key value') THEN 1 ELSE 0 END)
+          |         AS n_blocked
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(n_blocked AS BIGINT) AS n_blocked,
+          |       CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM b ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup: benchmark decontamination ------------------------------
     // Eval set = every 50th doc; training docs flagged by verbatim 8-gram

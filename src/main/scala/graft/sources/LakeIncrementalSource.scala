@@ -60,6 +60,11 @@ object VectorOffset {
   * bounded batches instead of materializing the whole version range in
   * one, while a caught-up stream is unaffected. Replay stays
   * deterministic: the capped end offset is checkpointed like any other.
+  * The cap counts COMMITTED versions still in the log, so vacuumed early
+  * history is skipped, never addressed. Limitation: under
+  * `Trigger.AvailableNow` Spark freezes a v1 source's offset once per
+  * run, so a capped run drains ONE chunk and stops — use a
+  * processing-time trigger (or no cap) for run-to-completion catch-up.
   *
   * Contract notes (documented, not silent):
   *  - the first batch is the full snapshot at the then-latest version
@@ -106,24 +111,24 @@ class LakeIncrementalSource(
 
   override def getOffset: Option[Offset] = partitioned match {
     case Some(p) =>
-      val vec = p.currentVersions
-      if (vec.isEmpty) None
-      else Some(VectorOffset(maxVersions match {
+      // Per-partition cap: every partition advances at most mx COMMITTED
+      // versions per batch (all catch up concurrently; caught-up
+      // partitions sit at their real version). The cap counts versions
+      // still in the log — an arithmetic prev+mx could name a vacuumed
+      // manifest and wedge the stream permanently.
+      val vec = maxVersions match {
         case Some(mx) =>
-          val prev = lastEnd.map(vector).getOrElse(Map.empty)
-          // Per-partition cap: every partition advances at most mx
-          // versions per batch (all catch up concurrently). Caught-up
-          // partitions are unaffected (min picks the real version).
-          vec.map { case (k, v) => k -> math.min(v, prev.getOrElse(k, 0L) + mx) }
-        case None => vec
-      }))
+          p.cappedVersions(lastEnd.map(vector).getOrElse(Map.empty), mx)
+        case None => p.currentVersions
+      }
+      if (vec.isEmpty) None else Some(VectorOffset(vec))
     case None =>
-      val latest = plain.latestVersion.map(LongOffset(_))
       maxVersions match {
         case Some(mx) =>
           val prev = lastEnd.map(scalar).getOrElse(0L)
-          latest.map(l => LongOffset(math.min(l.offset, prev + mx)))
-        case None => latest
+          plain.versionsAfter(prev).take(mx.toInt).lastOption
+            .orElse(plain.latestVersion).map(LongOffset(_))
+        case None => plain.latestVersion.map(LongOffset(_))
       }
   }
 

@@ -307,12 +307,14 @@ class OpsSpec extends SparkSpec {
       (1L, "nothing to see"),
       (2L, "some bad stuff here"),
       (3L, "bad stuff and worse stuff"),
-      (4L, "badstuff run together")  // substring: matches only with space
+      (4L, "badstuff run together"),  // substring: matches only with space
+      (5L, null.asInstanceOf[String]) // total on null text: no match, keep
     ).toDF("doc_id", "text")
     val got = TextStats.withBlocklist(d, Seq("bad stuff", "worse stuff"))
       .select("doc_id", "n_blocked", "keep")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
-    assert(got.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 0L, 1L)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 0L, 1L), (5L, 0L, 1L)))
     intercept[IllegalArgumentException](TextStats.withBlocklist(d, Seq.empty))
     intercept[IllegalArgumentException](TextStats.withBlocklist(d, Seq("ok", "")))
   }

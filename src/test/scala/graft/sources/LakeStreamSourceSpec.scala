@@ -116,6 +116,31 @@ class LakeStreamSourceSpec extends SparkSpec {
       assert(batchSizes.asScala.toSeq.filter(_ > 0).sum == 6)
     } finally q.stop()
 
+    // A fresh capped stream against VACUUMED early history must not
+    // compute an offset onto a tombstoned version (r9 review: the
+    // arithmetic prev+mx cap named vacuumed manifests and wedged the
+    // stream permanently — the cap counts versions still in the log).
+    val vdir = tempDir("lakesrc-rate-vac-").toString
+    val vlt = new LakeTable(spark, vdir, numBuckets = 2)
+    (1 to 5).foreach(i => vlt.upsert(rows((s"k$i", i.toLong, s"v$i"))))
+    vlt.vacuum(keepVersions = 1)
+    val vseen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val vq = spark.readStream.format("cdc-lake")
+      .option("path", vdir).option("buckets", "2")
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.select("_key").collect().foreach(r => vseen.add(r.getString(0))): Unit
+      }
+      .option("checkpointLocation", s"$vdir/_ckpt")
+      .start()
+    try {
+      vq.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(vseen.asScala.toSeq.sorted == Seq("k1", "k2", "k3", "k4", "k5"),
+        "capped stream over vacuumed history must still drain the snapshot")
+    } finally vq.stop()
+
     // Invalid cap fails loudly at query start.
     val bad = intercept[Exception] {
       val qq = spark.readStream.format("cdc-lake")
