@@ -130,6 +130,46 @@ object Sampling {
         ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
   }
 
+  /** Temperature (square-root) corpus mixing — [[stratifiedSample]]'s
+    * data-driven sibling: instead of user-fixed percentages, each group's
+    * keep fraction derives from the corpus's OWN counts,
+    * `f_g = min(1, c / sqrt(n_g))`, so the expected kept count is
+    * `c * sqrt(n_g)` — the square-root sampling scheme multilingual
+    * pretraining uses to upweight rare languages/sources without fully
+    * flattening the distribution. Exponent 0.5 specifically because IEEE
+    * `sqrt` is correctly rounded in every engine (a general `pow` is
+    * not), and there is NO cross-group normalizing sum — `c` is an
+    * absolute scale — so the threshold is a short chain of
+    * order-independent IEEE ops any engine reproduces bit-for-bit.
+    *
+    * The keep test is the same portable 60-bit md5 key hash as
+    * [[hashBucket]]: a document's fate is a pure function of
+    * (key, its group's count). Rows with a NULL group are dropped — a
+    * null group has no count and no weight (same as SQL's equi-join).
+    *
+    * Scale shape: one tiny per-group count agg (rows = #groups),
+    * broadcast back onto the corpus, then a codegen'd filter — the
+    * corpus itself never shuffles.
+    */
+  def sqrtTemperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      c: Double): DataFrame = {
+    require(c > 0 && !c.isInfinite, s"scale constant must be positive finite: $c")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+    // floor(min(1, c/sqrt(n)) * 2^60) as the integer keep threshold:
+    // 2^60 is an exact double, so f = 1 admits the full hash range.
+    val thr = floor(
+      least(lit(1.0), lit(c) / sqrt(col("_n").cast("double")))
+        * lit(1152921504606846976.0)).cast("long")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), groupCol)
+      .filter(h < thr)
+      .drop("_n")
+  }
+
   /** Context-window chunking — [[packBins]]'s per-document sibling: split
     * each document into token windows of `size` starting every `stride`
     * tokens (overlap = `size - stride`; RAG indexing and

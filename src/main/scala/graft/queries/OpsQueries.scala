@@ -493,6 +493,31 @@ object OpsQueries {
           |QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) <= 15
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- sampling: temperature (sqrt) corpus mixing --------------------
+    // Keep fraction per language = min(1, 10/sqrt(n)): expected kept
+    // count is 10*sqrt(n) — square-root sampling, upweighting rare
+    // languages without flattening. At sf0.01 the rare langs clamp to
+    // keep-all while 'en' subsamples; at sf0.1 every lang subsamples —
+    // both branches oracle-exercised. Threshold = floor(f * 2^60) against
+    // the q54/q61/q63 portable 60-bit md5 key hash; sqrt (correctly
+    // rounded per IEEE, unlike pow) is the only transcendental, so the
+    // keep set is bit-identical across engines.
+    "q67_temperature_sample" -> QueryDef(
+      (spark, dir) =>
+        Sampling.sqrtTemperatureSample(docs(spark, dir), "doc_id", "lang", c = 10.0)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |h AS (SELECT d.doc_id, d.lang, c.n,
+          |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS hk
+          |  FROM documents d JOIN c USING (lang))
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+          |FROM h
+          |WHERE hk < CAST(floor(least(1.0, 10.0/sqrt(CAST(n AS DOUBLE)))
+          |                      * 1152921504606846976.0) AS BIGINT)
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- sequences: context-window chunking ----------------------------
     // 16-token windows every 7 tokens (overlap 9) — the RAG/pretraining
     // chunk shape. Pure per-row flatMap: tokenize once, explode offsets,

@@ -746,6 +746,35 @@ class OpsSpec extends SparkSpec {
     assert(keptGrown == kept50)
   }
 
+  test("sqrtTemperatureSample: small groups clamp to keep-all, big groups match the formula") {
+    // rare: 4 docs (4 <= c^2 = 9 -> f = 1, all kept);
+    // big: 400 docs (f = 3/20 = 0.15 -> hash-thresholded subsample).
+    val df = ((0L until 4L).map(i => (i, "rare")) ++
+      (100L until 500L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    val got = Sampling.sqrtTemperatureSample(df, "doc_id", "lang", c = 3.0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.filter(_._2 == "rare").map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // Big group: exactly the keys the 60-bit md5 threshold admits.
+    val thr = math.floor(math.min(1.0, 3.0 / math.sqrt(400.0)) * math.pow(2, 60)).toLong
+    def h60(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expect = (100L until 500L).filter(h60(_) < thr).toSet
+    assert(got.filter(_._2 == "big").map(_._1).toSet == expect)
+    assert(expect.nonEmpty && expect.size < 400)
+    // Determinism across runs; null-group rows are dropped; c validates.
+    val again = Sampling.sqrtTemperatureSample(df, "doc_id", "lang", c = 3.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    assert(Sampling.sqrtTemperatureSample(withNull, "doc_id", "lang", c = 3.0)
+      .filter($"doc_id" === 9999L).count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.sqrtTemperatureSample(df, "doc_id", "lang", c = 0.0))
+  }
+
   test("repetitionStats rejects repetitive docs and keeps diverse ones") {
     val df = Seq(
       (1L, "x x x x x"),               // top 5/5, dup bigrams 3/4 -> reject
