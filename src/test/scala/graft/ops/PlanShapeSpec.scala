@@ -238,4 +238,21 @@ class PlanShapeSpec extends SparkSpec {
       }.isDefined,
       s"the vocab dimension must broadcast — a shuffle join here reshuffles the corpus:\n$plan")
   }
+
+  test("temperature sampling joins its per-group counts by broadcast") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val plan = Sampling.sqrtTemperatureSample(d, "doc_id", "lang", c = 10.0)
+      .queryExecution.sparkPlan
+    // The count side is #groups rows: it must broadcast back onto the
+    // corpus — a shuffle join here would reshuffle the whole corpus on
+    // the group key just to attach one number per group.
+    assert(plan.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.isDefined,
+      s"per-group counts must broadcast:\n$plan")
+    assert(plan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }.isEmpty,
+      s"no sort-merge join in temperature sampling:\n$plan")
+  }
 }
