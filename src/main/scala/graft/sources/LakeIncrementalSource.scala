@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, SerializedOffset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamBatch
 import org.apache.spark.sql.types.StructType
@@ -61,10 +61,16 @@ object VectorOffset {
   * one, while a caught-up stream is unaffected. Replay stays
   * deterministic: the capped end offset is checkpointed like any other.
   * The cap counts COMMITTED versions still in the log, so vacuumed early
-  * history is skipped, never addressed. Limitation: under
-  * `Trigger.AvailableNow` Spark freezes a v1 source's offset once per
-  * run, so a capped run drains ONE chunk and stops — use a
-  * processing-time trigger (or no cap) for run-to-completion catch-up.
+  * history is skipped, never addressed.
+  *
+  * `Trigger.AvailableNow` drains to completion in capped chunks: the
+  * source implements [[SupportsTriggerAvailableNow]] itself (the
+  * `FileStreamSource` pattern), so instead of Spark's v1 wrapper — which
+  * fetches ONE offset per run and would stop after a single chunk — the
+  * run freezes the then-current committed state as its target at
+  * `prepareForTriggerAvailableNow` and advances capped micro-batches up
+  * to that target, never past it (commits racing in after the freeze
+  * belong to the next run).
   *
   * Contract notes (documented, not silent):
   *  - the first batch is the full snapshot at the then-latest version
@@ -82,7 +88,9 @@ object VectorOffset {
   */
 class LakeIncrementalSource(
     ctx: SQLContext,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val path = parameters.getOrElse("path",
     throw new IllegalArgumentException("cdc-lake readStream requires a path option"))
@@ -109,27 +117,78 @@ class LakeIncrementalSource(
   override val schema: StructType =
     partitioned.map(_.snapshot.schema).getOrElse(plain.snapshot.schema)
 
-  override def getOffset: Option[Offset] = partitioned match {
+  // The AvailableNow drain target: the committed state frozen at
+  // prepareForTriggerAvailableNow. None outside AvailableNow runs.
+  private var drainTarget: Option[Either[Map[String, Long], Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTarget = Some(partitioned match {
+      case Some(p) => Left(p.currentVersions)
+      case None => Right(plain.latestVersion.getOrElse(0L))
+    })
+
+  // Admission control is internal (maxVersionsPerBatch caps inside
+  // nextEnd); an engine-side limit would have no versions to count.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control offset fetch — with [[SupportsTriggerAvailableNow]]
+    * mixed in, the engine calls THIS (with the previous end as `start`),
+    * never [[getOffset]].
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val prev = Option(start).map {
+      case o: Offset => o
+      case o => SerializedOffset(o.json()) // connector-only offset: re-wrap
+    }
+    nextEnd(prev).orNull
+  }
+
+  override def getOffset: Option[Offset] = nextEnd(lastEnd)
+
+  /** The next micro-batch's end offset from position `prev`:
+    * per-partition cap — every partition advances at most
+    * `maxVersionsPerBatch` COMMITTED versions per batch (all catch up
+    * concurrently; caught-up partitions sit at their real version). The
+    * cap counts versions still in the log — an arithmetic prev+mx could
+    * name a vacuumed manifest and wedge the stream permanently. Under an
+    * AvailableNow drain the end is additionally bounded by the frozen
+    * target: commits after the freeze — and partitions born after it —
+    * belong to the next run.
+    */
+  private def nextEnd(prev: Option[Offset]): Option[Offset] = partitioned match {
     case Some(p) =>
-      // Per-partition cap: every partition advances at most mx COMMITTED
-      // versions per batch (all catch up concurrently; caught-up
-      // partitions sit at their real version). The cap counts versions
-      // still in the log — an arithmetic prev+mx could name a vacuumed
-      // manifest and wedge the stream permanently.
-      val vec = maxVersions match {
-        case Some(mx) =>
-          p.cappedVersions(lastEnd.map(vector).getOrElse(Map.empty), mx)
+      val prevVec = prev.map(vector).getOrElse(Map.empty)
+      val raw = maxVersions match {
+        case Some(mx) => p.cappedVersions(prevVec, mx)
         case None => p.currentVersions
+      }
+      val vec = drainTarget match {
+        case Some(Left(target)) =>
+          raw.flatMap { case (k, v) =>
+            target.get(k).map(t => k -> math.min(v, t))
+              .orElse(prevVec.get(k).map(k -> _)) // checkpoint continuity
+          }
+        case _ => raw
       }
       if (vec.isEmpty) None else Some(VectorOffset(vec))
     case None =>
-      maxVersions match {
+      val prevScalar = prev.map(scalar).getOrElse(0L)
+      val raw = maxVersions match {
         case Some(mx) =>
-          val prev = lastEnd.map(scalar).getOrElse(0L)
-          plain.versionsAfter(prev).take(mx.toInt).lastOption
-            .orElse(plain.latestVersion).map(LongOffset(_))
-        case None => plain.latestVersion.map(LongOffset(_))
+          plain.versionsAfter(prevScalar).take(mx.toInt).lastOption
+            .orElse(plain.latestVersion)
+        case None => plain.latestVersion
       }
+      val bounded = drainTarget match {
+        case Some(Right(t)) => raw.map(math.min(_, t))
+        case _ => raw
+      }
+      bounded.filter(_ > 0L).map(LongOffset(_))
   }
 
   private def scalar(o: Offset): Long = o match {

@@ -141,6 +141,46 @@ class LakeStreamSourceSpec extends SparkSpec {
         "capped stream over vacuumed history must still drain the snapshot")
     } finally vq.stop()
 
+    // Trigger.AvailableNow + cap drains the WHOLE backlog in chunks and
+    // terminates (r9: the source implements SupportsTriggerAvailableNow
+    // itself — Spark's v1 wrapper would freeze ONE capped offset per run
+    // and stop after a single chunk).
+    val adir = tempDir("lakesrc-avnow-").toString
+    val alt = new LakeTable(spark, adir, numBuckets = 2)
+    (1 to 5).foreach(i => alt.upsert(rows((s"k$i", i.toLong, s"v$i"))))
+    val aseen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val abatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runAvailableNow(): Unit = {
+      val aq = spark.readStream.format("cdc-lake")
+        .option("path", adir).option("buckets", "2")
+        .option("maxVersionsPerBatch", "2").load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ks = df.select("_key").collect().map(_.getString(0))
+          if (ks.nonEmpty) abatches.incrementAndGet()
+          ks.foreach(aseen.add): Unit
+        }
+        .option("checkpointLocation", s"$adir/_ckpt")
+        .start()
+      assert(aq.awaitTermination(120000), "AvailableNow run must self-terminate")
+    }
+    runAvailableNow()
+    import scala.jdk.CollectionConverters._
+    assert(aseen.asScala.toSeq.sorted == Seq("k1", "k2", "k3", "k4", "k5"),
+      "capped AvailableNow run must drain the full backlog")
+    // 5 versions at cap 2: snapshot-at-v2 then (2,4] then (4,5] = 3 chunks.
+    assert(abatches.get() == 3, s"expected 3 capped chunks, got ${abatches.get()}")
+    // A caught-up re-run terminates without new data; a new commit after
+    // the run belongs to the NEXT run and drains incrementally.
+    aseen.clear(); abatches.set(0)
+    runAvailableNow()
+    assert(aseen.isEmpty && abatches.get() == 0, "caught-up run must emit nothing")
+    alt.upsert(rows(("k6", 6L, "v6")))
+    runAvailableNow()
+    assert(aseen.asScala.toSeq == Seq("k6") && abatches.get() == 1,
+      "post-run commit drains as one incremental chunk")
+
     // Invalid cap fails loudly at query start.
     val bad = intercept[Exception] {
       val qq = spark.readStream.format("cdc-lake")
