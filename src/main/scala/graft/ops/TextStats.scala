@@ -158,6 +158,40 @@ object TextStats {
   /** Hamming distance between two simhash values (for near-dup banding). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Corpus-frequency rarity score — the integer-exact cousin of
+    * perplexity-based quality filtering (CCNet-style): per document, the
+    * token count, the SUM of each token's corpus-wide frequency, and
+    * their ratio `mean_freq` (a high mean = common/templated text, a low
+    * mean = rare-token-dense text — scores feed "too weird / too
+    * boilerplate" band filters). Counts stay BIGINT end-to-end and the
+    * ratio is the ONE final IEEE division, so any engine reproduces the
+    * scores bit-for-bit — deliberately NOT `log p` perplexity, whose
+    * transcendental is not correctly-rounded-guaranteed across libms.
+    * Documents with no tokens carry no score and are omitted (left-join
+    * the result back to keep them).
+    *
+    * Scale shape: explode once; token frequencies are a vocab-sized agg
+    * joined back on the token (AQE broadcasts a small vocab, shuffles a
+    * genuinely huge one — both correct); one per-doc agg. No corpus-wide
+    * collect, no window over the whole corpus.
+    */
+  def rarityScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = docs
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tk.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
+    tk.join(counts, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum("tok_freq").as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tok").cast("double"))
+  }
+
   /** Scrub URLs and email addresses from a text column — the standard
     * pre-training PII/noise pass — emitting the scrubbed text plus match
     * counts (so a pipeline can ALSO filter on "too many links" style

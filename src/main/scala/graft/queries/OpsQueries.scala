@@ -561,6 +561,29 @@ object OpsQueries {
           |       CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- text: corpus-frequency rarity score ---------------------------
+    // Integer-exact stand-in for perplexity quality filtering: per doc,
+    // token count + sum of corpus-wide token frequencies, mean as the ONE
+    // final IEEE division (no log: transcendentals aren't
+    // correctly-rounded-guaranteed across engines).
+    "q68_rarity_score" -> QueryDef(
+      (spark, dir) =>
+        TextStats.rarityScore(docs(spark, dir))
+          .select(col("doc_id"), col("n_tok"), col("sum_freq"), col("mean_freq"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+          |tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+          |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY tok)
+          |SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tok,
+          |       CAST(sum(f) AS BIGINT) AS sum_freq,
+          |       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE)
+          |         / CAST(count(*) AS DOUBLE) AS mean_freq
+          |FROM tk JOIN cnt USING (tok)
+          |GROUP BY tk.doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: benchmark decontamination ------------------------------
     // Eval set = every 50th doc; training docs flagged by verbatim 8-gram
     // overlap with any eval doc. The one contaminated doc at sf0.01 is a

@@ -775,6 +775,21 @@ class OpsSpec extends SparkSpec {
       Sampling.sqrtTemperatureSample(df, "doc_id", "lang", c = 0.0))
   }
 
+  test("rarityScore sums corpus-wide token frequencies per doc; tokenless docs are omitted") {
+    val d = Seq(
+      (1L, "a b a"),                   // freq: a=3 (2 here + 1 in d2), b=2
+      (2L, "a b c"),                   // c=1
+      (3L, ""),                        // no tokens -> omitted
+      (4L, null.asInstanceOf[String])  // null -> omitted
+    ).toDF("doc_id", "text")
+    val got = TextStats.rarityScore(d)
+      .select("doc_id", "n_tok", "sum_freq", "mean_freq")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 8L, 8.0 / 3.0),  // a(3) + b(2) + a(3)
+      (2L, 3L, 6L, 2.0)))       // a(3) + b(2) + c(1)
+  }
+
   test("repetitionStats rejects repetitive docs and keeps diverse ones") {
     val df = Seq(
       (1L, "x x x x x"),               // top 5/5, dup bigrams 3/4 -> reject
