@@ -92,6 +92,22 @@ final class LakeTable(
   def versionsAfter(sinceVersion: Long): Seq[Long] =
     versions().filter(_ > sinceVersion)
 
+  /** The end version of a consumer's next admission-controlled chunk:
+    * the highest of the first `mx` committed versions STILL IN THE LOG
+    * past `since`, never above `upTo` (a drain target frozen earlier —
+    * also resolved against the log, so a target whose own manifest a
+    * concurrent vacuum deleted clamps DOWN to the largest surviving
+    * version under it rather than naming a tombstone the reader would
+    * wedge on). None = nothing eligible (caught up, or everything
+    * eligible was vacuumed).
+    */
+  def nextVersion(
+      since: Long, mx: Option[Long], upTo: Option[Long]): Option[Long] = {
+    val after = versionsAfter(since)
+    val eligible = upTo.map(t => after.filter(_ <= t)).getOrElse(after)
+    mx.map(m => eligible.take(m.toInt)).getOrElse(eligible).lastOption
+  }
+
   /** commitId of `version`, or None if its manifest vanished (vacuumed
     * between a listing and the read — callers fall back to vacuumedIds).
     */

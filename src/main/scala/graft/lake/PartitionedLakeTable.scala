@@ -395,18 +395,32 @@ final class PartitionedLakeTable(
     }
   }
 
-  /** Rate-limited version vector: per partition, the highest of the first
-    * `mx` committed versions STILL IN THE LOG past the consumer's
-    * position `prev` (vacuumed early history is skipped, never addressed
-    * — an arithmetic `prev + mx` could name a vacuumed manifest and wedge
-    * the stream), or the position itself when the partition is caught up.
-    * One log listing per partition — the same cost as [[currentVersions]].
+  /** The streaming consumer's next version vector: per partition, the
+    * highest of the first `mx` committed versions STILL IN THE LOG past
+    * the consumer's position `prev` (vacuumed early history is skipped,
+    * never addressed — an arithmetic `prev + mx` could name a vacuumed
+    * manifest and wedge the stream), or the position itself when the
+    * partition is caught up. `upTo` is an AvailableNow drain target
+    * frozen earlier: each partition is bounded by the largest IN-LOG
+    * version at or under its target (a target vacuumed mid-drain clamps
+    * down, never to a tombstone), and partitions absent from the target
+    * (born after the freeze) hold their `prev` position — or stay out of
+    * the vector entirely — until the next run. One log listing per
+    * partition — the same cost as [[currentVersions]].
     */
-  def cappedVersions(prev: Map[String, Long], mx: Long): Map[String, Long] =
-    partitions.map { v =>
-      val p = prev.getOrElse(v, 0L)
-      v -> partitionTable(v).versionsAfter(p)
-        .take(mx.toInt).lastOption.getOrElse(p)
+  def nextVersions(
+      prev: Map[String, Long],
+      mx: Option[Long],
+      upTo: Option[Map[String, Long]]): Map[String, Long] =
+    partitions.flatMap { v =>
+      upTo match {
+        case Some(target) if !target.contains(v) =>
+          prev.get(v).map(v -> _) // frozen out: hold position (defensive)
+        case _ =>
+          val p = prev.getOrElse(v, 0L)
+          Some(v -> partitionTable(v)
+            .nextVersion(p, mx, upTo.map(_(v))).getOrElse(p))
+      }
     }.toMap.filter(_._2 > 0L)
 
   /** True iff `commitId` was already applied to ANY partition (the

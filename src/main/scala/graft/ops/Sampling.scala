@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE portable 60-bit key hash every sampling op derives from — one
+    * definition, because its exact shape is what keeps keep-sets
+    * bit-identical with the SQL oracles' `('0x'||substr(md5(...),1,15))`.
+    */
+  private def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Deterministic per-key bucket in [0, 100). */
-  def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+  def hashBucket(key: Column): Column = hash60(key) % 100
 
   /** Attach a `split` column from cumulative percentage ranges, e.g.
     * `Seq("train" -> 98, "val" -> 1, "test" -> 1)` (must sum to 100).
@@ -62,9 +68,7 @@ object Sampling {
       n: Int,
       keyCol: String): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val w = Window.partitionBy(groupCol).orderBy(h.asc, col(keyCol).asc)
+    val w = Window.partitionBy(groupCol).orderBy(hash60(col(keyCol)).asc, col(keyCol).asc)
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
       .drop("_rk")
@@ -163,10 +167,8 @@ object Sampling {
     val thr = floor(
       least(lit(1.0), lit(c) / sqrt(col("_n").cast("double")))
         * lit(1152921504606846976.0)).cast("long")
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
     df.join(broadcast(counts), groupCol)
-      .filter(h < thr)
+      .filter(hash60(col(keyCol)) < thr)
       .drop("_n")
   }
 

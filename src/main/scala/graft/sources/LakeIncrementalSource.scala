@@ -163,32 +163,19 @@ class LakeIncrementalSource(
   private def nextEnd(prev: Option[Offset]): Option[Offset] = partitioned match {
     case Some(p) =>
       val prevVec = prev.map(vector).getOrElse(Map.empty)
-      val raw = maxVersions match {
-        case Some(mx) => p.cappedVersions(prevVec, mx)
-        case None => p.currentVersions
-      }
-      val vec = drainTarget match {
-        case Some(Left(target)) =>
-          raw.flatMap { case (k, v) =>
-            target.get(k).map(t => k -> math.min(v, t))
-              .orElse(prevVec.get(k).map(k -> _)) // checkpoint continuity
-          }
-        case _ => raw
-      }
+      val vec = p.nextVersions(
+        prevVec, maxVersions, drainTarget.flatMap(_.left.toOption))
       if (vec.isEmpty) None else Some(VectorOffset(vec))
     case None =>
       val prevScalar = prev.map(scalar).getOrElse(0L)
-      val raw = maxVersions match {
-        case Some(mx) =>
-          plain.versionsAfter(prevScalar).take(mx.toInt).lastOption
-            .orElse(plain.latestVersion)
-        case None => plain.latestVersion
-      }
-      val bounded = drainTarget match {
-        case Some(Right(t)) => raw.map(math.min(_, t))
-        case _ => raw
-      }
-      bounded.filter(_ > 0L).map(LongOffset(_))
+      val target = drainTarget.flatMap(_.toOption)
+      plain.nextVersion(prevScalar, maxVersions, target)
+        // Caught up (or everything eligible vacuumed): sit at the real
+        // latest outside a drain, at the held position inside one — the
+        // drain must converge on a stable offset, and the latest may
+        // exceed (or, vacuumed, no longer include) the frozen target.
+        .orElse(if (target.isDefined) Some(prevScalar) else plain.latestVersion)
+        .filter(_ > 0L).map(LongOffset(_))
   }
 
   private def scalar(o: Offset): Long = o match {

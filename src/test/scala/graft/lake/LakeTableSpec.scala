@@ -35,6 +35,40 @@ class LakeTableSpec extends SparkSpec {
   private def rows(t: (String, Long, String)*) =
     t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload")
 
+  test("nextVersion/nextVersions clamp a vacuumed drain target to surviving log versions") {
+    // ONE bucket: every version rewrites it, so vacuum(keep=1)
+    // deterministically tombstones ALL non-kept manifests (with more
+    // buckets a version sharing a still-referenced dir survives — and
+    // correctly stays drainable).
+    val lt = new LakeTable(spark, tempDir("lake-nv-").toString, numBuckets = 1)
+    (1 to 5).foreach(i => lt.upsert(rows((s"k$i", i.toLong, s"v$i"))))
+    assert(lt.nextVersion(0L, Some(2L), None).contains(2L))
+    assert(lt.nextVersion(0L, Some(2L), Some(3L)).contains(2L))
+    assert(lt.nextVersion(2L, None, Some(3L)).contains(3L))
+    assert(lt.nextVersion(5L, None, None).isEmpty) // caught up
+    lt.vacuum(keepVersions = 1) // only v5 survives
+    // The whole (0, 3] target range was vacuumed: the drain yields
+    // NOTHING rather than naming tombstoned version 3 (r9 review — a
+    // min()-style arithmetic clamp wedged the stream on the WAL'd
+    // offset); the next run's fresh target reaches the survivor.
+    assert(lt.nextVersion(0L, Some(2L), Some(3L)).isEmpty)
+    assert(lt.nextVersion(0L, Some(2L), Some(5L)).contains(5L))
+
+    // Partitioned: per-partition bounds; a partition absent from the
+    // frozen target holds its checkpointed position.
+    val pt = new PartitionedLakeTable(
+      spark, tempDir("lake-nvp-").toString, "day", numBuckets = 2)
+    def prow(k: String, ts: Long, day: String) =
+      Seq((k, ts, day, "x")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    (1 to 3).foreach(i => pt.upsert(prow(s"a$i", i.toLong, "d1")))
+    pt.upsert(prow("b1", 1L, "d2"))
+    assert(pt.nextVersions(Map.empty, Some(1L), None) == Map("d1" -> 1L, "d2" -> 1L))
+    assert(pt.nextVersions(Map("d1" -> 1L, "d2" -> 1L), Some(1L),
+      Some(Map("d1" -> 2L))) == Map("d1" -> 2L, "d2" -> 1L))
+    assert(pt.nextVersions(Map("d1" -> 2L, "d2" -> 1L), Some(5L),
+      Some(Map("d1" -> 2L))) == Map("d1" -> 2L, "d2" -> 1L)) // converged
+  }
+
   test("upsert into empty table = plain insert") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 4)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
