@@ -220,11 +220,12 @@ object TextStats {
     * corpus pipeline runs (NSFW terms, boilerplate markers, license
     * headers): per-doc count of matched phrases (substring semantics,
     * multi-word phrases included) and a BIGINT keep flag (1 = clean).
-    * For a config-sized list the match is a codegen'd `contains` chain —
-    * one pass over the text per phrase, zero shuffle, no regex engine in
-    * the loop. (A list big enough to need Aho-Corasick should be
-    * compiled into a single custom expression; this surface is for the
-    * tens-of-phrases config case.)
+    * The match is the native one-pass Aho-Corasick
+    * [[graft.functions.MultiContainsCount]] — a `contains` chain scans
+    * the text once PER PHRASE, so a thousand-phrase production list
+    * would pay a thousand passes per document; the automaton pays one,
+    * whatever the list size (chain-equivalence property-tested in
+    * `MultiContainsSpec`). Zero shuffle, no regex engine in the loop.
     */
   def withBlocklist(
       docs: DataFrame,
@@ -232,14 +233,11 @@ object TextStats {
       textCol: String = "text"): DataFrame = {
     require(phrases.nonEmpty, "blocklist must name at least one phrase")
     require(phrases.forall(_.nonEmpty), s"empty blocklist phrase: $phrases")
-    // Total on null text: contains(NULL) is NULL which would fall to the
-    // otherwise-branch here but to ELSE 0 inside an oracle's negated
-    // CASE — pin the semantics explicitly (null text matches nothing,
-    // keep = 1) on both sides.
-    val t = coalesce(col(textCol), lit(""))
-    val nBlocked = phrases
-      .map(p => when(t.contains(p), lit(1L)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    import org.apache.spark.sql.graft.Exprs
+    // Null text matches nothing (keep = 1) — pinned here AND as ELSE 0 in
+    // the oracle's CASE; the expression folds the null -> 0 collapse in.
+    val nBlocked = Exprs.column(graft.functions.MultiContainsCount(
+      Exprs.expression(col(textCol)), phrases))
     docs
       .withColumn("n_blocked", nBlocked)
       .withColumn("keep", when(col("n_blocked") === 0, lit(1L)).otherwise(lit(0L)))
