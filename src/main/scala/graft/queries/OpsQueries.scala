@@ -541,7 +541,9 @@ object OpsQueries {
 
     // ---- text: blocklist screening -------------------------------------
     // Phrase blocklist (substring semantics, multi-word phrases): per-doc
-    // match count + keep flag, as a codegen'd contains chain.
+    // match count + keep flag via the native one-pass Aho-Corasick
+    // MultiContainsCount; the oracle stays the independent contains-chain
+    // SQL, so it cross-checks the automaton.
     "q65_blocklist" -> QueryDef(
       (spark, dir) =>
         TextStats.withBlocklist(
