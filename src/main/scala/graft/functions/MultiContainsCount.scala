@@ -65,6 +65,42 @@ final class AhoCorasick private (
     found.toLong
   }
 
+  /** The DISTINCT pattern ids occurring in `s`, ascending — the audit
+    * sibling of [[countDistinct]] (which phrases fired, not just how
+    * many). Same early exit: once every pattern has been seen there is
+    * nothing left to collect.
+    */
+  def collectDistinct(s: UTF8String): Array[Int] = {
+    val buf = s.getBytes
+    val sc = scratch.get()
+    sc.gen += 1L
+    val gen = sc.gen
+    val seen = sc.seen
+    var found = 0
+    var st = 0
+    var i = 0
+    val n = buf.length
+    while (i < n && found < nPatterns) {
+      st = step(st, buf(i))
+      val out = outs(st)
+      var j = 0
+      while (j < out.length) {
+        val p = out(j)
+        if (seen(p) != gen) { seen(p) = gen; found += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val ids = new Array[Int](found)
+    var k = 0
+    var p = 0
+    while (p < nPatterns && k < found) {
+      if (seen(p) == gen) { ids(k) = p; k += 1 }
+      p += 1
+    }
+    ids
+  }
+
   private def step(state0: Int, b: Byte): Int = {
     var st = state0
     while (true) {
@@ -196,6 +232,65 @@ case class MultiContainsCount(child: Expression, phrases: Seq[String])
       """,
       isNull = FalseLiteral)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `MultiContainsMatches(text, phrases)` — WHICH distinct phrases of the
+  * blocklist occur in the text, as an array in the phrase list's order:
+  * the audit sibling of [[MultiContainsCount]] ("why was this document
+  * flagged"), same one-pass byte-level automaton, same null-text →
+  * no-matches collapse (empty array, never null).
+  */
+case class MultiContainsMatches(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  require(phrases.nonEmpty, "at least one phrase required")
+  require(phrases.forall(_.nonEmpty), s"empty phrase in $phrases")
+
+  @transient private lazy val ac = AhoCorasick.build(phrases)
+  // One UTF8String per phrase, shared across rows (never rebuilt per row).
+  @transient private lazy val utf8Phrases: Array[UTF8String] =
+    phrases.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_contains_matches requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "multi_contains_matches"
+
+  private def matches(v: Any): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ids =
+      if (v == null) Array.emptyIntArray
+      else ac.collectDistinct(v.asInstanceOf[UTF8String])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ids.map(utf8Phrases(_).asInstanceOf[Any]))
+  }
+
+  override def eval(input: InternalRow): Any = matches(child.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val selfRef = ctx.addReferenceObj("mcm", this, classOf[MultiContainsMatches].getName)
+    val adType = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $adType ${ev.value} = $selfRef.matchesFor(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  /** Codegen entry point (public for generated code). */
+  def matchesFor(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    matches(v)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -227,6 +227,26 @@ object TextStats {
     * whatever the list size (chain-equivalence property-tested in
     * `MultiContainsSpec`). Zero shuffle, no regex engine in the loop.
     */
+  /** [[withBlocklist]]'s audit sibling: WHICH phrases matched (`matched`,
+    * in the list's order — "why was this document flagged"), plus the
+    * same `n_blocked`/`keep`. Same one-pass automaton; null text matches
+    * nothing (empty array, keep = 1).
+    */
+  def withBlocklistMatches(
+      docs: DataFrame,
+      phrases: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must name at least one phrase")
+    require(phrases.forall(_.nonEmpty), s"empty blocklist phrase: $phrases")
+    import org.apache.spark.sql.graft.Exprs
+    docs
+      .withColumn("matched", Exprs.column(graft.functions.MultiContainsMatches(
+        Exprs.expression(col(textCol)), phrases)))
+      .withColumn("n_blocked", size(col("matched")).cast("long"))
+      .withColumn("keep",
+        when(col("n_blocked") === 0L, lit(1L)).otherwise(lit(0L)))
+  }
+
   def withBlocklist(
       docs: DataFrame,
       phrases: Seq[String],

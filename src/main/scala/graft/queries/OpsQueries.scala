@@ -563,6 +563,22 @@ object OpsQueries {
           |       CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- text: blocklist audit (which phrases fired) -------------------
+    // The audit view of q65: one exploded row per (doc, matched phrase),
+    // via the same one-pass automaton's collect variant; the oracle is an
+    // independent list_filter-over-contains, cross-checking it.
+    "q69_blocklist_matches" -> QueryDef(
+      (spark, dir) =>
+        TextStats.withBlocklistMatches(
+            docs(spark, dir), Seq("slow merge", "big data", "key value"))
+          .select(col("doc_id"), explode(col("matched")).as("phrase"))
+          .orderBy("doc_id", "phrase"),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       unnest(list_filter(['slow merge','big data','key value'],
+          |                          p -> contains(coalesce(text,''), p))) AS phrase
+          |FROM documents ORDER BY doc_id, phrase""".stripMargin)),
+
     // ---- text: corpus-frequency rarity score ---------------------------
     // Integer-exact stand-in for perplexity quality filtering: per doc,
     // token count + sum of corpus-wide token frequencies, mean as the ONE

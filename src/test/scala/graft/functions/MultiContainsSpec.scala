@@ -68,6 +68,31 @@ class MultiContainsSpec extends SparkSpec {
     }
   }
 
+  test("matches variant returns exactly the phrases contains() admits, in list order") {
+    import org.apache.spark.sql.graft.Exprs
+    def matchesCol(t: Column, phrases: Seq[String]): Column =
+      Exprs.column(MultiContainsMatches(Exprs.expression(t), phrases))
+    val phrases = Seq("ab", "b", "abc", "cab")
+    val texts = Seq("abc", "cabcab", "xyz", "", null.asInstanceOf[String])
+    val got = texts.toDF("t")
+      .select(col("t"), matchesCol(col("t"), phrases).as("m"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (t, m) =>
+      val expect = phrases.filter(p => t != null && t.contains(p))
+      assert(m == expect, s"text=$t")
+    }
+    // Property: agreement with plain String.contains on random inputs.
+    val alphabet = "aab bc"
+    val rnd = new scala.util.Random(0x5eedL)
+    def randStr(maxLen: Int): String =
+      Seq.fill(1 + rnd.nextInt(maxLen))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val ps = Seq.fill(5)(randStr(3)).distinct
+    val g2 = Seq.fill(50)(randStr(20)).toDF("t")
+      .select(col("t"), matchesCol(col("t"), ps).as("m"))
+      .as[(String, Seq[String])].collect()
+    g2.foreach { case (t, m) => assert(m == ps.filter(t.contains), s"text=$t ps=$ps") }
+  }
+
   test("validates phrases and stays off the interpreted path") {
     intercept[IllegalArgumentException](AhoCorasick.build(Seq.empty))
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("ok", "")))
