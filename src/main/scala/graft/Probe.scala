@@ -34,23 +34,40 @@ object Probe {
     val cents = Similarity.ivfCentroids(e, 16)
     recall(Similarity.ivfTopK(e, qv, 20, cents, nProbe = 4), "ivf nProbe=4")
 
-    // Shingle-hash collision check: the dedup verify joins compare
-    // xxhash64(shingle) sets (DedupDocs.shingleHash); the hashed metric is
-    // bit-identical to the string-set metric iff this prints 0.
+    // Shingle-fingerprint collision check: since r10 the ENTIRE dedup index
+    // space is keyed on xxhash64(shingle) — the inverted-index self-join,
+    // the minhash signatures, and the verify sets all consume the
+    // fingerprint column DedupDocs.shingles emits. Every hashed metric
+    // (jaccard counts, candidate pairing, set intersections) is
+    // bit-identical to the string-space metric iff this prints 0.
     val docs = Tables.load(spark, sfDir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
-    // Reuse the production shingler: the previous inline copy crashed on
-    // any document shorter than 3 words (sequence(1, 0) DESCENDS in Spark,
-    // so element_at(ws, 0) threw) and re-split the text per element_at —
-    // exactly the pitfalls DedupDocs.shingles already handles.
-    val sh = graft.ops.DedupDocs.shingles(docs).select("shingle").distinct()
+    // Reuse the production shingler (string form): the previous inline copy
+    // crashed on any document shorter than 3 words (sequence(1, 0) DESCENDS
+    // in Spark, so element_at(ws, 0) threw) and re-split the text per
+    // element_at — exactly the pitfalls DedupDocs' shingler already handles.
+    val sh = graft.ops.DedupDocs.shingleStrings(docs).select("shingle").distinct()
     val (nSh, nHash) = {
       val r = sh.agg(
         count(lit(1)).as("n"),
         countDistinct(xxhash64(col("shingle"))).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
-    println(s"[probe] shingle-hash collisions=${nSh - nHash} over $nSh distinct shingles")
+    println(s"[probe] shingle-fingerprint collisions=${nSh - nHash} over $nSh distinct shingles (index space = fingerprints)")
+
+    // LSH recall completeness (CLAUDE.md invariant): q28 shares q27's
+    // exact-jaccard oracle only while banded-LSH recall is COMPLETE at both
+    // oracle scales under the production parameters (n=3, 64 hashes, 16
+    // bands, maxDf=100 — mirror OpsQueries.JaccardMaxDf). Any change to the
+    // shingle/fingerprint space or seeds must re-run this at sf0.01 AND
+    // sf0.1 and see missed=0.
+    val exactPairs = graft.ops.DedupDocs.jaccardPairs(docs, maxDf = 100)
+      .select(col("d1"), col("d2"))
+    val lshPairs = graft.ops.DedupDocs.minhashVerifiedPairs(docs, maxDf = 100)
+      .select(col("d1"), col("d2"))
+    val missed = exactPairs.join(lshPairs, Seq("d1", "d2"), "left_anti").count()
+    val total = exactPairs.count()
+    println(s"[probe] LSH recall: missed=$missed of $total exact >=0.5-jaccard pairs (must be 0)")
     spark.stop()
   }
 }

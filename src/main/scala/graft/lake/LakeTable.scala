@@ -502,6 +502,13 @@ final class LakeTable(
     * twice (bucket choice + under the join) but sidecars are lazy-loaded
     * and cached per task, so the second pass costs hashing only.
     * `atVersion` pins the manifest (snapshot-consistent probes).
+    *
+    * `keys` must be DETERMINISTIC (same double-eval seam as the delete and
+    * incremental paths): the plan is evaluated once to choose candidate
+    * buckets and again under the semi-join, so a non-stable source
+    * (sampling, uuid(), a table mutating between the two jobs) can hash a
+    * key to a bucket the first pass never selected — the key silently
+    * reads as absent. Materialize such inputs (persist/write) first.
     */
   def probeKeys(keys: DataFrame, atVersion: Option[Long] = None): DataFrame =
     atVersion.map(readManifest).orElse(latestManifest()) match {

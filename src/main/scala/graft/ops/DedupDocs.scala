@@ -146,11 +146,35 @@ object DedupDocs {
         conv(substring(md5(col("_gram")), 16, 15), 16, 10).cast("long").as("fp2"))
   }
 
-  /** Distinct (id, shingle) pairs of word `n`-grams. Documents shorter
-    * than `n` words yield no shingles (same convention as the oracle's
+  /** Distinct `(id, shingle)` pairs of word `n`-grams, where `shingle` is
+    * the 64-bit `xxhash64` FINGERPRINT of the gram — the key every
+    * inverted-index / signature / verify consumer shuffles on. Hashing
+    * happens BEFORE the distinct (r9 verdict #1): the raw ~3-word gram
+    * strings never cross an exchange, so the distinct, the pinned
+    * [[jaccardPairs]] self-join, and the signature aggregations all move
+    * 8-byte longs instead of the widest string payload in the engine
+    * (q27's 146 MB shuffle read was the bench's largest, fully CPU-bound
+    * on string hashing/compare). Set-overlap counts over fingerprints are
+    * exact iff the corpus' distinct shingles are collision-free under
+    * xxhash64 — expected collisions ≈ n²/2⁶⁵; `graft.Probe` prints the
+    * measured count (zero at both oracle scales). Documents shorter than
+    * `n` words yield no shingles (same convention as the oracle's
     * `generate_series`).
     */
-  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame =
+    rawShingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+
+  /** [[shingles]] in the raw STRING gram space, distinct per doc — for the
+    * collision probe (`graft.Probe` counts distinct strings vs distinct
+    * fingerprints) and shingle-semantics tests. Not used on any hot path:
+    * production consumers take the fingerprint form.
+    */
+  def shingleStrings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame =
+    rawShingles(docs, idCol, textCol, n).distinct()
+
+  private def rawShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // Materialize the token array as a real column first: as a bound
     // attribute `split` runs once per row, while inlining the expression
     // would re-split the text inside every `element_at` of every shingle —
@@ -165,7 +189,6 @@ object DedupDocs {
           sequence(lit(1), size(ws) - lit(n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
           .as("shingle"))
-      .distinct()
   }
 
   /** Drop shingles whose document frequency exceeds `maxDf` — the
@@ -202,19 +225,14 @@ object DedupDocs {
     * is never reshuffled; its count-distinct aggregation is map-side
     * combinable, a fraction of the window's full sort.
     */
-  /** 64-bit shingle fingerprint used in the exact-verify joins: the
-    * verify payload ships `collect_set` per candidate doc through a join,
-    * and full shingle STRINGS (~3 words each) were the widest payload in
-    * the engine — the one GC signature in the r8 driver bench (q28:
-    * 74.7 s GC on 8.9 s wall). Hashing shrinks it ~5-10×. Intersection /
-    * set-size counts are exact iff the corpus' distinct shingles are
-    * collision-free under xxhash64 — expected collisions ≈ n²/2⁶⁵, ~1e-7
-    * even at 10⁹ distinct shingles; verified zero at both oracle scales
-    * (`graft.Probe` prints the count, r9) and equivalence with the
-    * string-set metric is pinned by OpsSpec's minhash-vs-exact case and
-    * the shared q27/q28 DuckDB oracle.
+  /** The shingle column IS the 64-bit fingerprint since r10 (hashed in
+    * [[shingles]] before any exchange); the verify joins' `collect_set`
+    * payloads were already fingerprints in r9 (q28 GC 74.7 → 6.9 s).
+    * Equivalence with the string-set metric is pinned by OpsSpec's
+    * minhash-vs-exact case, the shared q27/q28 DuckDB oracle, and
+    * `graft.Probe`'s collision count.
     */
-  private def shingleHash: org.apache.spark.sql.Column = xxhash64(col("shingle"))
+  private def shingleHash: org.apache.spark.sql.Column = col("shingle")
 
   private def capDfAnti(sh: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
@@ -275,8 +293,10 @@ object DedupDocs {
   }
 
   /** MinHash signature: `numHashes` columns `m0..m{k-1}`, each the min of
-    * a seeded xxhash64 over the doc's shingle set. Deterministic (fixed
-    * integer seeds), one hash-agg over the exploded shingles.
+    * a seeded xxhash64 over the doc's shingle-FINGERPRINT set (hashing a
+    * uniform 64-bit fingerprint with seed `i` is as valid a minwise family
+    * as hashing the raw gram, and keeps the agg input 8-byte). Deterministic
+    * (fixed integer seeds), one hash-agg over the exploded shingles.
     */
   def minhashSignatures(
       docs: DataFrame,

@@ -124,26 +124,33 @@ object Multimodal {
           digest.digest(b).map("%02x".format(_)).mkString
         }
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-          if (img == null) ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
-          else {
-            val dst = new java.awt.image.BufferedImage(
-              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-            val g = dst.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-              g.drawImage(img, 0, 0, targetW, targetH, null)
-            } finally g.dispose()
-            val argb = dst.getRGB(0, 0, targetW, targetH, null, 0, targetW)
-            val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
-            argb.foreach(bb.putInt)
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", out)
-            ResizedImage(id, targetW, targetH, resized = true, out.toByteArray, hex(bb.array()))
+          // JDK codecs throw RuntimeExceptions (NegativeArraySizeException,
+          // IllegalArgumentException, CCE) on some malformed payloads, not
+          // just IOException — NonFatal keeps the unreadable-pass-through
+          // contract on raw-crawl garbage instead of killing the task.
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+            else {
+              val dst = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                g.drawImage(img, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val argb = dst.getRGB(0, 0, targetW, targetH, null, 0, targetW)
+              val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+              argb.foreach(bb.putInt)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              ResizedImage(id, targetW, targetH, resized = true, out.toByteArray, hex(bb.array()))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
           }
         }
       }
@@ -174,19 +181,24 @@ object Multimodal {
           digest.digest(b).map("%02x".format(_)).mkString
         }
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null } // corrupt payload -> fallback
-          if (img == null) DecodedImage(id, -1, -1, decoded = false, hex(bytes))
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            // getRGB normalizes every color model to packed ARGB ints, so
-            // the hash doesn't depend on the file's internal pixel layout.
-            val argb = img.getRGB(0, 0, w, h, null, 0, w)
-            val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
-            argb.foreach(bb.putInt)
-            DecodedImage(id, w, h, decoded = true, hex(bb.array()))
+          // NonFatal, not just IOException: JDK codecs throw runtime
+          // exceptions on some malformed payloads (see resizeImagesBatched).
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) DecodedImage(id, -1, -1, decoded = false, hex(bytes))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              // getRGB normalizes every color model to packed ARGB ints, so
+              // the hash doesn't depend on the file's internal pixel layout.
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+              argb.foreach(bb.putInt)
+              DecodedImage(id, w, h, decoded = true, hex(bb.array()))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedImage(id, -1, -1, decoded = false, hex(bytes))
           }
         }
       }

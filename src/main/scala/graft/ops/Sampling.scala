@@ -131,7 +131,10 @@ object Sampling {
     df.withColumn("shard", col(keyCol) % shards)
       .withColumn("n_tok", tokens.cast("long"))
       .withColumn("bin",
-        ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
+        // Integer `div` (IntegralDivide), not IEEE `/`: past 2^53 cumulative
+        // tokens a double quotient can round across the bin boundary and
+        // silently disagree with the oracle's integer division.
+        call_function("div", sum(col("n_tok")).over(w) - col("n_tok"), lit(budget.toLong)))
   }
 
   /** Temperature (square-root) corpus mixing — [[stratifiedSample]]'s

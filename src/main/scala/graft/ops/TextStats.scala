@@ -216,17 +216,6 @@ object TextStats {
           regexp_replace(col(textCol), UrlPattern, "<URL>"),
           EmailPattern, "<EMAIL>"))
 
-  /** Blocklist screening — the phrase-filter stage every production
-    * corpus pipeline runs (NSFW terms, boilerplate markers, license
-    * headers): per-doc count of matched phrases (substring semantics,
-    * multi-word phrases included) and a BIGINT keep flag (1 = clean).
-    * The match is the native one-pass Aho-Corasick
-    * [[graft.functions.MultiContainsCount]] — a `contains` chain scans
-    * the text once PER PHRASE, so a thousand-phrase production list
-    * would pay a thousand passes per document; the automaton pays one,
-    * whatever the list size (chain-equivalence property-tested in
-    * `MultiContainsSpec`). Zero shuffle, no regex engine in the loop.
-    */
   /** [[withBlocklist]]'s audit sibling: WHICH phrases matched (`matched`,
     * in the list's order — "why was this document flagged"), plus the
     * same `n_blocked`/`keep`. Same one-pass automaton; null text matches
@@ -247,6 +236,17 @@ object TextStats {
         when(col("n_blocked") === 0L, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Blocklist screening — the phrase-filter stage every production
+    * corpus pipeline runs (NSFW terms, boilerplate markers, license
+    * headers): per-doc count of matched phrases (substring semantics,
+    * multi-word phrases included) and a BIGINT keep flag (1 = clean).
+    * The match is the native one-pass Aho-Corasick
+    * [[graft.functions.MultiContainsCount]] — a `contains` chain scans
+    * the text once PER PHRASE, so a thousand-phrase production list
+    * would pay a thousand passes per document; the automaton pays one,
+    * whatever the list size (chain-equivalence property-tested in
+    * `MultiContainsSpec`). Zero shuffle, no regex engine in the loop.
+    */
   def withBlocklist(
       docs: DataFrame,
       phrases: Seq[String],

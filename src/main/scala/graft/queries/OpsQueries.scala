@@ -160,7 +160,11 @@ object OpsQueries {
     stampedIndexPath(dir, "embeddings.parquet", "ann|planes16x64s42b4")
 
   private def minhashIndexPath(dir: String): String =
-    stampedIndexPath(dir, "documents.parquet", "minhash|n3h64b16")
+    // `fp64`: r10 keyed the shingle space on xxhash64 fingerprints, which
+    // changes the minhash signatures — a pre-r10 artifact at the old tag
+    // would join an incompatible hash space (CLAUDE.md: layout changes must
+    // bump the stamped path tag).
+    stampedIndexPath(dir, "documents.parquet", "minhash|fp64|n3h64b16")
 
   private def annDupIndexPath(dir: String): String =
     stampedIndexPath(dir, "embeddings.parquet", "anndup|planes32x64s42b8|join")

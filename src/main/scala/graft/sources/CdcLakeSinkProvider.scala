@@ -147,9 +147,21 @@ class LakeSnapshotRelation(
   private lazy val pinnedVector: Map[String, Long] =
     opened.fold(_.currentVersions, _ => Map.empty)
 
-  private lazy val snapshot: DataFrame = opened.fold(
-    pt => if (pinnedVector.isEmpty) pt.snapshot else pt.snapshotAt(pinnedVector),
-    t => pinnedVersion.map(t.snapshotAt).getOrElse(t.snapshot))
+  // Emptiness is pinned too (r9 advice): with no committed version at
+  // relation creation there is nothing to pin a version against, and
+  // falling back to resolve-latest-at-execution would let a commit landing
+  // between planning and scan re-open the cross-route version-mix window
+  // the pin exists to close. An empty-at-pin relation stays empty.
+  private lazy val pinnedEmpty: Boolean =
+    opened.fold(_ => pinnedVector.isEmpty, _ => pinnedVersion.isEmpty)
+
+  private lazy val snapshot: DataFrame =
+    if (pinnedEmpty)
+      ctx.sparkSession.createDataFrame(
+        ctx.sparkSession.sparkContext.emptyRDD[Row], new StructType())
+    else opened.fold(
+      pt => pt.snapshotAt(pinnedVector),
+      t => t.snapshotAt(pinnedVersion.get))
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = snapshot.schema
@@ -210,7 +222,7 @@ class LakeSnapshotRelation(
     * parquet scan (dataFilters non-empty, pruned ReadSchema).
     */
   def scanPlan(requiredColumns: Array[String], filters: Array[Filter]): DataFrame = {
-    val base: DataFrame = opened match {
+    val base: DataFrame = if (pinnedEmpty) snapshot else opened match {
       case Right(table) =>
         equalityValues(filters, LakeTable.KeyCol) match {
           case Some(keys) if keys.forall(_.isInstanceOf[String]) =>

@@ -26,8 +26,15 @@ class OpsSpec extends SparkSpec {
 
   test("shingles: word trigrams, distinct, none for short docs") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
-    val got = DedupDocs.shingles(df).as[(Long, String)].collect().sortBy(_._2)
+    val got = DedupDocs.shingleStrings(df).as[(Long, String)].collect().sortBy(_._2)
     assert(got.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
+    // The production (fingerprint) form is exactly xxhash64 of the string
+    // form — same rows, 8-byte keys (what every index consumer shuffles).
+    val fp = DedupDocs.shingles(df).as[(Long, Long)].collect().toSet
+    val expected = DedupDocs.shingleStrings(df)
+      .select($"doc_id", xxhash64($"shingle"))
+      .as[(Long, Long)].collect().toSet
+    assert(fp == expected)
   }
 
   test("minhash-LSH candidates achieve full recall on >=0.5-jaccard pairs (sf0.001)") {
