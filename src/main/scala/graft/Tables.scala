@@ -4,13 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-  * refuses to read as a timestamp (`PARQUET_TYPE_ILLEGAL`). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, so in this engine
-  * **`events.ts` is BIGINT epoch-nanoseconds** — ordering-exact (no
-  * truncation), and directly comparable with the DuckDB oracle's ordering
-  * (DuckDB reads the same column as a µs TIMESTAMP; µs-truncated `(user_id,
-  * ts)` pairs are unique in the testdata, so both orderings agree).
+  * **`events.ts` is BIGINT epoch-nanoseconds in this engine, whatever the
+  * file stores** — the generator has shipped both parquet TIMESTAMP(NANOS)
+  * (pre-2026-08-13 regens; Spark 4 refuses to read nanos as a timestamp,
+  * so `spark.sql.legacy.parquet.nanosAsLong=true` surfaces them as longs)
+  * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (the 2026-08-13 regen;
+  * Spark reads TIMESTAMP_NTZ, which `load` converts back to epoch-nanos
+  * here — exact, micros always fit). Normalizing at the loader keeps every
+  * consumer (q51's `ts DIV 1000` micros bucketing, q25's `_ts` ordering)
+  * and the DuckDB oracle (which reads the same column as a naive µs
+  * TIMESTAMP either way) bit-identical across generator versions. The
+  * NTZ→nanos conversion interprets naive values in the session timezone —
+  * every engine session pins UTC, matching DuckDB's naive reading.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,7 +25,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive: the driver may hand us a session built without this conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => df // nanos already
+      case Some(_: org.apache.spark.sql.types.TimestampNTZType) |
+           Some(_: org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected nanos-as-long " +
+          "or a timestamp (TESTDATA generator changed again?)")
+    }
   }
 
   // One registration per (session, dir): repeated per-query registration was

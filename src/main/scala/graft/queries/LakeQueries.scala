@@ -91,8 +91,12 @@ object LakeQueries {
         s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString("|")
+    // `cdcenv2`: tag bumped when Tables.load gained the events.ts
+    // nanos-normalization (2026-08-13 regen shipped µs timestamps; a
+    // fixture built before the fix serialized `"timestamp":2026-01-01
+    // 00:00:00` — malformed JSON — and would otherwise stay stamped).
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$stamp|cdcenv1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|$stamp|cdcenv2".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixture_cdcenv_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       System.err.println(s"[graft] building q25 envelope fixture at $path")
