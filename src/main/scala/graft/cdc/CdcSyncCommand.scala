@@ -221,7 +221,8 @@ object CdcSyncCommand {
             val plake = new graft.lake.PartitionedLakeTable(
               spark, cfg.path, pf, cfg.numBuckets,
               filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable,
-              zorderBy = cfg.zorderFields)
+              zorderBy = cfg.zorderFields, tableType = cfg.tableType,
+              compactAfter = cfg.compactDeltas)
             // Deletes route by the partition value decoded from the delete
             // payload — only the named partitions are visited (null values
             // fall back to the bloom-pruned global path inside).
@@ -266,7 +267,8 @@ object CdcSyncCommand {
             val lake = new LakeTable(
               spark, cfg.path, cfg.numBuckets,
               filesPerBucket = cfg.filesPerBucket, zorderBy = cfg.zorderFields,
-              bloomOnWrite = cfg.bloomEnable)
+              bloomOnWrite = cfg.bloomEnable, tableType = cfg.tableType,
+              compactAfter = cfg.compactDeltas)
             if (insertOp) {
               lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               // Deletes: key-only left-anti (ref :186-190).

@@ -48,6 +48,17 @@ package graft.cdc
   *    numerically, greatest wins; mirrors choosing a precombine field).
   *    Without it ties fall back to the raw record JSON text, which orders
   *    lexicographically — deterministic but e.g. `"9" > "10"`.
+  *  - `<db>.<table>.table.type` — `cow` (default) or `mor`
+  *    (docs/MOR_DESIGN.md): `mor` absorbs small CDC batches as per-bucket
+  *    delta logs instead of rewriting whole buckets — O(batch) write cost
+  *    for sub-bucket-size triggers. Mirrors
+  *    `hoodie.datasource.write.table.type` (COPY_ON_WRITE /
+  *    MERGE_ON_READ accepted as synonyms, case-insensitive).
+  *  - `<db>.<table>.compact.deltas` — MOR fold cadence: a commit touching
+  *    a bucket whose delta stack has reached this depth rewrites the
+  *    affected buckets' bases (default 8; the read-vs-write amplification
+  *    knob — mirrors the role `hoodie.compact.inline.max.delta.commits`
+  *    plays for Hudi MOR tables).
   */
 final case class TableConfig(
     db: String,
@@ -65,6 +76,8 @@ final case class TableConfig(
     operation: String,
     zorderFields: Seq[String] = Nil,
     compactEvery: Int = 0,
+    tableType: String = graft.lake.LakeTable.CowType,
+    compactDeltas: Int = 8,
     /** Unrecognized `<db>.<table>.*` keys, prefix-stripped — the generic
       * passthrough the reference gets by merging the whole user option map
       * into the Hudi writer config (`BinlogSyncHoodieCommand.scala:128-139,
@@ -97,13 +110,15 @@ object TableConfig {
     "partition.field" -> "hoodie.datasource.write.partitionpath.field",
     "keygen.class" -> "hoodie.datasource.write.keygenerator.class",
     "zorder.fields" -> "hoodie.clustering.plan.strategy.sort.columns",
-    "compact.every" -> "hoodie.compact.inline.max.delta.commits")
+    "compact.every" -> "hoodie.compact.inline.max.delta.commits",
+    "table.type" -> "hoodie.datasource.write.table.type")
 
   private val Recognized: Set[String] = Set(
     RecordKeySuffix, "path", "transformer.sql", "transformer.class",
     "timestampFormat", "buckets", "files.per.bucket", "partition.field",
     "dedup.tiebreak.field", "bloom.enable", "write.operation",
-    "keygen.class", "zorder.fields", "compact.every") ++ RefAliases.values
+    "keygen.class", "zorder.fields", "compact.every", "table.type",
+    "compact.deltas") ++ RefAliases.values
 
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
@@ -201,6 +216,21 @@ object TableConfig {
         case n if n >= 0 => n
         case bad => throw new IllegalArgumentException(
           s"config [$prefix" + s"compact.every] must be >= 0, got [$bad]!")
+      },
+      tableType = get("table.type")
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .getOrElse(graft.lake.LakeTable.CowType) match {
+        // The reference's Hudi values are accepted as synonyms.
+        case "cow" | "copy_on_write" => graft.lake.LakeTable.CowType
+        case "mor" | "merge_on_read" => graft.lake.LakeTable.MorType
+        case bad => throw new IllegalArgumentException(
+          s"config [$prefix" + s"table.type] must be cow|mor " +
+            s"(or COPY_ON_WRITE|MERGE_ON_READ), got [$bad]!")
+      },
+      compactDeltas = get("compact.deltas").map(_.toInt).getOrElse(8) match {
+        case n if n > 0 => n
+        case bad => throw new IllegalArgumentException(
+          s"config [$prefix" + s"compact.deltas] must be > 0, got [$bad]!")
       },
       extras = scoped.view.filterKeys(k => !Recognized.contains(k)).toMap)
   }

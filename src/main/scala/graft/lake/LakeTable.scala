@@ -60,13 +60,21 @@ final class LakeTable(
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
     val filesPerBucket: Int = 1,
     val zorderBy: Seq[String] = Nil,
-    val bloomOnWrite: Boolean = true) {
+    val bloomOnWrite: Boolean = true,
+    val tableType: String = LakeTable.CowType,
+    val compactAfter: Int = 8) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
   require(filesPerBucket > 0, s"filesPerBucket must be positive: $filesPerBucket")
   require(zorderBy.isEmpty || zorderBy.size == 2,
     s"zorderBy takes exactly two long columns, got: ${zorderBy.mkString(",")}")
+  // tableType drives WRITES only — reads are manifest-driven (readBuckets
+  // merges any delta stack it finds), so cow and mor handles on one table
+  // interoperate: a cow commit simply folds the buckets it touches.
+  require(tableType == CowType || tableType == MorType,
+    s"tableType must be '$CowType' or '$MorType': $tableType")
+  require(compactAfter > 0, s"compactAfter must be positive: $compactAfter")
 
   // All small-file metadata I/O goes through the Hadoop FS abstraction —
   // the table works on any FileSystem URI (local, HDFS; see LakeIO's doc
@@ -139,7 +147,7 @@ final class LakeTable(
     case None =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], new StructType())
-    case Some(m) => readBuckets(m, m.buckets.keySet)
+    case Some(m) => readBuckets(m, m.allBuckets)
   }
 
   /** Time travel: table state as of a committed `version` (valid until the
@@ -151,7 +159,7 @@ final class LakeTable(
       s"version $version at $basePath was vacuumed — its snapshot no longer exists")
     require(versions().contains(version), s"no committed version $version at $basePath")
     val m = readManifest(version)
-    readBuckets(m, m.buckets.keySet)
+    readBuckets(m, m.allBuckets)
   }
 
   /** Restore (rollback): publish a NEW version whose manifest replicates
@@ -214,35 +222,102 @@ final class LakeTable(
       s"no committed version $untilVersion at $basePath")
     val newest = readManifest(untilVersion)
     if (sinceVersion == 0L)
-      return readBuckets(newest, newest.buckets.keySet)
+      return readBuckets(newest, newest.allBuckets)
     require(
       versions().contains(sinceVersion),
       s"no committed version $sinceVersion at $basePath")
     val old = readManifest(sinceVersion)
-    val changedBuckets = newest.buckets.collect {
-      case (b, dir) if !old.buckets.get(b).contains(dir) => b
-    }.toSet
+    // A bucket changed if its base dir moved OR its delta stack did
+    // (merge-on-read commits change only `deltas`; a fold empties the
+    // stack and moves the base — both compare unequal here).
+    val changedBuckets = newest.allBuckets.filter { b =>
+      old.buckets.get(b) != newest.buckets.get(b) ||
+        old.deltas.getOrElse(b, Nil) != newest.deltas.getOrElse(b, Nil)
+    }
     if (changedBuckets.isEmpty)
       return readBuckets(newest, Set.empty) // empty, with schema
     val cur = readBuckets(newest, changedBuckets)
-    val prev = readBuckets(old, changedBuckets & old.buckets.keySet)
+    val prev = readBuckets(old, changedBuckets & old.allBuckets)
       .select(col(KeyCol), col(TsCol))
     cur.join(broadcastIfSmall(prev), Seq(KeyCol, TsCol), "left_anti")
   }
 
   private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
-    val paths = m.buckets.collect {
-      case (b, dir) if buckets.contains(b) => s"$basePath/$dir"
-    }.toSeq.sorted
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      // Read under the manifest's (widened, drift-merged) schema instead of
-      // a mergeSchema footer scan: no footer-merge job per read, columns a
-      // file lacks come back null, and files written before a type widening
-      // (int32 under a now-long column) upcast in the vectorized reader.
-      spark.read.schema(schema).parquet(paths: _*)
+    // Reads are MANIFEST-driven, not constructor-driven: a bucket with a
+    // delta stack (docs/MOR_DESIGN.md) is merged here whatever tableType
+    // this handle was constructed with, so plain readers (snapshot
+    // relation, incremental source, another writer configured cow) can
+    // never observe unmerged delta rows.
+    val deltaBuckets = buckets.filter(b => m.deltas.getOrElse(b, Nil).nonEmpty)
+    val plainPaths = m.buckets.collect {
+      case (b, dir) if buckets.contains(b) && !deltaBuckets.contains(b) =>
+        s"$basePath/$dir"
+    }.toSeq.sorted
+    // Read under the manifest's (widened, drift-merged) schema instead of
+    // a mergeSchema footer scan: no footer-merge job per read, columns a
+    // file lacks come back null, and files written before a type widening
+    // (int32 under a now-long column) upcast in the vectorized reader.
+    val plain =
+      if (plainPaths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(plainPaths: _*)
+    if (deltaBuckets.isEmpty) plain
+    else {
+      // Merge-on-read side: ONLY delta-carrying buckets pay the merge
+      // aggregation; a mostly-compacted table reads at COW speed.
+      val basePaths = m.buckets.collect {
+        case (b, dir) if deltaBuckets.contains(b) => s"$basePath/$dir"
+      }.toSeq.sorted
+      val deltaPaths = deltaBuckets.toSeq.sorted
+        .flatMap(b => m.deltas(b).map(d => s"$basePath/$d"))
+      val metaSchema = schema
+        .add(OpCol, org.apache.spark.sql.types.StringType)
+        .add(DvCol, org.apache.spark.sql.types.LongType)
+      val baseSide =
+        if (basePaths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaSchema)
+        else spark.read.schema(schema).parquet(basePaths: _*)
+          // The base layer folds commits up to some version strictly below
+          // every stacked delta's: version 0 orders it under all of them.
+          .withColumn(OpCol, lit(UpsertOp)).withColumn(DvCol, lit(0L))
+      val stacked = baseSide.unionByName(
+        spark.read.schema(metaSchema).parquet(deltaPaths: _*))
+      plain.unionByName(morMerge(stacked, schema))
+    }
+  }
+
+  /** Collapse a base+delta row stack to current state — the read-side
+    * equivalent of the COW fold, row for row (the ScalaCheck equivalence
+    * property in LakeMorSpec pins it):
+    *  - the winning upsert per key is the max of `(_ts, delta version,
+    *    content hash)` — the same comparator [[lwwMerge]] applies per
+    *    commit, associatively collapsed over the stack (valid because LWW
+    *    is monotone: a row that loses to ANY stacked row can never be
+    *    state);
+    *  - a delete tombstone at version v kills every upsert at version
+    *    <= v whatever its `_ts` ([[merge]]'s deletes-win-in-batch rule at
+    *    v itself, plain delete semantics below it); only tombstone-free
+    *    later upserts survive. Tombstones live ONLY in delta files, so
+    *    the delete-version aggregation is delta-sized (broadcastable),
+    *    never corpus-sized.
+    */
+  private def morMerge(stacked: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fieldNames.toSeq
+    val delVers = stacked.filter(col(OpCol) === DeleteOp)
+      .groupBy(col(KeyCol)).agg(max(col(DvCol)).as("_del_v"))
+    val live = stacked.filter(col(OpCol) === UpsertOp)
+      .join(broadcastIfSmall(delVers), Seq(KeyCol), "left")
+      .filter(col("_del_v").isNull || col(DvCol) > col("_del_v"))
+    val hashIn = cols.map { c =>
+      if (containsMap(schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+    live
+      .groupBy(col(KeyCol))
+      .agg(max_by(
+        struct(cols.map(col).toIndexedSeq: _*),
+        struct(col(TsCol), col(DvCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
+      .select("_r.*")
   }
 
   /** Widest common type for the supported widenings (or None): numeric
@@ -300,7 +375,10 @@ final class LakeTable(
     require(
       updates.columns.contains(TsCol),
       s"upsert data must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
-    writeCommit(commitId)(_ => updates)(lwwMerge)
+    writeCommit(
+      commitId,
+      deltaRows = Some(df => df.withColumn(OpCol, lit(UpsertOp))))(
+      _ => updates)(lwwMerge)
   }
 
   /** Hash-agg LWW (map-side combinable): the row with max (_ts, _seq)
@@ -346,7 +424,11 @@ final class LakeTable(
       updates.columns.contains(TsCol),
       s"merge updates must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
     val delCol = "_graft_del"
-    writeCommit(commitId, manifestDependent = true) { prev =>
+    writeCommit(
+      commitId, manifestDependent = true,
+      deltaRows = Some(df => df
+        .withColumn(OpCol, when(col(delCol), lit(DeleteOp)).otherwise(lit(UpsertOp)))
+        .drop(delCol))) { prev =>
       val ks = deleteKeys.select(KeyCol).distinct()
       // The bloom reflects PRE-batch state: a key this very batch upserts
       // must survive the prune, or upsert-then-delete-in-one-batch would
@@ -424,16 +506,36 @@ final class LakeTable(
     // key ever reaches the driver). The prune binds to EACH commit
     // attempt's manifest: re-pruning against a stale pre-race manifest
     // would let a concurrent writer's fresh inserts dodge the delete.
-    writeCommit(commitId, manifestDependent = true) {
+    writeCommit(
+      commitId, manifestDependent = true,
+      deltaRows = Some(df => df.withColumn(OpCol, lit(DeleteOp)))) {
       case Some(m) => bloomPrune(keys.select(KeyCol).distinct(), m)
       case None => keys.select(KeyCol).distinct()
     } { (old, ks) => old.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti") }
   }
 
+  /** Per-bucket sidecar layers of `m`: one entry per data layer — the
+    * base file group (when present) plus each stacked delta dir — `None`
+    * marking a layer written without a sidecar (unprunable). The input to
+    * [[BloomKeyLookup]]'s OR-composition.
+    */
+  private[lake] def bloomLayers(m: Manifest): Map[Int, Seq[Option[String]]] =
+    m.allBuckets.iterator.map { b =>
+      val base: Seq[Option[String]] =
+        if (m.buckets.contains(b)) Seq(m.bloomFiles.get(b)) else Nil
+      val nDeltas = m.deltas.getOrElse(b, Nil).size
+      val withSidecars = m.deltaBlooms.getOrElse(b, Nil).map(Option(_))
+      // deltaBlooms holds one path per sidecar-carrying delta commit; pad
+      // to the stack depth so sidecar-less layers read as unprunable
+      // (order is irrelevant under OR — only the count contract matters).
+      b -> (base ++ withSidecars ++ Seq.fill(nDeltas - withSidecars.size)(None))
+    }.toMap
+
   private[lake] def bloomPrune(ks: DataFrame, m: Manifest): DataFrame =
     // No sidecars and every bucket occupied -> nothing can prove absence;
     // skip the filter pass entirely.
-    if (m.bloomFiles.isEmpty && m.buckets.size == numBuckets) ks
+    if (m.bloomFiles.isEmpty && m.deltaBlooms.isEmpty &&
+        m.allBuckets.size == numBuckets) ks
     else {
       // The lookup ships only sidecar PATHS with the plan (at thousands
       // of buckets the filter BYTES would be GBs in the task binary);
@@ -445,15 +547,15 @@ final class LakeTable(
       // narrow tables skip that shuffle (every task can afford 64 loads).
       import org.apache.spark.sql.graft.Exprs
       val lookup = new BloomKeyLookup(
-        m.bloomFiles, basePath,
+        bloomLayers(m), basePath,
         new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration),
-        m.buckets.keySet, numBuckets)
+        numBuckets)
       // The alignment shuffle exists only to bound per-task sidecar
       // opens — with no sidecars at all (bloomOnWrite=false, pruning on
       // bucket presence alone) it would be a pure waste.
       val aligned =
-        if (numBuckets <= 64 || m.bloomFiles.isEmpty) ks
+        if (numBuckets <= 64 || (m.bloomFiles.isEmpty && m.deltaBlooms.isEmpty)) ks
         else ks.repartition(bucketOf(col(KeyCol)))
       aligned.filter(Exprs.column(graft.functions.BloomMightContainExpr(
         Exprs.expression(col(KeyCol)), lookup)))
@@ -471,19 +573,24 @@ final class LakeTable(
     atVersion.map(readManifest).orElse(latestManifest()) match {
     case None => snapshot
     case Some(m) =>
+      val layers = bloomLayers(m)
       val wanted = keys.map(k => bucketOfKey(k, numBuckets)).toSet
       val pruned = wanted.filter { b =>
-        m.bloomFiles.get(b) match {
-          case Some(rel) =>
-            // Same vanished-sidecar race as BloomKeyLookup (concurrent
-            // commit + vacuum): degrade to cannot-prune, don't crash.
-            try {
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(
-                  io.readBytes(new HPath(basePath, rel))))
-              keys.exists(k => bucketOfKey(k, numBuckets) == b && bf.mightContainString(k))
-            } catch { case _: java.io.FileNotFoundException => true }
-          case None => true // no sidecar: cannot prune
+        layers.get(b) match {
+          case None => false // bucket holds no data at all
+          case Some(ls) => ls.exists {
+            case None => true // layer without a sidecar: cannot prune
+            case Some(rel) =>
+              // Same vanished-sidecar race as BloomKeyLookup (concurrent
+              // commit + vacuum): degrade to cannot-prune, don't crash.
+              try {
+                val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    io.readBytes(new HPath(basePath, rel))))
+                keys.exists(k =>
+                  bucketOfKey(k, numBuckets) == b && bf.mightContainString(k))
+              } catch { case _: java.io.FileNotFoundException => true }
+          }
         }
       }
       readBuckets(m, pruned).filter(col(KeyCol).isin(keys: _*))
@@ -552,7 +659,8 @@ final class LakeTable(
   private def writeCommit(
       commitId: String,
       shuffle: Boolean = true,
-      manifestDependent: Boolean = false)(
+      manifestDependent: Boolean = false,
+      deltaRows: Option[DataFrame => DataFrame] = None)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
     // Entry idempotency scan and the incremental gates below share ONE
@@ -607,16 +715,38 @@ final class LakeTable(
           .select(bucketOf(col(KeyCol)).as("b")).distinct()
           .collect().map(_.getInt(0)).toSet
         if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
-        val old = prev match {
-          case Some(m) => readBuckets(m, affected)
-          case None =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row],
-              inc.schema.fields.foldLeft(new StructType()) { (s, f) => s.add(f) })
-        }
-        val merged = merge(old, inc)
-
         val version = prev.map(_.version).getOrElse(0L) + 1L
+        // Merge-on-read delta commit (docs/MOR_DESIGN.md): when this
+        // handle is mor, the operation is delta-eligible (upsert / merge /
+        // delete — never bulkInsert/compact), there is a base to layer on,
+        // and no affected bucket's stack has hit `compactAfter`, the
+        // commit writes ONLY the incoming rows (op-tagged, stamped with
+        // this attempt's version) and appends them to the buckets' delta
+        // stacks — O(batch) write cost, nothing read. Otherwise (cadence
+        // reached, or a cow handle touching a delta-carrying table) the
+        // commit FOLDS: `readBuckets` merges base+deltas into `old`, the
+        // normal merge runs, and the affected buckets' stacks reset.
+        // Whole-commit granularity: hash buckets receive near-uniform
+        // traffic, so per-bucket fold decisions would buy little for the
+        // complexity.
+        val asDelta = deltaRows.isDefined && prev.isDefined &&
+          tableType == MorType &&
+          affected.forall(b =>
+            prev.get.deltas.getOrElse(b, Nil).size < compactAfter)
+        val merged =
+          if (asDelta)
+            deltaRows.get(inc).withColumn(DvCol, lit(version))
+          else {
+            val old = prev match {
+              case Some(m) => readBuckets(m, affected)
+              case None =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row],
+                  inc.schema.fields.foldLeft(new StructType()) { (s, f) => s.add(f) })
+            }
+            merge(old, inc)
+          }
+
         val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
         val outDir = s"$basePath/$relDir"
         // One shuffle partition per affected bucket -> one file group per
@@ -649,8 +779,16 @@ final class LakeTable(
         val written: Set[Int] =
           io.list(new HPath(outDir)).collect { case BucketDirRe(b) => b.toInt }.toSet
 
-        val carried = prev.map(_.buckets).getOrElse(Map.empty) -- affected
-        val newBuckets = carried ++ written.map(b => b -> s"$relDir/$BucketCol=$b")
+        val newBuckets =
+          if (asDelta) prev.get.buckets // bases untouched; deltas layer on
+          else (prev.map(_.buckets).getOrElse(Map.empty) -- affected) ++
+            written.map(b => b -> s"$relDir/$BucketCol=$b")
+        val prevDeltas = prev.map(_.deltas).getOrElse(Map.empty)
+        val newDeltas =
+          if (asDelta)
+            prevDeltas ++ written.map(b =>
+              b -> (prevDeltas.getOrElse(b, Nil) :+ s"$relDir/$BucketCol=$b"))
+          else prevDeltas -- affected // fold/cow rewrite resets the stacks
 
         // Bloom sidecars for rewritten buckets (key-pruning for lookup()),
         // built from the parquet just written (column-pruned key read) via a
@@ -662,13 +800,25 @@ final class LakeTable(
         // bucket counts, re-read on the driver for every commit; VERDICT r5
         // "What's wrong" #2). Two extra jobs per commit; `bloomOnWrite =
         // false` trades lookup pruning for write latency.
-        val carriedBlooms = prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected
+        val sidecars =
+          if (bloomOnWrite) writeBloomSidecars(relDir, written) else Map.empty[Int, String]
         val newBlooms =
-          if (bloomOnWrite) carriedBlooms ++ writeBloomSidecars(relDir, written)
-          else carriedBlooms
+          if (asDelta) prev.get.bloomFiles // base blooms describe base files
+          else (prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected) ++ sidecars
+        val prevDeltaBlooms = prev.map(_.deltaBlooms).getOrElse(Map.empty)
+        val newDeltaBlooms =
+          if (asDelta)
+            prevDeltaBlooms ++ sidecars.map { case (b, p) =>
+              b -> (prevDeltaBlooms.getOrElse(b, Nil) :+ p)
+            }
+          else prevDeltaBlooms -- affected
 
-        val schemaJson = mergedSchemaJson(prev, merged.schema)
-        val manifest = Manifest(version, commitId, numBuckets, newBuckets, newBlooms, schemaJson)
+        // The table schema never carries the delta meta columns.
+        val schemaJson = mergedSchemaJson(prev, StructType(
+          merged.schema.fields.filterNot(f => f.name == OpCol || f.name == DvCol)))
+        val manifest = Manifest(
+          version, commitId, numBuckets, newBuckets, newBlooms, schemaJson,
+          newDeltas, newDeltaBlooms)
         // Last idempotency gate before publish: narrows the duplicate
         // window for two same-commitId deliveries racing to the publish
         // call itself (which is atomic per version).
@@ -706,14 +856,18 @@ final class LakeTable(
     val all = versions()
     val keep = all.takeRight(keepVersions.max(1))
     if (keep.isEmpty || !io.exists(dataDir)) return 0
-    val referenced: Set[String] = keep.flatMap { v =>
-      readManifest(v).buckets.values.map(_.split("/")(1)) // data/<ver>/b=i
-    }.toSet
+    // A manifest's live dirs = base dirs ∪ delta dirs (docs/MOR_DESIGN.md
+    // invariant #4: vacuum must never delete a dir a kept manifest's delta
+    // stack still references).
+    def liveDirs(m: Manifest): Iterable[String] =
+      (m.buckets.values ++ m.deltas.values.flatten).map(_.split("/")(1))
+    val referenced: Set[String] =
+      keep.flatMap(v => liveDirs(readManifest(v))).toSet // data/<ver>/b=i
     val removable = io.list(dataDir).filterNot(referenced.contains)
     val removedNames = removable.toSet
     // Tombstone every non-kept manifest that references a removed dir.
     val dead = all.filterNot(keep.contains).filter { v =>
-      readManifest(v).buckets.values.exists(d => removedNames.contains(d.split("/")(1)))
+      liveDirs(readManifest(v)).exists(removedNames.contains)
     }
     if (dead.nonEmpty) {
       val merged = vacuumedIds ++ dead.map(v => v -> readManifest(v).commitId)
@@ -837,6 +991,21 @@ object LakeTable {
   val SeqCol = "_seq"
   val BucketCol = "b"
   val BloomFileName = "_bloom"
+  /** Delta-file meta columns (merge-on-read, docs/MOR_DESIGN.md): the row
+    * operation and the commit version that wrote it. Reserved names —
+    * payload columns must not collide.
+    */
+  val OpCol = "_op"
+  val DvCol = "_dv"
+  val UpsertOp = "u"
+  val DeleteOp = "d"
+  /** Table types: copy-on-write (default — every commit rewrites affected
+    * buckets) vs merge-on-read (small commits append per-bucket delta
+    * logs, folded every [[LakeTable.compactAfter]] commits or on
+    * `compact()`).
+    */
+  val CowType = "cow"
+  val MorType = "mor"
   /** Bounded re-merge attempts when a concurrent writer wins the publish
     * race (optimistic concurrency; see writeCommit). */
   val MaxCommitRetries = 5
@@ -875,6 +1044,13 @@ object LakeTable {
     * live beside their bucket's data — the manifest stays KB-sized at any
     * bucket count and a sidecar is fetched only when a prune actually
     * wants it.
+    *
+    * Merge-on-read additions (docs/MOR_DESIGN.md): `deltas` is the ORDERED
+    * list of delta dirs layered on each bucket since its last base
+    * rewrite (empty for pure-COW tables — the JSON stays additive, old
+    * manifests deserialize with no deltas), `deltaBlooms` their sidecar
+    * paths. A bucket may exist in `deltas` alone (first keys of a bucket
+    * arriving as a delta): effective presence is [[allBuckets]].
     */
   final case class Manifest(
       version: Long,
@@ -882,7 +1058,12 @@ object LakeTable {
       numBuckets: Int,
       buckets: Map[Int, String],
       bloomFiles: Map[Int, String],
-      schemaJson: String) {
+      schemaJson: String,
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      deltaBlooms: Map[Int, Seq[String]] = Map.empty) {
+
+    /** Buckets holding any data: a base dir, a delta stack, or both. */
+    def allBuckets: Set[Int] = buckets.keySet ++ deltas.keySet
 
     def toJson: String = {
       val mapper = new ObjectMapper()
@@ -895,6 +1076,16 @@ object LakeTable {
       val bl = root.putObject("bloomFiles")
       bloomFiles.toSeq.sortBy(_._1).foreach { case (k, v) => bl.put(k.toString, v) }
       root.put("schemaJson", schemaJson)
+      def putSeqMap(name: String, m: Map[Int, Seq[String]]): Unit =
+        if (m.nonEmpty) {
+          val node = root.putObject(name)
+          m.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+            val arr = node.putArray(k.toString)
+            vs.foreach(arr.add)
+          }
+        }
+      putSeqMap("deltas", deltas)
+      putSeqMap("deltaBlooms", deltaBlooms)
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
   }
@@ -911,13 +1102,25 @@ object LakeTable {
             .map(k => k.toInt -> obj.get(k).asText()).toMap
         }
       }
+      def seqMap(name: String): Map[Int, Seq[String]] = {
+        val node = root.get(name)
+        if (node == null || !node.isObject) Map.empty
+        else {
+          val obj = node.asInstanceOf[ObjectNode]
+          obj.fieldNames().asScala.map { k =>
+            k.toInt -> obj.get(k).elements().asScala.map(_.asText()).toSeq
+          }.toMap
+        }
+      }
       Manifest(
         version = root.get("version").asLong(),
         commitId = root.get("commitId").asText(""),
         numBuckets = root.get("numBuckets").asInt(),
         buckets = objMap("buckets"),
         bloomFiles = objMap("bloomFiles"),
-        schemaJson = root.get("schemaJson").asText())
+        schemaJson = root.get("schemaJson").asText(),
+        deltas = seqMap("deltas"),
+        deltaBlooms = seqMap("deltaBlooms"))
     }
   }
 }

@@ -32,7 +32,9 @@ final class PartitionedLakeTable(
     val numBuckets: Int = LakeTable.DefaultNumBuckets,
     val filesPerBucket: Int = 1,
     val bloomOnWrite: Boolean = true,
-    val zorderBy: Seq[String] = Nil) {
+    val zorderBy: Seq[String] = Nil,
+    val tableType: String = LakeTable.CowType,
+    val compactAfter: Int = 8) {
 
   private val PartPrefix = "p="
 
@@ -76,7 +78,8 @@ final class PartitionedLakeTable(
     new LakeTable(
       spark, partDir(value), numBuckets,
       filesPerBucket = filesPerBucket, zorderBy = zorderBy,
-      bloomOnWrite = bloomOnWrite)
+      bloomOnWrite = bloomOnWrite, tableType = tableType,
+      compactAfter = compactAfter)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

@@ -1,0 +1,208 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read delta buckets (docs/MOR_DESIGN.md): the equivalence gate.
+  * The core property — for any sequence of upsert/delete/merge batches and
+  * any fold points, a `mor` table's snapshot (and every
+  * `snapshotAt(v)`) equals the state a `cow` table reaches applying the
+  * SAME batches — plus the structural invariants (delta stacks grow then
+  * fold, vacuum keeps delta dirs, incremental reads and key probes see
+  * merged state).
+  */
+class LakeMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, String)*): DataFrame =
+    t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+
+  private def keys(ks: String*): DataFrame = ks.toDF(LakeTable.KeyCol)
+
+  private def state(t: LakeTable): Set[(String, Long, String)] =
+    t.snapshot.select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+      .as[(String, Long, String)].collect().toSet
+
+  private def mor(root: String, buckets: Int = 4, compactAfter: Int = 3) =
+    new LakeTable(spark, s"$root/mor", buckets,
+      tableType = LakeTable.MorType, compactAfter = compactAfter)
+
+  private def cow(root: String, buckets: Int = 4) =
+    new LakeTable(spark, s"$root/cow", buckets)
+
+  test("mor upserts layer as deltas and read back LWW-merged; snapshots match cow") {
+    val root = tempDir("mor-").toString
+    val (m, c) = (mor(root), cow(root))
+    val batches = Seq(
+      rows(("a", 1L, "a1"), ("b", 1L, "b1")),
+      rows(("a", 3L, "a3"), ("c", 1L, "c1")),
+      rows(("a", 2L, "aSTALE"), ("b", 2L, "b2"))) // stale _ts must lose
+    batches.zipWithIndex.foreach { case (b, i) =>
+      m.upsert(b, s"b$i"); c.upsert(b, s"b$i")
+    }
+    assert(state(m) == state(c))
+    assert(state(m) == Set(("a", 3L, "a3"), ("b", 2L, "b2"), ("c", 1L, "c1")))
+    // Structure: first commit wrote the base, the next two stacked deltas.
+    val manifest = m.latestManifest().get
+    assert(manifest.deltas.values.flatten.nonEmpty, "expected delta stacks")
+    assert(manifest.buckets.nonEmpty, "expected a base layer")
+  }
+
+  test("delete tombstones kill earlier state but not later re-inserts; matches cow") {
+    val root = tempDir("mor-").toString
+    val (m, c) = (mor(root), cow(root))
+    def apply(t: LakeTable): Unit = {
+      t.upsert(rows(("k", 10L, "v10"), ("x", 1L, "x1")), "c0")
+      t.delete(keys("k"), "c1") // kills v10 whatever its _ts
+      t.upsert(rows(("k", 5L, "v5")), "c2") // re-insert with LOWER ts wins
+    }
+    apply(m); apply(c)
+    assert(state(m) == state(c))
+    assert(state(m) == Set(("k", 5L, "v5"), ("x", 1L, "x1")))
+  }
+
+  test("merge() (upserts+deletes one commit) writes one delta; in-batch delete wins") {
+    val root = tempDir("mor-").toString
+    val (m, c) = (mor(root), cow(root))
+    def apply(t: LakeTable): Unit = {
+      t.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0")
+      t.merge(rows(("a", 2L, "a2"), ("b", 9L, "bDOOMED")), keys("b"), "c1")
+    }
+    apply(m); apply(c)
+    assert(state(m) == state(c))
+    assert(state(m) == Set(("a", 2L, "a2")))
+    val vs = (1L to 2L)
+    vs.foreach { v =>
+      val ms = m.snapshotAt(v).select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+        .as[(String, Long, String)].collect().toSet
+      val cs = c.snapshotAt(v).select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+        .as[(String, Long, String)].collect().toSet
+      assert(ms == cs, s"time travel diverged at v$v")
+    }
+  }
+
+  test("compactAfter folds the stack: bases rewrite, deltas reset, state unchanged") {
+    val root = tempDir("mor-").toString
+    val m = mor(root, buckets = 1, compactAfter = 2) // one bucket: stack depth = commit count
+    m.upsert(rows(("a", 1L, "a1")), "c0") // base
+    m.upsert(rows(("b", 1L, "b1")), "c1") // delta 1
+    m.upsert(rows(("c", 1L, "c1")), "c2") // delta 2 -> stack at cap
+    val before = m.latestManifest().get
+    assert(before.deltas(0).size == 2)
+    m.upsert(rows(("d", 1L, "d1")), "c3") // must FOLD, not stack a third
+    val after = m.latestManifest().get
+    assert(after.deltas.getOrElse(0, Nil).isEmpty, "fold must reset the stack")
+    assert(after.buckets(0) != before.buckets(0), "fold must rewrite the base")
+    assert(state(m) == Set(
+      ("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1"), ("d", 1L, "d1")))
+  }
+
+  test("compact() folds every delta stack; vacuum then reclaims old dirs but keeps referenced deltas") {
+    val root = tempDir("mor-").toString
+    val m = mor(root, buckets = 2, compactAfter = 10)
+    m.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0")
+    m.upsert(rows(("a", 2L, "a2"), ("c", 1L, "c1")), "c1")
+    // Deltas live; a vacuum keeping all versions must not break reads.
+    assert(m.latestManifest().get.deltas.values.flatten.nonEmpty)
+    m.vacuum(keepVersions = 2)
+    assert(state(m) == Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    m.compact("c2")
+    val folded = m.latestManifest().get
+    assert(folded.deltas.values.flatten.isEmpty, "compact must fold all stacks")
+    assert(state(m) == Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    // Old delta dirs are now unreferenced by the latest manifest.
+    m.vacuum(keepVersions = 1)
+    assert(state(m) == Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+  }
+
+  test("incremental reads over delta commits emit exactly the changed state; streams see merged rows") {
+    val root = tempDir("mor-").toString
+    val m = mor(root)
+    m.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0") // v1 base
+    m.upsert(rows(("a", 2L, "a2"), ("c", 1L, "c1")), "c1") // v2 delta
+    val inc = m.incrementalBetween(1L, 2L)
+      .select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(inc == Set(("a", 2L, "a2"), ("c", 1L, "c1")),
+      s"incremental must emit merged changed state, got $inc")
+  }
+
+  test("lookup and probeKeys prune through layered blooms and see merged state") {
+    val root = tempDir("mor-").toString
+    val m = mor(root)
+    m.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0")
+    m.upsert(rows(("a", 2L, "a2"), ("d", 1L, "d1")), "c1") // delta: new key d
+    m.delete(keys("b"), "c2")                              // delta: tombstone
+    val got = m.lookup(Seq("a", "b", "d", "zzz"))
+      .select(LakeTable.KeyCol, "payload").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "a2"), ("d", "d1")),
+      s"lookup through deltas must see merged state, got $got")
+    val probed = m.probeKeys(keys("a", "b", "d", "zzz"))
+      .as[String].collect().toSet
+    assert(probed == Set("a", "d"), s"probeKeys got $probed")
+  }
+
+  test("schema widening across a delta commit reads back widened") {
+    val root = tempDir("mor-").toString
+    val m = mor(root)
+    m.upsert(
+      Seq(("a", 1L, 1)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n"), "c0")
+    m.upsert( // delta with n widened int -> long
+      Seq(("b", 1L, 7L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "n"), "c1")
+    val got = m.snapshot.select(LakeTable.KeyCol, "n").as[(String, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 1L), ("b", 7L)))
+  }
+
+  test("commitId replay of a delta commit is a no-op") {
+    val root = tempDir("mor-").toString
+    val m = mor(root)
+    m.upsert(rows(("a", 1L, "a1")), "c0")
+    m.upsert(rows(("a", 2L, "a2")), "c1")
+    val v = m.latestVersion.get
+    m.upsert(rows(("a", 9L, "REPLAY")), "c1") // same commitId
+    assert(m.latestVersion.get == v, "replay must not commit")
+    assert(state(m) == Set(("a", 2L, "a2")))
+  }
+
+  test("randomized op-sequence equivalence: mor == cow at every version (3 seeds)") {
+    for (seed <- Seq(7, 21, 42)) {
+      val root = tempDir(s"mor-rand$seed-").toString
+      val m = mor(root, buckets = 4, compactAfter = 2)
+      val c = cow(root)
+      val rnd = new scala.util.Random(seed)
+      val keyPool = (0 until 12).map(i => s"k$i")
+      var version = 0L
+      (0 until 8).foreach { i =>
+        val cid = s"b$i"
+        rnd.nextInt(3) match {
+          case 0 | 1 => // upsert 1-4 rows
+            val b = rows(Seq.fill(1 + rnd.nextInt(4))(
+              (keyPool(rnd.nextInt(keyPool.size)), rnd.nextInt(5).toLong,
+                s"v$i-${rnd.nextInt(100)}")): _*)
+            m.upsert(b, cid); c.upsert(b, cid)
+          case 2 => // merge with deletes (may overlap the upserts)
+            val ups = rows(Seq.fill(1 + rnd.nextInt(2))(
+              (keyPool(rnd.nextInt(keyPool.size)), rnd.nextInt(5).toLong,
+                s"m$i-${rnd.nextInt(100)}")): _*)
+            val dels = keys(Seq.fill(1 + rnd.nextInt(2))(
+              keyPool(rnd.nextInt(keyPool.size))): _*)
+            m.merge(ups, dels, cid); c.merge(ups, dels, cid)
+        }
+        version += 1
+        assert(state(m) == state(c), s"seed=$seed diverged after batch $i")
+      }
+      // Full-history time travel equivalence (both committed every batch —
+      // random batches are never empty).
+      (1L to version).foreach { v =>
+        val ms = m.snapshotAt(v).select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+          .as[(String, Long, String)].collect().toSet
+        val cs = c.snapshotAt(v).select(LakeTable.KeyCol, LakeTable.TsCol, "payload")
+          .as[(String, Long, String)].collect().toSet
+        assert(ms == cs, s"seed=$seed time travel diverged at v$v")
+      }
+    }
+  }
+}
