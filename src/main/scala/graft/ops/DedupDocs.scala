@@ -597,6 +597,15 @@ object DedupDocs {
     * pairs joined against the edge list — no component is ever
     * materialized on one machine.
     *
+    * Round-packing was MEASURED AND REJECTED (r11, both the r9 verdict's
+    * two-hops-per-round and a label(label(u)) pointer jump): at sf0.1
+    * each deepened round's extra joins/aggs cost ~3× more wall than the
+    * saved scheduling round-trips — q62 4.7-5.6 s single-hop vs 16-17 s
+    * for either variant, well outside the host noise band (BASELINE.md
+    * r11). The per-round job here is NOT latency-bound: its stages are
+    * real shuffle work that packing duplicates (the first hop's plan is
+    * re-evaluated by both second-hop consumers).
+    *
     * The returned DataFrame is backed by the final round's persisted
     * labels; callers that keep it long-term should `.unpersist()` via
     * `spark.sharedState`/catalog cache tooling or write it out.
