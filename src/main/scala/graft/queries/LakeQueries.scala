@@ -167,6 +167,32 @@ object LakeQueries {
     finalState(new LakeTable(spark, s"$root/graft/ods_graft_events", 16))
   }
 
+  // ---- q70: merge-on-read delta buckets end-to-end -----------------------
+
+  /** MOR write path under the DuckDB oracle (docs/MOR_DESIGN.md): a base
+    * commit plus TWO stacked delta commits — the second a combined
+    * upsert+delete — read back through the merge-on-read path with the
+    * stacks still live (`compactAfter` above the stack depth, so nothing
+    * folded: the read-side LWW/tombstone collapse itself is what's being
+    * oracle-checked, against the same SQL as the COW delete query q24).
+    * Write cost here is O(batch) per delta commit — no bucket reads at
+    * all — the headline property LakeMorSpec's equivalence suite pins
+    * structurally.
+    */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(
+      spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false,
+      tableType = LakeTable.MorType, compactAfter = 8)
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev.filter(col("event_id") % 3 === 0), commitId = "b1") // base
+    lake.upsert(ev.filter(col("event_id") % 3 === 1), commitId = "b2") // delta
+    lake.merge( // delta: upserts + tombstones in one commit
+      ev.filter(col("event_id") % 3 === 2),
+      ev.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+      commitId = "b3")
+    finalState(lake)
+  }
+
   // ---- q42: partitioned lake table + pruned read -------------------------
 
   private def q42(spark: SparkSession, dir: String): DataFrame = {
@@ -294,6 +320,16 @@ object LakeQueries {
           |ORDER BY o_orderkey""".stripMargin)),
 
     "q23_lake_upsert" -> QueryDef(q23, Some(s"$lwwOracle ORDER BY user_id")),
+    "q70_lake_mor" -> QueryDef(
+      q70,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |SELECT user_id, event_id, event_type, value,
+          |       row_number() OVER (PARTITION BY user_id
+          |                          ORDER BY ts DESC, event_id DESC) AS rn
+          |FROM events) t
+          |WHERE rn = 1 AND user_id % 10 <> 0
+          |ORDER BY user_id""".stripMargin)),
     "q24_lake_delete" -> QueryDef(
       q24,
       Some(
