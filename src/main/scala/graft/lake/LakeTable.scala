@@ -140,6 +140,17 @@ final class LakeTable(
   def isCommitted(commitId: String): Boolean =
     commitId != null && commitId.nonEmpty && committedIds.contains(commitId)
 
+  /** Per-bucket delta-stack depth at the latest committed version (only
+    * buckets with a live stack; empty = fully compacted, pure COW, or
+    * empty table). The merge-on-read monitoring hook: read amplification
+    * is bounded by the max depth, so schedule `compact()` off-cadence
+    * when it creeps toward `compactAfter`.
+    */
+  def deltaDepths: Map[Int, Int] =
+    latestManifest()
+      .map(_.deltas.collect { case (b, ds) if ds.nonEmpty => b -> ds.size })
+      .getOrElse(Map.empty)
+
   // ---- read path ----------------------------------------------------------
 
   /** Current table state. Empty (with the stored schema) if never written. */

@@ -81,6 +81,43 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
   }
 
+  test("table.type=mor routes CDC batches through delta commits; Hudi synonym accepted") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) ++ Map(
+      "db.person.table.type" -> "mor",
+      // Hudi-name synonym on the other table (case-insensitive value)
+      "db.city.hoodie.datasource.write.table.type" -> "MERGE_ON_READ",
+      "db.person.compact.deltas" -> "8")
+    val batch1 = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}""")),
+      env("db", "city", citySchema, 1L, "upsert", Seq("""{"code":"nyc","pop":8}""")))
+    val batch2 = Seq(
+      env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":1,"name":"ann2","age":31}""")),
+      env("db", "person", personSchema, 3L, "delete", Seq(
+        """{"id":2,"name":"bob","age":40}""")),
+      env("db", "city", citySchema, 2L, "upsert", Seq("""{"code":"sf","pop":1}""")))
+    CdcSyncCommand.run(batch1.toDF("value"), opts, batchId = 1L)
+    CdcSyncCommand.run(batch2.toDF("value"), opts, batchId = 2L)
+
+    val personTable = new LakeTable(spark, s"$root/db/ods_db_person", 4)
+    // batch 2's upsert+delete landed as ONE delta commit, not a rewrite.
+    assert(personTable.deltaDepths.nonEmpty,
+      "expected live delta stacks on the mor person table")
+    // A PLAIN reader (no mor flag) sees the merged state.
+    val person = personTable.snapshot
+      .select("id", "name", "age").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(person.toSeq == Seq((1L, "ann2", 31L)))
+    val cityTable = new LakeTable(spark, s"$root/db/ods_db_city", 2)
+    assert(cityTable.deltaDepths.nonEmpty,
+      "expected live delta stacks on the synonym-configured city table")
+    val city = cityTable.snapshot
+      .select("code", "pop").as[(String, Long)].collect().sortBy(_._1)
+    assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
+  }
+
   test("multi-table staging stages on the lake FileSystem and cleans up") {
     val root = tempDir("cdc-").toString
     val batch = Seq(

@@ -48,6 +48,42 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mor table feed: delta commits stream as merged increments, folds re-emit nothing stale") {
+    val dir = tempDir("lakesrc-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2,
+      tableType = LakeTable.MorType, compactAfter = 2)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"))) // v1 base
+
+    val q = startFeed(dir, s"$dir/_ckpt", "morfeed")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("morfeed").count() == 2, "initial snapshot")
+
+      // Delta commit: the micro-batch must carry MERGED state rows (a2,
+      // c1), never raw op-tagged delta rows.
+      lt.upsert(rows(("a", 2L, "a2"), ("c", 2L, "c1"))) // v2 delta
+      q.processAllAvailable()
+      val afterDelta = spark.table("morfeed").select("_key", "payload")
+        .as[(String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(afterDelta.toSeq ==
+        Seq(("a", "a1"), ("a", "a2"), ("b", "b1"), ("c", "c1")),
+        s"delta commit must stream merged changed rows, got ${afterDelta.toSeq}")
+
+      // This commit folds (stacks at compactAfter=2 after one more): the
+      // fold rewrites bases, but only genuinely-changed (_key, _ts) state
+      // may be emitted — unchanged rows must not re-stream.
+      lt.upsert(rows(("b", 3L, "b3"), ("d", 3L, "d1"))) // v3 delta (stack=2)
+      lt.upsert(rows(("a", 4L, "a4")))                  // v4 FOLD
+      q.processAllAvailable()
+      val afterFold = spark.table("morfeed").select("_key", "payload")
+        .as[(String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(afterFold.toSeq == Seq(
+        ("a", "a1"), ("a", "a2"), ("a", "a4"),
+        ("b", "b1"), ("b", "b3"), ("c", "c1"), ("d", "d1")),
+        s"fold must not re-emit unchanged state, got ${afterFold.toSeq}")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes at the committed version") {
     // memory sink can't recover a checkpoint; foreachBatch can.
     val dir = tempDir("lakesrc-").toString
