@@ -46,6 +46,112 @@ object Vocab {
         .cast("long"))
   }
 
+  /** Distributed BPE merge learning (byte-pair encoding, the
+    * tokenizer-TRAINING stage; word-level, Sennrich et al. 2016 shape):
+    * learn `numMerges` merge rules `(rank, left, right, pair_count)` from
+    * the corpus. Returns the ordered merge table — the artifact a BPE
+    * tokenizer applies at encode time.
+    *
+    * Algorithm = the classic iteration, shaped for scale:
+    *  1. ONE corpus pass builds the distinct-WORD frequency table
+    *     (map-side-combinable shuffle); every later step runs on that
+    *     table, whose size is the corpus' vocabulary — millions of rows
+    *     at web scale, never corpus-sized. Each word starts as its
+    *     character sequence plus a terminal `</w>` symbol.
+    *  2. Per merge round: adjacent symbol pairs explode from the word
+    *     table weighted by word frequency, one agg picks the top pair
+    *     (ONE driver collect of a single row), and a fold over each
+    *     word's symbol array rewrites left-to-right non-overlapping
+    *     occurrences — the same greedy order the reference algorithm
+    *     uses. The word table is persisted per round and the previous
+    *     round unpersisted (dupGroups' iterative-materialization
+    *     pattern); the fold HOF evaluates interpreted but only over
+    *     distinct words, not the corpus.
+    *
+    * The top pair orders by `(count DESC, left ASC, right ASC)` — a
+    * total order, so the learned merges are a deterministic pure
+    * function of the corpus (the Python reference's `max(stats)` is
+    * dict-order-dependent on ties; this one is reproducible).
+    * Early-stops when no adjacent pair remains (every word fully
+    * merged). Convergence cost: one shuffle + one 1-row collect per
+    * merge — rank-k tokenizers (10-50k merges at production scale) batch
+    * naturally by raising `numMerges`; rounds are independent of corpus
+    * size after step 1.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val endMark = "</w>"
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat(split(col("w"), ""), array(lit(endMark))).as("syms"),
+        col("freq"))
+      .persist()
+    var previous: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var rank = 0
+      var exhausted = false
+      while (rank < numMerges && !exhausted) {
+        // (left, right) adjacency counts, weighted by word frequency;
+        // this agg also MATERIALIZES the current round's persisted word
+        // table, so the previous round can be unpersisted right after.
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(
+            col("freq"),
+            // Equal-length slices (head, tail): arrays_zip would
+            // null-pad a ragged pair and leak (last, null) adjacencies.
+            explode(arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+              slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("pr"))
+          .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        previous.foreach(_.unpersist(blocking = false))
+        previous = None
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, l, r, n))
+          // Greedy left-to-right merge of (l, r) occurrences via an array
+          // fold: append each symbol unless it is `r` arriving right
+          // after an unconsumed `l` — then the two collapse. Matches the
+          // reference's pairwise walk on overlaps ("aaa" + (a,a) -> [aa, a]).
+          val next = words
+            .withColumn("syms",
+              aggregate(
+                col("syms"),
+                array().cast("array<string>"),
+                (acc, s) => when(
+                  size(acc) > 0 &&
+                    element_at(acc, size(acc)) === lit(l) && s === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                  .otherwise(concat(acc, array(s)))))
+            .persist()
+          previous = Some(words)
+          words = next
+          rank += 1
+        }
+      }
+    } finally {
+      previous.foreach(_.unpersist(blocking = false))
+      words.unpersist(blocking = false)
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(
+        col("rank").cast("long").as("rank"),
+        col("left"), col("right"), col("pair_count"))
+  }
+
   /** Encode documents against `vocab` (from [[build]]) into exploded
     * `(id, pos, token_id)` rows — `pos` is the 1-based index in the RAW
     * token array (positions of empty split artifacts are skipped, not

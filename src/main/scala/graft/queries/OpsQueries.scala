@@ -657,6 +657,19 @@ object OpsQueries {
           |       coalesce(voc.id, CAST(-1 AS BIGINT)) AS token_id
           |FROM tk LEFT JOIN voc USING (tok) ORDER BY doc_id, pos""".stripMargin)),
 
+    // ---- text: BPE tokenizer training ----------------------------------
+    // Distributed byte-pair-encoding merge learning (Vocab.bpeTrain):
+    // iterative top-pair + greedy fold over the DISTINCT-WORD table, so
+    // no SQL oracle exists (recursive argmax over arrays); the driver
+    // records the rows-only check and correctness is carried by the
+    // OpsSpec case pinning the canonical Sennrich corpus's merge
+    // sequence (with deterministic lexicographic tie-breaks), naive
+    // overlap counting, greedy fold semantics, and early stop.
+    "q71_bpe_merges" -> QueryDef(
+      (spark, dir) =>
+        Vocab.bpeTrain(docs(spark, dir), numMerges = 12).orderBy("rank"),
+      None),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

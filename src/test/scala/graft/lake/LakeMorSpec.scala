@@ -167,6 +167,40 @@ class LakeMorSpec extends SparkSpec {
     assert(state(m) == Set(("a", 2L, "a2")))
   }
 
+  test("racing mor writers: all delta commits land via retry-with-remerge, stacks stay consistent") {
+    val root = tempDir("mor-").toString
+    val seedTable = mor(root, buckets = 2, compactAfter = 20)
+    seedTable.upsert(rows(("seed", 0L, "s")), "seed") // base layer
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (0 until 6).map { i =>
+          new java.util.concurrent.Callable[Either[Throwable, Int]] {
+            def call() =
+              try {
+                new LakeTable(spark, s"$root/mor", 2,
+                  tableType = LakeTable.MorType, compactAfter = 20)
+                  .upsert(rows((s"t$i", 1L, s"v$i")), s"c$i")
+                Right(i)
+              } catch { case e: Throwable => Left(e) }
+          }
+        }.asJava
+        pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    val failures = results.collect { case Left(e) => e }
+    assert(failures.isEmpty, s"racers must retry past publish conflicts: $failures")
+    val t = new LakeTable(spark, s"$root/mor", 2)
+    val keys = t.snapshot.select(LakeTable.KeyCol).as[String].collect().toSet
+    assert(keys == (0 until 6).map(i => s"t$i").toSet + "seed",
+      s"every racer's delta must be durable, got $keys")
+    assert(t.latestVersion.contains(7L), "6 racers + seed = 7 versions")
+    // Each version appended exactly one layer: total stack depth = 6 and
+    // every delta dir in the stacks is distinct (no lost/duplicated link).
+    val depths = t.deltaDepths
+    assert(depths.values.sum == 6, s"expected 6 stacked deltas, got $depths")
+  }
+
   test("randomized op-sequence equivalence: mor == cow at every version (3 seeds)") {
     for (seed <- Seq(7, 21, 42)) {
       val root = tempDir(s"mor-rand$seed-").toString

@@ -734,6 +734,41 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L), (2L, 2L, 1L), (2L, 4L, -1L)))
   }
 
+  test("bpeTrain learns the canonical Sennrich merges deterministically; overlaps merge greedily") {
+    // The BPE paper's worked corpus: low x5, lower x2, newest x6, widest x3.
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, numMerges = 5)
+      .select("rank", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // Ties (es/st/t</w> all 9; lo/ow both 7) break lexicographically —
+    // the deterministic total order the scaladoc promises.
+    assert(merges.toSeq == Seq(
+      (0L, "e", "s", 9L),
+      (1L, "es", "t", 9L),
+      (2L, "est", "</w>", 9L),
+      (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L)))
+    // Overlap semantics: "aaa" (freq 2) counts (a,a) NAIVELY per
+    // adjacency (2 per word -> 4), like the reference's get_stats, and
+    // the fold merges greedily left-to-right: [a,a,a] -> [aa,a], so the
+    // next round sees (aa,a) and (a,</w>) at 2 each — lexicographic
+    // tie-break picks (a,</w>). A wrong double-consuming fold ([aa,aa])
+    // would surface as different round-1 pairs.
+    val tri = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = Vocab.bpeTrain(tri, numMerges = 2)
+      .select("rank", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(m2.toSeq == Seq((0L, "a", "a", 4L), (1L, "a", "</w>", 2L)))
+    // Early stop: a fully-merged word table stops before numMerges.
+    val tiny = Seq((1L, "x x")).toDF("doc_id", "text")
+    val m3 = Vocab.bpeTrain(tiny, numMerges = 10)
+      .select("left", "right").as[(String, String)].collect()
+    assert(m3.toSeq == Seq(("x", "</w>")), "one merge then exhausted")
+  }
+
   test("stratifiedSample: nested rates, growth stability, 0/100 strata") {
     val d1 = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val kept50 = Sampling.stratifiedSample(d1, "doc_id", "lang", Seq("en" -> 50), 100)
