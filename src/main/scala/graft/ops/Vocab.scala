@@ -152,6 +152,68 @@ object Vocab {
         col("left"), col("right"), col("pair_count"))
   }
 
+  /** Apply learned BPE merges (from [[bpeTrain]]) to documents: every
+    * word segments into its BPE subword tokens, emitted as
+    * `(idCol, pos, sub, token)` — `pos` the word's 1-based position in
+    * the raw token array (empty split artifacts skipped, not renumbered,
+    * matching [[encode]]), `sub` the 1-based subword index within the
+    * word, `token` the subword string (terminal symbol carries the
+    * `</w>` marker).
+    *
+    * Scale shape: merges are a learned ARTIFACT (10-50k rows at
+    * production scale) — collected once and shipped in the task closure;
+    * segmentation runs over the DISTINCT-word table (vocabulary-sized,
+    * never corpus-sized) as per-partition imperative logic (the ranked
+    * merge loop is a genuine pointer-walking algorithm — a 10k-deep
+    * nested Column expression would neither plan nor codegen), and the
+    * corpus then broadcast-joins words to their cached segmentations.
+    */
+  def bpeSegment(
+      docs: DataFrame,
+      merges: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules: Array[(String, String)] = merges
+      .orderBy(col("rank").asc)
+      .select(col("left"), col("right"))
+      .as[(String, String)].collect()
+    val endMark = "</w>"
+    val segmented = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .as[String]
+      .mapPartitions { words =>
+        words.map { w =>
+          var syms = (w.map(_.toString) :+ endMark).toBuffer
+          rules.foreach { case (l, r) =>
+            // Greedy left-to-right pass, same order as bpeTrain's fold.
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == l && syms(i + 1) == r) {
+                syms(i) = l + r
+                syms.remove(i + 1)
+              }
+              i += 1
+            }
+          }
+          (w, syms.toSeq)
+        }
+      }.toDF("w", "syms")
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(segmented), Seq("w"))
+      .select(
+        col(idCol),
+        (col("_p") + 1).cast("long").as("pos"),
+        posexplode(col("syms")).as(Seq("_s", "token")))
+      .select(
+        col(idCol), col("pos"),
+        (col("_s") + 1).cast("long").as("sub"), col("token"))
+  }
+
   /** Encode documents against `vocab` (from [[build]]) into exploded
     * `(id, pos, token_id)` rows — `pos` is the 1-based index in the RAW
     * token array (positions of empty split artifacts are skipped, not

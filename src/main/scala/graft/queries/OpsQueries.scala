@@ -670,6 +670,18 @@ object OpsQueries {
         Vocab.bpeTrain(docs(spark, dir), numMerges = 12).orderBy("rank"),
       None),
 
+    // BPE application: the corpus segmented by the rules q71 learns
+    // (subword tokens per word position). Same no-SQL-oracle situation;
+    // segmentation semantics are pinned against the canonical corpus in
+    // OpsSpec.
+    "q72_bpe_segment" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        Vocab.bpeSegment(d, Vocab.bpeTrain(d, numMerges = 12))
+          .orderBy("doc_id", "pos", "sub")
+      },
+      None),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

@@ -767,6 +767,15 @@ class OpsSpec extends SparkSpec {
     val m3 = Vocab.bpeTrain(tiny, numMerges = 10)
       .select("left", "right").as[(String, String)].collect()
     assert(m3.toSeq == Seq(("x", "</w>")), "one merge then exhausted")
+    // Applying the learned rules segments words into the classic subwords.
+    val seg = Vocab.bpeSegment(
+      Seq((7L, "newest lower")).toDF("doc_id", "text"),
+      Vocab.bpeTrain(docs, numMerges = 5))
+      .as[(Long, Long, Long, String)].collect().sortBy(t => (t._2, t._3))
+    assert(seg.map(_._4).toSeq == Seq(
+      "n", "e", "w", "est</w>",      // newest
+      "low", "e", "r", "</w>"),      // lower
+      s"got ${seg.toSeq}")
   }
 
   test("stratifiedSample: nested rates, growth stability, 0/100 strata") {
