@@ -63,10 +63,11 @@ object Vocab {
     *     (ONE driver collect of a single row), and a fold over each
     *     word's symbol array rewrites left-to-right non-overlapping
     *     occurrences — the same greedy order the reference algorithm
-    *     uses. The word table is persisted per round and the previous
-    *     round unpersisted (dupGroups' iterative-materialization
-    *     pattern); the fold HOF evaluates interpreted but only over
-    *     distinct words, not the corpus.
+    *     uses. The word table is eagerly localCheckpoint'ed per round
+    *     (lineage truncation — nested cached plans blow up plan
+    *     analysis super-linearly past a few dozen rounds) and the
+    *     previous round unpersisted; the fold HOF evaluates interpreted
+    *     but only over distinct words, not the corpus.
     *
     * The top pair orders by `(count DESC, left ASC, right ASC)` — a
     * total order, so the learned merges are a deterministic pure
@@ -86,6 +87,16 @@ object Vocab {
     val spark = docs.sparkSession
     import spark.implicits._
     val endMark = "</w>"
+    // EVERY round eagerly localCheckpoints its word table: plain persist
+    // keeps the full logical chain, and by a few dozen rounds the nested
+    // cached plans make analysis/AQE plan rendering blow up super-linearly
+    // (measured: a 26-round chain OOM'd the driver building a 2 GB plan
+    // string). Checkpointing truncates each round to its materialized
+    // blocks — the legitimate iterative-algorithm use, distinct from the
+    // shared-subplan anti-pattern BASELINE.md r6 documents — and the
+    // table is vocabulary-sized, so the per-round block write is noise.
+    // Old rounds' blocks are released by df.unpersist plus the
+    // ContextCleaner as references drop.
     var words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -93,16 +104,13 @@ object Vocab {
       .select(
         concat(split(col("w"), ""), array(lit(endMark))).as("syms"),
         col("freq"))
-      .persist()
-    var previous: Option[DataFrame] = None
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var rank = 0
       var exhausted = false
       while (rank < numMerges && !exhausted) {
-        // (left, right) adjacency counts, weighted by word frequency;
-        // this agg also MATERIALIZES the current round's persisted word
-        // table, so the previous round can be unpersisted right after.
+        // (left, right) adjacency counts, weighted by word frequency.
         val top = words
           .filter(size(col("syms")) >= 2)
           .select(
@@ -116,8 +124,6 @@ object Vocab {
           .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
           .orderBy(col("n").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
-        previous.foreach(_.unpersist(blocking = false))
-        previous = None
         if (top.isEmpty) exhausted = true
         else {
           val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -136,16 +142,13 @@ object Vocab {
                     element_at(acc, size(acc)) === lit(l) && s === lit(r),
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
                   .otherwise(concat(acc, array(s)))))
-            .persist()
-          previous = Some(words)
+            .localCheckpoint()
+          words.unpersist(blocking = false)
           words = next
           rank += 1
         }
       }
-    } finally {
-      previous.foreach(_.unpersist(blocking = false))
-      words.unpersist(blocking = false)
-    }
+    } finally words.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(
         col("rank").cast("long").as("rank"),

@@ -167,6 +167,65 @@ class LakeMorSpec extends SparkSpec {
     assert(state(m) == Set(("a", 2L, "a2")))
   }
 
+  test("a delete-triggered fold that empties a bucket drops it from the manifest") {
+    val root = tempDir("mor-").toString
+    val m = mor(root, buckets = 1, compactAfter = 1) // every 2nd commit folds
+    m.upsert(rows(("a", 1L, "a1")), "c0") // v1 base
+    m.delete(keys("a"), "c1")             // v2 delta tombstone (stack 1 = cap)
+    assert(state(m).isEmpty, "tombstone must hide the base row")
+    m.delete(keys("a"), "c2")             // v3: stack at cap -> FOLD; merge is empty
+    val manifest = m.latestManifest().get
+    assert(manifest.deltas.isEmpty, "fold must clear the stack")
+    assert(manifest.buckets.isEmpty, "an emptied bucket must leave the manifest")
+    assert(state(m).isEmpty)
+    // And the table remains writable afterwards.
+    m.upsert(rows(("z", 1L, "z1")), "c3")
+    assert(state(m) == Set(("z", 1L, "z1")))
+  }
+
+  test("partitioned mor table: per-partition delta stacks, routed deletes, merged reads") {
+    val root = tempDir("mor-").toString
+    val plt = new PartitionedLakeTable(
+      spark, root, "day", numBuckets = 2,
+      tableType = LakeTable.MorType, compactAfter = 8)
+    def prows(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    plt.upsert(prows(
+      ("a", 1L, "d1", "a1"), ("b", 1L, "d2", "b1")), "c0") // bases per partition
+    plt.upsert(prows(
+      ("a", 2L, "d1", "a2"), ("c", 1L, "d2", "c1")), "c1") // deltas per partition
+    assert(plt.partitionTable("d1").deltaDepths.nonEmpty, "d1 must carry a delta")
+    assert(plt.partitionTable("d2").deltaDepths.nonEmpty, "d2 must carry a delta")
+    plt.deleteRouted(
+      Seq(("b", "d2")).toDF(LakeTable.KeyCol, "day"), "c2") // tombstone delta in d2 only
+    val got = plt.snapshot
+      .select(LakeTable.KeyCol, "day", "payload")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("a", "d1", "a2"), ("c", "d2", "c1")))
+    // The routed delete must not have touched d1's version chain.
+    assert(plt.partitionTable("d1").latestVersion.contains(2L))
+    assert(plt.partitionTable("d2").latestVersion.contains(3L))
+  }
+
+  test("restoreTo republishes delta stacks: pre-fold states time-travel and restore exactly") {
+    val root = tempDir("mor-").toString
+    val m = mor(root, buckets = 1, compactAfter = 2)
+    m.upsert(rows(("a", 1L, "a1")), "c0")         // v1 base
+    m.upsert(rows(("a", 2L, "a2")), "c1")         // v2 delta (stack 1)
+    m.upsert(rows(("b", 1L, "b1")), "c2")         // v3 delta (stack 2)
+    m.upsert(rows(("c", 1L, "c1")), "c3")         // v4 FOLD (stack at cap)
+    assert(m.deltaDepths.isEmpty, "v4 must have folded")
+    // Restore to the mid-stack version: the republished manifest carries
+    // v2's delta stack, and reads collapse it exactly as v2 did.
+    val restored = m.restoreTo(2L, "restore")
+    assert(restored == 5L)
+    assert(m.deltaDepths.values.sum == 1, "restored manifest must carry v2's stack")
+    assert(state(m) == Set(("a", 2L, "a2")))
+    // Vacuum keeping the restored head must preserve its delta dirs.
+    m.vacuum(keepVersions = 1)
+    assert(state(m) == Set(("a", 2L, "a2")))
+  }
+
   test("racing mor writers: all delta commits land via retry-with-remerge, stacks stay consistent") {
     val root = tempDir("mor-").toString
     val seedTable = mor(root, buckets = 2, compactAfter = 20)

@@ -767,6 +767,14 @@ class OpsSpec extends SparkSpec {
     val m3 = Vocab.bpeTrain(tiny, numMerges = 10)
       .select("left", "right").as[(String, String)].collect()
     assert(m3.toSeq == Seq(("x", "</w>")), "one merge then exhausted")
+    // Long merge chains (crosses the 24-round lineage truncation): the
+    // alphabet word chains 26 lexicographic merges (a+b, ab+c, ...) down
+    // to one symbol, then exhausts before numMerges.
+    val alpha = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
+    val chain = Vocab.bpeTrain(alpha, numMerges = 30)
+      .select("rank", "left", "right").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(chain.length == 26, s"27 symbols need 26 merges, got ${chain.length}")
+    assert(chain.last == (25L, "abcdefghijklmnopqrstuvwxyz", "</w>"))
     // Applying the learned rules segments words into the classic subwords.
     val seg = Vocab.bpeSegment(
       Seq((7L, "newest lower")).toDF("doc_id", "text"),
