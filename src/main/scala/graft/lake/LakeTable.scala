@@ -721,6 +721,16 @@ final class LakeTable(
         require(
           inc.columns.contains(KeyCol),
           s"incoming data must contain a '$KeyCol' column (got ${inc.columns.mkString(",")})")
+        // The delta meta columns are RESERVED on mor tables: a payload
+        // column named _op/_dv would collide with the op-tagging and the
+        // read-side collapse (duplicate columns, silently wrong merges).
+        // Checked for every mor write — fold commits too — so the
+        // invariant can't depend on which path a batch happens to take.
+        if (tableType == MorType)
+          Seq(OpCol, DvCol).foreach(c => require(
+            !inc.columns.contains(c),
+            s"'$c' is a reserved merge-on-read meta column — rename the " +
+              s"payload column (incoming: ${inc.columns.mkString(",")})"))
         // Affected buckets: tiny driver collect (≤ numBuckets ints).
         val affected = inc
           .select(bucketOf(col(KeyCol)).as("b")).distinct()

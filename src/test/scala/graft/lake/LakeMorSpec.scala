@@ -156,6 +156,18 @@ class LakeMorSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("b", 7L)))
   }
 
+  test("reserved meta column names are rejected loudly on mor writes") {
+    val root = tempDir("mor-").toString
+    val m = mor(root)
+    val bad = Seq(("a", 1L, "x")).toDF(LakeTable.KeyCol, LakeTable.TsCol, LakeTable.OpCol)
+    val e = intercept[IllegalArgumentException] { m.upsert(bad, "c0") }
+    assert(e.getMessage.contains("reserved merge-on-read meta column"))
+    // A cow handle on the same data is unaffected (no delta machinery).
+    val c = cow(root)
+    c.upsert(bad, "c0")
+    assert(c.snapshot.count() == 1)
+  }
+
   test("commitId replay of a delta commit is a no-op") {
     val root = tempDir("mor-").toString
     val m = mor(root)
