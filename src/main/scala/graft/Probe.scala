@@ -54,6 +54,17 @@ object Probe {
       (r.getLong(0), r.getLong(1))
     }
     println(s"[probe] shingle-fingerprint collisions=${nSh - nHash} over $nSh distinct shingles (index space = fingerprints)")
+    // Same check for the BIGRAM space (q73 groups on xxhash64(bigram));
+    // bigramStrings IS the production path's pre-fingerprint space.
+    val bg = graft.ops.TextStats.bigramStrings(docs, "doc_id", "text")
+      .select("bg").distinct()
+    val (nBg, nBgHash) = {
+      val r = bg.agg(
+        count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("bg"))).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    println(s"[probe] bigram-fingerprint collisions=${nBg - nBgHash} over $nBg distinct bigrams (must be 0 for q73)")
 
     // LSH recall completeness (CLAUDE.md invariant): q28 shares q27's
     // exact-jaccard oracle only while banded-LSH recall is COMPLETE at both

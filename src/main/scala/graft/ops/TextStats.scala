@@ -192,6 +192,68 @@ object TextStats {
         col("sum_freq").cast("double") / col("n_tok").cast("double"))
   }
 
+  /** Cross-document bigram novelty — the template/boilerplate signal
+    * [[rarityScore]] (token-level) and the Gopher repetition filter
+    * (intra-doc) both miss: a templated document's word PAIRS repeat
+    * across the corpus even when its individual words are ordinary.
+    * Per document (with at least one bigram): total bigram occurrences,
+    * distinct bigrams, distinct RARE bigrams (corpus document-frequency
+    * <= `rareDf`), and `rare_ratio = n_rare / n_distinct` — high = novel
+    * prose, low = boilerplate. Tokens are the non-empty space-split
+    * words; a bigram's df counts DOCUMENTS, not occurrences.
+    *
+    * Scale shape: bigrams explode once and immediately fingerprint to
+    * xxhash64 longs ON THE EXPLODED ATTRIBUTE (codegen'd — the r9 HOF
+    * lesson; the ~2-word strings never cross an exchange, the same
+    * trust argument as the shingle index — `graft.Probe` counts bigram
+    * collisions too). The df aggregation and the df join share the
+    * fingerprint exchange; per-doc aggs are map-side combinable. No
+    * corpus-wide collect, no windows.
+    */
+  def bigramNovelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rareDf: Int = 2): DataFrame = {
+    val occurrences = bigramStrings(docs, idCol, textCol)
+      .select(col(idCol), xxhash64(col("bg")).as("fp"))
+    val totals = occurrences
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bigrams"))
+    val pairs = occurrences.distinct()
+    val dfc = pairs.groupBy(col("fp")).agg(count(lit(1)).as("_dfc"))
+    val perDoc = pairs.join(dfc, "fp")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("_dfc") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+    totals.join(perDoc, idCol)
+      .select(
+        col(idCol), col("n_bigrams"), col("n_distinct"), col("n_rare"),
+        // n_distinct >= 1 by construction: ONE final IEEE division.
+        (col("n_rare").cast("double") / col("n_distinct").cast("double"))
+          .as("rare_ratio"))
+  }
+
+  /** [[bigramNovelty]]'s raw STRING bigram occurrences (`idCol`, `bg`) —
+    * the exact space whose fingerprints the production path groups on;
+    * `graft.Probe` counts its xxhash64 collisions. Empty tokens are
+    * filtered BEFORE pairing (a double space must not break a bigram).
+    */
+  private[graft] def bigramStrings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(
+      split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
+    docs
+      .withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= 2)
+      .select(
+        col(idCol),
+        explode(zip_with(
+          slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+          slice(col("_ws"), lit(2), size(col("_ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+  }
+
   /** Scrub URLs and email addresses from a text column — the standard
     * pre-training PII/noise pass — emitting the scrubbed text plus match
     * counts (so a pipeline can ALSO filter on "too many links" style

@@ -692,6 +692,38 @@ object OpsQueries {
       },
       None),
 
+    // ---- text: cross-document bigram novelty ---------------------------
+    // Template/boilerplate scoring: per-doc distinct and RARE (corpus
+    // df <= 2) bigram counts + one final IEEE division. Both engines
+    // filter empty tokens FIRST, pair adjacent words, and count a
+    // bigram's df in DOCUMENTS; Spark groups on xxhash64 fingerprints
+    // (collision count probed zero — graft.Probe), the oracle on the
+    // bigram strings.
+    "q73_bigram_novelty" -> QueryDef(
+      (spark, dir) =>
+        TextStats.bigramNovelty(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id,
+          |            list_filter(string_split(text, ' '), x -> x <> '') ws
+          |          FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) i
+          |       FROM w WHERE len(ws) >= 2),
+          |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b FROM ix),
+          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams
+          |        FROM bg GROUP BY doc_id),
+          |pairs AS (SELECT DISTINCT doc_id, b FROM bg),
+          |df AS (SELECT b, CAST(count(*) AS BIGINT) dfc FROM pairs GROUP BY b),
+          |per AS (SELECT p.doc_id,
+          |          CAST(count(*) AS BIGINT) n_distinct,
+          |          CAST(sum(CASE WHEN df.dfc <= 2 THEN 1 ELSE 0 END) AS BIGINT) n_rare
+          |        FROM pairs p JOIN df USING (b) GROUP BY p.doc_id)
+          |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.n_bigrams,
+          |       per.n_distinct, per.n_rare,
+          |       CAST(per.n_rare AS DOUBLE) / CAST(per.n_distinct AS DOUBLE)
+          |         AS rare_ratio
+          |FROM tot t JOIN per USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

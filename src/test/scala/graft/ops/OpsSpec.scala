@@ -734,6 +734,27 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 0L), (2L, 2L, 1L), (2L, 4L, -1L)))
   }
 
+  test("bigramNovelty: df counts documents, empties don't break pairs, short docs omitted") {
+    val df = Seq(
+      (1L, "the cat sat"),        // bigrams: "the cat", "cat sat"
+      (2L, "the  cat ran"),       // double space: "the cat" survives; "cat ran"
+      (3L, "the cat sat the cat sat"), // repeats: 5 occurrences, 3 distinct
+      (4L, "one"),                // no bigram -> omitted
+      (5L, "")                    // empty -> omitted
+    ).toDF("doc_id", "text")
+    // df("the cat")=3 docs, df("cat sat")=2, df("cat ran")=1, df("sat the")=1.
+    val got = TextStats.bigramNovelty(df)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // doc 1: 2 occ, 2 distinct; rare (df<=2): "cat sat" -> 1/2
+      (1L, 2L, 2L, 1L, 0.5),
+      // doc 2: 2 occ, 2 distinct; rare: "cat ran" -> 1/2
+      (2L, 2L, 2L, 1L, 0.5),
+      // doc 3: 5 occ; distinct {the cat, cat sat, sat the}; rare: cat sat + sat the
+      (3L, 5L, 3L, 2L, 2.0 / 3.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("bpeTrain learns the canonical Sennrich merges deterministically; overlaps merge greedily") {
     // The BPE paper's worked corpus: low x5, lower x2, newest x6, widest x3.
     val docs = Seq(
