@@ -23,8 +23,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Defensive: the driver may hand us a session built without this conf.
+    // Defensive: the driver may hand us a session built without these
+    // confs. UTC matters as much as nanosAsLong — the NTZ→epoch-nanos
+    // conversion below reads naive values in the SESSION timezone, and a
+    // non-UTC session would shift every events.ts by the zone offset
+    // (ADVICE r11 #2); DuckDB reads the same column naive/UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name != "events") df
     else df.schema.fields.find(_.name == "ts").map(_.dataType) match {

@@ -35,9 +35,9 @@ package graft.cdc
   *    (mirrors `hoodie.clustering.plan.strategy.sort.columns`).
   *  - `<db>.<table>.compact.every` — inline compaction cadence: after
   *    every Nth micro-batch the table's bucket file groups are coalesced
-  *    (mirrors `hoodie.compact.inline.max.delta.commits`; 0/absent =
-  *    off). Use with `write.operation=insert`, whose zero-shuffle loads
-  *    accumulate small files by design.
+  *    (0/absent = off; no Hudi synonym — Hudi has no COW file-group
+  *    coalescing cadence key). Use with `write.operation=insert`, whose
+  *    zero-shuffle loads accumulate small files by design.
   *  - `<db>.<table>.write.operation` — `upsert` (default) or `insert`:
   *    `insert` routes batches through [[graft.lake.LakeTable.bulkInsert]]
   *    (no LWW merge aggregation — the initial-load fast path; mirrors
@@ -57,8 +57,9 @@ package graft.cdc
   *  - `<db>.<table>.compact.deltas` — MOR fold cadence: a commit touching
   *    a bucket whose delta stack has reached this depth rewrites the
   *    affected buckets' bases (default 8; the read-vs-write amplification
-  *    knob — mirrors the role `hoodie.compact.inline.max.delta.commits`
-  *    plays for Hudi MOR tables).
+  *    knob — the synonym `hoodie.compact.inline.max.delta.commits` maps
+  *    HERE, matching the key's Hudi role of MOR inline-compaction
+  *    cadence).
   */
 final case class TableConfig(
     db: String,
@@ -110,7 +111,11 @@ object TableConfig {
     "partition.field" -> "hoodie.datasource.write.partitionpath.field",
     "keygen.class" -> "hoodie.datasource.write.keygenerator.class",
     "zorder.fields" -> "hoodie.clustering.plan.strategy.sort.columns",
-    "compact.every" -> "hoodie.compact.inline.max.delta.commits",
+    // Hudi's inline.max.delta.commits key only governs MOR compaction
+    // upstream, so it aliases the MOR fold cadence — NOT compact.every's
+    // COW file-group coalescing, which has no Hudi counterpart (ADVICE
+    // r11 #4 resolved the double-claimed mapping this way).
+    "compact.deltas" -> "hoodie.compact.inline.max.delta.commits",
     "table.type" -> "hoodie.datasource.write.table.type")
 
   private val Recognized: Set[String] = Set(

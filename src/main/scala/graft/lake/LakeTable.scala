@@ -500,7 +500,15 @@ final class LakeTable(
     */
   def compact(commitId: String = ""): Unit =
     if (latestManifest().isDefined)
-      writeCommit(commitId, manifestDependent = true)(_ => snapshot) { (_, inc) => inc }
+      // Affected = every manifest bucket (base or delta), NOT the buckets
+      // named by snapshot keys: a fully-tombstoned bucket has no live keys
+      // but still carries a base+delta stack that must fold away (its
+      // merged state is empty → no b=<i> dir is written → the bucket and
+      // its stack drop from the manifest).
+      writeCommit(
+        commitId, manifestDependent = true,
+        affectedFor = Some(_.map(_.allBuckets).getOrElse(Set.empty)))(
+        _ => snapshot) { (_, inc) => inc }
 
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
     * or any DF containing `_key`). Mirrors the reference's delete routing
@@ -671,7 +679,8 @@ final class LakeTable(
       commitId: String,
       shuffle: Boolean = true,
       manifestDependent: Boolean = false,
-      deltaRows: Option[DataFrame => DataFrame] = None)(
+      deltaRows: Option[DataFrame => DataFrame] = None,
+      affectedFor: Option[Option[Manifest] => Set[Int]] = None)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
     // Entry idempotency scan and the incremental gates below share ONE
@@ -721,20 +730,29 @@ final class LakeTable(
         require(
           inc.columns.contains(KeyCol),
           s"incoming data must contain a '$KeyCol' column (got ${inc.columns.mkString(",")})")
-        // The delta meta columns are RESERVED on mor tables: a payload
-        // column named _op/_dv would collide with the op-tagging and the
-        // read-side collapse (duplicate columns, silently wrong merges).
-        // Checked for every mor write — fold commits too — so the
-        // invariant can't depend on which path a batch happens to take.
-        if (tableType == MorType)
-          Seq(OpCol, DvCol).foreach(c => require(
-            !inc.columns.contains(c),
-            s"'$c' is a reserved merge-on-read meta column — rename the " +
-              s"payload column (incoming: ${inc.columns.mkString(",")})"))
+        // The delta meta columns are RESERVED table-wide, not just on mor
+        // handles: cow and mor handles interoperate on one table, and the
+        // manifest schema never carries _op/_dv (the filter below) — a cow
+        // write with a payload column of either name would persist the
+        // column to parquet but silently drop it from every read (ADVICE
+        // r11 #1). Loud on EVERY write path so the invariant can't depend
+        // on which handle type a batch happens to take.
+        Seq(OpCol, DvCol).foreach(c => require(
+          !inc.columns.contains(c),
+          s"'$c' is a reserved lake meta column — rename the " +
+            s"payload column (incoming: ${inc.columns.mkString(",")})"))
         // Affected buckets: tiny driver collect (≤ numBuckets ints).
-        val affected = inc
-          .select(bucketOf(col(KeyCol)).as("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        // `affectedFor` overrides the key-derived set for commits that must
+        // touch buckets their incoming rows can't name — compact() passes
+        // every manifest bucket, else a bucket whose rows are ALL
+        // tombstoned yields no snapshot keys and its base+tombstone delta
+        // stack would survive compaction forever (ADVICE r11 #3).
+        val affected = affectedFor match {
+          case Some(f) => f(prev)
+          case None => inc
+            .select(bucketOf(col(KeyCol)).as("b")).distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
         if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
         val version = prev.map(_.version).getOrElse(0L) + 1L
         // Merge-on-read delta commit (docs/MOR_DESIGN.md): when this
@@ -834,7 +852,10 @@ final class LakeTable(
             }
           else prevDeltaBlooms -- affected
 
-        // The table schema never carries the delta meta columns.
+        // The table schema never carries the delta meta columns. Safe to
+        // strip unconditionally: the reserved-name require above rejects
+        // any PAYLOAD column with these names on every write path, so the
+        // filter only ever removes the op-tag columns a delta commit adds.
         val schemaJson = mergedSchemaJson(prev, StructType(
           merged.schema.fields.filterNot(f => f.name == OpCol || f.name == DvCol)))
         val manifest = Manifest(

@@ -203,6 +203,12 @@ class CdcModulesSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       TableConfig.resolve(opts + ("db1.t1.zorder.fields" -> "x"), "db1", "t1"))
     assert(e3.getMessage.contains("zorder.fields"))
+    // hoodie.compact.inline.max.delta.commits aliases the MOR fold cadence
+    // (its Hudi role), NOT compact.every (ADVICE r11 #4).
+    val h = TableConfig.resolve(
+      opts + ("db1.t1.hoodie.compact.inline.max.delta.commits" -> "3"), "db1", "t1")
+    assert(h.compactDeltas == 3)
+    assert(h.compactEvery == 0, "the hoodie key must not drive COW coalescing cadence")
   }
 
   test("TableConfig accepts the reference's exact README option names") {

@@ -156,16 +156,47 @@ class LakeMorSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("b", 7L)))
   }
 
-  test("reserved meta column names are rejected loudly on mor writes") {
+  test("reserved meta column names are rejected loudly on ALL writes") {
     val root = tempDir("mor-").toString
     val m = mor(root)
     val bad = Seq(("a", 1L, "x")).toDF(LakeTable.KeyCol, LakeTable.TsCol, LakeTable.OpCol)
     val e = intercept[IllegalArgumentException] { m.upsert(bad, "c0") }
-    assert(e.getMessage.contains("reserved merge-on-read meta column"))
-    // A cow handle on the same data is unaffected (no delta machinery).
+    assert(e.getMessage.contains("reserved lake meta column"))
+    // Cow handles reject too (ADVICE r11 #1): the manifest schema never
+    // carries _op/_dv, so a cow write with either name would persist the
+    // column to parquet but silently drop it from every read.
     val c = cow(root)
-    c.upsert(bad, "c0")
-    assert(c.snapshot.count() == 1)
+    val e2 = intercept[IllegalArgumentException] { c.upsert(bad, "c0") }
+    assert(e2.getMessage.contains("reserved lake meta column"))
+    val bad2 = Seq(("a", 1L, 3L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, LakeTable.DvCol)
+    intercept[IllegalArgumentException] { c.bulkInsert(bad2, "c1") }
+  }
+
+  test("compact() folds a fully-tombstoned bucket's base+delta stack away") {
+    val root = tempDir("mor-").toString
+    // High compactAfter so the tombstone stays a live delta stack and no
+    // cadence fold ever touches it — only compact() can (ADVICE r11 #3:
+    // the emptied bucket has no snapshot keys, so a key-derived affected
+    // set would skip it forever).
+    val m = mor(root, buckets = 2, compactAfter = 100)
+    // Two keys in DIFFERENT buckets, so tombstoning all of kDead's bucket
+    // leaves it with zero snapshot keys while kLive keeps its own bucket.
+    val cands = (1 to 100).map(i => s"k$i")
+    val kDead = cands.find(k => LakeTable.bucketOfKey(k, 2) == 0).get
+    val kLive = cands.find(k => LakeTable.bucketOfKey(k, 2) == 1).get
+    m.upsert(
+      Seq((kDead, 1L, "a1"), (kLive, 1L, "b1"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"), "c0")
+    m.delete(keys(kDead), "c1") // delta tombstone empties kDead's bucket
+    assert(state(m) == Set((kLive, 1L, "b1")))
+    m.compact("c2")
+    val manifest = m.latestManifest().get
+    assert(manifest.deltas.isEmpty,
+      s"compact must fold ALL stacks incl. fully-tombstoned buckets, got ${manifest.deltas}")
+    assert(state(m) == Set((kLive, 1L, "b1")))
+    // The emptied bucket (kDead's) must not survive as a base either.
+    val liveKeys = m.snapshot.select(LakeTable.KeyCol).as[String].collect().toSet
+    assert(liveKeys == Set(kLive))
   }
 
   test("commitId replay of a delta commit is a no-op") {
