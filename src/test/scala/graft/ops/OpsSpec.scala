@@ -807,6 +807,96 @@ class OpsSpec extends SparkSpec {
       s"got ${seg.toSeq}")
   }
 
+  // Reference BPE: one merge per round, driver-side — the sequential
+  // semantics bpeTrain's BATCHED rounds and bpeSegment's MIN-RANK loop
+  // must reproduce byte-identically.
+  private def naiveApply(syms: Array[String], l: String, r: String): Array[String] = {
+    val buf = syms.toBuffer
+    var i = 0
+    while (i < buf.length - 1) {
+      if (buf(i) == l && buf(i + 1) == r) { buf(i) = l + r; buf.remove(i + 1) }
+      i += 1
+    }
+    buf.toArray
+  }
+
+  private def naiveBpeTrain(text: String, numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val freq = text.split(" ").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var words: Seq[(Array[String], Long)] =
+      freq.toSeq.map { case (w, f) => (w.map(_.toString).toArray :+ "</w>", f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 0L
+    var stop = false
+    while (rank < numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((rank, l, r, n))
+        words = words.map { case (syms, f) => (naiveApply(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("batched bpeTrain == sequential one-merge-per-round reference (randomized + guard corpus)") {
+    // The tie corpus where symbol-disjointness ALONE mis-batches: top-2
+    // disjoint candidates (a,z)60 and (d,</w>)50, but merging (a,z)
+    // births (az,q)50 which lex-beats (d,</w>) at the tied count — the
+    // neighbor-bound guard must drop (d,</w>) from the batch so rank 1
+    // comes out as (az,q), exactly as the sequential loop produces.
+    val guardText = (Seq.fill(50)("azq") ++ Seq.fill(10)("az") ++ Seq.fill(50)("md")).mkString(" ")
+    val expectedGuard = naiveBpeTrain(guardText, 4)
+    assert(expectedGuard.take(2) == Seq((0L, "a", "z", 60L), (1L, "az", "q", 50L)),
+      s"test corpus must exercise the tie, got ${expectedGuard.take(2)}")
+    val gotGuard = Vocab.bpeTrain(Seq((1L, guardText)).toDF("doc_id", "text"), 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotGuard == expectedGuard, s"guard corpus: got $gotGuard, want $expectedGuard")
+
+    // Randomized corpora over a tiny alphabet (dense pair collisions):
+    // batched rounds must stay byte-identical to the reference, and
+    // min-rank segmentation must match naive per-rule replay.
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val words = (1 to (5 + rnd.nextInt(8))).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)).mkString(" ")
+      val nm = 3 + rnd.nextInt(8)
+      val expected = naiveBpeTrain(text, nm)
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = Vocab.bpeTrain(df, nm, batchSize = 1 + rnd.nextInt(5))
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"trial $trial corpus '$text': got $got, want $expected")
+      // Segmentation equivalence on the same trial: min-rank merging ==
+      // replaying every rule sequentially (plus an unseen word).
+      val rules = expected.map(m => (m._2, m._3))
+      val segDocs = Seq((1L, text), (2L, "zebra")).toDF("doc_id", "text")
+      val gotSeg = Vocab.bpeSegment(segDocs, Vocab.bpeTrain(df, nm))
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(t => (t._1, t._2)).view
+        .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+      segDocs.as[(Long, String)].collect().foreach { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).zipWithIndex.foreach { case (w, p) =>
+          var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"
+          rules.foreach { case (l, r) => syms = naiveApply(syms, l, r) }
+          assert(gotSeg((id, p + 1L)) == syms.toSeq,
+            s"trial $trial word '$w': got ${gotSeg((id, p + 1L))}, want ${syms.toSeq}")
+        }
+      }
+    }
+  }
+
   test("stratifiedSample: nested rates, growth stability, 0/100 strata") {
     val d1 = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val kept50 = Sampling.stratifiedSample(d1, "doc_id", "lang", Seq("en" -> 50), 100)
