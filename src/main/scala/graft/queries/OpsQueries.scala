@@ -172,6 +172,21 @@ object OpsQueries {
   private def exactIndexPath(dir: String): String =
     stampedIndexPath(dir, "documents.parquet", "exactidx|md5b16")
 
+  /** The learned BPE merge table as a stamped /tmp ARTIFACT (q43's
+    * stored-index pattern): training runs once per testdata identity —
+    * the real pipeline shape, where a learned tokenizer is reused for
+    * every encode pass — and q72/q74/q75 all consume the same rules.
+    */
+  private def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = stampedIndexPath(dir, "documents.parquet", "bpe|m12")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      System.err.println(s"[graft] training BPE merge table at $path")
+      Vocab.bpeTrain(docs(spark, dir), numMerges = 12)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- dedup: exact (hash-groupBy) ----------------------------------
@@ -660,37 +675,93 @@ object OpsQueries {
     // ---- text: BPE tokenizer training ----------------------------------
     // Distributed byte-pair-encoding merge learning (Vocab.bpeTrain):
     // iterative top-pair + greedy fold over the DISTINCT-WORD table, so
-    // no SQL oracle exists (recursive argmax over arrays); the driver
-    // records the rows-only check and correctness is carried by the
-    // OpsSpec case pinning the canonical Sennrich corpus's merge
-    // sequence (with deterministic lexicographic tie-breaks), naive
-    // overlap counting, greedy fold semantics, and early stop.
+    // no DIRECT SQL oracle exists (recursive argmax over arrays); the
+    // driver records the rows-only check here, correctness is carried by
+    // the OpsSpec cases pinning the canonical Sennrich sequence and the
+    // randomized batched-vs-sequential equivalence, and q75 cross-checks
+    // the same learned table's DuckDB-expressible invariants (rank-0
+    // recount + count monotonicity) with a real hash-compared oracle.
     "q71_bpe_merges" -> QueryDef(
       (spark, dir) =>
         Vocab.bpeTrain(docs(spark, dir), numMerges = 12).orderBy("rank"),
       None),
 
     // BPE application: the corpus segmented by the rules q71 learns
-    // (subword tokens per word position). Same no-SQL-oracle situation;
-    // segmentation semantics are pinned against the canonical corpus in
-    // OpsSpec. The merge table is a stamped /tmp ARTIFACT (q43's
-    // stored-index pattern): training runs once per testdata identity —
-    // the real pipeline shape, where a learned tokenizer is reused for
-    // every encode pass, and the timed query prices application, not
-    // re-training.
+    // (subword tokens per word position). Same no-direct-oracle
+    // situation (driver records rows-only); segmentation semantics are
+    // pinned against the canonical corpus + randomized naive-replay
+    // equivalence in OpsSpec, and q74 hash-compares the reconstruction
+    // invariant of THIS query's exact output against DuckDB. The timed
+    // query prices application, not re-training ([[bpeMergeTable]]).
     "q72_bpe_segment" -> QueryDef(
-      (spark, dir) => {
-        val d = docs(spark, dir)
-        val path = stampedIndexPath(dir, "documents.parquet", "bpe|m12")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
-          System.err.println(s"[graft] q72: training BPE merge table at $path")
-          Vocab.bpeTrain(d, numMerges = 12)
-            .write.mode("overwrite").parquet(path)
-        }
-        Vocab.bpeSegment(d, spark.read.parquet(path))
-          .orderBy("doc_id", "pos", "sub")
-      },
+      (spark, dir) =>
+        Vocab.bpeSegment(docs(spark, dir), bpeMergeTable(spark, dir))
+          .orderBy("doc_id", "pos", "sub"),
       None),
+
+    // ---- text: BPE reconstruction invariant (q72's oracle) -------------
+    // The cross-engine gate the r11 verdict asked for: concatenating
+    // q72's subwords per (doc, pos) in sub order and stripping the
+    // terminal `</w>` must reproduce the raw token EXACTLY — DuckDB
+    // derives the same tokens by splitting the parquet directly, so a
+    // hash match proves the full train→segment round trip loses nothing
+    // (any dropped/duplicated/reordered subword, or a merge emitting a
+    // wrong concatenation, breaks some token's reconstruction).
+    "q74_bpe_reconstruct" -> QueryDef(
+      (spark, dir) =>
+        Vocab.bpeSegment(docs(spark, dir), bpeMergeTable(spark, dir))
+          .groupBy(col("doc_id"), col("pos"))
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("sub"), col("token")))),
+            x => x("token"))).as("recon"))
+          .select(
+            col("doc_id"), col("pos"),
+            expr("substr(recon, 1, length(recon) - 4)").as("token"))
+          .orderBy("doc_id", "pos"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS pos,
+          |       ws[i] AS token
+          |FROM ix WHERE ws[i] <> '' ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- text: BPE merge-sequence invariants (q71's oracle) ------------
+    // Rank 0 is recounted from scratch by BOTH engines (the most
+    // frequent adjacent character pair, `</w>`-terminated, over word
+    // OCCURRENCES — DuckDB needs no iteration for the first merge), and
+    // the iterative tail is gated by the provable invariant that
+    // pair_count never increases with rank (a merge can only create
+    // pairs bounded by its own count, and existing counts only fall):
+    // the oracle pins violations = 0, so any Spark-side monotonicity
+    // break hash-mismatches. n_merges pins the no-early-stop corpus.
+    "q75_bpe_invariants" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        bpeMergeTable(spark, dir)
+          // 13 rows maximum through this window — bounded by numMerges.
+          .withColumn("prev",
+            lag(col("pair_count"), 1).over(Window.orderBy(col("rank"))))
+          .agg(
+            min_by(col("left"), col("rank")).as("first_left"),
+            min_by(col("right"), col("rank")).as("first_right"),
+            min_by(col("pair_count"), col("rank")).as("first_count"),
+            sum(when(col("pair_count") > col("prev"), 1L).otherwise(0L))
+              .cast("long").as("violations"),
+            count(lit(1)).cast("long").as("n_merges"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+          |occ AS (SELECT unnest(ws) AS wd FROM w),
+          |wd AS (SELECT wd FROM occ WHERE wd <> ''),
+          |ch AS (
+          |  SELECT substr(wd, i, 1) AS l, substr(wd, i + 1, 1) AS r
+          |  FROM (SELECT wd, unnest(generate_series(1, length(wd) - 1)) AS i FROM wd)
+          |  UNION ALL
+          |  SELECT substr(wd, length(wd), 1) AS l, '</w>' AS r FROM wd),
+          |cnt AS (SELECT l, r, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY l, r)
+          |SELECT l AS first_left, r AS first_right, n AS first_count,
+          |       CAST(0 AS BIGINT) AS violations, CAST(12 AS BIGINT) AS n_merges
+          |FROM cnt ORDER BY n DESC, l ASC, r ASC LIMIT 1""".stripMargin)),
 
     // ---- text: cross-document bigram novelty ---------------------------
     // Template/boilerplate scoring: per-doc distinct and RARE (corpus
