@@ -79,6 +79,38 @@ object Probe {
     val missed = exactPairs.join(lshPairs, Seq("d1", "d2"), "left_anti").count()
     val total = exactPairs.count()
     println(s"[probe] LSH recall: missed=$missed of $total exact >=0.5-jaccard pairs (must be 0)")
+
+    // q76 calibration: IVF probed recall on the SYNTHETIC clustered
+    // corpus (the in-query corpus q76 generates — same formula), with
+    // k-means-refined centroids vs raw hash seeds. The gate is >= 14/20;
+    // a healthy build recovers ~20/20 refined. Margin printed here so a
+    // gate trip can be attributed (geometry vs host) without editing the
+    // query.
+    val dim = 32
+    val nClusters = 16
+    val synth = spark.range(0, 4000).toDF("vec_id")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)), j =>
+            (when(j === (col("vec_id") % nClusters).cast("int") * 2, lit(1.0))
+              .otherwise(lit(0.0))
+              + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
+                  / lit(500.0) - lit(1.0)) * lit(0.05)).cast("float")))
+      .repartition(8)
+    val sqv = Seq.tabulate(dim)(j => if (j == 6) 1.0 else 0.0)
+    val sExact = Similarity.topK(synth, sqv, 20).select(col("vec_id"), lit(1).as("hit"))
+    def synthHits(cents: Array[Array[Double]], name: String, nProbe: Int): Unit = {
+      val h = Similarity.ivfTopK(synth, sqv, 20, cents, nProbe = nProbe)
+        .select(col("vec_id")).join(sExact, Seq("vec_id"), "left")
+        .agg(coalesce(sum(col("hit")), lit(0))).head().getLong(0)
+      println(s"[probe] q76 clustered-IVF $name nProbe=$nProbe hits=$h/20 (gate >= 14)")
+    }
+    val km = Similarity.ivfCentroidsKMeans(synth, nClusters, iters = 3)
+    val hs = Similarity.ivfCentroids(synth, nClusters)
+    synthHits(km, "kmeans(3)", 4)
+    synthHits(hs, "hash-seeds", 4)
+    synthHits(km, "kmeans(3)", 1)
+    synthHits(hs, "hash-seeds", 1)
     spark.stop()
   }
 }

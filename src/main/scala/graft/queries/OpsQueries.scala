@@ -1028,6 +1028,46 @@ object OpsQueries {
       },
       Some("SELECT CAST(20 AS BIGINT) AS n_ivf, true AS recall_ok")),
 
+    // ---- similarity: IVF probe QUALITY on a clustered corpus -----------
+    // The r8/r9/r11 gap closed without a testdata regen: the driver's
+    // embeddings corpus is ISOTROPIC, so q45 can only gate the physics
+    // floor — here the corpus is SYNTHESIZED in-query (deterministic,
+    // scale-independent): 16 orthogonal unit centers at dimension 2c,
+    // each of 4000 vectors = its center + ±0.05 xxhash64 noise
+    // (within-cluster cosine ≈ 0.97+, across ≈ 0) — codegen'd
+    // expressions, no rand(), no driver-side generation. k-means-refined
+    // centroids (ivfCentroidsKMeans) must align partitions with the
+    // planted clusters: probing ONE of 16 partitions for a query AT
+    // cluster 3's center must recover >= 14/20 of the exact top-20 (the
+    // r8 ask: real probed recall >= 0.7). nProbe=1 is what makes this a
+    // REFINEMENT gate, not just a plumbing gate: measured (graft.Probe,
+    // 2026-08-14) kmeans(3) = 20/20 but raw hash-sampled seeds = 13/20
+    // — unrefined centroids FAIL this query, and so does losing the
+    // query's cluster to a broken assignment, empty probe, or drift.
+    "q76_ivf_clustered" -> QueryDef(
+      (spark, dir) => {
+        val dim = 32
+        val nClusters = 16
+        val corpus = spark.range(0, 4000).toDF("vec_id")
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (when(j === (col("vec_id") % nClusters).cast("int") * 2, lit(1.0))
+                .otherwise(lit(0.0))
+                + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
+                    / lit(500.0) - lit(1.0)) * lit(0.05)).cast("float")))
+          .repartition(8)
+        val qv = Seq.tabulate(dim)(j => if (j == 6) 1.0 else 0.0) // cluster 3
+        val cents = Similarity.ivfCentroidsKMeans(corpus, nClusters, iters = 3)
+        val exact = Similarity.topK(corpus, qv, 20).select(col("vec_id"), lit(1).as("hit"))
+        Similarity.ivfTopK(corpus, qv, 20, cents, nProbe = 1)
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).as("n_ivf"),
+            (coalesce(sum(col("hit")), lit(0)) >= 14).as("recall_ok"))
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS n_ivf, true AS recall_ok")),
+
     // ---- embedding near-dup pairs via LSH buckets ----------------------
     // quantized verify: the oracle computes the 0.95 threshold in
     // floor(x*1e7) integer arithmetic, so the Spark side must too — a
