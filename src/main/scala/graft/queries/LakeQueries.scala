@@ -193,6 +193,76 @@ object LakeQueries {
     finalState(lake)
   }
 
+  // ---- q77: MOR table consumed as a STREAM (delta → batch → fold → batch) -
+
+  /** The r11 verdict's missing integration gate: q47 prices COW
+    * incremental and LakeStreamSourceSpec pins the mechanics, but no
+    * oracle priced MOR changed-bucket detection (`incrementalBetween`'s
+    * delta-stack comparison) through `readStream.format("cdc-lake")`
+    * end-to-end. Build: base upsert → delta upsert → delta merge with
+    * tombstones → fold-triggering upsert (`compactAfter = 2`), then
+    * drain the table with `Trigger.AvailableNow` at ONE committed
+    * version per micro-batch and reconstruct the final state from the
+    * staged feed (last emission per key wins — within a batch a key
+    * appears at most once, merged). The fold batch must re-emit nothing
+    * stale and the delta batches must carry merged rows, or the
+    * reconstruction diverges from the LWW oracle.
+    *
+    * Deletes emit no rows (the Hudi COW incremental contract), so the
+    * tombstone set is chosen ⊆ the keys the fold batch re-upserts
+    * (`user_id % 10 = 0` AND the user has an `event_id % 4 = 3` event):
+    * every tombstoned key's post-delete state is re-emitted in the last
+    * batch, which makes the reconstruction SQL-expressible — a
+    * tombstoned key's final state is the LWW over ONLY the fold batch's
+    * rows (the v3 tombstone killed everything earlier), the rest is
+    * plain corpus LWW.
+    */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = scratchDir("morstream")
+    val lakeDir = s"$root/t"
+    val lake = new LakeTable(
+      spark, lakeDir, numBuckets = 16, bloomOnWrite = false,
+      tableType = LakeTable.MorType, compactAfter = 2)
+    val ev = keyedEvents(spark, dir)
+    val b4 = ev.filter(col("event_id") % 4 === 3)
+    lake.upsert(ev.filter(col("event_id") % 4 === 0), commitId = "b1") // v1 base
+    lake.upsert(ev.filter(col("event_id") % 4 === 1), commitId = "b2") // v2 delta
+    lake.merge( // v3 delta: upserts + tombstones (all re-inserted by b4)
+      ev.filter(col("event_id") % 4 === 2),
+      b4.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+      commitId = "b3")
+    lake.upsert(b4, commitId = "b4") // v4: stacks at compactAfter → FOLD
+
+    val stage = s"$root/stage"
+    val q = spark.readStream.format("cdc-lake")
+      .option("path", lakeDir).option("buckets", "16")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.withColumn("_batch", lit(id))
+          .write.mode("append").parquet(stage)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // The reconstruction below would also match the oracle if the drain
+    // collapsed every version into one snapshot batch — pin the actual
+    // per-version micro-batching (4 commits → 4 batches) so the oracle
+    // prices the version-ranged path, not just the final state.
+    val nBatches = spark.read.parquet(stage).select("_batch").distinct().count()
+    require(nBatches == 4,
+      s"expected 4 micro-batches (one per committed version), got $nBatches")
+    spark.read.parquet(stage)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(LakeTable.KeyCol)).orderBy(col("_batch").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
   // ---- q42: partitioned lake table + pruned read -------------------------
 
   private def q42(spark: SparkSession, dir: String): DataFrame = {
@@ -329,6 +399,27 @@ object LakeQueries {
           |                          ORDER BY ts DESC, event_id DESC) AS rn
           |FROM events) t
           |WHERE rn = 1 AND user_id % 10 <> 0
+          |ORDER BY user_id""".stripMargin)),
+    "q77_lake_mor_stream" -> QueryDef(
+      q77,
+      Some(
+        """WITH lww_all AS (
+          |  SELECT user_id, event_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events),
+          |b4 AS (
+          |  SELECT user_id, event_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE event_id % 4 = 3),
+          |dead AS (SELECT DISTINCT user_id FROM events
+          |         WHERE event_id % 4 = 3 AND user_id % 10 = 0)
+          |SELECT user_id, event_id, event_type, value FROM lww_all
+          |WHERE rn = 1 AND user_id NOT IN (SELECT user_id FROM dead)
+          |UNION ALL
+          |SELECT user_id, event_id, event_type, value FROM b4
+          |WHERE rn = 1 AND user_id % 10 = 0
           |ORDER BY user_id""".stripMargin)),
     "q24_lake_delete" -> QueryDef(
       q24,
