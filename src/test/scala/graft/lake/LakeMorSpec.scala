@@ -226,6 +226,48 @@ class LakeMorSpec extends SparkSpec {
     assert(state(m) == Set(("z", 1L, "z1")))
   }
 
+  test("async compaction: a concurrent fold and delta commits all land (separate handles)") {
+    val root = tempDir("mor-").toString
+    val dir = s"$root/t"
+    // The async deployment (docs/MOR_DESIGN.md): inline folds off
+    // (compactAfter high), compaction driven by a SEPARATE handle on its
+    // own cadence, racing live delta writers through the optimistic
+    // commit loop — no fold lock exists, losers retry with remerge.
+    def handle() = new LakeTable(spark, dir, numBuckets = 4,
+      tableType = LakeTable.MorType, compactAfter = 100)
+    val h0 = handle()
+    h0.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0") // v1 base
+    h0.upsert(rows(("a", 2L, "a2")), "c1")                  // v2 delta
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Either[Throwable, String]]] = Seq(
+          () => try { handle().compact("fold"); Right("fold") }
+                catch { case e: Throwable => Left(e) },
+          () => try { handle().upsert(rows(("c", 3L, "c3")), "w1"); Right("w1") }
+                catch { case e: Throwable => Left(e) },
+          () => try { handle().upsert(rows(("b", 4L, "b2")), "w2"); Right("w2") }
+                catch { case e: Throwable => Left(e) })
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    val failures = results.collect { case Left(e) => e }
+    assert(failures.isEmpty, s"racing fold/writers must all retry past conflicts: $failures")
+    val t = handle()
+    // All three commits durable on top of the two seed versions.
+    assert(t.latestVersion.contains(5L), s"got version ${t.latestVersion}")
+    assert(state(t) == Set(("a", 2L, "a2"), ("b", 4L, "b2"), ("c", 3L, "c3")),
+      "final state must be the LWW collapse of every committed batch")
+    // Quiesced compact folds whatever stacks the interleaving left over;
+    // replaying the racing fold's commitId stays a no-op.
+    t.compact("fold2")
+    assert(t.latestManifest().get.deltas.isEmpty, "quiesced compact must clear all stacks")
+    val v = t.latestVersion.get
+    t.compact("fold")
+    assert(t.latestVersion.contains(v), "replayed compaction commitId must be a no-op")
+    assert(state(t) == Set(("a", 2L, "a2"), ("b", 4L, "b2"), ("c", 3L, "c3")))
+  }
+
   test("partitioned mor table: per-partition delta stacks, routed deletes, merged reads") {
     val root = tempDir("mor-").toString
     val plt = new PartitionedLakeTable(
