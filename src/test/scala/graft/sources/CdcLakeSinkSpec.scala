@@ -230,6 +230,59 @@ class CdcLakeSinkSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, "mem")))
   }
 
+  test("source SPI: a push-style TCP socket provider streams envelopes into the sink") {
+    // The push-style transport shape a real binlog client connection has:
+    // a server pushes envelope lines over TCP; the provider wraps Spark's
+    // socket source (one string column named `value` — the contract).
+    val root = tempDir("sink-").toString
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val payload = env(1L, "upsert", """{"id":9,"name":"sock"}""") + "\n"
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val pusher = new Thread(() => {
+      try {
+        val s = server.accept()
+        val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+        out.write(payload)
+        out.flush()
+        done.await(60, java.util.concurrent.TimeUnit.SECONDS) // keep the connection open
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    pusher.setDaemon(true)
+    pusher.start()
+    val stream = graft.cdc.CdcSource.resolve(
+      spark, Map(
+        graft.cdc.CdcSource.ProviderKey -> classOf[SocketEnvelopeProvider].getName,
+        SocketEnvelopeProvider.PortKey -> server.getLocalPort.toString))
+    val q = stream.writeStream
+      .format("cdc-lake")
+      .option("checkpointLocation", s"$root/_ckpt")
+      .option("option.lake.path", s"$root/{db}/{table}")
+      .option("db.person.recordkey.field", "id")
+      .option("db.person.buckets", "4")
+      .start()
+    try {
+      // The socket source buffers lines as its receiver thread gets them:
+      // poll until the pushed envelope lands in the table (bounded).
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var landed = Seq.empty[(Long, String)]
+      while (landed.isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        val t = new LakeTable(spark, s"$root/db/person", 4)
+        if (t.latestVersion.isDefined)
+          landed = t.snapshot.select("id", "name").as[(Long, String)].collect().toSeq
+        if (landed.isEmpty) Thread.sleep(200)
+      }
+      assert(landed == Seq((9L, "sock")),
+        s"socket-pushed envelope must reach the lake table, got $landed")
+    } finally {
+      q.stop()
+      done.countDown()
+      server.close()
+    }
+  }
+
   test("source SPI: a provider violating the one-string-column contract fails loudly at resolve") {
     val e = intercept[IllegalArgumentException] {
       graft.cdc.CdcSource.resolve(
@@ -252,6 +305,30 @@ class MemoryEnvelopeProvider extends graft.cdc.CdcSourceProvider {
 
 object MemoryEnvelopeProvider {
   @volatile var stream: MemoryStream[String] = _
+}
+
+/** Push-style [[graft.cdc.CdcSourceProvider]] fixture over Spark's TCP
+  * socket source — the transport shape of a real binlog client
+  * connection (server pushes change events down an open socket). The
+  * socket source's single `value` string column IS the envelope
+  * contract, so the provider is pure wiring: host/port read from the
+  * same options map every provider gets.
+  */
+class SocketEnvelopeProvider extends graft.cdc.CdcSourceProvider {
+  override def envelopeStream(
+      spark: org.apache.spark.sql.SparkSession,
+      options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    spark.readStream.format("socket")
+      .option("host", options.getOrElse(SocketEnvelopeProvider.HostKey, "127.0.0.1"))
+      .option("port", options.getOrElse(SocketEnvelopeProvider.PortKey,
+        throw new IllegalArgumentException(
+          s"${SocketEnvelopeProvider.PortKey} is required for ${getClass.getName}")))
+      .load()
+}
+
+object SocketEnvelopeProvider {
+  val HostKey = "option.source.host"
+  val PortKey = "option.source.port"
 }
 
 /** Contract-violation fixture: two columns instead of the envelope's one. */
