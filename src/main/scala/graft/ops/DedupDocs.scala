@@ -691,4 +691,67 @@ object DedupDocs {
     ranked.unionByName(singles)
       .select(col(idCol), col("group_id"), col("keep"))
   }
+
+  /** C4-style exact BLOCK dedup with document RECONSTRUCTION: the corpus
+    * is cut into disjoint `k`-word blocks (the last block may be short),
+    * every block whose exact text already appeared earlier in the corpus
+    * — globally, ordered by `(id, block_idx)` — is removed, and each
+    * document is rebuilt from its surviving blocks. This is the
+    * *removal* counterpart of [[spanStats]] (which only measures): C4's
+    * pipeline drops repeated three-sentence spans keeping the first
+    * occurrence, so boilerplate (headers, license blocks, navigation)
+    * survives exactly once corpus-wide instead of millions of times.
+    *
+    * Output: one row per input document —
+    * `(id, n_blocks, n_kept, clean_text)` where `clean_text` is the
+    * space-joined surviving blocks (empty when every block was a repeat).
+    *
+    * Scale shape: blocks ship as the 120-bit md5 fingerprints of
+    * [[spanStats]] ([[SpanFpCols]]' global-population collision budget);
+    * the keep-first winner is one `row_number` window partitioned by
+    * fingerprint over `(id, block_idx, fp)` rows — block TEXT never
+    * crosses an exchange. Survivor positions regroup per doc as plain
+    * ints, and reconstruction re-derives the block strings doc-locally
+    * from the original `textCol` (one more scan-stage HOF, no string
+    * shuffle). Nothing is ever corpus² and nothing collects.
+    */
+  def blockDedup(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"block length must be >= 1 word: $k")
+    val ws = col("_ws")
+    val nBlocks = floor((size(ws) + lit(k - 1)) / lit(k)).cast("int")
+    def blockAt(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", slice(ws, b * lit(k) + lit(1), lit(k)))
+    // (id, bidx, fp1, fp2) — fingerprints taken codegen'd AFTER the
+    // explode (the spanFingerprints lesson); the two md5 calls share one
+    // evaluation via codegen subexpression elimination.
+    val blocks = docs
+      .withColumn("_ws", split(col(textCol), " "))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nBlocks - lit(1)), blockAt(_))))
+      .select(
+        col(idCol), col("pos").as("bidx"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("fp1"),
+        conv(substring(md5(col("col")), 16, 15), 16, 10).cast("long").as("fp2"))
+    val keepFirst = Window.partitionBy(SpanFpCols.map(col): _*)
+      .orderBy(col(idCol), col("bidx"))
+    val kept = blocks
+      .withColumn("_rn", row_number().over(keepFirst))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("bidx"))).as("_kept"))
+    docs
+      .join(kept, Seq(idCol), "left")
+      .withColumn("_ws", split(col(textCol), " "))
+      .select(
+        col(idCol),
+        nBlocks.cast("long").as("n_blocks"),
+        coalesce(size(col("_kept")), lit(0)).cast("long").as("n_kept"),
+        array_join(
+          transform(coalesce(col("_kept"), array().cast("array<int>")), blockAt(_)),
+          " ").as("clean_text"))
+  }
 }

@@ -795,6 +795,36 @@ object OpsQueries {
           |FROM tot t JOIN per USING (doc_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup: C4-style block removal + reconstruction ----------------
+    // Global keep-first dedup of disjoint 8-word blocks, documents
+    // rebuilt from their survivors. Both engines key the winner window on
+    // the SAME 120-bit md5 fingerprints (bit-identical by construction —
+    // q56's span hash family), order by (doc_id, block_idx), and rebuild
+    // with a position-ordered join/agg, so clean_text hash-matches
+    // exactly.
+    "q78_block_dedup" -> QueryDef(
+      (spark, dir) => DedupDocs.blockDedup(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+          |bx AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) b
+          |       FROM w),
+          |blk AS (SELECT doc_id, b,
+          |          array_to_string(ws[b * 8 + 1 : b * 8 + 8], ' ') AS blok FROM bx),
+          |fp AS (SELECT doc_id, b, blok,
+          |         ('0x' || substr(md5(blok), 1, 15))::BIGINT AS fp1,
+          |         ('0x' || substr(md5(blok), 16, 15))::BIGINT AS fp2 FROM blk),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY fp1, fp2
+          |                                   ORDER BY doc_id, b) AS rn FROM fp),
+          |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |        string_agg(blok, ' ' ORDER BY b) AS clean_text
+          |      FROM r WHERE rn = 1 GROUP BY doc_id)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |       CAST((len(string_split(d.text, ' ')) + 7) // 8 AS BIGINT) AS n_blocks,
+          |       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          |       coalesce(k.clean_text, '') AS clean_text
+          |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: minhash + banded LSH + exact verify --------------------
     // Same oracle as q27: with 64 hashes / 16 bands the planted >= 0.9
     // Jaccard near-dups are deterministic-certain candidates, so the

@@ -687,6 +687,26 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == 2L && got(2L) == 1L)
   }
 
+  test("blockDedup keeps the globally-first block occurrence and rebuilds documents") {
+    // k=4 blocks: doc 1 = ["a b c d", "e f g h", "x y"]; doc 2's two
+    // blocks both repeat doc 1's -> doc 2 empties; doc 3's single short
+    // block "x y" repeats doc 1's trailing short block -> empties too;
+    // doc 4 repeats a block of ITSELF (positions 0 and 1) keeping pos 0.
+    val df = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "e f g h a b c d"),
+      (3L, "x y"),
+      (4L, "p q r s p q r s tail")
+    ).toDF("doc_id", "text")
+    val got = DedupDocs.blockDedup(df, k = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, "a b c d e f g h x y"),
+      (2L, 2L, 0L, ""),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 2L, "p q r s tail")))
+  }
+
   test("contaminationAgainst counts train spans occurring verbatim in the eval set") {
     val span = "a b c d e f g h"
     val train = Seq(
