@@ -142,10 +142,35 @@ class LakeSnapshotRelation(
     PartitionedLakeTable.open(ctx.sparkSession, path, buckets)
       .toLeft(new LakeTable(ctx.sparkSession, path, buckets))
 
+  // Time travel (Hudi's `as.of.instant` read shape): `versionAsOf` pins
+  // an EXPLICIT committed version instead of latest — a version number
+  // for plain tables, a JSON object `{partition: version}` (the
+  // VectorOffset wire shape) for partitioned ones. Validation is loud:
+  // a wrong-shaped value throws here and an unknown/vacuumed version
+  // throws in `snapshotAt` — time travel must never silently read a
+  // different state than the one asked for.
+  private lazy val requestedVersion: Option[String] =
+    parameters.get("versionAsOf").map(_.trim)
+
   private lazy val pinnedVersion: Option[Long] =
-    opened.fold(_ => None, _.latestVersion)
+    opened.fold(_ => None, t => requestedVersion match {
+      case Some(v) =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"versionAsOf on a plain lake table takes a version number, got '$v'")
+        Some(v.toLong)
+      case None => t.latestVersion
+    })
   private lazy val pinnedVector: Map[String, Long] =
-    opened.fold(_.currentVersions, _ => Map.empty)
+    opened.fold(pt => requestedVersion match {
+      case Some(v) =>
+        require(v.startsWith("{"),
+          "versionAsOf on a partitioned lake table takes a JSON object " +
+            s"{partition: version}, got '$v'")
+        val vec = VectorOffset.parse(v)
+        require(vec.nonEmpty, s"versionAsOf vector is empty: '$v'")
+        vec
+      case None => pt.currentVersions
+    }, _ => Map.empty)
 
   // Emptiness is pinned too (r9 advice): with no committed version at
   // relation creation there is nothing to pin a version against, and

@@ -170,6 +170,36 @@ class CdcLakeSinkSpec extends SparkSpec {
       ("a", "2024-01-01", "va"), ("c", "2024-01-02", "vc")))
   }
 
+  test("versionAsOf pins an explicit committed version; wrong shapes and unknown versions are loud") {
+    val root = tempDir("sink-").toString
+    val lake = new LakeTable(spark, s"$root/t", numBuckets = 4)
+    lake.upsert(Seq(("k1", 1L, "v1")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    lake.upsert(Seq(("k1", 2L, "v2")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    def readAt(v: String): Seq[String] = spark.read.format("cdc-lake")
+      .option("buckets", "4").option("versionAsOf", v).load(s"$root/t")
+      .select("payload").as[String].collect().toSeq
+    assert(readAt("1") == Seq("v1"))
+    assert(readAt("2") == Seq("v2"))
+    // latest (no option) still reads v2
+    assert(spark.read.format("cdc-lake").option("buckets", "4").load(s"$root/t")
+      .select("payload").as[String].collect().toSeq == Seq("v2"))
+    intercept[Exception](readAt("9"))            // unknown version
+    intercept[Exception](readAt("""{"a":1}"""))  // vector on a plain table
+
+    val proot = tempDir("sink-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, proot, "day", numBuckets = 2)
+    plt.upsert(Seq(("a", 1L, "d1", "pv1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    plt.upsert(Seq(("a", 2L, "d1", "pv2"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    def readPAt(v: String): Seq[String] = spark.read.format("cdc-lake")
+      .option("buckets", "2").option("versionAsOf", v).load(proot)
+      .select("payload").as[String].collect().toSeq
+    assert(readPAt("""{"d1":1}""") == Seq("pv1"))
+    assert(readPAt("""{"d1":2}""") == Seq("pv2"))
+    intercept[Exception](readPAt("1"))           // scalar on a partitioned table
+  }
+
   test("Sink.addBatch with a replayed batchId is a no-op (provider-level)") {
     val root = tempDir("sink-").toString
     val params = Map(
