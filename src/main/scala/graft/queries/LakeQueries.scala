@@ -72,6 +72,56 @@ object LakeQueries {
     finalState(lake)
   }
 
+  // ---- q79: time travel via the versionAsOf batch-read option ------------
+
+  /** Three commits (upsert evens → delete `%10` users → upsert odds), then
+    * the Spark-idiomatic time-travel read
+    * `spark.read.format("cdc-lake").option("versionAsOf", 2)` — the state
+    * BETWEEN the delete and the second upsert. The oracle recomputes that
+    * intermediate state (LWW over even event_ids minus the deleted users),
+    * so it can only match if the pinned historical manifest — not latest —
+    * is what the relation actually reads.
+    */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchDir("lake")
+    val lake = new LakeTable(spark, path, numBuckets = 16, bloomOnWrite = false)
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1:upsert")
+    lake.delete(
+      ev.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+      commitId = "b2:delete")
+    lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b3:upsert")
+    spark.read.format("cdc-lake")
+      .option("path", path).option("buckets", "16")
+      .option("versionAsOf", "2")
+      .load()
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // ---- q80: row-level change feed between versions (CDC read) ------------
+
+  /** Same three commits as q79 reordered (upsert evens → upsert odds →
+    * delete `%10` users), then `changesBetween(1, 3)` — the NET row-level
+    * diff v1→v3 with tombstones. The oracle derives every change class
+    * independently: inserts = odd-only users surviving the delete,
+    * updates = users whose global LWW winner differs from their even-only
+    * winner, deletes = `%10` users that existed at v1 (before-image =
+    * their even-only LWW row).
+    */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1:upsert")
+    lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b2:upsert")
+    lake.delete(
+      ev.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+      commitId = "b3:delete")
+    lake.changesBetween(1L, 3L)
+      .select("_change_type", "user_id", "event_id", "event_type", "value")
+      .orderBy("user_id", "_change_type")
+  }
+
   // ---- q25: full CDC pipeline end-to-end (P1-P8, A1-A3, S6/S7) -----------
 
   private def jsonQuote(s: String): String =
@@ -421,6 +471,42 @@ object LakeQueries {
           |SELECT user_id, event_id, event_type, value FROM b4
           |WHERE rn = 1 AND user_id % 10 = 0
           |ORDER BY user_id""".stripMargin)),
+    "q79_lake_time_travel" -> QueryDef(
+      q79,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |SELECT user_id, event_id, event_type, value,
+          |       row_number() OVER (PARTITION BY user_id
+          |                          ORDER BY ts DESC, event_id DESC) AS rn
+          |FROM events WHERE event_id % 2 = 0) t
+          |WHERE rn = 1 AND user_id % 10 <> 0
+          |ORDER BY user_id""".stripMargin)),
+    "q80_lake_changes" -> QueryDef(
+      q80,
+      Some(
+        """WITH v1 AS (SELECT user_id, event_id, event_type, value FROM (
+          |  SELECT user_id, event_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+          |v3 AS (SELECT user_id, event_id, event_type, value FROM (
+          |  SELECT user_id, event_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) t WHERE rn = 1 AND user_id % 10 <> 0)
+          |SELECT 'insert' AS _change_type,
+          |       v3.user_id, v3.event_id, v3.event_type, v3.value
+          |FROM v3 WHERE v3.user_id NOT IN (SELECT user_id FROM v1)
+          |UNION ALL
+          |SELECT 'update_postimage' AS _change_type,
+          |       v3.user_id, v3.event_id, v3.event_type, v3.value
+          |FROM v3 JOIN v1 ON v3.user_id = v1.user_id
+          |WHERE v3.event_id <> v1.event_id
+          |UNION ALL
+          |SELECT 'delete' AS _change_type,
+          |       v1.user_id, v1.event_id, v1.event_type, v1.value
+          |FROM v1 WHERE v1.user_id % 10 = 0
+          |ORDER BY user_id, _change_type""".stripMargin)),
     "q24_lake_delete" -> QueryDef(
       q24,
       Some(

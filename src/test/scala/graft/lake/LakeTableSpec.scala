@@ -494,6 +494,38 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](lt.snapshotAt(99L))
   }
 
+  test("changesBetween emits the net insert/update/delete diff with images") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))   // v1
+    lt.upsert(rows(("b", 2L, "b2"), ("d", 1L, "d1")))                    // v2
+    lt.delete(Seq("c").toDF(LakeTable.KeyCol))                           // v3
+    val got = lt.changesBetween(1L, 3L)
+      .select("_change_type", LakeTable.KeyCol, "payload")
+      .as[(String, String, String)].collect().sortBy(_._2)
+    // "a" is untouched -> absent; "b" updated; "c" deleted (BEFORE-image);
+    // "d" inserted.
+    assert(got.toSeq == Seq(
+      ("update_postimage", "b", "b2"),
+      ("delete", "c", "c1"),
+      ("insert", "d", "d1")))
+    // since == until -> empty feed, schema intact
+    assert(lt.changesBetween(3L, 3L).count() == 0L)
+    intercept[IllegalArgumentException](lt.changesBetween(1L, 99L))
+  }
+
+  test("changesBetween conforms the before side across schema drift and widening") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 7), ("b", 1L, 8))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "n"))                     // v1: n int
+    lt.upsert(Seq(("b", 2L, 9000000000L, "extra"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "n", "added"))            // v2: widen + add
+    val got = lt.changesBetween(1L, 2L)
+      .select("_change_type", LakeTable.KeyCol, "n", "added")
+      .as[(String, String, Long, Option[String])].collect().sortBy(_._2)
+    // "a" gained only a null column -> compares EQUAL, emits nothing.
+    assert(got.toSeq == Seq(("update_postimage", "b", 9000000000L, Some("extra"))))
+  }
+
   test("concurrent commit of the same version is rejected atomically") {
     val dir = tempDir("lake-").toString
     val lt1 = new LakeTable(spark, dir, numBuckets = 2)
