@@ -362,4 +362,51 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("rank"))
   }
+
+  /** EXACT heavy hitters — every key of `keyCol` whose global count is
+    * `>= minCount` — without shuffling the long tail. A plain
+    * `groupBy(key).count().filter(...)` ships one partial-count row per
+    * distinct (partition, key) through the exchange: at 100 TB of text
+    * tokens that is the full Zipf tail, shuffled only to be discarded by
+    * the HAVING.
+    *
+    * Two-pass pigeonhole prune instead: a key with global count >= T must
+    * have local count >= ceil(T/P) in at least one of the P input
+    * partitions (if every local count were below that, the total would be
+    * at most P*(ceil(T/P)-1) < T). Pass 1 counts per-partition in a local
+    * hash map (no shuffle at all — the honest `mapPartitions` case) and
+    * emits only locally-frequent keys; pass 2 recounts exactly, but only
+    * for candidate keys, via a semi-join the optimizer broadcasts when
+    * the candidate set is small (bounded by rows/ceil(T/P) per partition
+    * — for thresholds that make "heavy" meaningful it always is). Scan
+    * cost doubles; exchange volume drops from |vocabulary| to
+    * |candidates|. False negatives are impossible (pigeonhole) and false
+    * positives die in the exact recount, so the result equals the naive
+    * plan's row-for-row. Null keys are excluded (SQL join semantics) —
+    * filter or coalesce upstream if a null group matters.
+    */
+  def heavyHitters(terms: DataFrame, keyCol: String, minCount: Long): DataFrame = {
+    require(minCount > 0, s"minCount must be positive (got $minCount)")
+    val spark = terms.sparkSession
+    import spark.implicits._
+    // The local bound depends on P, so derive it from the ONE RDD the
+    // counting pass then runs over — measuring P on a separate plan
+    // evaluation could disagree (a larger real P would over-raise the
+    // bound and break the no-false-negative guarantee).
+    val keyRdd = terms.select(col(keyCol)).as[String].rdd
+    val p = keyRdd.getNumPartitions.toLong.max(1L)
+    val localBound = (minCount + p - 1) / p
+    val cands = spark.createDataset(keyRdd.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach(k => m.merge(k, 1L, _ + _))
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .collect { case e if e.getValue >= localBound => e.getKey }
+    }).distinct().toDF(keyCol)
+    terms
+      .join(cands, Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.lake.LakeTable
-import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, TextStats, Vocab}
+import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, Temporal, TextStats, Vocab}
 
 /** Driver-visible entries for the LLM-training-data operators
   * (`documents` / `embeddings` tables), each implemented in the DataFrame
@@ -1256,6 +1256,99 @@ object OpsQueries {
         """SELECT doc_id, g.generate_series AS frame_idx,
           |  md5(substr(text, CAST(floor(g.generate_series * length(text) / 4.0) AS INT) + 1, 16)) AS feature
           |FROM documents, generate_series(0, 3) g
-          |ORDER BY doc_id, frame_idx""".stripMargin))
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- temporal joins (operators Spark lacks as built-ins) -----------
+    // Point-in-time enrichment: each purchase event joined to the SAME
+    // user's latest click at-or-before it. Spark side is Temporal.asofJoin
+    // (union + one keyed shuffle + running last-ignoreNulls window — no
+    // range explosion); the oracle is DuckDB's native ASOF LEFT JOIN, so
+    // the two engines cross-check genuinely independent as-of
+    // implementations. Clicks are pre-deduped on (user, ts) by max_by
+    // (the operator's documented determinism contract); ts in micros
+    // (BIGINT, exact) on both sides.
+    "q81_asof_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("us", expr("ts DIV 1000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("us").as("c_us"))
+          .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        Temporal.asofJoin(purchases, clicks, Seq("user_id"), "p_us", "c_us")
+          .withColumn("gap_us", col("p_us") - col("c_us"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+          |           FROM events),
+          |p AS (SELECT event_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, us AS c_us, max_by(value, event_id) AS c_value
+          |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.p_us, c.c_us, c.c_value,
+          |  p.p_us - c.c_us AS gap_us
+          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // Pure interval-containment join with NO equi key: per-user onboarding
+    // windows [first event, +3 days) against ALL events (any user's events
+    // inside any window). A naive `p >= s AND p < e` join is a
+    // BroadcastNestedLoopJoin in Spark — Temporal.rangeJoin instead
+    // explodes each interval into day-cells and equi-joins on the point's
+    // cell (duplicate-free by construction). The oracle IS the naive
+    // theta-join in DuckDB, so the bucketed rewrite is checked against the
+    // direct definition.
+    "q82_range_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("us", expr("ts DIV 1000"))
+        val windows = ev.groupBy(col("user_id").as("w_user"))
+          .agg(min(col("us")).as("w_start"))
+          .withColumn("w_end", col("w_start") + lit(259200000000L))
+        val pts = ev.select(col("user_id"), col("us"), col("value"))
+        Temporal.rangeJoin(pts, windows, "us", "w_start", "w_end", 86400000000L)
+          .groupBy("w_user")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            countDistinct(col("user_id")).cast("long").as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("w_user")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+          |w AS (SELECT user_id AS w_user, min(us) AS w_start,
+          |             min(us) + 259200000000 AS w_end
+          |      FROM e GROUP BY 1)
+          |SELECT w.w_user, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM w JOIN e ON e.us >= w.w_start AND e.us < w.w_end
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- exact heavy hitters without shuffling the Zipf tail -----------
+    // TextStats.heavyHitters: pass 1 counts per-partition in a local map
+    // and keeps only keys at the pigeonhole bound ceil(T/P) (no shuffle);
+    // pass 2 exactly recounts the tiny candidate set behind a semi-join.
+    // Output is row-for-row the naive GROUP BY/HAVING — which is exactly
+    // what the oracle runs. (This corpus's vocabulary is tiny, so the
+    // prune is exercised, not stressed; OpsSpec proves the tail-pruning
+    // equivalence on a synthetic Zipf corpus with engineered partition
+    // splits.)
+    "q83_heavy_hitters" -> QueryDef(
+      (spark, dir) => {
+        val toks = docs(spark, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        TextStats.heavyHitters(toks, "term", 200L)
+          .select(col("term"), col("n").cast("long").as("n"))
+          .orderBy("term")
+      },
+      Some(
+        """SELECT term, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |WHERE term <> ''
+          |GROUP BY 1 HAVING count(*) >= 200
+          |ORDER BY 1""".stripMargin))
   )
 }

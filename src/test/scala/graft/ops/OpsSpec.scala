@@ -998,4 +998,26 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq ==
       Seq((9L, 0L, 0L, 0L, 0L, 1L)))
   }
+
+  test("heavyHitters == naive GROUP BY/HAVING on a Zipf corpus across partition layouts") {
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: key k_i appears ~ 2000/i times — a long tail of singletons
+    // plus a handful of heavy keys, the shape the pigeonhole prune targets.
+    val terms = (1 to 400).flatMap(i => Seq.fill(2000 / i)(s"k_$i"))
+    val shuffled = rnd.shuffle(terms)
+    val naive = terms.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 100L).toMap
+    assert(naive.nonEmpty && naive.size < 25) // genuinely selective
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.sparkContext.parallelize(shuffled, parts).toDF("term")
+      val got = TextStats.heavyHitters(df, "term", 100L)
+        .as[(String, Long)].collect().toMap
+      assert(got === naive, s"mismatch at $parts partitions")
+    }
+    // Boundary: a key with count exactly minCount survives; minCount-1 dies.
+    val edge = (Seq.fill(5)("at") ++ Seq.fill(4)("below") ++ Seq("tail"))
+    val edgeDf = spark.sparkContext.parallelize(rnd.shuffle(edge), 3).toDF("term")
+    assert(TextStats.heavyHitters(edgeDf, "term", 5L)
+      .as[(String, Long)].collect().toMap === Map("at" -> 5L))
+  }
 }
