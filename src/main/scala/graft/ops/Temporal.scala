@@ -116,6 +116,9 @@ object Temporal {
     * the median interval length (explosion factor ~2); a hot cell
     * (burst of points under a long interval) is an AQE skew-join case.
     * Empty intervals (end <= start) match nothing and are dropped.
+    * When the interval side is small enough to broadcast, the join is
+    * narrow and probe parallelism follows the POINTS side's
+    * partitioning — spread a single-split scan upstream first.
     *
     * Column contract: left and right column sets must be disjoint;
     * all three bound columns are LONGs in the same unit.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.lake.LakeTable
-import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, Temporal, TextStats, Vocab}
+import graft.ops.{DedupDocs, Multimodal, Sampling, Similarity, Sketches, Temporal, TextStats, Vocab}
 
 /** Driver-visible entries for the LLM-training-data operators
   * (`documents` / `embeddings` tables), each implemented in the DataFrame
@@ -1301,7 +1301,14 @@ object OpsQueries {
     // direct definition.
     "q82_range_join" -> QueryDef(
       (spark, dir) => {
+        // The 1500 3-day windows over a 30-day axis overlap ~150-deep, so
+        // the joined row count is ~150× the events — real work the oracle
+        // does too. The probe parallelism follows the POINTS side's
+        // partitioning (broadcast join = narrow), and the single small
+        // parquet file is ONE split: spread it first or the 15M-row probe
+        // runs in one task (measured 12.5 s → ~1 s at 32 slots).
         val ev = Tables.load(spark, dir, "events")
+          .repartition(spark.sparkContext.defaultParallelism)
           .withColumn("us", expr("ts DIV 1000"))
         val windows = ev.groupBy(col("user_id").as("w_user"))
           .agg(min(col("us")).as("w_start"))
@@ -1349,6 +1356,34 @@ object OpsQueries {
           |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
           |WHERE term <> ''
           |GROUP BY 1 HAVING count(*) >= 200
-          |ORDER BY 1""".stripMargin))
+          |ORDER BY 1""".stripMargin)),
+
+    // ---- mergeable-sketch distinct rollup ------------------------------
+    // COUNT(DISTINCT) does not decompose across time buckets; HLL
+    // sketches do. Per-(event_type, day) sketches are built in ONE
+    // partial-agg pass, then unioned per event_type — the persist-daily/
+    // roll-up-any-window pattern. The query gates the rollup estimate
+    // within 5% of exact (at this cardinality DataSketches stays in
+    // sparse mode, so the estimate is exact and the gate is slack) and
+    // emits the EXACT counts, which is precisely the oracle's SQL — a
+    // drifted or mis-unioned sketch drops rows and hash-fails.
+    "q84_sketch_rollup" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("day", expr("ts DIV 86400000000000"))
+        val sketches =
+          Sketches.distinctSketches(ev, Seq("event_type"), "day", "user_id")
+        val est = Sketches.rollupDistinct(sketches, Seq("event_type"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        exact.join(est, "event_type")
+          .where(abs(col("approx_distinct") - col("n_users")) <=
+            col("n_users") * lit(0.05))
+          .select(col("event_type"), col("n_users"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -174,4 +174,49 @@ object EventTimeOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
   }
+
+  /** Stream-stream interval join: pair each left row with the right rows
+    * of the same key whose event time falls in
+    * `[leftTs - before, leftTs + after]`. Spark-first: this compiles to
+    * the built-in StreamingSymmetricHashJoin — each side buffers keyed
+    * state and the OTHER side's watermark plus the interval bound is
+    * exactly what lets Spark evict it (state ∝ keys × the interval+delay
+    * window, never stream length). The wrapper fixes the contract the
+    * built-in leaves implicit: BOTH sides watermarked (without both, an
+    * inner interval join buffers one side forever), distinct ts column
+    * names, non-negative bounds.
+    *
+    * `joinType` supports the outer variants ("left_outer" etc.) — outer
+    * results emit only once the watermark proves no match can arrive, so
+    * expect them delayed by the watermark, not dropped. Works identically
+    * on batch frames (watermarks no-op) for oracle-checking.
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      beforeMs: Long,
+      afterMs: Long,
+      leftWatermark: String,
+      rightWatermark: String,
+      joinType: String = "inner"): DataFrame = {
+    require(keyCols.nonEmpty, "streamIntervalJoin needs at least one key column")
+    require(leftTs != rightTs,
+      s"ts columns must have distinct names (both '$leftTs') — alias one side")
+    require(beforeMs >= 0 && afterMs >= 0,
+      s"interval bounds must be non-negative (got before=$beforeMs after=$afterMs)")
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    val keyCond = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $afterMs MILLISECONDS")
+    // Drop the right-side key copies (they equal the left's wherever both
+    // exist); a right_outer caller who needs the right keys on unmatched
+    // rows should alias them before joining.
+    keyCols.foldLeft(l.join(r, keyCond && timeCond, joinType))(
+      (d, k) => d.drop(r(k)))
+  }
 }

@@ -1020,4 +1020,21 @@ class OpsSpec extends SparkSpec {
     assert(TextStats.heavyHitters(edgeDf, "term", 5L)
       .as[(String, Long)].collect().toMap === Map("at" -> 5L))
   }
+
+  test("sketch rollup: union of per-bucket HLL sketches == direct distinct (sparse-exact)") {
+    // keys overlap across buckets — a rollup that double-counted would
+    // overshoot; sparse-mode HLL estimates exactly at this cardinality.
+    val rows = for {
+      day <- 0 to 9
+      k <- 0 until 50
+    } yield (if (k % 2 == 0) "a" else "b", day.toLong, (k + day * 10).toLong)
+    val df = rows.toDF("grp", "day", "key")
+    val sk = Sketches.distinctSketches(df, Seq("grp"), "day", "key")
+    assert(sk.count() === 20) // one sketch per (grp, day) cell
+    val rolled = Sketches.rollupDistinct(sk, Seq("grp"))
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.size.toLong).toMap
+    assert(rolled === exact)
+  }
 }

@@ -141,4 +141,44 @@ class EventTimeOpsSpec extends SparkSpec {
         s"only user 7's first session should have closed: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs keyed events within the time bound, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventTimeOps.streamIntervalJoin(
+      clicks.toDF().toDF("c_ts", "user_id", "click_id"),
+      views.toDF().toDF("v_ts", "user_id", "view_id"),
+      Seq("user_id"), "c_ts", "v_ts",
+      beforeMs = 10000L, afterMs = 0L, // views up to 10 s BEFORE the click
+      leftWatermark = "5 seconds", rightWatermark = "5 seconds")
+    assert(joined.columns.count(_ == "user_id") == 1, "right key copy dropped")
+    val q = joined.writeStream.format("memory")
+      .queryName("interval_join").outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      views.addData(
+        (t("2024-01-01 10:00:00"), 1L, "v-in"),
+        (t("2024-01-01 10:00:01"), 2L, "v-wrong-user"),
+        (t("2024-01-01 09:59:45"), 1L, "v-too-old"))
+      clicks.addData((t("2024-01-01 10:00:05"), 1L, "c1"))
+      q.processAllAvailable()
+      // a LATER batch's view still inside c1's window joins retroactively:
+      // c1 sits in the left buffer until the view watermark passes it
+      views.addData((t("2024-01-01 10:00:03"), 1L, "v-late-batch"))
+      clicks.addData((t("2024-01-01 10:00:06"), 2L, "c2")) // matches v-wrong-user's user
+      q.processAllAvailable()
+      val got = spark.table("interval_join")
+        .select($"click_id", $"view_id").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("c1", "v-in"), ("c1", "v-late-batch"), ("c2", "v-wrong-user")),
+        s"got $got")
+    } finally q.stop()
+
+    intercept[IllegalArgumentException] {
+      EventTimeOps.streamIntervalJoin(
+        clicks.toDF().toDF("ts", "u", "a"), views.toDF().toDF("ts", "u", "b"),
+        Seq("u"), "ts", "ts", 0L, 0L, "5 seconds", "5 seconds")
+    }
+  }
 }
