@@ -1301,35 +1301,42 @@ object OpsQueries {
     // direct definition.
     "q82_range_join" -> QueryDef(
       (spark, dir) => {
-        // The 1500 3-day windows over a 30-day axis overlap ~150-deep, so
-        // the joined row count is ~150× the events — real work the oracle
-        // does too. The probe parallelism follows the POINTS side's
-        // partitioning (broadcast join = narrow), and the single small
-        // parquet file is ONE split: spread it first or the 15M-row probe
-        // runs in one task (measured 12.5 s → ~1 s at 32 slots).
+        // N per-user 1-day windows over a 30-day axis overlap ~N/30-deep,
+        // so the joined row count is ~N/30× the events (sf0.1: ~5M rows)
+        // — real work the oracle does too. Two plan rules keep it cheap:
+        // the probe parallelism follows the POINTS side's partitioning
+        // (broadcast join = narrow), so the single-split scan is spread
+        // first; and the join-output aggregation sums QUANTIZED BIGINT
+        // cents, not DECIMAL(18,2) — decimal's object-per-add agg buffer
+        // measured 10 s alone over the joined rows where the integer sum
+        // is codegen'd arithmetic (exact and order-independent in both
+        // engines; one final IEEE division at the end).
         val ev = Tables.load(spark, dir, "events")
           .repartition(spark.sparkContext.defaultParallelism)
           .withColumn("us", expr("ts DIV 1000"))
         val windows = ev.groupBy(col("user_id").as("w_user"))
           .agg(min(col("us")).as("w_start"))
-          .withColumn("w_end", col("w_start") + lit(259200000000L))
+          .withColumn("w_end", col("w_start") + lit(86400000000L))
         val pts = ev.select(col("user_id"), col("us"), col("value"))
         Temporal.rangeJoin(pts, windows, "us", "w_start", "w_end", 86400000000L)
           .groupBy("w_user")
           .agg(
             count(lit(1)).cast("long").as("n"),
             countDistinct(col("user_id")).cast("long").as("n_users"),
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+            sum(floor(col("value") * lit(100)).cast("long")).as("cents"))
+          .withColumn("sum_value", col("cents").cast("double") / lit(100.0))
+          .drop("cents")
           .orderBy("w_user")
       },
       Some(
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
           |w AS (SELECT user_id AS w_user, min(us) AS w_start,
-          |             min(us) + 259200000000 AS w_end
+          |             min(us) + 86400000000 AS w_end
           |      FROM e GROUP BY 1)
           |SELECT w.w_user, CAST(count(*) AS BIGINT) AS n,
           |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |  CAST(CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          |    / 100.0 AS sum_value
           |FROM w JOIN e ON e.us >= w.w_start AND e.us < w.w_end
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
