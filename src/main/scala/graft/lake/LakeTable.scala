@@ -173,6 +173,29 @@ final class LakeTable(
     readBuckets(m, m.allBuckets)
   }
 
+  /** (version, commitTimeMs) for every committed version, ascending by
+    * version — the basis for timestamp-based time travel. Driver-side,
+    * one manifest read per version. Pre-r12 manifests report 0.
+    */
+  def commitTimes(): Seq[(Long, Long)] =
+    versions().map(v => v -> readManifest(v).commitTimeMs)
+
+  /** Latest version committed at-or-before `tsMillis` (Hudi's
+    * `as.of.instant` resolution), or None when the timestamp precedes
+    * every commit — a legitimate point-in-time whose table state is
+    * empty. Commit times are wall-clock at publish; a clock that stepped
+    * backward between commits cannot reorder resolution (each version's
+    * effective time is the running max over version order — versions are
+    * the source of truth for ordering, times only name them).
+    */
+  def versionAt(tsMillis: Long): Option[Long] = {
+    var eff = Long.MinValue
+    commitTimes().foldLeft(Option.empty[Long]) { case (acc, (v, t)) =>
+      eff = math.max(eff, t)
+      if (eff <= tsMillis) Some(v) else acc
+    }
+  }
+
   /** Restore (rollback): publish a NEW version whose manifest replicates
     * `version`'s — Hudi's restore/rollback shape. No data files move or
     * are deleted; the undone versions stay time-travel-addressable until
@@ -1088,8 +1111,13 @@ final class LakeTable(
   private def publish(version: Long, manifest: Manifest): Unit =
     // Atomic create-if-absent (hard link locally, no-overwrite rename on
     // HDFS): fails if the version already exists — a concurrent writer
-    // won the race and the caller should retry the merge.
-    io.publishIfAbsent(new HPath(commitsDir, versionFileName(version)), manifest.toJson)
+    // won the race and the caller should retry the merge. Every published
+    // manifest is stamped with the wall-clock commit time here (the one
+    // choke point) — the basis for timestampAsOf resolution; restores get
+    // the time they were PUBLISHED, not the restored version's.
+    io.publishIfAbsent(
+      new HPath(commitsDir, versionFileName(version)),
+      manifest.copy(commitTimeMs = System.currentTimeMillis()).toJson)
 }
 
 object LakeTable {
@@ -1169,7 +1197,8 @@ object LakeTable {
       bloomFiles: Map[Int, String],
       schemaJson: String,
       deltas: Map[Int, Seq[String]] = Map.empty,
-      deltaBlooms: Map[Int, Seq[String]] = Map.empty) {
+      deltaBlooms: Map[Int, Seq[String]] = Map.empty,
+      commitTimeMs: Long = 0L) {
 
     /** Buckets holding any data: a base dir, a delta stack, or both. */
     def allBuckets: Set[Int] = buckets.keySet ++ deltas.keySet
@@ -1195,6 +1224,7 @@ object LakeTable {
         }
       putSeqMap("deltas", deltas)
       putSeqMap("deltaBlooms", deltaBlooms)
+      root.put("commitTimeMs", commitTimeMs)
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
   }
@@ -1229,7 +1259,11 @@ object LakeTable {
         bloomFiles = objMap("bloomFiles"),
         schemaJson = root.get("schemaJson").asText(),
         deltas = seqMap("deltas"),
-        deltaBlooms = seqMap("deltaBlooms"))
+        deltaBlooms = seqMap("deltaBlooms"),
+        // pre-r12 manifests carry no commit time — 0 keeps them resolvable
+        // by versionAt (they sort before any stamped commit)
+        commitTimeMs =
+          Option(root.get("commitTimeMs")).map(_.asLong()).getOrElse(0L))
     }
   }
 }

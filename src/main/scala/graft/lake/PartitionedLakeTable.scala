@@ -360,6 +360,15 @@ final class PartitionedLakeTable(
   def currentVersions: Map[String, Long] =
     partitions.flatMap(v => partitionTable(v).latestVersion.map(v -> _)).toMap
 
+  /** Per-partition version vector as of `tsMillis` (the timestamp
+    * equivalent of [[currentVersions]]): each partition resolves
+    * independently via [[LakeTable.versionAt]]; partitions with no
+    * commit at-or-before the timestamp are absent — they did not exist
+    * yet at that point in time.
+    */
+  def versionsAt(tsMillis: Long): Map[String, Long] =
+    partitions.flatMap(p => partitionTable(p).versionAt(tsMillis).map(p -> _)).toMap
+
   /** Rows changed since `sinceVersions` (a vector from
     * [[currentVersions]]): per partition,
     * [[LakeTable.incrementalBetween]] from the vector's entry (0 — i.e.

@@ -150,7 +150,36 @@ class LakeSnapshotRelation(
   // throws in `snapshotAt` — time travel must never silently read a
   // different state than the one asked for.
   private lazy val requestedVersion: Option[String] =
-    parameters.get("versionAsOf").map(_.trim)
+    parameters.get("versionAsOf").map { v =>
+      require(!parameters.contains("timestampAsOf"),
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      v.trim
+    }
+
+  // `timestampAsOf` (Hudi `as.of.instant`): epoch millis or a
+  // 'yyyy-MM-dd HH:mm:ss[.SSS]' UTC instant, resolved ONCE here into the
+  // same pinned version(s) the versionAsOf path uses — per partition for
+  // partitioned tables (each partition resolves independently, so a
+  // partition born after the instant is simply absent). A timestamp
+  // before the table's first commit reads the legitimate point-in-time
+  // answer: an empty table. Wrong shapes throw loudly.
+  private lazy val requestedTimestamp: Option[Long] =
+    parameters.get("timestampAsOf").map { raw =>
+      require(requestedVersion.isEmpty,
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      val v = raw.trim
+      require(v.nonEmpty, "timestampAsOf must be non-empty")
+      if (v.forall(_.isDigit)) v.toLong
+      else try {
+        java.time.LocalDateTime.parse(v.replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            "timestampAsOf takes epoch millis or " +
+              s"'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'", e)
+      }
+    }
 
   private lazy val pinnedVersion: Option[Long] =
     opened.fold(_ => None, t => requestedVersion match {
@@ -158,7 +187,10 @@ class LakeSnapshotRelation(
         require(v.nonEmpty && v.forall(_.isDigit),
           s"versionAsOf on a plain lake table takes a version number, got '$v'")
         Some(v.toLong)
-      case None => t.latestVersion
+      case None => requestedTimestamp match {
+        case Some(ts) => t.versionAt(ts) // None -> pinnedEmpty
+        case None => t.latestVersion
+      }
     })
   private lazy val pinnedVector: Map[String, Long] =
     opened.fold(pt => requestedVersion match {
@@ -169,7 +201,10 @@ class LakeSnapshotRelation(
         val vec = VectorOffset.parse(v)
         require(vec.nonEmpty, s"versionAsOf vector is empty: '$v'")
         vec
-      case None => pt.currentVersions
+      case None => requestedTimestamp match {
+        case Some(ts) => pt.versionsAt(ts)
+        case None => pt.currentVersions
+      }
     }, _ => Map.empty)
 
   // Emptiness is pinned too (r9 advice): with no committed version at

@@ -494,6 +494,38 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](lt.snapshotAt(99L))
   }
 
+  test("commit times stamp every publish; versionAt resolves instants to versions") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    val before = System.currentTimeMillis()
+    lt.upsert(rows(("a", 1L, "v1")))
+    Thread.sleep(5) // commit-time resolution is millis
+    val betweenT = System.currentTimeMillis()
+    Thread.sleep(5)
+    lt.upsert(rows(("a", 2L, "v2")))
+    val times = lt.commitTimes()
+    assert(times.map(_._1) == Seq(1L, 2L))
+    assert(times.forall(_._2 >= before), s"unstamped commit: $times")
+    // an instant between the commits resolves to v1; now resolves to v2;
+    // before the first commit resolves to nothing (empty table then)
+    assert(lt.versionAt(betweenT) == Some(1L))
+    assert(lt.versionAt(System.currentTimeMillis()) == Some(2L))
+    assert(lt.versionAt(before - 1) == None)
+
+    // partitioned: each partition resolves independently; a partition
+    // born after the instant is absent from the vector
+    val plt = new PartitionedLakeTable(
+      spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    plt.upsert(Seq(("a", 1L, "d1", "x1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    plt.upsert(Seq(("a", 2L, "d1", "x2"), ("b", 1L, "d2", "y1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    assert(plt.versionsAt(mid) == Map("d1" -> 1L))
+    assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
+  }
+
   test("changesBetween emits the net insert/update/delete diff with images") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))   // v1

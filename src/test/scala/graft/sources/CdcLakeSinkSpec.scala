@@ -200,6 +200,51 @@ class CdcLakeSinkSpec extends SparkSpec {
     intercept[Exception](readPAt("1"))           // scalar on a partitioned table
   }
 
+  test("timestampAsOf resolves instants to pinned versions (Hudi as.of.instant shape)") {
+    val root = tempDir("sink-").toString
+    val lake = new LakeTable(spark, s"$root/t", numBuckets = 4)
+    lake.upsert(Seq(("k1", 1L, "v1")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    lake.upsert(Seq(("k1", 2L, "v2")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    def readTs(t: String): Seq[String] = spark.read.format("cdc-lake")
+      .option("buckets", "4").option("timestampAsOf", t).load(s"$root/t")
+      .select("payload").as[String].collect().toSeq
+    assert(readTs(mid.toString) == Seq("v1"))
+    assert(readTs(System.currentTimeMillis().toString) == Seq("v2"))
+    // an instant before the first commit is a legitimate point in time:
+    // the table had no state then (pinned-empty relation, empty schema —
+    // same convention as reading a never-committed table)
+    assert(spark.read.format("cdc-lake").option("buckets", "4")
+      .option("timestampAsOf", "1").load(s"$root/t").count() == 0)
+    // the formatted-UTC shape parses (far future resolves to latest)
+    assert(readTs("2099-01-01 00:00:00") == Seq("v2"))
+    intercept[Exception](readTs("not-a-time")) // loud on wrong shape
+    intercept[Exception] { // mutually exclusive with versionAsOf
+      spark.read.format("cdc-lake").option("buckets", "4")
+        .option("timestampAsOf", mid.toString).option("versionAsOf", "1")
+        .load(s"$root/t").collect()
+    }
+
+    // partitioned: per-partition resolution; a partition born after the
+    // instant is simply absent from that point-in-time read
+    val proot = tempDir("sink-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, proot, "day", numBuckets = 2)
+    plt.upsert(Seq(("a", 1L, "d1", "pv1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    Thread.sleep(5)
+    val pmid = System.currentTimeMillis()
+    Thread.sleep(5)
+    plt.upsert(Seq(("a", 2L, "d1", "pv2"), ("b", 1L, "d2", "qv1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    def readPTs(t: Long): Seq[String] = spark.read.format("cdc-lake")
+      .option("buckets", "2").option("timestampAsOf", t.toString).load(proot)
+      .select("payload").as[String].collect().toSeq.sorted
+    assert(readPTs(pmid) == Seq("pv1"))
+    assert(readPTs(System.currentTimeMillis()) == Seq("pv2", "qv1"))
+  }
+
   test("Sink.addBatch with a replayed batchId is a no-op (provider-level)") {
     val root = tempDir("sink-").toString
     val params = Map(
