@@ -1126,6 +1126,24 @@ object LakeTable {
   val SeqCol = "_seq"
   val BucketCol = "b"
   val BloomFileName = "_bloom"
+
+  /** Parse a user-facing instant: epoch millis, or
+    * 'yyyy-MM-dd HH:mm:ss[.SSS]' read as UTC (the `timestampAsOf` /
+    * `startingTimestamp` option shape). Loud on anything else.
+    */
+  def parseInstantMillis(raw: String): Long = {
+    val v = raw.trim
+    require(v.nonEmpty, "instant must be non-empty")
+    if (v.forall(_.isDigit)) v.toLong
+    else try {
+      java.time.LocalDateTime.parse(v.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"instant takes epoch millis or 'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'", e)
+    }
+  }
   /** Delta-file meta columns (merge-on-read, docs/MOR_DESIGN.md): the row
     * operation and the commit version that wrote it. Reserved names —
     * payload columns must not collide.

@@ -167,18 +167,7 @@ class LakeSnapshotRelation(
     parameters.get("timestampAsOf").map { raw =>
       require(requestedVersion.isEmpty,
         "versionAsOf and timestampAsOf are mutually exclusive")
-      val v = raw.trim
-      require(v.nonEmpty, "timestampAsOf must be non-empty")
-      if (v.forall(_.isDigit)) v.toLong
-      else try {
-        java.time.LocalDateTime.parse(v.replace(" ", "T"))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      } catch {
-        case e: java.time.format.DateTimeParseException =>
-          throw new IllegalArgumentException(
-            "timestampAsOf takes epoch millis or " +
-              s"'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'", e)
-      }
+      LakeTable.parseInstantMillis(raw)
     }
 
   private lazy val pinnedVersion: Option[Long] =

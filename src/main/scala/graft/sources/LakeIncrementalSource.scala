@@ -52,6 +52,15 @@ object VectorOffset {
   * version range always yields the same rows, until a vacuum drops the
   * range's manifests — which fails loudly rather than silently skipping).
   *
+  * A fresh stream defaults to starting from nothing (first batch = full
+  * snapshot). `option("startingVersion", v)` (plain tables) or
+  * `option("startingTimestamp", t)` (both layouts; epoch millis or
+  * `yyyy-MM-dd HH:mm:ss` UTC, resolved through the stamped commit times,
+  * per partition on partitioned tables) names the CONSUMED base instead —
+  * Hudi's incremental `read.begin.instanttime`: the first batch carries
+  * changes strictly after it, and `startingTimestamp = now` tails only
+  * new commits. Checkpointed streams ignore both (the checkpoint wins).
+  *
   * Rate limiting (admission control — the `maxOffsetsPerTrigger`
   * analogue): `option("maxVersionsPerBatch", n)` caps how many committed
   * versions past the stream's position one micro-batch may cover (per
@@ -105,6 +114,43 @@ class LakeIncrementalSource(
     val mx = parameters.get("maxVersionsPerBatch").map(_.toLong)
     require(mx.forall(_ > 0), s"maxVersionsPerBatch must be positive: ${mx.get}")
     mx
+  }
+
+  // Where a FRESH stream starts (Hudi's incremental
+  // `read.begin.instanttime` shape). Both options name the CONSUMED
+  // base — the first batch carries changes strictly AFTER it — and only
+  // apply when the checkpoint holds no offset yet (a restart replays the
+  // checkpointed range as always). `startingVersion` is the plain-table
+  // scalar; `startingTimestamp` (epoch millis or 'yyyy-MM-dd HH:mm:ss'
+  // UTC) resolves through the stamped commit times — per partition on
+  // partitioned tables, where a version scalar would be ambiguous.
+  // Default (neither): 0 / empty — first batch = full snapshot.
+  private val startingBase: Option[Either[Long, Long]] = { // Left=version, Right=ts
+    val sv = parameters.get("startingVersion")
+    val st = parameters.get("startingTimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    sv.map { v =>
+      require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+        s"startingVersion takes a version number, got '$v'")
+      require(partitioned.isEmpty,
+        "startingVersion is ambiguous on a partitioned table — use startingTimestamp")
+      Left(v.trim.toLong)
+    }.orElse(st.map(t => Right(LakeTable.parseInstantMillis(t))))
+  }
+
+  private lazy val startScalar: Long = startingBase match {
+    case Some(Left(v)) =>
+      val latest = plain.latestVersion.getOrElse(0L)
+      require(v <= latest,
+        s"startingVersion $v is beyond the latest committed version $latest")
+      v
+    case Some(Right(ts)) => plain.versionAt(ts).getOrElse(0L)
+    case None => 0L
+  }
+  private lazy val startVector: Map[String, Long] = startingBase match {
+    case Some(Right(ts)) => partitioned.map(_.versionsAt(ts)).getOrElse(Map.empty)
+    case _ => Map.empty
   }
 
   // The stream's position as of the last batch handed out — the base the
@@ -162,12 +208,12 @@ class LakeIncrementalSource(
     */
   private def nextEnd(prev: Option[Offset]): Option[Offset] = partitioned match {
     case Some(p) =>
-      val prevVec = prev.map(vector).getOrElse(Map.empty)
+      val prevVec = prev.map(vector).getOrElse(startVector)
       val vec = p.nextVersions(
         prevVec, maxVersions, drainTarget.flatMap(_.left.toOption))
       if (vec.isEmpty) None else Some(VectorOffset(vec))
     case None =>
-      val prevScalar = prev.map(scalar).getOrElse(0L)
+      val prevScalar = prev.map(scalar).getOrElse(startScalar)
       val target = drainTarget.flatMap(_.toOption)
       plain.nextVersion(prevScalar, maxVersions, target)
         // Caught up (or everything eligible vacuumed): sit at the real
@@ -192,9 +238,9 @@ class LakeIncrementalSource(
     lastEnd = Some(end)
     val batch = partitioned match {
       case Some(p) =>
-        p.incrementalBetweenVec(start.map(vector).getOrElse(Map.empty), vector(end))
+        p.incrementalBetweenVec(start.map(vector).getOrElse(startVector), vector(end))
       case None =>
-        plain.incrementalBetween(start.map(scalar).getOrElse(0L), scalar(end))
+        plain.incrementalBetween(start.map(scalar).getOrElse(startScalar), scalar(end))
     }
     StreamBatch.toStreaming(conformToFrozen(batch, end))
   }

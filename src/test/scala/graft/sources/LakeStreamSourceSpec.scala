@@ -48,6 +48,64 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingVersion/startingTimestamp skip consumed history on a fresh stream") {
+    val dir = tempDir("lakesrc-").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "a1"))) // v1 — consumed base
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    lt.upsert(rows(("b", 1L, "b1"))) // v2 — the only change after v1/mid
+
+    def drained(opts: Map[String, String], name: String): Seq[(String, String)] = {
+      val q = opts.foldLeft(
+          spark.readStream.format("cdc-lake")
+            .option("path", dir).option("buckets", "2"))((r, kv) => r.option(kv._1, kv._2))
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempDir("ckpt-").toString)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("_key", "payload")
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    }
+    // from version 1: only v2's rows, no snapshot
+    assert(drained(Map("startingVersion" -> "1"), "sv1") == Seq(("b", "b1")))
+    // from the mid instant: same
+    assert(drained(Map("startingTimestamp" -> mid.toString), "st1") == Seq(("b", "b1")))
+    // from now: nothing yet; a later commit arrives alone
+    assert(drained(Map("startingTimestamp" ->
+      System.currentTimeMillis().toString), "st2") == Seq.empty)
+    // loud: beyond-latest version, both options at once
+    intercept[Exception](drained(Map("startingVersion" -> "9"), "sv9"))
+    intercept[Exception](drained(
+      Map("startingVersion" -> "1", "startingTimestamp" -> "1"), "svboth"))
+
+    // partitioned: per-partition timestamp resolution; version scalars
+    // are ambiguous and rejected
+    val pdir = tempDir("lakesrc-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, pdir, "day", numBuckets = 2)
+    plt.upsert(Seq(("a", 1L, "d1", "x1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    Thread.sleep(5)
+    val pmid = System.currentTimeMillis()
+    Thread.sleep(5)
+    plt.upsert(Seq(("a", 2L, "d1", "x2"), ("b", 1L, "d2", "y1"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload"))
+    def pdrained(opts: Map[String, String], name: String): Seq[String] = {
+      val q = opts.foldLeft(
+          spark.readStream.format("cdc-lake")
+            .option("path", pdir).option("buckets", "2"))((r, kv) => r.option(kv._1, kv._2))
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempDir("ckpt-").toString)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("payload").as[String].collect().sorted.toSeq
+    }
+    assert(pdrained(Map("startingTimestamp" -> pmid.toString), "pst1") ==
+      Seq("x2", "y1"), "d1 advances from v1, d2 (born later) arrives whole")
+    intercept[Exception](pdrained(Map("startingVersion" -> "1"), "psv1"))
+  }
+
   test("mor table feed: delta commits stream as merged increments, folds re-emit nothing stale") {
     val dir = tempDir("lakesrc-").toString
     val lt = new LakeTable(spark, dir, numBuckets = 2,
