@@ -62,7 +62,8 @@ final class LakeTable(
     val zorderBy: Seq[String] = Nil,
     val bloomOnWrite: Boolean = true,
     val tableType: String = LakeTable.CowType,
-    val compactAfter: Int = 8) {
+    val compactAfter: Int = 8,
+    val mergeMode: String = LakeTable.OverwriteMode) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
@@ -75,6 +76,14 @@ final class LakeTable(
   require(tableType == CowType || tableType == MorType,
     s"tableType must be '$CowType' or '$MorType': $tableType")
   require(compactAfter > 0, s"compactAfter must be positive: $compactAfter")
+  require(mergeMode == OverwriteMode || mergeMode == PartialMode,
+    s"mergeMode must be '$OverwriteMode' or '$PartialMode': $mergeMode")
+  // Partial merge is a WRITE-side fold; MOR defers merging to the
+  // READ-side stack collapse, which applies the whole-row LWW comparator
+  // — supporting partial there means every reader re-deriving per-column
+  // winners across base+delta layers. Loud until that exists.
+  require(mergeMode == OverwriteMode || tableType == CowType,
+    s"mergeMode=$PartialMode requires a cow table (mor stack collapse is whole-row LWW)")
 
   // All small-file metadata I/O goes through the Hadoop FS abstraction —
   // the table works on any FileSystem URI (local, HDFS; see LakeIO's doc
@@ -341,7 +350,12 @@ final class LakeTable(
           .otherwise(side("_a", f.name)).as(f.name)).toSeq: _*)
   }
 
-  private def readBuckets(m: Manifest, buckets: Set[Int]): DataFrame = {
+  /** `internal = true` keeps the partial-merge `_pts` meta column (the
+    * write path's own reads need it to stay associative); every
+    * user-facing route strips it.
+    */
+  private def readBuckets(
+      m: Manifest, buckets: Set[Int], internal: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     // Reads are MANIFEST-driven, not constructor-driven: a bucket with a
     // delta stack (docs/MOR_DESIGN.md) is merged here whatever tableType
@@ -384,6 +398,10 @@ final class LakeTable(
         spark.read.schema(metaSchema).parquet(deltaPaths: _*))
       plain.unionByName(morMerge(stacked, schema))
     }
+  } match {
+    // drop is a no-op on non-partial tables (no such column)
+    case out if internal => out
+    case out => out.drop(PtsCol)
   }
 
   /** Collapse a base+delta row stack to current state — the read-side
@@ -490,7 +508,11 @@ final class LakeTable(
     * containing a map anywhere in their type go through to_json first
     * (same bytes => same hash, so the order stays deterministic).
     */
-  private def lwwMerge(old: DataFrame, upd: DataFrame): DataFrame = {
+  private def lwwMerge(old: DataFrame, upd: DataFrame): DataFrame =
+    if (mergeMode == PartialMode) partialMerge(old, upd)
+    else overwriteMerge(old, upd)
+
+  private def overwriteMerge(old: DataFrame, upd: DataFrame): DataFrame = {
     val oldTagged = old.withColumn(SeqCol, lit(0L))
     val updTagged = upd.withColumn(SeqCol, lit(1L))
     val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
@@ -504,6 +526,59 @@ final class LakeTable(
         struct(cols.map(col).toIndexedSeq: _*),
         struct(col(TsCol), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
       .select("_r.*")
+  }
+
+  /** `mergeMode=partial` (Hudi `PartialUpdateAvroPayload` semantics,
+    * strengthened): per COLUMN, the newest non-null value BY EVENT TIME
+    * wins — an update carrying only the changed columns (nulls elsewhere)
+    * composes with the stored row instead of erasing it. Same single
+    * hash-agg shape as the overwrite merge (one `max_by` per payload
+    * column, all map-side combinable in one pass); the per-column
+    * ordering nulls out where the column is null, which `max_by` skips.
+    *
+    * The stored row carries a reserved `_pts` map = each column's winning
+    * fragment time. Without it the fold is NOT associative: the merged
+    * row's single `_ts` is the max over ALL fragments, so once any column
+    * advances it, a later-arriving middle-aged fragment for a DIFFERENT
+    * column would lose to a stale stored value (measured on q85's mod-3
+    * commit split — 68/150 keys wrong). With `_pts`, any commit order
+    * converges to the same per-column winners, and `q85`'s oracle
+    * recomputes them independently per column. `_ts` remains the max
+    * across contributors — the row is as new as its newest fragment.
+    *
+    * A column holding a GENUINE null cannot be distinguished from
+    * not-carried (the classic partial-update caveat — Hudi shares it);
+    * use the overwrite mode when null is a value.
+    */
+  private def partialMerge(old: DataFrame, upd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    val oldTagged = old.withColumn(SeqCol, lit(0L))
+    val updTagged = upd.withColumn(SeqCol, lit(1L))
+    val unioned0 = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val unioned =
+      if (unioned0.columns.contains(PtsCol)) unioned0
+      else unioned0.withColumn(PtsCol, lit(null).cast(MapType(StringType, LongType)))
+    val payload = unioned.columns
+      .filter(c => c != SeqCol && c != KeyCol && c != TsCol && c != PtsCol)
+    val hashIn = unioned.columns.filter(_ != SeqCol).map { c =>
+      if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+    // A column's effective time: its stored winning-fragment time on
+    // merged rows, the row's own _ts on incoming fragments.
+    def fts(c: String) = coalesce(element_at(col(PtsCol), lit(c)), col(TsCol))
+    def ord(c: String) =
+      when(col(c).isNotNull, struct(fts(c), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*)))
+    val aggs =
+      max(col(TsCol)).as(TsCol) +:
+        map_from_arrays(
+          array(payload.map(lit).toIndexedSeq: _*),
+          array(payload.map(c => max(when(col(c).isNotNull, fts(c)))).toIndexedSeq: _*))
+          .as(PtsCol) +:
+        payload.map(c => max_by(col(c), ord(c)).as(c)).toSeq
+    unioned
+      .groupBy(col(KeyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(((KeyCol +: TsCol +: payload) :+ PtsCol).map(col).toIndexedSeq: _*)
   }
 
   /** Apply a batch's upserts AND deletes as ONE commit — one manifest
@@ -825,7 +900,7 @@ final class LakeTable(
         // column to parquet but silently drop it from every read (ADVICE
         // r11 #1). Loud on EVERY write path so the invariant can't depend
         // on which handle type a batch happens to take.
-        Seq(OpCol, DvCol).foreach(c => require(
+        Seq(OpCol, DvCol, PtsCol).foreach(c => require(
           !inc.columns.contains(c),
           s"'$c' is a reserved lake meta column — rename the " +
             s"payload column (incoming: ${inc.columns.mkString(",")})"))
@@ -865,7 +940,7 @@ final class LakeTable(
             deltaRows.get(inc).withColumn(DvCol, lit(version))
           else {
             val old = prev match {
-              case Some(m) => readBuckets(m, affected)
+              case Some(m) => readBuckets(m, affected, internal = true)
               case None =>
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[Row],
@@ -1161,6 +1236,13 @@ object LakeTable {
     */
   val CowType = "cow"
   val MorType = "mor"
+  /** Whole-row last-write-wins (Hudi OverwriteWithLatestAvroPayload). */
+  val OverwriteMode = "overwrite"
+  /** Per-column winning-fragment times on `mergeMode=partial` tables —
+    * reserved table-wide like the mor meta columns. */
+  val PtsCol = "_pts"
+  /** Per-column newest-non-null (Hudi PartialUpdateAvroPayload). */
+  val PartialMode = "partial"
   /** Bounded re-merge attempts when a concurrent writer wins the publish
     * race (optimistic concurrency; see writeCommit). */
   val MaxCommitRetries = 5

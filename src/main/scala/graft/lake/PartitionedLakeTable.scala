@@ -34,7 +34,8 @@ final class PartitionedLakeTable(
     val bloomOnWrite: Boolean = true,
     val zorderBy: Seq[String] = Nil,
     val tableType: String = LakeTable.CowType,
-    val compactAfter: Int = 8) {
+    val compactAfter: Int = 8,
+    val mergeMode: String = LakeTable.OverwriteMode) {
 
   private val PartPrefix = "p="
 
@@ -79,7 +80,7 @@ final class PartitionedLakeTable(
       spark, partDir(value), numBuckets,
       filesPerBucket = filesPerBucket, zorderBy = zorderBy,
       bloomOnWrite = bloomOnWrite, tableType = tableType,
-      compactAfter = compactAfter)
+      compactAfter = compactAfter, mergeMode = mergeMode)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

@@ -109,6 +109,34 @@ object LakeQueries {
     * winner, deletes = `%10` users that existed at v1 (before-image =
     * their even-only LWW row).
     */
+  /** q85: partial-update merge (Hudi PartialUpdateAvroPayload semantics)
+    * — every event becomes a COLUMN FRAGMENT (even ids carry event_type,
+    * odd ids carry value, null elsewhere), upserted in three commits so
+    * the per-column newest-non-null fold is exercised ITERATIVELY.
+    * `_ts` = event_id (globally unique → fully deterministic, no
+    * tiebreaks). The oracle recomputes each column's winner independently
+    * with `max_by` over the parity-restricted event ids.
+    */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(
+      spark, scratchDir("partial"), numBuckets = 16,
+      bloomOnWrite = false, mergeMode = LakeTable.PartialMode)
+    val frags = Tables.load(spark, dir, "events").select(
+      md5(concat_ws("_", lit("graft"), lit("events"), col("user_id")))
+        .as(LakeTable.KeyCol),
+      col("event_id").as(LakeTable.TsCol),
+      col("user_id"),
+      when(col("event_id") % 2 === 0, col("event_type")).as("event_type"),
+      when(col("event_id") % 2 === 1, col("value")).as("value"))
+    (0 to 2).foreach(i =>
+      lake.upsert(frags.filter(col(LakeTable.TsCol) % 3 === i), commitId = s"b$i"))
+    lake.snapshot
+      .select(
+        col("user_id"), col(LakeTable.TsCol).as("last_event"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   private def q80(spark: SparkSession, dir: String): DataFrame = {
     val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
     val ev = keyedEvents(spark, dir)
@@ -440,6 +468,14 @@ object LakeQueries {
           |ORDER BY o_orderkey""".stripMargin)),
 
     "q23_lake_upsert" -> QueryDef(q23, Some(s"$lwwOracle ORDER BY user_id")),
+    "q85_lake_partial" -> QueryDef(
+      q85,
+      Some(
+        """SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+          |  max_by(event_type, CASE WHEN event_id % 2 = 0 THEN event_id END)
+          |    AS event_type,
+          |  max_by(value, CASE WHEN event_id % 2 = 1 THEN event_id END) AS value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q70_lake_mor" -> QueryDef(
       q70,
       Some(

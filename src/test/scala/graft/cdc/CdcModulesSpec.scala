@@ -209,6 +209,25 @@ class CdcModulesSpec extends SparkSpec {
       opts + ("db1.t1.hoodie.compact.inline.max.delta.commits" -> "3"), "db1", "t1")
     assert(h.compactDeltas == 3)
     assert(h.compactEvery == 0, "the hoodie key must not drive COW coalescing cadence")
+
+    // merge.mode: short names and Hudi payload classes (the reference's
+    // hoodie.datasource.write.payload.class); unknown classes are loud
+    assert(TableConfig.resolve(opts, "db1", "t1").mergeMode ==
+      graft.lake.LakeTable.OverwriteMode)
+    assert(TableConfig.resolve(
+      opts + ("db1.t1.merge.mode" -> "partial"), "db1", "t1").mergeMode ==
+      graft.lake.LakeTable.PartialMode)
+    assert(TableConfig.resolve(
+      opts + ("db1.t1.hoodie.datasource.write.payload.class" ->
+        "org.apache.hudi.common.model.PartialUpdateAvroPayload"),
+      "db1", "t1").mergeMode == graft.lake.LakeTable.PartialMode)
+    assert(TableConfig.resolve(
+      opts + ("db1.t1.hoodie.datasource.write.payload.class" ->
+        "org.apache.hudi.common.model.DefaultHoodieRecordPayload"),
+      "db1", "t1").mergeMode == graft.lake.LakeTable.OverwriteMode)
+    val e4 = intercept[IllegalArgumentException](TableConfig.resolve(
+      opts + ("db1.t1.merge.mode" -> "com.example.MysteryPayload"), "db1", "t1"))
+    assert(e4.getMessage.contains("merge.mode"))
   }
 
   test("TableConfig accepts the reference's exact README option names") {

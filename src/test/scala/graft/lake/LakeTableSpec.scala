@@ -526,6 +526,54 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
   }
 
+  test("mergeMode=partial composes per-column newest-non-null fragments") {
+    val lt = new LakeTable(
+      spark, tempDir("lake-").toString, numBuckets = 2,
+      mergeMode = LakeTable.PartialMode)
+    def frag(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+    lt.upsert(frag(("a", 10L, "alice", "rome"), ("b", 10L, "bob", "oslo")))
+    // fragment updates: each carries ONE column, null elsewhere
+    lt.upsert(frag(("a", 20L, null, "paris"))) // a: city advances, name kept
+    lt.upsert(frag(("a", 30L, "ALICE", null), ("b", 20L, null, null))) // b: no-op fragment
+    val got = lt.snapshot
+      .select(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+      .as[(String, Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 30L, "ALICE", "paris"), // _ts = newest fragment's
+      ("b", 20L, "bob", "oslo")))
+    // an OLDER fragment cannot regress a newer column value
+    lt.upsert(frag(("a", 1L, "stale", "stale")))
+    assert(lt.snapshot.filter(col(LakeTable.KeyCol) === "a")
+      .select("name", "city").as[(String, String)].head() == ("ALICE", "paris"))
+    // ASSOCIATIVITY: a late-arriving MIDDLE-aged fragment must beat the
+    // column's older winner even though the merged row's _ts (30) is
+    // newer — the per-column _pts times decide, not the row time
+    lt.upsert(frag(("a", 25L, null, "lyon"))) // city: 25 > 20, wins; name: 30 stands
+    assert(lt.snapshot.filter(col(LakeTable.KeyCol) === "a")
+      .select("name", "city").as[(String, String)].head() == ("ALICE", "lyon"))
+    // the meta column never leaks into reads and is rejected as payload
+    assert(!lt.snapshot.columns.contains(LakeTable.PtsCol))
+    intercept[IllegalArgumentException] {
+      lt.upsert(Seq(("x", 1L, Map("a" -> 1L)))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, LakeTable.PtsCol))
+    }
+    // deletes still drop the whole row
+    lt.delete(Seq("b").toDF(LakeTable.KeyCol))
+    assert(lt.snapshot.count() == 1)
+    // the same commits under the DEFAULT mode erase columns instead
+    val ow = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    ow.upsert(frag(("a", 1L, "alice", "rome")))
+    ow.upsert(frag(("a", 2L, null, "paris")))
+    assert(ow.snapshot.select("name", "city").as[(String, String)].head() ==
+      ((null, "paris")))
+    // partial is a write-side fold — mor handles are rejected loudly
+    intercept[IllegalArgumentException] {
+      new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2,
+        tableType = LakeTable.MorType, mergeMode = LakeTable.PartialMode)
+    }
+  }
+
   test("changesBetween emits the net insert/update/delete diff with images") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))   // v1
