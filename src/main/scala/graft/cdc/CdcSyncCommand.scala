@@ -170,12 +170,30 @@ object CdcSyncCommand {
             case None => acc
           }
         }
-      val winners = Dedup
+      // merge.mode=partial tables BYPASS the whole-row in-batch dedup:
+      // every fragment must reach the lake merge, which composes them per
+      // column — whole-row LWW here would silently drop each non-winning
+      // fragment in the batch (two updates to different columns of one
+      // key in one binlog batch is the NORMAL case). Empty set = the
+      // one-pass plan is untouched.
+      val partialTables = configs.collect {
+        case (k, c) if c.mergeMode == graft.lake.LakeTable.PartialMode => k
+      }.toSet
+      def lwwOf(df: org.apache.spark.sql.DataFrame) = Dedup
         .lww(
-          keyed.withColumn("_tie", tieCol),
+          df.withColumn("_tie", tieCol),
           LakeTable.KeyCol,
           Seq(LakeTable.TsCol, "_tie", Envelope.ValueCol))
         .drop("_tie")
+      val winners =
+        if (partialTables.isEmpty) lwwOf(keyed)
+        else {
+          val isPartial = partialTables.toSeq.sorted.map { case (db, t) =>
+            col(s"${Envelope.MetaCol}.databaseName") === db &&
+              col(s"${Envelope.MetaCol}.tableName") === t
+          }.reduce(_ || _)
+          lwwOf(keyed.filter(!isPartial)).unionByName(keyed.filter(isPartial))
+        }
 
       // Idempotent-replay commit ids need a caller-supplied batch identity.
       // Batch saves without one (batchId < 0) get an EMPTY commitId — every

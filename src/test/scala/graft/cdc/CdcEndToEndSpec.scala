@@ -81,6 +81,40 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(city.toSeq == Seq(("nyc", 8L), ("sf", 1L)))
   }
 
+  test("merge.mode=partial composes column fragments end-to-end (same batch AND across batches)") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) +
+      ("db.person.hoodie.datasource.write.payload.class" ->
+        "org.apache.hudi.common.model.PartialUpdateAvroPayload")
+    // batch 1: full row, then TWO fragments for id=1 in the SAME batch —
+    // one renames (age absent -> null), one re-ages (name absent). The
+    // whole-row in-batch LWW would keep only the ts=3 fragment and lose
+    // the rename forever.
+    val batch1 = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""", """{"id":2,"name":"bob","age":40}""")),
+      env("db", "person", personSchema, 2L, "upsert", Seq("""{"id":1,"name":"ann2"}""")),
+      env("db", "person", personSchema, 3L, "upsert", Seq("""{"id":1,"age":31}""")))
+    CdcSyncCommand.run(batch1.toDF("value"), opts, batchId = 1L)
+    val t = new LakeTable(spark, s"$root/db/ods_db_person", 4,
+      mergeMode = LakeTable.PartialMode)
+    def state() = t.snapshot.select("id", "name", "age")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state() == Seq((1L, "ann2", 31L), (2L, "bob", 40L)))
+    // batch 2: an out-of-order MIDDLE-aged fragment (ts=2.5 impossible —
+    // use a fresh column fragment older than the stored age's time but
+    // newer than the name's): name@ts2 stands vs stale@ts1; age
+    // composes; plus a delete for id=2 still drops the whole row.
+    val batch2 = Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"stale","age":29}""")), // both lose (ts 1 < 2,3)
+      env("db", "person", personSchema, 4L, "upsert", Seq("""{"id":1,"age":32}""")),
+      env("db", "person", personSchema, 4L, "delete", Seq(
+        """{"id":2,"name":"bob","age":40}""")))
+    CdcSyncCommand.run(batch2.toDF("value"), opts, batchId = 2L)
+    assert(state() == Seq((1L, "ann2", 32L)))
+  }
+
   test("table.type=mor routes CDC batches through delta commits; Hudi synonym accepted") {
     val root = tempDir("cdc-").toString
     val opts = options(root) ++ Map(
