@@ -1365,6 +1365,37 @@ object OpsQueries {
           |GROUP BY 1 HAVING count(*) >= 200
           |ORDER BY 1""".stripMargin)),
 
+    // ---- stream-stream interval join, oracle-anchored in batch --------
+    // EventTimeOps.streamIntervalJoin is the STREAMING operator (state
+    // eviction covered by EventTimeOpsSpec); watermarks no-op on batch
+    // frames, so the SAME code path runs here under a DuckDB theta-join
+    // oracle — each purchase paired with the same user's views up to
+    // 10 minutes before it. Keyed interval join ⇒ the plan is a plain
+    // equi-join on user_id with the time bound as residual (no cell
+    // explosion needed — contrast q82's keyless case).
+    "q86_interval_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ets").as("p_ts"), col("event_id").as("p_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ets").as("v_ts"), col("event_id").as("v_id"))
+        graft.streaming.EventTimeOps.streamIntervalJoin(
+            purchases, views, Seq("user_id"), "p_ts", "v_ts",
+            beforeMs = 600000L, afterMs = 0L,
+            leftWatermark = "10 seconds", rightWatermark = "10 seconds")
+          .select(col("user_id"), col("p_id"), col("v_id"))
+          .orderBy("p_id", "v_id")
+      },
+      Some(
+        """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+          |FROM events p JOIN events v
+          |  ON p.user_id = v.user_id
+          | AND p.event_type = 'purchase' AND v.event_type = 'view'
+          | AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts <= p.ts
+          |ORDER BY p_id, v_id""".stripMargin)),
+
     // ---- mergeable-sketch distinct rollup ------------------------------
     // COUNT(DISTINCT) does not decompose across time buckets; HLL
     // sketches do. Per-(event_type, day) sketches are built in ONE
