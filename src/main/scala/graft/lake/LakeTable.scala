@@ -1086,6 +1086,22 @@ final class LakeTable(
     removable.size
   }
 
+  /** Time-based retention (Hudi's KEEP_LATEST_BY_HOURS cleaner policy,
+    * on the stamped commit times): vacuum everything not referenced by a
+    * version committed AFTER `cutoffMillis` — at least the latest version
+    * always survives, so the table stays readable whatever the cutoff.
+    * Commit times are running-max monotonicized exactly like
+    * [[versionAt]], so a backward clock step can only RETAIN more, never
+    * delete a version newer (by order) than a kept one.
+    */
+  def vacuumBefore(cutoffMillis: Long): Int = synchronized {
+    var eff = Long.MinValue
+    val recent = commitTimes().count { case (_, t) =>
+      eff = math.max(eff, t); eff > cutoffMillis
+    }
+    vacuum(recent.max(1))
+  }
+
   private def vacuumedFile: HPath = new HPath(commitsDir, "_vacuumed.json")
 
   /** Tombstoned versions: version -> commitId of manifests vacuum removed. */

@@ -526,6 +526,23 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
   }
 
+  test("vacuumBefore keeps versions newer than the cutoff, always at least the latest") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "v1")))
+    lt.upsert(rows(("a", 2L, "v2")))
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    lt.upsert(rows(("a", 3L, "v3")))
+    // cutoff between v2 and v3: v1/v2's dirs become removable, v3 stays
+    assert(lt.vacuumBefore(cut) > 0)
+    assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("v3"))
+    intercept[IllegalArgumentException](lt.snapshotAt(1L))
+    // a cutoff in the future still keeps the latest (table stays readable)
+    assert(lt.vacuumBefore(System.currentTimeMillis() + 3600000L) == 0)
+    assert(lt.snapshot.count() == 1)
+  }
+
   test("mergeMode=partial composes per-column newest-non-null fragments") {
     val lt = new LakeTable(
       spark, tempDir("lake-").toString, numBuckets = 2,
