@@ -279,6 +279,31 @@ final class PartitionedLakeTable(
   def vacuum(keepVersions: Int = 1): Int =
     partitions.map(partitionTable(_).vacuum(keepVersions)).sum
 
+  /** Time-based retention per partition — see [[LakeTable.vacuumBefore]];
+    * each partition keeps its own post-cutoff versions (at least its
+    * latest), so a quiet partition is untouched and a hot one trims.
+    */
+  def vacuumBefore(cutoffMillis: Long): Int =
+    partitions.map(partitionTable(_).vacuumBefore(cutoffMillis)).sum
+
+  /** Drop whole partitions — Hudi's `delete_partition` operation: the
+    * partition directories (data, manifests, blooms) are removed
+    * entirely and the values disappear from [[partitions]] and every
+    * read. Values with no committed partition are ignored, so a replayed
+    * drop is a natural no-op. This is the retention story for
+    * time/value-partitioned corpora: expire `day=2023-*` by dropping the
+    * partitions instead of rewriting row-level deletes through them.
+    * Returns how many existing partitions were dropped. NOT versioned:
+    * unlike row deletes, a dropped partition is gone from history too
+    * (its time-travel reads fail loudly like any vacuumed state).
+    */
+  def dropPartitions(values: Seq[String]): Int = {
+    val existing = partitions.toSet
+    val doomed = values.distinct.filter(existing.contains)
+    doomed.foreach(v => io.deleteRecursive(io.resolve(s"$PartPrefix${encode(v)}")))
+    doomed.size
+  }
+
   /** Compact every partition's bucket file groups (commitId scoped per
     * partition, so a replayed compaction skips exactly the partitions
     * that already ran).

@@ -526,6 +526,29 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
   }
 
+  test("dropPartitions removes whole partitions; unknown values no-op; replay-safe") {
+    val plt = new PartitionedLakeTable(
+      spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    def prow(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    plt.upsert(prow(("a", 1L, "d1", "x"), ("b", 1L, "d2", "y"), ("c", 1L, "d3", "z")))
+    assert(plt.dropPartitions(Seq("d2", "nope")) == 1)
+    assert(plt.partitions == Seq("d1", "d3"))
+    assert(plt.snapshot.select("payload").as[String].collect().sorted.toSeq ==
+      Seq("x", "z"))
+    assert(plt.dropPartitions(Seq("d2")) == 0) // replayed drop: no-op
+    // partitioned time-based retention: each partition trims independently
+    plt.upsert(prow(("a", 2L, "d1", "x2")))
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    plt.upsert(prow(("a", 3L, "d1", "x3")))
+    assert(plt.vacuumBefore(cut) > 0) // d1's pre-cutoff versions trim
+    assert(plt.partitionTable("d3").latestVersion.isDefined, "quiet d3 untouched")
+    assert(plt.snapshot.select("payload").as[String].collect().sorted.toSeq ==
+      Seq("x3", "z"))
+  }
+
   test("vacuumBefore keeps versions newer than the cutoff, always at least the latest") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "v1")))
