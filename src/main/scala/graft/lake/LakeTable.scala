@@ -170,6 +170,21 @@ final class LakeTable(
     case Some(m) => readBuckets(m, m.allBuckets)
   }
 
+  /** Read-optimized query (Hudi's `_ro` view of a MOR table): base file
+    * groups ONLY — delta stacks are skipped, so the read costs exactly a
+    * COW scan but shows each bucket's state AS OF ITS LAST FOLD (bounded
+    * staleness: at most `compactAfter - 1` delta commits per bucket by
+    * the fold-cadence invariant, zero after `compact()`). [[snapshot]]
+    * is the real-time view; on a fully-compacted or pure-COW table the
+    * two are identical.
+    */
+  def snapshotReadOptimized: DataFrame = latestManifest() match {
+    case None =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], new StructType())
+    case Some(m) => readBuckets(m.copy(deltas = Map.empty), m.buckets.keySet)
+  }
+
   /** Time travel: table state as of a committed `version` (valid until the
     * referenced snapshot dirs are vacuumed).
     */

@@ -317,6 +317,15 @@ final class PartitionedLakeTable(
   /** Full-table read (union of partitions, partition value re-attached). */
   def snapshot: DataFrame = { val ps = partitions; read(ps, ps) }
 
+  /** Read-optimized view across every partition — see
+    * [[LakeTable.snapshotReadOptimized]] (base file groups only; COW
+    * scan cost, bounded staleness on delta-carrying buckets).
+    */
+  def snapshotReadOptimized: DataFrame = {
+    val ps = partitions
+    assemble(ps.map(v => v -> partitionTable(v).snapshotReadOptimized), ps, None)
+  }
+
   /** Partition-pruned read: only the named partitions' files are opened. */
   def snapshot(values: Seq[String]): DataFrame = {
     val ps = partitions

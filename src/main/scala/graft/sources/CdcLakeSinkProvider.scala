@@ -204,10 +204,31 @@ class LakeSnapshotRelation(
   private lazy val pinnedEmpty: Boolean =
     opened.fold(_ => pinnedVector.isEmpty, _ => pinnedVersion.isEmpty)
 
+  // Hudi `hoodie.datasource.query.type` shape: `snapshot` (default,
+  // real-time — MOR delta stacks merged) or `read_optimized` (base file
+  // groups only, COW scan cost, bounded staleness). Read-optimized is a
+  // LATEST-state view — combining it with time travel would name a state
+  // that never existed as a fold, so that's loud.
+  private lazy val readOptimized: Boolean =
+    parameters.get("queryType")
+      .orElse(parameters.get("hoodie.datasource.query.type"))
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("snapshot") => false
+      case Some("read_optimized") =>
+        require(
+          !parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+          "queryType=read_optimized is a latest-state view — drop versionAsOf/timestampAsOf")
+        true
+      case Some(bad) => throw new IllegalArgumentException(
+        s"queryType must be snapshot|read_optimized, got '$bad'")
+    }
+
   private lazy val snapshot: DataFrame =
     if (pinnedEmpty)
       ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[Row], new StructType())
+    else if (readOptimized)
+      opened.fold(_.snapshotReadOptimized, _.snapshotReadOptimized)
     else opened.fold(
       pt => pt.snapshotAt(pinnedVector),
       t => t.snapshotAt(pinnedVersion.get))
@@ -271,7 +292,11 @@ class LakeSnapshotRelation(
     * parquet scan (dataFilters non-empty, pruned ReadSchema).
     */
   def scanPlan(requiredColumns: Array[String], filters: Array[Filter]): DataFrame = {
-    val base: DataFrame = if (pinnedEmpty) snapshot else opened match {
+    // Read-optimized reads take the ro snapshot on EVERY route — the
+    // lookup/partition fast paths merge delta stacks (real-time
+    // semantics) and mixing views within one relation would let a key
+    // probe observe rows the full scan hides.
+    val base: DataFrame = if (pinnedEmpty || readOptimized) snapshot else opened match {
       case Right(table) =>
         equalityValues(filters, LakeTable.KeyCol) match {
           case Some(keys) if keys.forall(_.isInstanceOf[String]) =>

@@ -383,4 +383,18 @@ class LakeMorSpec extends SparkSpec {
       }
     }
   }
+
+  test("read-optimized view shows fold-time state; equals snapshot once compacted") {
+    val root = tempDir("mor-").toString
+    val m = mor(root, compactAfter = 10) // high cadence: no inline folds
+    m.bulkInsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"))) // base (v1)
+    m.upsert(rows(("a", 2L, "a2"), ("c", 1L, "c1")))     // delta (v2)
+    def ro = m.snapshotReadOptimized
+      .select(LakeTable.KeyCol, "payload").as[(String, String)].collect().toSet
+    // ro = base only: a's update and c's insert are invisible, no stale dupes
+    assert(ro == Set(("a", "a1"), ("b", "b1")))
+    assert(state(m).map(r => (r._1, r._3)) == Set(("a", "a2"), ("b", "b1"), ("c", "c1")))
+    m.compact()
+    assert(ro == Set(("a", "a2"), ("b", "b1"), ("c", "c1")), "post-fold ro == snapshot")
+  }
 }

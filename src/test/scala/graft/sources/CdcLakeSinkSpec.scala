@@ -200,6 +200,30 @@ class CdcLakeSinkSpec extends SparkSpec {
     intercept[Exception](readPAt("1"))           // scalar on a partitioned table
   }
 
+  test("queryType=read_optimized reads base-only MOR state; loud with time travel") {
+    val root = tempDir("sink-").toString
+    val lake = new LakeTable(spark, s"$root/t", numBuckets = 4,
+      tableType = LakeTable.MorType, compactAfter = 10)
+    lake.bulkInsert(Seq(("k1", 1L, "v1")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    lake.upsert(Seq(("k1", 2L, "v2")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    def read(qt: String) = spark.read.format("cdc-lake")
+      .option("buckets", "4").option("queryType", qt).load(s"$root/t")
+      .select("payload").as[String].collect().toSeq
+    assert(read("snapshot") == Seq("v2"))
+    assert(read("read_optimized") == Seq("v1"), "delta skipped, base state")
+    // the Hudi option name is a synonym; key probes stay consistent with ro
+    assert(spark.read.format("cdc-lake").option("buckets", "4")
+      .option("hoodie.datasource.query.type", "read_optimized").load(s"$root/t")
+      .filter(org.apache.spark.sql.functions.col(LakeTable.KeyCol) === "k1")
+      .select("payload").as[String].collect().toSeq == Seq("v1"))
+    intercept[Exception](read("nonsense"))
+    intercept[Exception] {
+      spark.read.format("cdc-lake").option("buckets", "4")
+        .option("queryType", "read_optimized").option("versionAsOf", "1")
+        .load(s"$root/t").collect()
+    }
+  }
+
   test("timestampAsOf resolves instants to pinned versions (Hudi as.of.instant shape)") {
     val root = tempDir("sink-").toString
     val lake = new LakeTable(spark, s"$root/t", numBuckets = 4)
