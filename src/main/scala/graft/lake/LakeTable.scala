@@ -1074,7 +1074,11 @@ final class LakeTable(
     */
   def vacuum(keepVersions: Int = 1): Int = synchronized {
     val all = versions()
-    val keep = all.takeRight(keepVersions.max(1))
+    // Savepointed versions are pinned whatever the retention policy —
+    // their dirs stay referenced and their manifests are never
+    // tombstoned until released.
+    val keep = (all.takeRight(keepVersions.max(1)) ++
+      savepoints.filter(all.contains)).distinct.sorted
     if (keep.isEmpty || !io.exists(dataDir)) return 0
     // A manifest's live dirs = base dirs ∪ delta dirs (docs/MOR_DESIGN.md
     // invariant #4: vacuum must never delete a dir a kept manifest's delta
@@ -1115,6 +1119,48 @@ final class LakeTable(
       eff = math.max(eff, t); eff > cutoffMillis
     }
     vacuum(recent.max(1))
+  }
+
+  // ---- savepoints (Hudi savepoint shape) ---------------------------------
+
+  private def savepointsFile: HPath = new HPath(commitsDir, "_savepoints.json")
+
+  /** Versions pinned against every vacuum policy, ascending. */
+  def savepoints: Seq[Long] =
+    if (!io.exists(savepointsFile)) Nil
+    else {
+      val root = new ObjectMapper().readTree(io.readString(savepointsFile))
+      root.elements().asScala.map(_.asLong()).toSeq.sorted
+    }
+
+  /** Pin `version` against vacuum until [[releaseSavepoint]] — Hudi's
+    * savepoint: retention policies (`vacuum`, `vacuumBefore`) keep the
+    * version's manifest and every dir it references, so `snapshotAt` and
+    * `restoreTo` stay valid indefinitely. Idempotent; loud on unknown or
+    * already-vacuumed versions (a savepoint of destroyed state would be
+    * a silent lie).
+    */
+  def savepoint(version: Long): Unit = synchronized {
+    require(!vacuumedIds.contains(version),
+      s"version $version at $basePath was vacuumed — cannot savepoint it")
+    require(versions().contains(version),
+      s"no committed version $version at $basePath")
+    writeSavepoints((savepoints :+ version).distinct.sorted)
+  }
+
+  /** Drop the pin; the version becomes vacuumable again (it is NOT
+    * removed here — the next vacuum's policy decides). Unknown versions
+    * no-op, so releases are replay-safe.
+    */
+  def releaseSavepoint(version: Long): Unit = synchronized {
+    writeSavepoints(savepoints.filterNot(_ == version))
+  }
+
+  private def writeSavepoints(vs: Seq[Long]): Unit = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    vs.foreach(arr.add)
+    io.replace(savepointsFile, mapper.writeValueAsString(arr))
   }
 
   private def vacuumedFile: HPath = new HPath(commitsDir, "_vacuumed.json")

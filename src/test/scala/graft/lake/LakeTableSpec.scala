@@ -526,6 +526,31 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
   }
 
+  test("savepoints pin versions against every vacuum policy until released") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    lt.upsert(rows(("a", 1L, "v1")))
+    lt.upsert(rows(("a", 2L, "v2")))
+    lt.upsert(rows(("a", 3L, "v3")))
+    lt.savepoint(1L)
+    lt.savepoint(1L) // idempotent
+    assert(lt.savepoints == Seq(1L))
+    assert(lt.vacuum(1) > 0) // v2's dirs reclaim; v1 is pinned
+    assert(lt.snapshotAt(1L).select("payload").as[String].collect().toSeq == Seq("v1"))
+    intercept[IllegalArgumentException](lt.snapshotAt(2L))
+    // restore to the savepointed version still works
+    lt.restoreTo(1L)
+    assert(lt.snapshot.select("payload").as[String].collect().toSeq == Seq("v1"))
+    // release -> once nothing live references its dirs, vacuum reclaims
+    lt.releaseSavepoint(1L)
+    assert(lt.savepoints.isEmpty)
+    lt.upsert(rows(("a", 9L, "v9"))) // latest no longer shares v1's dirs
+    lt.vacuum(1)
+    intercept[IllegalArgumentException](lt.snapshotAt(1L))
+    // loud: savepointing unknown or vacuumed state
+    intercept[IllegalArgumentException](lt.savepoint(99L))
+    intercept[IllegalArgumentException](lt.savepoint(2L))
+  }
+
   test("dropPartitions removes whole partitions; unknown values no-op; replay-safe") {
     val plt = new PartitionedLakeTable(
       spark, tempDir("plake-").toString, "day", numBuckets = 2)
