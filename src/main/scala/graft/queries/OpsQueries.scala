@@ -1318,7 +1318,11 @@ object OpsQueries {
           .agg(min(col("us")).as("w_start"))
           .withColumn("w_end", col("w_start") + lit(86400000000L))
         val pts = ev.select(col("user_id"), col("us"), col("value"))
-        Temporal.rangeJoin(pts, windows, "us", "w_start", "w_end", 86400000000L)
+        // pinned broadcast: the exploded windows side (~2 cells/user) is
+        // small by construction, and AQE was measured bistable here
+        // (BASELINE.md r12 — the shuffle-join plan costs 3× the cpu)
+        Temporal.rangeJoin(pts, windows, "us", "w_start", "w_end", 86400000000L,
+          broadcastIntervals = true)
           .groupBy("w_user")
           .agg(
             count(lit(1)).cast("long").as("n"),

@@ -639,6 +639,49 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("partial merge is associative: random fragments, random commit orders, one answer") {
+    // the ideal semantics, computed directly: per column the non-null
+    // value with the greatest ts (ts globally unique by construction)
+    val rnd = new scala.util.Random(11)
+    val frags: Seq[(String, Long, String, String)] =
+      (1L to 60L).map { ts =>
+        val k = s"k${rnd.nextInt(6)}"
+        val hasName = rnd.nextBoolean()
+        val hasCity = !hasName || rnd.nextBoolean()
+        (k, ts,
+          if (hasName) s"n$ts" else null,
+          if (hasCity) s"c$ts" else null)
+      }
+    def ideal(col: ((String, Long, String, String)) => String): Map[String, String] =
+      frags.groupBy(_._1).view.mapValues { fs =>
+        fs.filter(f => col(f) != null).sortBy(_._2).lastOption.map(col).orNull
+      }.toMap
+    val wantName = ideal(_._3)
+    val wantCity = ideal(_._4)
+    val wantTs = frags.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for (trial <- 1 to 3) {
+      val lt = new LakeTable(
+        spark, tempDir("lake-").toString, numBuckets = 2,
+        mergeMode = LakeTable.PartialMode)
+      // random batch split AND random batch order — the fold must not care
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = rnd.shuffle(frags).zipWithIndex
+        .groupBy(_._2 % nBatches).toSeq.sortBy(_._1).map(_._2.map(_._1))
+      rnd.shuffle(batches).zipWithIndex.foreach { case (b, i) =>
+        lt.upsert(b.toDF(LakeTable.KeyCol, LakeTable.TsCol, "name", "city"),
+          commitId = s"t$trial-b$i")
+      }
+      val got = lt.snapshot
+        .select(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+        .as[(String, Long, String, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      frags.map(_._1).distinct.foreach { k =>
+        assert(got(k) == ((wantTs(k), wantName(k), wantCity(k))),
+          s"trial $trial key $k: got ${got(k)}")
+      }
+    }
+  }
+
   test("changesBetween emits the net insert/update/delete diff with images") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))   // v1
