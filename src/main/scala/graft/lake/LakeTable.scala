@@ -274,6 +274,30 @@ final class LakeTable(
     * carry no tombstones — same contract as Hudi COW incremental
     * queries); a vacuumed `sinceVersion` manifest fails loudly.
     */
+  /** Timestamp-bounded incremental read — Hudi's incremental query with
+    * `read.begin.instanttime` AND `read.end.instanttime`: rows changed
+    * in commits landing strictly after `beginMillis` up to and including
+    * `endMillis`, resolved through the stamped commit times
+    * ([[versionAt]] on each bound). A begin before the first commit
+    * reads from the table's birth; an end before the first commit (or
+    * begin >= end resolution) is an empty range with the stored schema.
+    */
+  def incrementalBetweenTimes(beginMillis: Long, endMillis: Long): DataFrame = {
+    require(beginMillis <= endMillis,
+      s"begin $beginMillis is after end $endMillis")
+    val until = versionAt(endMillis)
+    val since = versionAt(beginMillis).getOrElse(0L)
+    until match {
+      case Some(u) if since < u => incrementalBetween(since, u)
+      case _ => // nothing committed in range: empty, with the schema
+        latestManifest() match {
+          case Some(m) => readBuckets(m, Set.empty)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], new StructType())
+        }
+    }
+  }
+
   def incrementalBetween(sinceVersion: Long, untilVersion: Long): DataFrame = {
     require(
       versions().contains(untilVersion),

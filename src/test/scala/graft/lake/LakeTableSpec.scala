@@ -526,6 +526,26 @@ class LakeTableSpec extends SparkSpec {
     assert(plt.versionsAt(System.currentTimeMillis()) == Map("d1" -> 2L, "d2" -> 1L))
   }
 
+  test("incrementalBetweenTimes reads the commits inside an instant range") {
+    val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
+    val t0 = System.currentTimeMillis() - 1
+    lt.upsert(rows(("a", 1L, "v1")))
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    lt.upsert(rows(("b", 1L, "w1")))
+    lt.upsert(rows(("a", 2L, "v2")))
+    val t2 = System.currentTimeMillis()
+    def got(b: Long, e: Long) = lt.incrementalBetweenTimes(b, e)
+      .select("payload").as[String].collect().sorted.toSeq
+    assert(got(t0, t2) == Seq("v2", "w1"), "from birth: full current state")
+    assert(got(t1, t2) == Seq("v2", "w1"), "changes after t1 (v2 + w1)")
+    assert(got(t2, t2 + 10) == Seq.empty, "nothing committed in range")
+    assert(got(0L, t0) == Seq.empty, "range before birth: empty, not an error")
+    assert(lt.incrementalBetweenTimes(t2, t2 + 10).schema.fieldNames.contains("payload"))
+    intercept[IllegalArgumentException](lt.incrementalBetweenTimes(5L, 1L))
+  }
+
   test("savepoints pin versions against every vacuum policy until released") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "v1")))
