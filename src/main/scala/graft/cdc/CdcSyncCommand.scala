@@ -192,7 +192,37 @@ object CdcSyncCommand {
             col(s"${Envelope.MetaCol}.databaseName") === db &&
               col(s"${Envelope.MetaCol}.tableName") === t
           }.reduce(_ || _)
-          lwwOf(keyed.filter(!isPartial)).unionByName(keyed.filter(isPartial))
+          // The bypass forwards every fragment, but the downstream split
+          // routes deletes and upserts into ONE merge commit where
+          // overlapping deletes win — so a delete→newer-fragment sequence
+          // inside one batch would wrongly resolve to delete. Settle the
+          // order per key FIRST, by the same (_ts, tiebreak, raw-text)
+          // total order LWW uses: fragments older than the key's newest
+          // delete are dead (the delete supersedes them); a delete older
+          // than the key's newest fragment is superseded by the reinsert
+          // and dropped. Caveat (documented, Hudi's partial payload shares
+          // it): a dropped delete means post-delete fragments compose with
+          // the STORED row's pre-delete columns — a binlog reinsert is a
+          // full row in practice, which overwrites every column anyway.
+          val part = keyed.filter(isPartial).withColumn("_tie", tieCol)
+          val ord = struct(
+            col(LakeTable.TsCol), col("_tie"), col(Envelope.ValueCol))
+          val frag = part.filter(!Envelope.isDelete)
+          val dels = part.filter(Envelope.isDelete)
+          val delMax = dels.groupBy(col(LakeTable.KeyCol))
+            .agg(max(ord).as("_delord"))
+          val fragMax = frag.groupBy(col(LakeTable.KeyCol))
+            .agg(max(ord).as("_fragord"))
+          val fragKept = frag
+            .join(delMax, Seq(LakeTable.KeyCol), "left")
+            .filter(col("_delord").isNull || ord > col("_delord"))
+            .drop("_delord")
+          val delsKept = dels
+            .join(fragMax, Seq(LakeTable.KeyCol), "left")
+            .filter(col("_fragord").isNull || ord >= col("_fragord"))
+            .drop("_fragord")
+          lwwOf(keyed.filter(!isPartial))
+            .unionByName(fragKept.unionByName(delsKept).drop("_tie"))
         }
 
       // Idempotent-replay commit ids need a caller-supplied batch identity.

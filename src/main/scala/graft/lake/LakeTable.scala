@@ -201,8 +201,23 @@ final class LakeTable(
     * version — the basis for timestamp-based time travel. Driver-side,
     * one manifest read per version. Pre-r12 manifests report 0.
     */
+  /** Published manifests are immutable, so each version's commit time is
+    * cached on first read — without this, every timestamp resolution
+    * (`versionAt`, `vacuumBefore`, partitioned `versionsAt`) re-reads the
+    * WHOLE manifest history driver-side: O(versions) small-file
+    * round-trips per call, multiplied by partition count on partitioned
+    * tables — painful on object stores with long histories. One listing
+    * per call remains (the live-version set changes); manifest reads are
+    * paid once per version per handle. Vacuumed versions drop out of the
+    * listing; their stale cache entries are never consulted.
+    */
+  private val commitTimeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
   def commitTimes(): Seq[(Long, Long)] =
-    versions().map(v => v -> readManifest(v).commitTimeMs)
+    versions().map { v =>
+      v -> commitTimeCache.computeIfAbsent(v, _ => readManifest(v).commitTimeMs)
+    }
 
   /** Latest version committed at-or-before `tsMillis` (Hudi's
     * `as.of.instant` resolution), or None when the timestamp precedes
@@ -319,9 +334,37 @@ final class LakeTable(
     if (changedBuckets.isEmpty)
       return readBuckets(newest, Set.empty) // empty, with schema
     val cur = readBuckets(newest, changedBuckets)
-    val prev = readBuckets(old, changedBuckets & old.allBuckets)
-      .select(col(KeyCol), col(TsCol))
-    cur.join(broadcastIfSmall(prev), Seq(KeyCol, TsCol), "left_anti")
+    val prevRaw = readBuckets(old, changedBuckets & old.allBuckets)
+    val newestSchema =
+      DataType.fromJson(newest.schemaJson).asInstanceOf[StructType]
+    if (!newestSchema.fieldNames.contains(PtsCol)) {
+      val prev = prevRaw.select(col(KeyCol), col(TsCol))
+      cur.join(broadcastIfSmall(prev), Seq(KeyCol, TsCol), "left_anti")
+    } else {
+      // mergeMode=partial: `_ts` is the MAX fragment time, so a
+      // late-arriving fragment (older event time) can change a column
+      // WITHOUT advancing `_ts` — a (key, _ts) diff would silently drop
+      // that row from incremental reads and the cdc-lake stream. Diff on
+      // visible row content instead: emit a current row unless the prior
+      // version holds the same key with ALL visible columns null-safe
+      // equal. (A late fragment that re-delivers identical values leaves
+      // the visible row unchanged and is correctly not re-emitted.)
+      // Prior side conforms to the newest schema first, so a widening or
+      // column-add alone (old value upcast / new column null both sides)
+      // does not mark every row changed.
+      val fields = cur.schema.fields
+      val prev = broadcastIfSmall(prevRaw.select(fields.map { f =>
+        if (prevRaw.columns.contains(f.name))
+          col("`" + f.name + "`").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)).as("_b")
+      val a = cur.as("_a")
+      val same = fields.map(f =>
+        col(s"_a.`${f.name}`") <=> col(s"_b.`${f.name}`"))
+        .reduce(_ && _)
+      a.join(prev, same, "left_anti")
+        .select(fields.map(f => col(s"_a.`${f.name}`").as(f.name)).toSeq: _*)
+    }
   }
 
   /** Row-level CHANGE FEED between two committed versions — the read

@@ -48,6 +48,8 @@ final class PartitionedLakeTable(
     */
   private val metaFile: HPath = io.resolve("_table.json")
 
+  private val droppedFile: HPath = io.resolve("_dropped.json")
+
   private def writeMetaIfAbsent(dt: DataType): Unit = synchronized {
     if (io.exists(metaFile)) return
     val mapper = new ObjectMapper()
@@ -136,6 +138,7 @@ final class PartitionedLakeTable(
       }.asJava
       pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
     } finally pool.shutdown()
+    clearRebornTombstones(values)
   }
 
   private def writePartitions(updates: DataFrame, commitId: String)(
@@ -301,7 +304,41 @@ final class PartitionedLakeTable(
     val existing = partitions.toSet
     val doomed = values.distinct.filter(existing.contains)
     doomed.foreach(v => io.deleteRecursive(io.resolve(s"$PartPrefix${encode(v)}")))
+    // Tombstone the drop (same loud-failure contract as vacuumed
+    // history): an incremental/stream reader whose version vector still
+    // names a dropped partition must fail, not silently lose its tail —
+    // without the marker the partition just stops being listed.
+    if (doomed.nonEmpty) writeDropped(droppedPartitions ++ doomed)
     doomed.size
+  }
+
+  /** Values dropped by [[dropPartitions]] and not since reborn by a new
+    * write. Readers holding an incremental position on one fail loudly
+    * ([[incrementalBetweenVec]]/[[nextVersions]]). A REBORN partition
+    * (dropped, then written again) clears its tombstone: it is a fresh
+    * table with a fresh version counter, and a pre-drop position into it
+    * fails through the normal unknown-version check instead.
+    */
+  def droppedPartitions: Set[String] =
+    if (!io.exists(droppedFile)) Set.empty
+    else {
+      val node = new ObjectMapper().readTree(io.readString(droppedFile)).get("dropped")
+      (0 until node.size()).map(node.get(_).asText()).toSet
+    }
+
+  private def writeDropped(values: Set[String]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("dropped")
+    values.toSeq.sorted.foreach(arr.add)
+    io.replace(droppedFile, mapper.writeValueAsString(root))
+  }
+
+  /** Clear tombstones for partitions a successful write just recreated. */
+  private def clearRebornTombstones(written: Seq[String]): Unit = {
+    val dropped = droppedPartitions
+    val reborn = written.toSet & dropped
+    if (reborn.nonEmpty) writeDropped(dropped -- reborn)
   }
 
   /** Compact every partition's bucket file groups (commitId scoped per
@@ -423,6 +460,7 @@ final class PartitionedLakeTable(
   def incrementalBetweenVec(
       sinceVersions: Map[String, Long],
       untilVersions: Map[String, Long]): DataFrame = {
+    requireNotDropped(sinceVersions.keySet ++ untilVersions.keySet)
     val dt = partitionType
     val parts = untilVersions.toSeq.sortBy(_._1).flatMap { case (v, until) =>
       val since = sinceVersions.getOrElse(v, 0L)
@@ -455,10 +493,20 @@ final class PartitionedLakeTable(
     * the vector entirely — until the next run. One log listing per
     * partition — the same cost as [[currentVersions]].
     */
+  private def requireNotDropped(positioned: Set[String]): Unit = {
+    val lost = positioned & droppedPartitions
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"partitions ${lost.toSeq.sorted.mkString(", ")} at $basePath were " +
+          "dropped by dropPartitions — incremental history destroyed; " +
+          "restart the consumer from a fresh position")
+  }
+
   def nextVersions(
       prev: Map[String, Long],
       mx: Option[Long],
-      upTo: Option[Map[String, Long]]): Map[String, Long] =
+      upTo: Option[Map[String, Long]]): Map[String, Long] = {
+    requireNotDropped(prev.keySet)
     partitions.flatMap { v =>
       upTo match {
         case Some(target) if !target.contains(v) =>
@@ -469,6 +517,7 @@ final class PartitionedLakeTable(
             .nextVersion(p, mx, upTo.map(_(v))).getOrElse(p))
       }
     }.toMap.filter(_._2 > 0L)
+  }
 
   /** True iff `commitId` was already applied to ANY partition (the
     * per-partition scoped id `$commitId:p=<v>` is logged) — the replay /

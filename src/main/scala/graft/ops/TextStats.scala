@@ -384,6 +384,14 @@ object TextStats {
     * positives die in the exact recount, so the result equals the naive
     * plan's row-for-row. Null keys are excluded (SQL join semantics) —
     * filter or coalesce upstream if a null group matters.
+    *
+    * Caveats: `keyCol` may be any atomic type (counted through its string
+    * form in pass 1 — two raw keys casting to one string only merge
+    * local counts upward, which keeps the candidate set a superset; the
+    * recount groups by the RAW key). The input must be DETERMINISTIC
+    * across the two plan evaluations — a seedless `sample`/`rand`
+    * upstream can change rows between the candidate pass and the recount
+    * and void the pigeonhole guarantee; persist such inputs first.
     */
   def heavyHitters(terms: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount > 0, s"minCount must be positive (got $minCount)")
@@ -393,7 +401,7 @@ object TextStats {
     // counting pass then runs over — measuring P on a separate plan
     // evaluation could disagree (a larger real P would over-raise the
     // bound and break the no-false-negative guarantee).
-    val keyRdd = terms.select(col(keyCol)).as[String].rdd
+    val keyRdd = terms.select(col(keyCol).cast("string")).as[String].rdd
     val p = keyRdd.getNumPartitions.toLong.max(1L)
     val localBound = (minCount + p - 1) / p
     val cands = spark.createDataset(keyRdd.mapPartitions { it =>
@@ -402,9 +410,9 @@ object TextStats {
       import scala.jdk.CollectionConverters._
       m.entrySet().iterator().asScala
         .collect { case e if e.getValue >= localBound => e.getKey }
-    }).distinct().toDF(keyCol)
+    }).distinct().toDF("_hh_key")
     terms
-      .join(cands, Seq(keyCol), "left_semi")
+      .join(cands, col(keyCol).cast("string") === col("_hh_key"), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)

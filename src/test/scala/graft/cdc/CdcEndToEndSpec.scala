@@ -115,6 +115,33 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(state() == Seq((1L, "ann2", 32L)))
   }
 
+  test("partial tables: in-batch delete vs fragment order resolves by event time") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) + ("db.person.merge.mode" -> "partial")
+    CdcSyncCommand.run(Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}"""))).toDF("value"), opts, batchId = 1L)
+    // ONE batch holding, for id=1: fragment@2 (dies to the delete@3),
+    // delete@3 (superseded by the newer reinsert), reinsert@4. The naive
+    // split would let the delete win and drop id=1 entirely. For id=2 the
+    // delete IS newest → the row goes.
+    val batch2 = Seq(
+      env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":1,"name":"dead"}""", """{"id":2,"age":41}""")),
+      env("db", "person", personSchema, 3L, "delete", Seq(
+        """{"id":1}""", """{"id":2}""")),
+      env("db", "person", personSchema, 4L, "upsert", Seq(
+        """{"id":1,"name":"reborn","age":50}""")))
+    CdcSyncCommand.run(batch2.toDF("value"), opts, batchId = 2L)
+    val t = new LakeTable(spark, s"$root/db/ods_db_person", 4,
+      mergeMode = LakeTable.PartialMode)
+    val got = t.snapshot.select("id", "name", "age")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "reborn", 50L)),
+      s"reinsert after in-batch delete must survive; delete-newest must not: $got")
+  }
+
   test("table.type=mor routes CDC batches through delta commits; Hudi synonym accepted") {
     val root = tempDir("cdc-").toString
     val opts = options(root) ++ Map(

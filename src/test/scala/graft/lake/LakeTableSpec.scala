@@ -594,6 +594,31 @@ class LakeTableSpec extends SparkSpec {
       Seq("x3", "z"))
   }
 
+  test("dropped partitions tombstone: positioned incremental readers fail loudly") {
+    val plt = new PartitionedLakeTable(
+      spark, tempDir("plake-").toString, "day", numBuckets = 2)
+    def prow(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "payload")
+    plt.upsert(prow(("a", 1L, "d1", "x"), ("b", 1L, "d2", "y")))
+    val vec = plt.currentVersions
+    assert(vec.keySet == Set("d1", "d2"))
+    plt.dropPartitions(Seq("d2"))
+    assert(plt.droppedPartitions == Set("d2"))
+    // a reader positioned on the dropped partition must fail, not
+    // silently lose d2's tail from subsequent batches
+    intercept[IllegalStateException](plt.incrementalSince(vec))
+    intercept[IllegalStateException](plt.nextVersions(vec, None, None))
+    // readers never positioned on d2 are unaffected
+    val ok = plt.incrementalSince(vec - "d2")
+    assert(ok.count() == 0)
+    // a REBORN partition clears its tombstone: fresh history, and a fresh
+    // consumer reads it from scratch
+    plt.upsert(prow(("c", 2L, "d2", "y2")))
+    assert(plt.droppedPartitions.isEmpty)
+    assert(plt.incrementalSince(Map("d1" -> vec("d1")))
+      .select("payload").as[String].collect().toSeq == Seq("y2"))
+  }
+
   test("vacuumBefore keeps versions newer than the cutoff, always at least the latest") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "v1")))
@@ -1073,6 +1098,35 @@ class LakeTableSpec extends SparkSpec {
       "changed rows only: updated a, inserted d; untouched c and deleted b absent")
     // incremental from latest is empty
     assert(lt.incremental(lt.latestVersion.get).count() == 0)
+  }
+
+  test("partial-merge incremental catches late fragments that do not advance _ts") {
+    val lt = new LakeTable(
+      spark, tempDir("lake-").toString, numBuckets = 2,
+      mergeMode = LakeTable.PartialMode)
+    def frag(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+    lt.upsert(frag(("a", 10L, "alice", "rome"), ("b", 10L, "bob", "oslo")))
+    lt.upsert(frag(("a", 20L, "ALICE", null))) // name advances; row _ts = 20
+    val v2 = lt.latestVersion.get
+    // LATE fragment: city's winner was ts=10, this is ts=15 → city changes
+    // to "paris" but the row _ts stays 20 (max fragment time). A
+    // (key,_ts)-keyed diff would silently drop this change.
+    lt.upsert(frag(("a", 15L, null, "paris")))
+    val inc = lt.incremental(v2)
+      .select(LakeTable.KeyCol, "name", "city").as[(String, String, String)]
+      .collect().toSeq
+    assert(inc == Seq(("a", "ALICE", "paris")),
+      s"late-fragment content change must appear in the incremental read, got $inc")
+    assert(!lt.incremental(v2).columns.contains(LakeTable.PtsCol))
+    val v3 = lt.latestVersion.get
+    // a re-delivered identical value changes only _pts, not the visible
+    // row — correctly NOT re-emitted
+    lt.upsert(frag(("a", 16L, null, "paris")))
+    assert(lt.incremental(v3).count() == 0,
+      "visibly-unchanged row must not re-emit")
+    // untouched key b never reappears
+    assert(!inc.exists(_._1 == "b"))
   }
 
   test("partitioned lake table: per-partition writes, pruned reads, idempotency") {

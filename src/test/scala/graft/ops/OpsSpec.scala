@@ -1019,6 +1019,14 @@ class OpsSpec extends SparkSpec {
     val edgeDf = spark.sparkContext.parallelize(rnd.shuffle(edge), 3).toDF("term")
     assert(TextStats.heavyHitters(edgeDf, "term", 5L)
       .as[(String, Long)].collect().toMap === Map("at" -> 5L))
+    // non-string keys work (counted through their string form in pass 1,
+    // recounted by the RAW key) and keep their type in the output
+    val intKeys = (1 to 50).flatMap(i => Seq.fill(if (i <= 3) 20 else 1)(i.toLong))
+    val intDf = spark.sparkContext.parallelize(rnd.shuffle(intKeys), 4).toDF("term")
+    val gotInt = TextStats.heavyHitters(intDf, "term", 10L)
+    assert(gotInt.schema("term").dataType == org.apache.spark.sql.types.LongType)
+    assert(gotInt.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 20L, 2L -> 20L, 3L -> 20L))
   }
 
   test("sketch rollup: union of per-bucket HLL sketches == direct distinct (sparse-exact)") {
