@@ -1426,6 +1426,81 @@ object OpsQueries {
       },
       Some(
         """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- skew-safe temporal joins (VERDICT r12 #1) ---------------------
+    // q81's as-of semantics on an ENGINEERED pathological key: 95% of
+    // users collapse into hkey=0, the shape that serializes asofJoin's
+    // per-key window sort into one task. Temporal.asofJoinSliced instead
+    // partitions the heavy window by (key, 1-hour slice) and carries the
+    // last right row across slices — TemporalSpec proves slice-width
+    // invariance and the (key, slice) exchange; this query proves the
+    // two-pass rewrite against DuckDB's native ASOF JOIN on the skewed
+    // fixture.
+    "q87_asof_skewed" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("us", expr("ts DIV 1000"))
+          .withColumn("hkey",
+            when(col("user_id") % 20 === 0, col("user_id")).otherwise(lit(0)))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("hkey"), col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("hkey"), col("us").as("c_us"))
+          .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        Temporal.asofJoinSliced(purchases, clicks, Seq("hkey"), "p_us", "c_us",
+            sliceWidth = 3600000000L) // 1-hour slices (µs)
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type, value,
+          |             CASE WHEN user_id % 20 = 0 THEN user_id ELSE 0 END AS hkey
+          |           FROM events),
+          |p AS (SELECT event_id, hkey, us AS p_us FROM e WHERE event_type = 'purchase'),
+          |c AS (SELECT hkey, us AS c_us, max_by(value, event_id) AS c_value
+          |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.hkey, p.p_us, c.c_us, c.c_value
+          |FROM p ASOF LEFT JOIN c ON p.hkey = c.hkey AND p.p_us >= c.c_us
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // q82's containment semantics on an engineered hot CELL: per-type
+    // windows span the whole 30-day axis and the bucket width equals the
+    // axis, so every point lands in ONE cell — the single-hot-cell shape
+    // AQE skew-join can't split (it is one key, not several). saltBuckets=8
+    // spreads that cell's probe across 8 sub-cells; the interval side is
+    // pinned to the SHUFFLE join path (hint) because salt is a no-op under
+    // broadcast — this keeps the salted exchange honest in the bench plan.
+    // Join output is |events| × |types| rows; the aggregation sums
+    // quantized BIGINT cents (the q82 decimal-buffer lesson).
+    "q88_range_hotcell" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("us", expr("ts DIV 1000"))
+        val windows = ev.groupBy(col("event_type").as("w_type"))
+          .agg(min(col("us")).as("w_start"))
+          .withColumn("w_end", col("w_start") + lit(2592000000000L)) // +30 d
+        val pts = ev.select(col("event_type"), col("us"), col("value"))
+        Temporal.rangeJoin(pts, windows.hint("shuffle_hash"),
+            "us", "w_start", "w_end",
+            bucketWidth = 2592000000000L, saltBuckets = 8)
+          .groupBy("w_type")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(floor(col("value") * lit(100)).cast("long")).as("cents"))
+          .withColumn("sum_value", col("cents").cast("double") / lit(100.0))
+          .drop("cents")
+          .orderBy("w_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+          |w AS (SELECT event_type AS w_type, min(us) AS w_start,
+          |             min(us) + 2592000000000 AS w_end
+          |      FROM e GROUP BY 1)
+          |SELECT w.w_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          |    / 100.0 AS sum_value
+          |FROM w JOIN e ON e.us >= w.w_start AND e.us < w.w_end
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -75,6 +75,59 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  // ---- asofJoinSliced (skew-safe two-pass variant) ------------------------
+
+  private def runAsofSliced(
+      width: Long, strict: Boolean, tol: Option[Long]): Map[Long, Option[String]] =
+    Temporal.asofJoinSliced(leftDf, rightDf, Seq("k"), "lts", "rts", width, strict, tol)
+      .select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+  test("asofJoinSliced matches brute force at several slice widths, all modes") {
+    for (w <- Seq(1L, 13L, 100L, 5000L)) {
+      assert(runAsofSliced(w, strict = false, None) === bruteAsof(strict = false, None),
+        s"inclusive mismatch at width $w")
+      assert(runAsofSliced(w, strict = true, None) === bruteAsof(strict = true, None),
+        s"strict mismatch at width $w")
+      assert(runAsofSliced(w, strict = false, Some(50L)) === bruteAsof(strict = false, Some(50L)),
+        s"tolerance mismatch at width $w")
+    }
+  }
+
+  test("asofJoinSliced on a single hot key: same answer, (key, slice)-partitioned windows") {
+    // ALL rows one key — the shape that serializes asofJoin's sort into a
+    // single task. The sliced variant must (a) agree with the one-pass
+    // plan exactly and (b) hash-partition its heavy window on
+    // (key, slice), so the hot key spreads across time slices.
+    val hotL = leftRows.map { case (_, ts, id) => (0L, ts, id) }.toDF("k", "lts", "id")
+    val hotR = rightRows.map { case (_, ts, tag) => (0L, ts, tag) }
+      .groupBy(r => r._2).map(_._2.head).toSeq.toDF("k", "rts", "tag") // keep (k, ts) distinct
+    val sliced = Temporal.asofJoinSliced(hotL, hotR, Seq("k"), "lts", "rts", 100L)
+    val plain = Temporal.asofJoin(hotL, hotR, Seq("k"), "lts", "rts")
+    def asMap(df: DataFrame) = df.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(asMap(sliced) === asMap(plain))
+    // Plan probe: at least one exchange partitions on the slice column —
+    // >1 partition can be active on the hot key. (String match: the AQE
+    // wrapper hides the inner tree from plan.collect.)
+    val planStr = sliced.queryExecution.executedPlan.toString
+    assert(
+      planStr.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("_graft_slice")),
+      s"expected a (key, slice) hash partitioning in:\n$planStr")
+  }
+
+  test("asofJoinSliced carries right state across empty and left-only slices") {
+    // One right row far in the past; left rows many slices later — the
+    // carry must propagate across slices with no rows and slices with
+    // only left rows.
+    val l = Seq((1L, 1000L, 1L), (1L, 2500L, 2L), (1L, 9999L, 3L)).toDF("k", "lts", "id")
+    val r = Seq((1L, 5L, "old")).toDF("k", "rts", "tag")
+    val got = Temporal.asofJoinSliced(l, r, Seq("k"), "lts", "rts", 10L)
+      .select("id", "tag").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got === Map(1L -> "old", 2L -> "old", 3L -> "old"))
+  }
+
   // ---- rangeJoin ----------------------------------------------------------
 
   // points may be negative (bucketing must floor, not truncate)
@@ -120,6 +173,36 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.rangeJoin(pts, ivs, "p", "s", "e", 8L)
       .select("pid").as[Long].collect().toSet
     assert(got === Set(1L, 2L))
+  }
+
+  test("rangeJoin salted: same pairs, duplicate-free, salt reaches the join keys") {
+    val expected = bruteRange
+    for (sb <- Seq(2, 8)) {
+      val df = Temporal.rangeJoin(
+          points.toDF("pid", "p"), intervals.toDF("iid", "s", "e"),
+          "p", "s", "e", 100L, saltBuckets = sb)
+      val got = df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"duplicates at saltBuckets $sb")
+      assert(got.toSet === expected, s"mismatch at saltBuckets $sb")
+    }
+    // Hot-cell shape: every point in ONE cell (width spans the axis). The
+    // salted plan must partition the shuffle join on the salt too —
+    // broadcast is disabled here because salt only matters (and only
+    // appears as a partition key) on the shuffle path.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hot = Temporal.rangeJoin(
+          points.toDF("pid", "p"), intervals.toDF("iid", "s", "e"),
+          "p", "s", "e", 1000000L, saltBuckets = 4)
+      val planStr = hot.queryExecution.executedPlan.toString
+      assert(
+        planStr.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("_graft_salt")),
+        s"expected salt in the join partitioning:\n$planStr")
+      assert(hot.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("rangeJoin drops empty intervals and rejects bad width") {
