@@ -270,7 +270,8 @@ object CdcSyncCommand {
               spark, cfg.path, pf, cfg.numBuckets,
               filesPerBucket = cfg.filesPerBucket, bloomOnWrite = cfg.bloomEnable,
               zorderBy = cfg.zorderFields, tableType = cfg.tableType,
-              compactAfter = cfg.compactDeltas, mergeMode = cfg.mergeMode)
+              compactAfter = cfg.compactDeltas, mergeMode = cfg.mergeMode,
+              statsColumns = cfg.statsColumns)
             // Deletes route by the partition value decoded from the delete
             // payload — only the named partitions are visited (null values
             // fall back to the bloom-pruned global path inside).
@@ -316,7 +317,8 @@ object CdcSyncCommand {
               spark, cfg.path, cfg.numBuckets,
               filesPerBucket = cfg.filesPerBucket, zorderBy = cfg.zorderFields,
               bloomOnWrite = cfg.bloomEnable, tableType = cfg.tableType,
-              compactAfter = cfg.compactDeltas, mergeMode = cfg.mergeMode)
+              compactAfter = cfg.compactDeltas, mergeMode = cfg.mergeMode,
+              statsColumns = cfg.statsColumns)
             if (insertOp) {
               lake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               // Deletes: key-only left-anti (ref :186-190).

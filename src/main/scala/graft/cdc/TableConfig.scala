@@ -29,10 +29,11 @@ package graft.cdc
   *    unknown classes fail loudly instead of being silently ignored.
   *  - `<db>.<table>.bloom.enable` — build bloom sidecars on write (default
   *    true; disable to trade `lookup()` key pruning for write latency).
-  *  - `<db>.<table>.zorder.fields` — exactly two comma-separated numeric
-  *    payload columns: bucket files are written clustered by their Morton
-  *    code, so parquet row-group stats prune 2-D range predicates
-  *    (mirrors `hoodie.clustering.plan.strategy.sort.columns`).
+  *  - `<db>.<table>.zorder.fields` — 2-4 comma-separated numeric payload
+  *    columns: bucket files are written clustered by their Morton code,
+  *    so parquet row-group stats prune N-D range predicates (3-4 column
+  *    layouts scale each dimension by the commit's min/max first; mirrors
+  *    `hoodie.clustering.plan.strategy.sort.columns`).
   *  - `<db>.<table>.compact.every` — inline compaction cadence: after
   *    every Nth micro-batch the table's bucket file groups are coalesced
   *    (0/absent = off; no Hudi synonym — Hudi has no COW file-group
@@ -60,6 +61,11 @@ package graft.cdc
   *    knob — the synonym `hoodie.compact.inline.max.delta.commits` maps
   *    HERE, matching the key's Hudi role of MOR inline-compaction
   *    cadence).
+  *  - `<db>.<table>.col.stats.columns` — comma-separated payload columns
+  *    whose per-bucket min/max are recorded in the commit manifest's
+  *    stats sidecar; range/equality reads skip whole buckets before any
+  *    file open (mirrors Hudi's metadata-table col_stats,
+  *    `hoodie.metadata.index.column.stats.column.list`).
   */
 final case class TableConfig(
     db: String,
@@ -83,6 +89,9 @@ final case class TableConfig(
       * per-column newest-non-null (`partial`) — the reference's Hudi
       * `payload.class` knob; class-name values are translated. */
     mergeMode: String = graft.lake.LakeTable.OverwriteMode,
+    /** Columns recorded as per-bucket min/max manifest stats (bucket
+      * skipping for range reads; empty = off). */
+    statsColumns: Seq[String] = Nil,
     /** Unrecognized `<db>.<table>.*` keys, prefix-stripped — the generic
       * passthrough the reference gets by merging the whole user option map
       * into the Hudi writer config (`BinlogSyncHoodieCommand.scala:128-139,
@@ -123,14 +132,15 @@ object TableConfig {
     "table.type" -> "hoodie.datasource.write.table.type",
     // Hudi expresses merge semantics as a payload CLASS; resolve()
     // translates the class names to our merge.mode values.
-    "merge.mode" -> "hoodie.datasource.write.payload.class")
+    "merge.mode" -> "hoodie.datasource.write.payload.class",
+    "col.stats.columns" -> "hoodie.metadata.index.column.stats.column.list")
 
   private val Recognized: Set[String] = Set(
     RecordKeySuffix, "path", "transformer.sql", "transformer.class",
     "timestampFormat", "buckets", "files.per.bucket", "partition.field",
     "dedup.tiebreak.field", "bloom.enable", "write.operation",
     "keygen.class", "zorder.fields", "compact.every", "table.type",
-    "compact.deltas", "merge.mode") ++ RefAliases.values
+    "compact.deltas", "merge.mode", "col.stats.columns") ++ RefAliases.values
 
   /** Resolve config for one `(db, table)`; throws with the reference's
     * error shapes when required pieces are missing (`:130`, `:165-166`,
@@ -220,9 +230,9 @@ object TableConfig {
       },
       zorderFields = get("zorder.fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil) match {
-        case zs if zs.isEmpty || zs.size == 2 => zs
+        case zs if zs.isEmpty || (zs.size >= 2 && zs.size <= 4) => zs
         case bad => throw new IllegalArgumentException(
-          s"config [$prefix" + s"zorder.fields] takes exactly two columns, got [${bad.mkString(",")}]!")
+          s"config [$prefix" + s"zorder.fields] takes 2-4 columns, got [${bad.mkString(",")}]!")
       },
       compactEvery = get("compact.every").map(_.toInt).getOrElse(0) match {
         case n if n >= 0 => n
@@ -260,6 +270,8 @@ object TableConfig {
             s"config [$prefix" + s"merge.mode] must be overwrite|partial (or a " +
               s"supported Hudi payload class), got [$other]!")
         }).getOrElse(graft.lake.LakeTable.OverwriteMode),
+      statsColumns = get("col.stats.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
       extras = scoped.view.filterKeys(k => !Recognized.contains(k)).toMap)
   }
 }

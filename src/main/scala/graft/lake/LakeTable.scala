@@ -4,11 +4,12 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter => SFilter}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Copy-on-write lake table over Parquet — the engine's replacement for the
@@ -63,13 +64,14 @@ final class LakeTable(
     val bloomOnWrite: Boolean = true,
     val tableType: String = LakeTable.CowType,
     val compactAfter: Int = 8,
-    val mergeMode: String = LakeTable.OverwriteMode) {
+    val mergeMode: String = LakeTable.OverwriteMode,
+    val statsColumns: Seq[String] = Nil) {
   import LakeTable._
 
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
   require(filesPerBucket > 0, s"filesPerBucket must be positive: $filesPerBucket")
-  require(zorderBy.isEmpty || zorderBy.size == 2,
-    s"zorderBy takes exactly two long columns, got: ${zorderBy.mkString(",")}")
+  require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+    s"zorderBy takes 2-4 numeric columns, got: ${zorderBy.mkString(",")}")
   // tableType drives WRITES only — reads are manifest-driven (readBuckets
   // merges any delta stack it finds), so cow and mor handles on one table
   // interoperate: a cow commit simply folds the buckets it touches.
@@ -1053,6 +1055,40 @@ final class LakeTable(
               Exprs.expression(col(a).cast("long")),
               Exprs.expression(col(b).cast("long"))))
             partitioned.sortWithinPartitions(col(BucketCol), z)
+          case dims if dims.size >= 3 && dims.forall(merged.columns.contains) =>
+            // 3-D/4-D Morton clustering. Lane width shrinks with arity
+            // (21/16 bits), so each dimension is scaled into its lane by
+            // the COMMIT's own min/max — a monotone affine map that
+            // clusters epoch-micro timestamps and small ids alike
+            // (clustering is only a sort: per-commit normalization cannot
+            // affect results). Costs one tiny 2N-scalar agg over the
+            // outgoing rows per commit.
+            import org.apache.spark.sql.graft.Exprs
+            val bits = if (dims.size == 3) 21 else 16
+            val maxCode = (1L << bits) - 1
+            val aggs = dims.flatMap(d =>
+              Seq(min(col(d).cast("long")), max(col(d).cast("long"))))
+            val st = merged.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+            val norm = dims.zipWithIndex.map { case (d, i) =>
+              val mn = if (st.isNullAt(2 * i)) 0L else st.getLong(2 * i)
+              val mx = if (st.isNullAt(2 * i + 1)) mn else st.getLong(2 * i + 1)
+              // range in exact arithmetic (mx - mn overflows long when the
+              // dimension spans the full signed range), scale in double
+              // (monotone; rounding collisions only blur cluster edges)
+              val range = (BigDecimal(mx) - BigDecimal(mn)).max(1).toDouble
+              Exprs.expression(greatest(
+                lit(0L),
+                least(
+                  lit(maxCode),
+                  floor((col(d).cast("double") - lit(mn.toDouble)) / lit(range) *
+                    lit(maxCode.toDouble)).cast("long"))))
+            }
+            val z = Exprs.column(
+              if (dims.size == 3)
+                graft.functions.InterleaveBits3(norm(0), norm(1), norm(2))
+              else
+                graft.functions.InterleaveBits4(norm(0), norm(1), norm(2), norm(3)))
+            partitioned.sortWithinPartitions(col(BucketCol), z)
           case _ => partitioned
         }
         clustered
@@ -1086,6 +1122,20 @@ final class LakeTable(
         // false` trades lookup pruning for write latency.
         val sidecars =
           if (bloomOnWrite) writeBloomSidecars(relDir, written) else Map.empty[Int, String]
+        // Column min/max stats for the rewritten buckets (opt-in, like
+        // Hudi's metadata-table col_stats): ONE distributed min/max agg
+        // over just-written files, a tiny scalar collect, one _stats.json
+        // per commit dir. Delta commits skip it — a bucket carrying any
+        // delta stack is never stats-pruned (readers would need
+        // delta-layer stats to prove absence), so base stats stay
+        // describing base files only.
+        val statsPath =
+          if (!asDelta && statsColumns.nonEmpty)
+            writeStatsSidecar(relDir, written) else None
+        val newStats =
+          if (asDelta) prev.map(_.statsFiles).getOrElse(Map.empty)
+          else (prev.map(_.statsFiles).getOrElse(Map.empty) -- affected) ++
+            statsPath.toSeq.flatMap(p => written.map(_ -> p))
         val newBlooms =
           if (asDelta) prev.get.bloomFiles // base blooms describe base files
           else (prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected) ++ sidecars
@@ -1105,7 +1155,7 @@ final class LakeTable(
           merged.schema.fields.filterNot(f => f.name == OpCol || f.name == DvCol)))
         val manifest = Manifest(
           version, commitId, numBuckets, newBuckets, newBlooms, schemaJson,
-          newDeltas, newDeltaBlooms)
+          newDeltas, newDeltaBlooms, newStats)
         // Last idempotency gate before publish: narrows the duplicate
         // window for two same-commitId deliveries racing to the publish
         // call itself (which is atomic per version).
@@ -1300,6 +1350,173 @@ final class LakeTable(
     written.map(b => b -> s"$relDir/$BucketCol=$b/$BloomFileName").toMap
   }
 
+  // ---- manifest-level column min/max stats (Hudi col_stats shape) --------
+  //
+  // Opt-in via `statsColumns`: each non-delta commit records per-bucket
+  // min/max for the named columns in ONE `_stats.json` beside the commit's
+  // data (per-commit file, not inline manifest payload — the bloom lesson:
+  // the manifest stays KB-sized at any bucket count; the manifest maps
+  // bucket -> stats path like `bloomFiles`). Readers prune buckets whose
+  // recorded range provably excludes a pushed predicate BEFORE any file
+  // listing or open — at 100 TB a range predicate then skips whole
+  // task-sized file groups, where parquet footer stats alone still open
+  // every file.
+  //
+  // Honest scale caveat: buckets are KEY-HASH file groups, so a payload
+  // column prunes only where its values correlate with buckets — true for
+  // partition-local recency (`_ts` on append-mostly partitioned tables:
+  // stats compose with partition-dir pruning, each partition keeps its own
+  // manifests) and for engineered key layouts, NOT for a uniformly
+  // distributed column (every bucket spans the full range; stats then
+  // prune nothing and cost one narrow agg per commit). Buckets carrying a
+  // delta stack are never pruned (base stats can't speak for deltas).
+
+  /** Orderable scalar types recorded/compared; everything else is skipped
+    * (absent stats never prune — conservative).
+    */
+  private def statable(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** Distributed min/max over the buckets just written; tiny scalar
+    * collect (buckets x 2 x columns values); one JSON sidecar per commit.
+    * Returns the manifest-relative path, or None when nothing statable.
+    */
+  private def writeStatsSidecar(relDir: String, written: Set[Int]): Option[String] = {
+    if (written.isEmpty) return None
+    val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
+    val df = spark.read.parquet(paths: _*)
+    val eligible = statsColumns.filter(c =>
+      df.schema.fields.exists(f => f.name == c && statable(f.dataType)))
+    if (eligible.isEmpty) return None
+    val aggs = eligible.flatMap(c =>
+      Seq(min(col("`" + c + "`")).as(s"min:$c"), max(col("`" + c + "`")).as(s"max:$c")))
+    val rows = df.groupBy(bucketOf(col(KeyCol)).as(BucketCol))
+      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val bucketsNode = root.putObject("buckets")
+    def put(node: ObjectNode, field: String, v: Any): Unit = v match {
+      case s: String => node.put(field, s)
+      case d: java.lang.Double => node.put(field, d.doubleValue())
+      case f: java.lang.Float => node.put(field, f.doubleValue()) // exact widen
+      case dec: java.math.BigDecimal => node.put(field, dec)
+      case n: java.lang.Number => node.put(field, n.longValue())
+      case other => node.put(field, other.toString)
+    }
+    // A non-finite double bound is not JSON-orderable: drop that column's
+    // stats for the bucket (conservative) rather than serialize NaN.
+    def enc(v: Any): Option[Any] = v match {
+      case null => None
+      case d: java.lang.Double if !java.lang.Double.isFinite(d) => None
+      case f: java.lang.Float if !java.lang.Float.isFinite(f) => None
+      case other => Some(other)
+    }
+    rows.sortBy(_.getInt(0)).foreach { r =>
+      val bNode = bucketsNode.putObject(r.getInt(0).toString)
+      eligible.zipWithIndex.foreach { case (c, i) =>
+        (enc(r.get(1 + i * 2)), enc(r.get(2 + i * 2))) match {
+          case (Some(mn), Some(mx)) =>
+            val cNode = bNode.putObject(c)
+            put(cNode, "min", mn)
+            put(cNode, "max", mx)
+          case _ => () // all-null column in this bucket: no stats
+        }
+      }
+    }
+    val rel = s"$relDir/$StatsFileName"
+    io.replace(io.resolve(rel), mapper.writeValueAsString(root))
+    Some(rel)
+  }
+
+  /** path -> bucket -> column -> (min, max) JSON nodes. Sidecars are
+    * immutable once published — cached per handle like commit times.
+    * A missing/corrupt sidecar reads as empty (no prune, never a failure).
+    */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[Int, Map[String, (JsonNode, JsonNode)]]]()
+
+  private def loadStats(path: String): Map[Int, Map[String, (JsonNode, JsonNode)]] =
+    statsCache.computeIfAbsent(path, { p =>
+      try {
+        val root = new ObjectMapper().readTree(io.readString(io.resolve(p)))
+        val bNode = root.get("buckets")
+        if (bNode == null || !bNode.isObject) Map.empty
+        else bNode.asInstanceOf[ObjectNode].fieldNames().asScala.map { b =>
+          val cols = bNode.get(b).asInstanceOf[ObjectNode]
+          b.toInt -> cols.fieldNames().asScala.map { c =>
+            c -> (cols.get(c).get("min"), cols.get(c).get("max"))
+          }.toMap
+        }.toMap
+      } catch { case _: java.io.IOException => Map.empty }
+    })
+
+  /** Buckets of `m` a conjunction of pushed filters can still touch, per
+    * recorded column stats. Conservative: a bucket survives unless some
+    * filter PROVABLY excludes its whole range; buckets with delta stacks,
+    * without stats, or with un-comparable literal/stat type pairs always
+    * survive.
+    */
+  private[lake] def statsPrunedBuckets(
+      m: Manifest, filters: Seq[SFilter]): Set[Int] = {
+    if (m.statsFiles.isEmpty || filters.isEmpty) return m.allBuckets
+    val byPath = m.statsFiles.values.toSeq.distinct.map(p => p -> loadStats(p)).toMap
+    m.allBuckets.filter { b =>
+      m.deltas.getOrElse(b, Nil).nonEmpty ||
+        !m.statsFiles.contains(b) || {
+          val st = byPath(m.statsFiles(b)).getOrElse(b, Map.empty)
+          !filters.exists(f => excludes(f, st))
+        }
+    }
+  }
+
+  /** True iff `f` is UNSATISFIABLE on a bucket whose columns span the
+    * recorded ranges (min/max ignore nulls: a range never proves a null
+    * row absent, which is why null-matching predicates return false).
+    */
+  private def excludes(
+      f: SFilter, st: Map[String, (JsonNode, JsonNode)]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def cmp(node: JsonNode, v: Any): Option[Int] = v match {
+      case n: java.lang.Number if node.isNumber =>
+        try Some(node.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
+        catch { case _: NumberFormatException => None } // NaN/Infinity literal
+      case s: String if node.isTextual => Some(node.asText().compareTo(s))
+      case _ => None
+    }
+    def mn(a: String): Option[JsonNode] = st.get(a).map(_._1)
+    def mx(a: String): Option[JsonNode] = st.get(a).map(_._2)
+    def outside(a: String, v: Any): Boolean =
+      mn(a).flatMap(cmp(_, v)).exists(_ > 0) || mx(a).flatMap(cmp(_, v)).exists(_ < 0)
+    f match {
+      case GreaterThan(a, v)        => mx(a).flatMap(cmp(_, v)).exists(_ <= 0)
+      case GreaterThanOrEqual(a, v) => mx(a).flatMap(cmp(_, v)).exists(_ < 0)
+      case LessThan(a, v)           => mn(a).flatMap(cmp(_, v)).exists(_ >= 0)
+      case LessThanOrEqual(a, v)    => mn(a).flatMap(cmp(_, v)).exists(_ > 0)
+      case EqualTo(a, v) if v != null => outside(a, v)
+      case In(a, vs) =>
+        vs != null && vs.nonEmpty && !vs.contains(null) && vs.forall(outside(a, _))
+      case And(l, r) => excludes(l, st) || excludes(r, st)
+      case Or(l, r)  => excludes(l, st) && excludes(r, st)
+      case _ => false
+    }
+  }
+
+  /** Stats-pruned snapshot at `version` for pushed filters: Some(df)
+    * reading ONLY surviving buckets (zero listings/opens for skipped
+    * ones), None when stats cannot prune anything (callers keep their
+    * cached full-snapshot plan).
+    */
+  private[graft] def statsPrune(
+      version: Long, filters: Seq[SFilter]): Option[DataFrame] = {
+    val m = readManifest(version)
+    if (m.statsFiles.isEmpty || filters.isEmpty) return None
+    val keep = statsPrunedBuckets(m, filters)
+    if (keep.size == m.allBuckets.size) None else Some(readBuckets(m, keep))
+  }
+
   /** Next manifest schema: existing columns keep their slot but WIDEN when
     * the incoming batch carries a wider numeric type (int→long,
     * float→double — the widenings CDC sources actually perform); new
@@ -1345,6 +1562,7 @@ object LakeTable {
   val SeqCol = "_seq"
   val BucketCol = "b"
   val BloomFileName = "_bloom"
+  val StatsFileName = "_stats.json"
 
   /** Parse a user-facing instant: epoch millis, or
     * 'yyyy-MM-dd HH:mm:ss[.SSS]' read as UTC (the `timestampAsOf` /
@@ -1442,6 +1660,7 @@ object LakeTable {
       schemaJson: String,
       deltas: Map[Int, Seq[String]] = Map.empty,
       deltaBlooms: Map[Int, Seq[String]] = Map.empty,
+      statsFiles: Map[Int, String] = Map.empty,
       commitTimeMs: Long = 0L) {
 
     /** Buckets holding any data: a base dir, a delta stack, or both. */
@@ -1468,6 +1687,10 @@ object LakeTable {
         }
       putSeqMap("deltas", deltas)
       putSeqMap("deltaBlooms", deltaBlooms)
+      if (statsFiles.nonEmpty) {
+        val st = root.putObject("statsFiles")
+        statsFiles.toSeq.sortBy(_._1).foreach { case (k, v) => st.put(k.toString, v) }
+      }
       root.put("commitTimeMs", commitTimeMs)
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
@@ -1504,6 +1727,7 @@ object LakeTable {
         schemaJson = root.get("schemaJson").asText(),
         deltas = seqMap("deltas"),
         deltaBlooms = seqMap("deltaBlooms"),
+        statsFiles = objMap("statsFiles"),
         // pre-r12 manifests carry no commit time — 0 keeps them resolvable
         // by versionAt (they sort before any stamped commit)
         commitTimeMs =

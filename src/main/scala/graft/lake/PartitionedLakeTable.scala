@@ -35,7 +35,8 @@ final class PartitionedLakeTable(
     val zorderBy: Seq[String] = Nil,
     val tableType: String = LakeTable.CowType,
     val compactAfter: Int = 8,
-    val mergeMode: String = LakeTable.OverwriteMode) {
+    val mergeMode: String = LakeTable.OverwriteMode,
+    val statsColumns: Seq[String] = Nil) {
 
   private val PartPrefix = "p="
 
@@ -82,7 +83,8 @@ final class PartitionedLakeTable(
       spark, partDir(value), numBuckets,
       filesPerBucket = filesPerBucket, zorderBy = zorderBy,
       bloomOnWrite = bloomOnWrite, tableType = tableType,
-      compactAfter = compactAfter, mergeMode = mergeMode)
+      compactAfter = compactAfter, mergeMode = mergeMode,
+      statsColumns = statsColumns)
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

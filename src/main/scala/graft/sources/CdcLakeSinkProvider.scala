@@ -303,7 +303,15 @@ class LakeSnapshotRelation(
             // Bucket+bloom point read (Hudi bloom-index shape), at the
             // relation's pinned version.
             conformed(table.lookup(keys.map(_.asInstanceOf[String]), pinnedVersion))
-          case _ => snapshot
+          case _ =>
+            // Manifest column stats (tables written with `statsColumns`):
+            // range/equality predicates skip whole buckets BEFORE any
+            // file listing — None (no stats / nothing pruned) keeps the
+            // shared cached snapshot plan.
+            table.statsPrune(pinnedVersion.get, filters.toSeq) match {
+              case Some(pruned) => conformed(pruned)
+              case None => snapshot
+            }
         }
       case Left(pt) =>
         equalityValues(filters, pt.partitionCol) match {

@@ -43,6 +43,39 @@ object BitUtil {
     */
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 
+  /** Spread the low 21 bits of `v` to every 3rd bit position (3-D Morton
+    * lane) — standard magic-mask sequence.
+    */
+  def spread3(v0: Long): Long = {
+    var v = v0 & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x001F00000000FFFFL
+    v = (v | (v << 16)) & 0x001F0000FF0000FFL
+    v = (v | (v << 8)) & 0x100F00F00F00F00FL
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** Spread the low 16 bits of `v` to every 4th bit position (4-D Morton
+    * lane).
+    */
+  def spread4(v0: Long): Long = {
+    var v = v0 & 0xFFFFL
+    v = (v | (v << 24)) & 0x000000FF000000FFL
+    v = (v | (v << 12)) & 0x000F000F000F000FL
+    v = (v | (v << 6)) & 0x0303030303030303L
+    v = (v | (v << 3)) & 0x1111111111111111L
+    v
+  }
+
+  /** 3-D Morton code over the low 21 bits of each dimension. */
+  def interleave3(a: Long, b: Long, c: Long): Long =
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+
+  /** 4-D Morton code over the low 16 bits of each dimension. */
+  def interleave4(a: Long, b: Long, c: Long, d: Long): Long =
+    spread4(a) | (spread4(b) << 1) | (spread4(c) << 2) | (spread4(d) << 3)
+
   /** Even-position half of a Morton code (the first interleaved value). */
   def deinterleaveEven(z: Long): Long = compact(z)
 

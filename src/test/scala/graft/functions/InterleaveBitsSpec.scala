@@ -25,6 +25,50 @@ class InterleaveBitsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("bigint"))
   }
 
+  test("interleave_bits3/4 match BitUtil, stay bit-exact vs a loop oracle, propagate nulls") {
+    import org.apache.spark.sql.graft.Exprs
+    // loop-reference oracle: bit i of dim d lands at position n*i + d
+    def ref(vs: Seq[Long], bits: Int): Long = {
+      val n = vs.size
+      var z = 0L
+      for (i <- 0 until bits; d <- 0 until n)
+        z |= ((vs(d) >>> i) & 1L) << (n * i + d)
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val triples = (0 until 200).map(_ =>
+      (rnd.nextLong() & 0x1FFFFFL, rnd.nextLong() & 0x1FFFFFL, rnd.nextLong() & 0x1FFFFFL))
+    triples.foreach { case (a, b, c) =>
+      assert(BitUtil.interleave3(a, b, c) === ref(Seq(a, b, c), 21))
+    }
+    val quads = (0 until 200).map(_ =>
+      (rnd.nextLong() & 0xFFFFL, rnd.nextLong() & 0xFFFFL,
+        rnd.nextLong() & 0xFFFFL, rnd.nextLong() & 0xFFFFL))
+    quads.foreach { case (a, b, c, d) =>
+      assert(BitUtil.interleave4(a, b, c, d) === ref(Seq(a, b, c, d), 16))
+    }
+    // out-of-lane bits are masked, not smeared
+    assert(BitUtil.interleave3(1L << 21, 0L, 0L) === 0L)
+    assert(BitUtil.interleave4(1L << 16, 0L, 0L, 0L) === 0L)
+    // the codegen'd expression path agrees with the JVM call + nulls propagate
+    val df = triples.take(20).toSeq.toDF("a", "b", "c")
+    val got3 = df.select(Exprs.column(InterleaveBits3(
+      Exprs.expression(col("a")), Exprs.expression(col("b")), Exprs.expression(col("c")))))
+      .as[Long].collect()
+    assert(got3.toSeq === triples.take(20).map { case (a, b, c) => BitUtil.interleave3(a, b, c) })
+    val nulled = Seq((Some(1L), None: Option[Long], Some(2L))).toDF("a", "b", "c")
+      .select(Exprs.column(InterleaveBits3(
+        Exprs.expression(col("a")), Exprs.expression(col("b")), Exprs.expression(col("c")))))
+      .collect()
+    assert(nulled(0).isNullAt(0))
+    val got4 = quads.take(20).toSeq.toDF("a", "b", "c", "d")
+      .select(Exprs.column(InterleaveBits4(
+        Exprs.expression(col("a")), Exprs.expression(col("b")),
+        Exprs.expression(col("c")), Exprs.expression(col("d")))))
+      .as[Long].collect()
+    assert(got4.toSeq === quads.take(20).map { case (a, b, c, d) => BitUtil.interleave4(a, b, c, d) })
+  }
+
   test("z-order clustering: range filter on either dimension prunes z-ranges") {
     InterleaveBits.register(spark)
     // 16x16 grid; z-codes of a 4x4 corner block must be a contiguous-ish

@@ -1054,6 +1054,67 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering prunes row groups for a 3-D range predicate (VERDICT r12 #7)") {
+    // Same effectiveness harness as the 2-D case, one more dimension: the
+    // 3-D path normalizes each dimension by the commit's min/max into the
+    // 21-bit Morton lane, so a box predicate on all three dims should land
+    // in few row groups of the clustered file vs nearly all of the
+    // unclustered one.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val rnd = new scala.util.Random(42)
+      val pts = (0 until 40000).map(i => (s"k$i", 1L,
+        rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      def build(zorder: Seq[String]): String = {
+        val dir = tempDir("lake-z3-").toString
+        new LakeTable(spark, dir, numBuckets = 1, zorderBy = zorder)
+          .upsert(pts.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y", "w"))
+        dir
+      }
+      // Row groups whose [min,max] on ALL dims intersect the box
+      // x,y,w in [256, 511] (1/64 of the space).
+      def matchingRowGroups(dir: String): (Int, Int) = {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).toSeq
+        assert(files.nonEmpty)
+        val groups = files.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p.toString), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map { block =>
+            val stats = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def range(col: String): (Long, Long) = {
+              val s = stats(col)
+              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            Seq(range("x"), range("y"), range("w"))
+          }.toSeq
+          finally r.close()
+        }
+        val hit = groups.count(_.forall { case (lo, hi) => hi >= 256 && lo <= 511 })
+        (hit, groups.size)
+      }
+      val (plainHit, plainTotal) = matchingRowGroups(build(Nil))
+      val (zHit, zTotal) = matchingRowGroups(build(Seq("x", "y", "w")))
+      assert(plainTotal >= 8 && zTotal >= 8,
+        s"need multiple row groups to measure pruning (got $plainTotal / $zTotal)")
+      assert(zHit * 2 <= plainHit,
+        s"3-D z-order should prune at least half the row groups the " +
+          s"unclustered scan reads (clustered $zHit/$zTotal vs plain $plainHit/$plainTotal)")
+    } finally {
+      oldBlock match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None => hc.unset("parquet.block.size")
+      }
+    }
+  }
+
   test("restoreTo rolls back without touching data; replay idempotent; vacuum-safe") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
@@ -1222,5 +1283,91 @@ class LakeTableSpec extends SparkSpec {
     val sparkSide = keys.toDF("k").select(lt.bucketOf(col("k"))).as[Int].collect()
     val driverSide = keys.map(k => LakeTable.bucketOfKey(k, 16))
     assert(sparkSide.toSeq == driverSide)
+  }
+
+  test("manifest column stats skip buckets before any file open (VERDICT r12 #2)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val nb = 8
+    val dir = tempDir("lake-stats-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = nb,
+      statsColumns = Seq("amount", "tag"))
+    // Bucket-correlated values BY CONSTRUCTION: stats prune only where the
+    // column correlates with the key-hash bucket (the operator's documented
+    // caveat), so the fixture derives each row's amount/tag from its own
+    // bucket id — bucket b spans exactly [b*100, b*100+49] / tag "t<b>".
+    val rows = (0 until 400).map { i =>
+      val k = s"k$i"
+      val b = LakeTable.bucketOfKey(k, nb)
+      (k, 1L, b * 100L + i % 50, s"t$b")
+    }
+    lt.upsert(rows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+
+    def scanDirs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.relation.location.rootPaths).map(_.toString)
+
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
+    // amount >= 400 can only live in buckets 4..7: half the buckets must
+    // be skipped, with ZERO files listed/opened for the skipped ones.
+    val pruned = rel.scanPlan(
+      Array(LakeTable.KeyCol, "amount"), Array(GreaterThanOrEqual("amount", 400L)))
+    val opened = scanDirs(pruned)
+    assert(opened.nonEmpty && opened.forall(p => (4 until nb).exists(b => p.contains(s"b=$b"))),
+      s"pruned scan must open only buckets 4..7, opened: $opened")
+    assert(pruned.count() === rows.count(_._3 >= 400L))
+    // string equality: tag='t3' names exactly bucket 3's range
+    val tagged = rel.scanPlan(Array(LakeTable.KeyCol, "tag"), Array(EqualTo("tag", "t3")))
+    val taggedDirs = scanDirs(tagged)
+    assert(taggedDirs.nonEmpty && taggedDirs.forall(_.contains("b=3")),
+      s"tag equality must open only bucket 3, opened: $taggedDirs")
+    assert(tagged.count() === rows.count(_._4 == "t3"))
+    // an unsatisfiable range yields an empty, schema-stable frame
+    val none = rel.scanPlan(Array("amount"), Array(GreaterThanOrEqual("amount", 10000L)))
+    assert(none.count() === 0 && none.columns.toSeq == Seq("amount"))
+
+    // A rewrite refreshes the rewritten bucket's stats: push bucket 0's
+    // amounts above the cut, and the same predicate must now include it.
+    val b0Keys = rows.filter(r => LakeTable.bucketOfKey(r._1, nb) == 0).map(_._1)
+    lt.upsert(b0Keys.map(k => (k, 2L, 900L, "t0"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+    val rel2 = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
+    val after = rel2.scanPlan(
+      Array(LakeTable.KeyCol, "amount"), Array(GreaterThanOrEqual("amount", 400L)))
+    assert(scanDirs(after).exists(_.contains("b=0")),
+      "rewritten bucket's refreshed stats must re-admit it")
+    assert(after.count() === rows.count(_._3 >= 400L) + b0Keys.size)
+  }
+
+  test("column stats never prune a bucket carrying a delta stack") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val nb = 4
+    val dir = tempDir("lake-stats-mor-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = nb, tableType = LakeTable.MorType,
+      statsColumns = Seq("amount"))
+    val base = (0 until 200).map { i =>
+      val k = s"k$i"
+      (k, 1L, LakeTable.bucketOfKey(k, nb) * 100L)
+    }
+    lt.upsert(base.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")) // first commit = base
+    val m1 = lt.latestManifest().get
+    // base stats alone would prune bucket 0 for amount >= 150
+    assert(!lt.statsPrunedBuckets(m1, Seq(GreaterThanOrEqual("amount", 150L))).contains(0))
+    // a delta commit lands a qualifying row in bucket 0 — the bucket must
+    // survive pruning even though its BASE stats still exclude the range
+    val k0 = base.map(_._1).find(k => LakeTable.bucketOfKey(k, nb) == 0).get
+    lt.upsert(Seq((k0, 2L, 500L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val m2 = lt.latestManifest().get
+    assert(m2.deltas.getOrElse(0, Nil).nonEmpty, "expected a delta commit on bucket 0")
+    val keep = lt.statsPrunedBuckets(m2, Seq(GreaterThanOrEqual("amount", 150L)))
+    assert(keep.contains(0), "delta-carrying bucket must never be stats-pruned")
+    // and the relation read finds the delta row
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
+    val got = rel.scanPlan(
+      Array(LakeTable.KeyCol, "amount"), Array(GreaterThanOrEqual("amount", 150L)))
+    assert(got.count() === base.count(_._3 >= 150L) + 1)
   }
 }
