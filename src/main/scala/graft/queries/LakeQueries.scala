@@ -419,6 +419,71 @@ object LakeQueries {
       .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
   }
 
+  // ---- q89: streaming dedup across real micro-batches (VERDICT r12 #4) ---
+
+  /** [[graft.streaming.EventTimeOps.dedupeStream]] under an oracle, driven
+    * through REAL micro-batches: wave 1 = every event, wave 2 = planted
+    * re-deliveries (same event_id, deliberately ALTERED value — a leak
+    * would surface as a wrong row, not a dup count) plus genuinely new
+    * events. Each wave is one lake commit; the cdc-lake incremental source
+    * replays them one version per micro-batch, so the dedup state must
+    * carry ACROSS batches (first-delivery-wins) — exactly what
+    * `dropDuplicatesWithinWatermark` + full-span retention guarantees.
+    * Oracle = DuckDB first-delivery-wins row_number over the same waves.
+    */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("sdedup")
+    val lakeDir = s"$root/t"
+    val lake = new LakeTable(spark, lakeDir, numBuckets = 16, bloomOnWrite = false)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("ts"), col("user_id"), col("value"))
+    def wave(tag: String, n: Long)(rows: DataFrame): DataFrame = rows.select(
+      concat(lit(tag), col("event_id")).as(LakeTable.KeyCol),
+      lit(n).as(LakeTable.TsCol),
+      col("event_id"), col("ts"), col("user_id"), col("value"),
+      lit(n).as("delivery"))
+    lake.bulkInsert(wave("d1#", 1L)(ev), commitId = "w1")
+    lake.bulkInsert(
+      wave("d2#", 2L)(
+        ev.filter(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") + 1000))
+        .unionByName(wave("d2n#", 2L)(
+          ev.filter(col("event_id") % 11 === 0)
+            .withColumn("event_id", col("event_id") + lit(1000000000L)))),
+      commitId = "w2")
+
+    val stage = s"$root/stage"
+    val src = spark.readStream.format("cdc-lake")
+      .option("path", lakeDir).option("buckets", "16")
+      .option("maxVersionsPerBatch", "1").load()
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    // Retention spans the whole 30-day corpus: every wave-2 re-delivery
+    // (same event time as its original) lands inside the watermark, so
+    // dedup is EXACT here; bounded-state eviction is EventTimeOpsSpec's.
+    val deduped = graft.streaming.EventTimeOps.dedupeStream(
+      src, Seq("event_id"), "ets", "90 days")
+    val q = deduped.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.withColumn("_batch", lit(id)).write.mode("append").parquet(stage)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val staged = spark.read.parquet(stage)
+    // Pin the cross-batch mechanics: one micro-batch per wave — a drain
+    // that collapsed both waves into one batch would dedup WITHIN a batch
+    // and prove nothing about carried state.
+    val nBatches = staged.select("_batch").distinct().count()
+    require(nBatches == 2, s"expected 2 micro-batches (one per wave), got $nBatches")
+    staged.select(col("event_id"), col("user_id"), col("value"),
+        col("delivery").cast("long").as("delivery"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     "q47_lake_incremental" -> QueryDef(
@@ -507,6 +572,24 @@ object LakeQueries {
           |SELECT user_id, event_id, event_type, value FROM b4
           |WHERE rn = 1 AND user_id % 10 = 0
           |ORDER BY user_id""".stripMargin)),
+    "q89_stream_dedup" -> QueryDef(
+      q89,
+      Some(
+        """WITH all_d AS (
+          |  SELECT CAST(event_id AS BIGINT) AS event_id, user_id, value,
+          |         CAST(1 AS BIGINT) AS delivery
+          |  FROM events
+          |  UNION ALL
+          |  SELECT CAST(event_id AS BIGINT), user_id, value + 1000, CAST(2 AS BIGINT)
+          |  FROM events WHERE event_id % 7 = 0
+          |  UNION ALL
+          |  SELECT CAST(event_id + 1000000000 AS BIGINT), user_id, value, CAST(2 AS BIGINT)
+          |  FROM events WHERE event_id % 11 = 0)
+          |SELECT event_id, user_id, value, delivery FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY delivery) AS rn
+          |  FROM all_d) t
+          |WHERE rn = 1
+          |ORDER BY event_id""".stripMargin)),
     "q79_lake_time_travel" -> QueryDef(
       q79,
       Some(
