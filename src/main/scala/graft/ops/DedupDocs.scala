@@ -405,6 +405,62 @@ object DedupDocs {
       .select(col("d1"), col("d2"), col("dist"))
   }
 
+  /** Hamming near-dup pairs over an ARBITRARY precomputed bit signature
+    * (perceptual image hashes, simhashes of any width): the
+    * [[simhashNearDupPairs]] pigeonhole banding generalized to `sigBits`-
+    * wide signatures in a long column. The signature splits into
+    * `maxHamming + 1` contiguous bands; two signatures within `maxHamming`
+    * differing bits must agree exactly on at least one band, so candidates
+    * form only inside band buckets (never corpus x corpus) with provably
+    * complete recall, then exact `bit_count(xor)` verifies each candidate.
+    * Returns `(d1, d2, dist)`.
+    *
+    * Scale note: band width is `sigBits / (maxHamming + 1)` — a generous
+    * threshold over a small signature means narrow bands (few distinct
+    * buckets) and a fatter candidate set. Keep `maxHamming` tight for the
+    * corpus (image dHash near-dups sit within a handful of bits; unrelated
+    * images at ~sigBits/2).
+    */
+  def hammingNearDupPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      sigBits: Int,
+      maxHamming: Int): DataFrame = {
+    require(sigBits > 0 && sigBits <= 64, s"sigBits in (0, 64]: $sigBits")
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits): $maxHamming")
+    val nb = maxHamming + 1
+    val base = sigBits / nb
+    val widths = Array.tabulate(nb)(b => if (b < sigBits % nb) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sig = sigs.select(col(idCol), col(sigCol).cast("long").as(sigCol))
+    val bandCols = (0 until nb).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col(sigCol), offsets(b))
+          .bitwiseAND(if (widths(b) == 64) -1L else (1L << widths(b)) - 1).as("bh"))
+    }
+    // Same pinned partitioning as simhashNearDupPairs: the banded index is
+    // tiny in bytes but the self-join OUTPUT is Σdf² — don't let AQE
+    // coalesce the join into one task.
+    val banded = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+    cand
+      .join(sig.select(col(idCol).as("d1"), col(sigCol).as("h1")), "d1")
+      .join(sig.select(col(idCol).as("d2"), col(sigCol).as("h2")), "d2")
+      .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
   /** Persist a corpus's banded minhash index: the artifact
     * [[dedupeAgainstIndex]] probes so that ingesting a new batch never
     * re-shingles or re-hashes the existing corpus. One narrow pass over

@@ -167,6 +167,150 @@ object Multimodal {
     * [[decodeFramesBatched]]: one reusable digest per partition, streaming
     * iterator, no per-row handle churn.
     */
+  /** One image perceptual hash from [[dHashImagesBatched]]: a 64-bit
+    * difference hash over the decoded raster (`decoded = true`), or a
+    * 64-bit hash of the raw payload bytes for undecodable payloads
+    * (`decoded = false` — exact-duplicate semantics only).
+    */
+  final case class ImageDHash(doc_id: Long, decoded: Boolean, dhash: Long)
+
+  /** 64-bit dHash (difference hash) over REAL decoded pixels: the raster
+    * is block-AVERAGED onto a 9x8 grayscale grid (integer arithmetic —
+    * deterministic, and averaging makes the hash stable under resizing,
+    * unlike point-sampled downscales), then bit (x, y) = grid[x+1][y] >
+    * grid[x][y]. Resized copies of an image land within a few bits;
+    * unrelated images at ~32. Same batched `mapPartitions` codec contract
+    * as [[decodeImagesBatched]]; undecodable payloads hash their bytes
+    * (md5-folded to 64 bits) so exact byte duplicates still pair.
+    */
+  def dHashImagesBatched(
+      assets: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ImageDHash] = {
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ImageDHash(id, decoded = false, fold64(digest, bytes))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              // block-average to 9 x 8 grayscale cells (gray = (r+g+b)/3,
+              // exact integer sums; cell x spans [floor(x*w/9), floor((x+1)*w/9)))
+              val gw = 9; val gh = 8
+              val grid = Array.ofDim[Long](gw, gh)
+              var gx = 0
+              while (gx < gw) {
+                val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+                var gy = 0
+                while (gy < gh) {
+                  val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+                  var sum = 0L; var n = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val p = argb(y * w + x)
+                      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                      n += 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  grid(gx)(gy) = if (n == 0) 0L else sum / n
+                  gy += 1
+                }
+                gx += 1
+              }
+              var hash = 0L
+              var bit = 0
+              var yy = 0
+              while (yy < gh) {
+                var xx = 0
+                while (xx < gw - 1) {
+                  if (grid(xx + 1)(yy) > grid(xx)(yy)) hash |= 1L << bit
+                  bit += 1
+                  xx += 1
+                }
+                yy += 1
+              }
+              ImageDHash(id, decoded = true, hash)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ImageDHash(id, decoded = false, fold64(digest, bytes))
+          }
+        }
+      }
+  }
+
+  private def fold64(digest: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    digest.reset()
+    val d = digest.digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** Deterministic SMOOTH synthetic images (id-seeded sinusoid mixtures
+    * rendered as grayscale PNG): the fixture generator for image-pipeline
+    * queries in environments with no real image corpus. Smoothness is the
+    * point — perceptual hashes are only resize-stable on images with
+    * local correlation, which random noise (and text bytes) lacks. The
+    * brightness field is a function of NORMALIZED coordinates, so the
+    * same id rendered at any resolution depicts the same image.
+    */
+  def renderSyntheticImages(
+      ids: DataFrame,
+      w: Int,
+      h: Int,
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    require(w > 0 && h > 0, s"dims must be positive: ${w}x$h")
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 17)
+        // id-seeded random 12x12 brightness lattice, bilinearly
+        // interpolated in NORMALIZED coordinates: smooth (so block-average
+        // perceptual hashes are resize-stable) yet fully id-random (so
+        // DIFFERENT ids' hash bits are near-independent — a pure sinusoid
+        // mixture measured cross-image dHash distances as low as 2; the
+        // random field concentrates them at ~32 of 64).
+        val n = 12
+        val lattice = Array.fill(n * n)(rnd.nextDouble() * 255.0)
+        def field(xn: Double, yn: Double): Double = {
+          val px = xn * (n - 1); val py = yn * (n - 1)
+          val i = math.min(n - 2, px.toInt); val j = math.min(n - 2, py.toInt)
+          val fx = px - i; val fy = py - j
+          lattice(j * n + i) * (1 - fx) * (1 - fy) +
+            lattice(j * n + i + 1) * fx * (1 - fy) +
+            lattice((j + 1) * n + i) * (1 - fx) * fy +
+            lattice((j + 1) * n + i + 1) * fx * fy
+        }
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val yn = (y + 0.5) / h
+          var x = 0
+          while (x < w) {
+            val xn = (x + 0.5) / w
+            val g = math.max(0, math.min(255, field(xn, yn).round.toInt))
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }
+  }
+
   def decodeImagesBatched(
       assets: DataFrame,
       idCol: String = "doc_id",

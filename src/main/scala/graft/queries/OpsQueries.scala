@@ -1501,6 +1501,43 @@ object OpsQueries {
           |  CAST(CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
           |    / 100.0 AS sum_value
           |FROM w JOIN e ON e.us >= w.w_start AND e.us < w.w_end
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- image near-dup dedup via perceptual hash (VERDICT r12 #5) -----
+    // Training pipelines dedup images like text: REAL pixel path — render
+    // a deterministic smooth image per doc_id (id-seeded bilinear random
+    // field; DuckDB cannot decode pixels, so the corpus is constructed and
+    // the planted-duplicate mapping IS the oracle), plant resized copies
+    // of every 5th image through the real nearest-neighbor resize
+    // operator, dHash (block-averaged 9x8 difference hash) each decoded
+    // raster, and pair via the pigeonhole hamming-LSH banding
+    // (hammingNearDupPairs — candidates form only inside band buckets,
+    // never corpus x corpus; exact bit_count verifies).
+    //
+    // maxHamming=8 is CALIBRATED on the fixed seeds + 2026-08-12 testdata
+    // ids (graft.ProbeImg): planted resize pairs measure <= 5 @ sf0.01 /
+    // <= 7 @ sf0.1 while the closest unrelated pair is 15 / 11 — so the
+    // pair set equals the planted mapping exactly, which is what the
+    // oracle states. After ANY testdata regen, re-measure with ProbeImg
+    // and recalibrate (same protocol as the q36/q76 recall gates).
+    "q90_image_neardup" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val copies = Multimodal.resizeImagesBatched(
+            base.filter(col("doc_id") % 5 === 0), 48, 48)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload"))
+        val sigs = Multimodal.dHashImagesBatched(base.unionByName(copies))
+          .toDF("doc_id", "decoded", "dhash")
+        DedupDocs.hammingNearDupPairs(sigs, "doc_id", "dhash", 64, maxHamming = 8)
+          .select(col("d1"), col("d2"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS d1,
+          |       CAST(doc_id + 1000000 AS BIGINT) AS d2
+          |FROM documents WHERE doc_id % 5 = 0
+          |ORDER BY d1, d2""".stripMargin))
   )
 }

@@ -1029,6 +1029,55 @@ class OpsSpec extends SparkSpec {
       Map(1L -> 20L, 2L -> 20L, 3L -> 20L))
   }
 
+  test("hammingNearDupPairs == brute-force all-pairs at several signature widths") {
+    val rnd = new scala.util.Random(11)
+    // random signatures + planted near copies (flip k bits of an original)
+    val bases = (0L until 150L).map(i => i -> rnd.nextLong())
+    val copies = bases.filter(_._1 % 4 == 0).map { case (i, h) =>
+      var flipped = h
+      (0 until rnd.nextInt(4)).foreach(_ => flipped ^= 1L << rnd.nextInt(64))
+      (i + 1000L) -> flipped
+    }
+    val all = bases ++ copies
+    for (maxD <- Seq(0, 3, 8)) {
+      val brute = (for {
+        (i1, h1) <- all; (i2, h2) <- all
+        if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= maxD
+      } yield (i1, i2)).toSet
+      val got = DedupDocs.hammingNearDupPairs(
+          all.toDF("id", "sig"), "id", "sig", 64, maxD)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"mismatch at maxHamming=$maxD")
+    }
+    // narrower signature width: only the low bits participate
+    val narrow = Seq((1L, 0x0FL), (2L, 0x0EL), (3L, 0xF0L)).toDF("id", "sig")
+    val got16 = DedupDocs.hammingNearDupPairs(narrow, "id", "sig", 16, 1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got16 === Set((1L, 2L)))
+  }
+
+  test("image dHash: resized copies land within the gate, unrelated images far outside") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
+    val copies = Multimodal.resizeImagesBatched(base, 48, 48)
+      .select((col("doc_id") + lit(1000L)).as("doc_id"), col("payload"))
+    val sigs = Multimodal.dHashImagesBatched(base.unionByName(copies))
+      .collect().map(s => s.doc_id -> (s.decoded, s.dhash)).toMap
+    assert(sigs.values.forall(_._1), "synthetic PNGs must all decode")
+    // determinism: a re-render hashes identically
+    val again = Multimodal.dHashImagesBatched(
+      Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload"))
+      .collect().map(s => s.doc_id -> s.dhash).toMap
+    (0L until 60L).foreach(i => assert(again(i) === sigs(i)._2))
+    val planted = (0L until 60L).map(i =>
+      java.lang.Long.bitCount(sigs(i)._2 ^ sigs(i + 1000L)._2))
+    assert(planted.max <= 8, s"planted resize pair beyond the gate: ${planted.max}")
+    val cross = for {
+      i <- 0L until 60L; j <- 0L until 60L if i < j
+    } yield java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+    assert(cross.min > 8, s"unrelated pair inside the gate: ${cross.min}")
+  }
+
   test("sketch rollup: union of per-bucket HLL sketches == direct distinct (sparse-exact)") {
     // keys overlap across buckets — a rollup that double-counted would
     // overshoot; sparse-mode HLL estimates exactly at this cardinality.

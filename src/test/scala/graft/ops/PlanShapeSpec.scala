@@ -230,6 +230,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup exchanges carry signatures, never image bytes") {
+    // The q90 shape: render → dHash (narrow, per-partition codec work) →
+    // banded pairs. Every exchange must carry only ids/bands/hashes —
+    // a refactor that lets the binary payload (or any string) cross a
+    // shuffle ships the images themselves (the widest possible payload).
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 32, 32).toDF("doc_id", "payload")
+    val sigs = Multimodal.dHashImagesBatched(base).toDF("doc_id", "decoded", "dhash")
+    val pairs = DedupDocs.hammingNearDupPairs(sigs, "doc_id", "dhash", 64, 8)
+    val wide = shuffles(pairs.queryExecution.sparkPlan).filter(_.child.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.BinaryType ||
+        a.dataType == org.apache.spark.sql.types.StringType))
+    assert(wide.isEmpty,
+      s"image near-dup exchanges must carry only numeric signatures:\n$wide")
+  }
+
   test("vocab encode probes the corpus through a broadcast join") {
     val d = graft.Tables.load(spark, sfDir, "documents")
     val plan = Vocab.encode(d, Vocab.build(d, size = 20)).queryExecution.sparkPlan
