@@ -66,6 +66,9 @@ object InterleaveBits {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(InterleaveBits.descriptor)
+    ext.injectFunction(InterleaveBits3.descriptor)
+    ext.injectFunction(InterleaveBits4.descriptor)
+  }
 }

@@ -64,3 +64,33 @@ case class InterleaveBits4(
       newThird: Expression, newFourth: Expression): InterleaveBits4 =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
+
+object InterleaveBits3 {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val fnName = "interleave_bits3"
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(fnName),
+    new ExpressionInfo(classOf[InterleaveBits3].getName, fnName),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"$fnName expects 3 arguments, got ${children.size}")
+      InterleaveBits3(children(0), children(1), children(2))
+    })
+}
+
+object InterleaveBits4 {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val fnName = "interleave_bits4"
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(fnName),
+    new ExpressionInfo(classOf[InterleaveBits4].getName, fnName),
+    (children: Seq[Expression]) => {
+      require(children.size == 4, s"$fnName expects 4 arguments, got ${children.size}")
+      InterleaveBits4(children(0), children(1), children(2), children(3))
+    })
+}

@@ -390,6 +390,33 @@ final class PartitionedLakeTable(
   def snapshotAt(values: Seq[String], versions: Map[String, Long]): DataFrame =
     readAt(values.distinct.filter(versions.contains), versions.keys.toSeq.sorted, versions)
 
+  /** Stats-pruned version-pinned read (tables written with
+    * `statsColumns`): each partition contributes its bucket-pruned frame
+    * when column stats can skip buckets there, else its full pinned
+    * snapshot — so manifest stats COMPOSE with partition-dir pruning
+    * (each partition keeps its own manifests and sidecars). None when no
+    * partition pruned anything — callers keep their cached full plan.
+    * `values` restricts to named partitions (the pruned route).
+    */
+  private[graft] def statsPruneAt(
+      versions: Map[String, Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      values: Option[Seq[String]] = None): Option[DataFrame] = {
+    if (filters.isEmpty) return None
+    val ps = values.map(_.distinct.filter(versions.contains))
+      .getOrElse(versions.keys.toSeq.sorted)
+    var any = false
+    val parts = ps.map { v =>
+      val t = partitionTable(v)
+      t.statsPrune(versions(v), filters) match {
+        case Some(df) => any = true; v -> df
+        case None => v -> t.snapshotAt(versions(v))
+      }
+    }
+    if (!any) None
+    else Some(assemble(parts, versions.keys.toSeq.sorted, Some(versions)))
+  }
+
   private def read(values: Seq[String], all: Seq[String]): DataFrame =
     assemble(values.map(v => v -> partitionTable(v).snapshot), all, None)
 

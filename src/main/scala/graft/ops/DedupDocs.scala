@@ -420,16 +420,28 @@ object DedupDocs {
     * buckets) and a fatter candidate set. Keep `maxHamming` tight for the
     * corpus (image dHash near-dups sit within a handful of bits; unrelated
     * images at ~sigBits/2).
+    *
+    * `maxBucket`: the 100 TB safety valve (the q27/q28 hot-shingle cap
+    * applied to signature bands). A band value shared by millions of
+    * signatures carries no discriminating information but contributes
+    * df² candidate pairs; with the cap, band buckets holding more than
+    * `maxBucket` ids are dropped BEFORE the self-join (derived as a small
+    * hot-list side input and anti-joined — never a windowed filter, which
+    * would add its own exchange). Recall contract under the cap: a
+    * qualifying pair is missed only if EVERY band the two signatures
+    * agree on is hot — uncapped recall stays pigeonhole-complete.
     */
   def hammingNearDupPairs(
       sigs: DataFrame,
       idCol: String,
       sigCol: String,
       sigBits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(sigBits > 0 && sigBits <= 64, s"sigBits in (0, 64]: $sigBits")
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming in [0, $sigBits): $maxHamming")
+    require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
     val nb = maxHamming + 1
     val base = sigBits / nb
     val widths = Array.tabulate(nb)(b => if (b < sigBits % nb) base + 1 else base)
@@ -444,11 +456,19 @@ object DedupDocs {
     // Same pinned partitioning as simhashNearDupPairs: the banded index is
     // tiny in bytes but the self-join OUTPUT is Σdf² — don't let AQE
     // coalesce the join into one task.
-    val banded = sig
+    val bandedAll = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .repartition(
-        sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
+    val capped = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val hot = bandedAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+          .select(col("band"), col("bh"))
+        bandedAll.join(hot, Seq("band", "bh"), "left_anti")
+    }
+    val banded = capped.repartition(
+      sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Driver-round count of the LAST [[bpeTrain]] call on this JVM — a
+    * probe-only diagnostic (`graft.BpeProbe` asserts round count grows
+    * sublinearly in numMerges under adaptive batching). Not part of the
+    * training contract; single-threaded probe usage only.
+    */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
   /** Top-`size` vocabulary: `(tok, n, id)` with id 0 = most frequent.
     * Empty tokens (split artifacts of repeated separators) are excluded.
     */
@@ -130,6 +137,7 @@ object Vocab {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var rank = 0
+      var rounds = 0
       var exhausted = false
       // Adaptive batch growth (VERDICT r12 #6): `batchSize` is the FLOOR,
       // not the fixed round size. While the disjointness + neighbor-bound
@@ -142,6 +150,7 @@ object Vocab {
       var curBatch = batchSize
       val maxBatch = math.max(batchSize, 1024)
       while (rank < numMerges && !exhausted) {
+        rounds += 1
         // (left, right) adjacency counts, weighted by word frequency —
         // persisted because the round reads it twice (top-k + the
         // neighbor-bound guard).
@@ -250,6 +259,7 @@ object Vocab {
           }
         } finally pairs.unpersist(blocking = false)
       }
+      Vocab.lastTrainRounds = rounds
     } finally words.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(

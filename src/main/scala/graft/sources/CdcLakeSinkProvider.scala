@@ -322,10 +322,18 @@ class LakeSnapshotRelation(
             // match — a mismatched name would silently prune matching
             // rows away (r9 review). Typed partition columns fall
             // through to the pinned full scan; the filter still applies
-            // below.
-            conformed(pt.snapshotAt(
-              values.map(_.asInstanceOf[String]).distinct, pinnedVector))
-          case _ => snapshot
+            // below. Column stats compose: within the named partitions,
+            // buckets the recorded ranges exclude are skipped too.
+            val vs = values.map(_.asInstanceOf[String]).distinct
+            pt.statsPruneAt(pinnedVector, filters.toSeq, Some(vs)) match {
+              case Some(pruned) => conformed(pruned)
+              case None => conformed(pt.snapshotAt(vs, pinnedVector))
+            }
+          case _ =>
+            pt.statsPruneAt(pinnedVector, filters.toSeq) match {
+              case Some(pruned) => conformed(pruned)
+              case None => snapshot
+            }
         }
     }
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))

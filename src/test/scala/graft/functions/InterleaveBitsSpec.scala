@@ -69,6 +69,19 @@ class InterleaveBitsSpec extends SparkSpec {
     assert(got4.toSeq === quads.take(20).map { case (a, b, c, d) => BitUtil.interleave4(a, b, c, d) })
   }
 
+  test("interleave_bits3/4 register as SQL functions (GraftExtensions surface)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      InterleaveBits3.fnName, InterleaveBits3.descriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      InterleaveBits4.fnName, InterleaveBits4.descriptor._3, "built-in")
+    val r3 = Seq((3L, 5L, 7L)).toDF("a", "b", "c")
+      .selectExpr("interleave_bits3(a, b, c)").as[Long].head()
+    assert(r3 === BitUtil.interleave3(3L, 5L, 7L))
+    val r4 = Seq((3L, 5L, 7L, 9L)).toDF("a", "b", "c", "d")
+      .selectExpr("interleave_bits4(a, b, c, d)").as[Long].head()
+    assert(r4 === BitUtil.interleave4(3L, 5L, 7L, 9L))
+  }
+
   test("z-order clustering: range filter on either dimension prunes z-ranges") {
     InterleaveBits.register(spark)
     // 16x16 grid; z-codes of a 4x4 corner block must be a contiguous-ish

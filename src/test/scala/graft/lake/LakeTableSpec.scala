@@ -1341,6 +1341,71 @@ class LakeTableSpec extends SparkSpec {
     assert(after.count() === rows.count(_._3 >= 400L) + b0Keys.size)
   }
 
+  test("partitioned tables: column stats compose with partition-dir pruning") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val nb = 4
+    val dir = tempDir("plake-stats-").resolve("t").toString
+    val pt = new PartitionedLakeTable(spark, dir, "day", numBuckets = nb,
+      statsColumns = Seq("amount"))
+    // two partitions, bucket-correlated amounts within each
+    val rows = for {
+      day <- Seq("d1", "d2"); i <- 0 until 200
+    } yield {
+      val k = s"$day-k$i"
+      (k, 1L, day, LakeTable.bucketOfKey(k, nb) * 100L + i % 50)
+    }
+    pt.upsert(rows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "day", "amount"))
+
+    def scanDirs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.relation.location.rootPaths).map(_.toString)
+
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
+    // amount >= 200 lives only in buckets 2..3 of EACH partition
+    val pruned = rel.scanPlan(
+      Array(LakeTable.KeyCol, "day", "amount"),
+      Array(GreaterThanOrEqual("amount", 200L)))
+    val opened = scanDirs(pruned)
+    assert(opened.nonEmpty && opened.forall(p => p.contains("b=2") || p.contains("b=3")),
+      s"stats must skip buckets 0..1 in every partition, opened: $opened")
+    assert(pruned.count() === rows.count(_._4 >= 200L))
+    // partition equality + stats: only d2's buckets 2..3
+    val both = rel.scanPlan(
+      Array(LakeTable.KeyCol, "day", "amount"),
+      Array(EqualTo("day", "d2"), GreaterThanOrEqual("amount", 200L)))
+    val bothDirs = scanDirs(both)
+    assert(bothDirs.nonEmpty && bothDirs.forall(p =>
+        p.contains("p=d2") && (p.contains("b=2") || p.contains("b=3"))),
+      s"partition route + stats must open only d2's buckets 2..3, opened: $bothDirs")
+    assert(both.count() === rows.count(r => r._3 == "d2" && r._4 >= 200L))
+  }
+
+  test("column stats survive vacuum and restore") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val nb = 4
+    val dir = tempDir("lake-stats-vac-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = nb, statsColumns = Seq("amount"))
+    def batch(ts: Long) = (0 until 200).map { i =>
+      val k = s"k$i"
+      (k, ts, LakeTable.bucketOfKey(k, nb) * 100L + ts)
+    }.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+    lt.upsert(batch(1L)); lt.upsert(batch(2L)); lt.upsert(batch(3L))
+    assert(lt.vacuum(keepVersions = 1) >= 1)
+    // pruning still works against the surviving version's sidecars
+    val m = lt.latestManifest().get
+    val keep = lt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("amount", 200L)))
+    assert(keep === Set(2, 3), s"expected buckets 2..3 to survive, got $keep")
+    // restore republishes a manifest — its stats references stay valid
+    val v = lt.latestVersion.get
+    lt.upsert(batch(4L))
+    lt.restoreTo(v, commitId = "rb")
+    val m2 = lt.latestManifest().get
+    assert(lt.statsPrunedBuckets(m2, Seq(GreaterThanOrEqual("amount", 200L))) === Set(2, 3))
+    assert(lt.snapshot.count() === 200)
+  }
+
   test("column stats never prune a bucket carrying a delta stack") {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     val nb = 4

@@ -1056,6 +1056,34 @@ class OpsSpec extends SparkSpec {
     assert(got16 === Set((1L, 2L)))
   }
 
+  test("hammingNearDupPairs maxBucket drops hot bands but keeps cold-band pairs") {
+    // All 200 signatures share band 0 (low 8 bits of a 64-bit/7-hamming
+    // split = band widths 8,8,8,8,8,8,8,8 -> band 0 = bits 0-7): that
+    // bucket holds everyone and is pure df² noise. A planted near pair
+    // also agrees on its OTHER bands (distance 0 overall is too easy —
+    // make them differ in band 0's bits only... then they agree on all
+    // higher bands). Unrelated ids get distinct random high bits.
+    val rnd = new scala.util.Random(5)
+    val common = 0x2AL // shared band-0 value
+    val sigs = (0L until 200L).map { i =>
+      (i, (rnd.nextLong() << 8) | common)
+    }
+    // planted pair: same high bits, band-0 bits differ by 2 flips
+    val planted = Seq((500L, sigs(3)._2 ^ 0x03L))
+    val all = (sigs ++ planted).toDF("id", "sig")
+    val uncapped = DedupDocs.hammingNearDupPairs(all, "id", "sig", 64, 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupDocs.hammingNearDupPairs(all, "id", "sig", 64, 7, maxBucket = Some(50))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // the planted pair agrees on every band EXCEPT hot band 0 — it must
+    // survive the cap through its cold bands
+    assert(capped.contains((3L, 500L)), s"cold-band pair lost under cap: $capped")
+    // and the capped run must agree with uncapped here (no hot-only pairs
+    // exist in this fixture: unrelated highs are random)
+    assert(capped === uncapped)
+  }
+
   test("image dHash: resized copies land within the gate, unrelated images far outside") {
     val ids = (0L until 60L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
