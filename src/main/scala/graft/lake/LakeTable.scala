@@ -1440,17 +1440,24 @@ final class LakeTable(
 
   private def loadStats(path: String): Map[Int, Map[String, (JsonNode, JsonNode)]] =
     statsCache.computeIfAbsent(path, { p =>
+      // NonFatal, not just IOException: the contract is missing/corrupt/
+      // alien-shaped sidecar = NO PRUNE, never a failed scan — a
+      // non-integer bucket key or a column node without both bounds must
+      // degrade the same way a missing file does.
       try {
         val root = new ObjectMapper().readTree(io.readString(io.resolve(p)))
         val bNode = root.get("buckets")
         if (bNode == null || !bNode.isObject) Map.empty
         else bNode.asInstanceOf[ObjectNode].fieldNames().asScala.map { b =>
           val cols = bNode.get(b).asInstanceOf[ObjectNode]
-          b.toInt -> cols.fieldNames().asScala.map { c =>
-            c -> (cols.get(c).get("min"), cols.get(c).get("max"))
+          b.toInt -> cols.fieldNames().asScala.flatMap { c =>
+            val mn = cols.get(c).get("min")
+            val mx = cols.get(c).get("max")
+            if (mn == null || mn.isNull || mx == null || mx.isNull) None
+            else Some(c -> (mn, mx))
           }.toMap
         }.toMap
-      } catch { case _: java.io.IOException => Map.empty }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     })
 
   /** Buckets of `m` a conjunction of pushed filters can still touch, per
@@ -1480,10 +1487,19 @@ final class LakeTable(
       f: SFilter, st: Map[String, (JsonNode, JsonNode)]): Boolean = {
     import org.apache.spark.sql.sources._
     def cmp(node: JsonNode, v: Any): Option[Int] = v match {
+      case _ if node == null || node.isNull => None
       case n: java.lang.Number if node.isNumber =>
         try Some(node.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
         catch { case _: NumberFormatException => None } // NaN/Infinity literal
-      case s: String if node.isTextual => Some(node.asText().compareTo(s))
+      case s: String if node.isTextual =>
+        // Spark orders strings by UTF-8 BYTES (UTF8String.compareTo) —
+        // Java String.compareTo is UTF-16 code units, which disagrees for
+        // supplementary-plane characters (an emoji sorts above U+FFFF in
+        // UTF-8, below it in UTF-16). Comparing with the writer's own
+        // collation would wrongly prune buckets holding matching rows.
+        Some(java.util.Arrays.compareUnsigned(
+          node.asText().getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
     def mn(a: String): Option[JsonNode] = st.get(a).map(_._1)
@@ -1496,6 +1512,11 @@ final class LakeTable(
       case LessThan(a, v)           => mn(a).flatMap(cmp(_, v)).exists(_ >= 0)
       case LessThanOrEqual(a, v)    => mn(a).flatMap(cmp(_, v)).exists(_ > 0)
       case EqualTo(a, v) if v != null => outside(a, v)
+      // any string with prefix v is >= v in byte order, so max < v
+      // excludes the bucket (the min side needs a prefix upper bound —
+      // not worth the byte surgery; half the prune is free)
+      case StringStartsWith(a, v) if v != null =>
+        mx(a).flatMap(cmp(_, v)).exists(_ < 0)
       case In(a, vs) =>
         vs != null && vs.nonEmpty && !vs.contains(null) && vs.forall(outside(a, _))
       case And(l, r) => excludes(l, st) || excludes(r, st)

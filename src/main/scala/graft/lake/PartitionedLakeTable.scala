@@ -78,13 +78,24 @@ final class PartitionedLakeTable(
 
   private def partDir(v: String): String = s"$basePath/$PartPrefix${encode(v)}"
 
+  /** One cached handle per partition value: `LakeTable` caches immutable
+    * per-version metadata on the handle (commit times, stats sidecars) —
+    * a fresh handle per call would re-read those small files from
+    * storage on every filtered scan / timestamp resolution, multiplied
+    * by partition count (the r13 review's planning-latency finding).
+    * Handles are stateless apart from those caches, so sharing is safe.
+    */
+  private val handleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LakeTable]()
+
   def partitionTable(value: String): LakeTable =
-    new LakeTable(
-      spark, partDir(value), numBuckets,
-      filesPerBucket = filesPerBucket, zorderBy = zorderBy,
-      bloomOnWrite = bloomOnWrite, tableType = tableType,
-      compactAfter = compactAfter, mergeMode = mergeMode,
-      statsColumns = statsColumns)
+    handleCache.computeIfAbsent(value, v =>
+      new LakeTable(
+        spark, partDir(v), numBuckets,
+        filesPerBucket = filesPerBucket, zorderBy = zorderBy,
+        bloomOnWrite = bloomOnWrite, tableType = tableType,
+        compactAfter = compactAfter, mergeMode = mergeMode,
+        statsColumns = statsColumns))
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =
@@ -306,6 +317,11 @@ final class PartitionedLakeTable(
     val existing = partitions.toSet
     val doomed = values.distinct.filter(existing.contains)
     doomed.foreach(v => io.deleteRecursive(io.resolve(s"$PartPrefix${encode(v)}")))
+    // Evict cached handles: a REBORN partition restarts its version
+    // numbering at 1, so a stale handle's per-version caches (commit
+    // times, stats sidecars) would answer for version numbers the
+    // rebirth reuses.
+    doomed.foreach(handleCache.remove)
     // Tombstone the drop (same loud-failure contract as vacuumed
     // history): an incremental/stream reader whose version vector still
     // names a dropped partition must fail, not silently lose its tail —

@@ -369,41 +369,14 @@ object DedupDocs {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0, 32): $maxHamming")
-    val nb = maxHamming + 1
-    val base = 32 / nb
-    val widths = Array.tabulate(nb)(b => if (b < 32 % nb) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    // Shared by the banded index and both verify payload joins — identical
-    // subplans, evaluated once via AQE stage reuse (see jaccardPairs).
-    val sig = TextStats.simhash32(docs, idCol, textCol)
-    val bandCols = (0 until nb).map { b =>
-      struct(
-        lit(b).as("band"),
-        shiftright(col("simhash"), offsets(b))
-          .bitwiseAND((1L << widths(b)) - 1).as("bh"))
-    }
-    // Pin an explicit hash partitioning on the join key: the banded index
-    // is tiny in bytes but the self-join OUTPUT is Σdf² rows, so AQE's
-    // size-based coalescing could serialize the expensive part into one
-    // task (the q27 bistability; see CLAUDE.md perf rules).
-    val banded = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
-      .distinct()
-    cand
-      .join(sig.select(col(idCol).as("d1"), col("simhash").as("h1")), "d1")
-      .join(sig.select(col(idCol).as("d2"), col("simhash").as("h2")), "d2")
-      .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
-      .filter(col("dist") <= maxHamming)
-      .select(col("d1"), col("d2"), col("dist"))
-  }
+      maxHamming: Int = 3): DataFrame =
+    // The 32-bit-signature instance of the generalized banding below —
+    // one pipeline (band derivation, pinned (band, bh) partitioning,
+    // candidate self-join, exact popcount verify) maintained in one
+    // place (r13 review: the two copies had already diverged on the
+    // maxBucket hot-band cap).
+    hammingNearDupPairs(
+      TextStats.simhash32(docs, idCol, textCol), idCol, "simhash", 32, maxHamming)
 
   /** Hamming near-dup pairs over an ARBITRARY precomputed bit signature
     * (perceptual image hashes, simhashes of any width): the

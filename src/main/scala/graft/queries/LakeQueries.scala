@@ -484,6 +484,63 @@ object LakeQueries {
       .orderBy("event_id")
   }
 
+  // ---- q91: manifest column stats through the relation (r13) -------------
+
+  /** Two halves, one query (the q84 internal-gate pattern). Effectiveness:
+    * an engineered table whose stat column correlates with its key-hash
+    * bucket BY CONSTRUCTION (the only layout bucket-level stats can
+    * prune — the operator's documented caveat) must open ONLY the
+    * qualifying buckets' dirs for a pushed range predicate — the require
+    * fails the query if stats pruning regresses. Correctness: the SAME
+    * statsColumns-enabled read path over the real events LWW state with a
+    * range filter (uncorrelated values ⇒ the no-prune branch), oracled
+    * against DuckDB — so both branches of the stats read are exercised,
+    * one gated, one hash-matched.
+    */
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val nb = 8
+    val engPath = scratchDir("statlake")
+    val eng = new LakeTable(spark, engPath, numBuckets = nb,
+      bloomOnWrite = false, statsColumns = Seq("bamt"))
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val k = s"k$i"
+      (k, 1L, LakeTable.bucketOfKey(k, nb) * 100L)
+    }
+    eng.upsert(rows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "bamt"), commitId = "e1")
+    // the OUTER v1 plan is a RowDataSourceScanExec; the bucket dirs show
+    // on the relation's INNER scan plan (same probe as PlanShapeSpec)
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> engPath, "buckets" -> nb.toString))
+    val innerPlan = rel.scanPlan(
+      Array(LakeTable.KeyCol, "bamt"),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("bamt", 400L)))
+    val opened = innerPlan.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths).map(_.toString)
+    require(
+      opened.nonEmpty && opened.forall(p => (4 until nb).exists(b => p.contains(s"b=$b"))),
+      s"stats pruning regressed — scan opened: ${opened.mkString(", ")}")
+    // end-to-end through the public reader path
+    val pruned = spark.read.format("cdc-lake")
+      .option("path", engPath).option("buckets", nb.toString).load()
+      .filter(col("bamt") >= 400L)
+    require(pruned.count() == rows.count(_._3 >= 400L), "pruned read lost rows")
+
+    val lakePath = scratchDir("lake")
+    val lake = new LakeTable(spark, lakePath, numBuckets = 16,
+      bloomOnWrite = false, statsColumns = Seq("value"))
+    val ev = keyedEvents(spark, dir)
+    lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1")
+    lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b2")
+    spark.read.format("cdc-lake")
+      .option("path", lakePath).option("buckets", "16").load()
+      .filter(col("value") >= 50.0)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     "q47_lake_incremental" -> QueryDef(
@@ -571,6 +628,16 @@ object LakeQueries {
           |UNION ALL
           |SELECT user_id, event_id, event_type, value FROM b4
           |WHERE rn = 1 AND user_id % 10 = 0
+          |ORDER BY user_id""".stripMargin)),
+    "q91_lake_stats_prune" -> QueryDef(
+      q91,
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |SELECT user_id, event_id, event_type, value,
+          |       row_number() OVER (PARTITION BY user_id
+          |                          ORDER BY ts DESC, event_id DESC) AS rn
+          |FROM events) t
+          |WHERE rn = 1 AND value >= 50.0
           |ORDER BY user_id""".stripMargin)),
     "q89_stream_dedup" -> QueryDef(
       q89,

@@ -1382,6 +1382,93 @@ class LakeTableSpec extends SparkSpec {
     assert(both.count() === rows.count(r => r._3 == "d2" && r._4 >= 200L))
   }
 
+  test("string stats compare in UTF-8 byte order, not UTF-16 (emoji above U+FFFF)") {
+    import org.apache.spark.sql.sources.{GreaterThan, In, StringStartsWith}
+    // Spark orders strings by UTF-8 bytes: U+1F600 (emoji, surrogate pair
+    // in UTF-16) sorts ABOVE U+FFFF. A Java String.compareTo prune would
+    // see the emoji max as BELOW "￿" and wrongly skip the bucket
+    // holding the matching row (r13 review).
+    val dir = tempDir("lake-stats-utf8-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 1, statsColumns = Seq("tag"))
+    val emoji = new String(Character.toChars(0x1F600))
+    lt.upsert(Seq(("a", 1L, "alpha"), ("b", 1L, emoji))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "tag"))
+    val m = lt.latestManifest().get
+    // bucket max is the emoji (UTF-8 order); a filter above "￿" must
+    // NOT prune the bucket
+    assert(lt.statsPrunedBuckets(m, Seq(GreaterThan("tag", "￿"))).nonEmpty,
+      "UTF-16 comparison would wrongly prune the emoji bucket")
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "1"))
+    assert(rel.scanPlan(Array("tag"), Array(GreaterThan("tag", "￿")))
+      .as[String].collect().toSeq == Seq(emoji))
+    // prefix pruning: a prefix above the byte-order max excludes the
+    // bucket; a prefix at/below it does not
+    assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", emoji + "x"))).isEmpty)
+    assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", "alp"))).nonEmpty)
+    // In with every value outside the range prunes; a value inside keeps
+    assert(lt.statsPrunedBuckets(m, Seq(In("tag", Array("aaa", "aab")))).isEmpty)
+    assert(lt.statsPrunedBuckets(m, Seq(In("tag", Array("aaa", "alpha")))).nonEmpty)
+  }
+
+  test("randomized: stats-pruned reads equal unpruned filters (conservativeness oracle)") {
+    import org.apache.spark.sql.sources._
+    // Pruning may only SKIP buckets a filter provably excludes — any
+    // divergence from the plain filtered snapshot is silent data loss.
+    // Random rows (nulls included), random pushed-filter conjunctions,
+    // byte-ordered strings with an emoji (supplementary plane) in the
+    // pool: the pruned relation read must equal the unpruned filter,
+    // row for row, every time.
+    val rnd = new scala.util.Random(20260814)
+    val dir = tempDir("lake-stats-prop-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 4,
+      statsColumns = Seq("amount", "tag"))
+    val emoji = new String(Character.toChars(0x1F600))
+    val tags = Seq("a", "ab", "alpha", "m", "z", "￿", emoji)
+    val rows = (0 until 300).map { i =>
+      (s"k$i", 1L,
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(200) - 100L),
+        if (rnd.nextInt(10) == 0) null else tags(rnd.nextInt(tags.size)))
+    }
+    lt.upsert(rows.take(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+    lt.upsert(rows.drop(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "4"))
+    val full = lt.snapshot
+    def toCol(f: Filter): org.apache.spark.sql.Column = f match {
+      case GreaterThan(a, v)        => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v)           => col(a) < lit(v)
+      case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case In(a, vs)                => col(a).isInCollection(vs.toSeq)
+      case StringStartsWith(a, v)   => col(a).startsWith(v)
+      case other                    => sys.error(s"unexpected $other")
+    }
+    def randFilter(): Filter = {
+      def amtLit: Long = rnd.nextInt(260) - 130L // beyond the data range too
+      def tagLit: String = tags(rnd.nextInt(tags.size)) + (if (rnd.nextBoolean()) "" else "x")
+      rnd.nextInt(7) match {
+        case 0 => GreaterThan("amount", amtLit)
+        case 1 => GreaterThanOrEqual("amount", amtLit)
+        case 2 => LessThan("amount", amtLit)
+        case 3 => EqualTo("amount", amtLit)
+        case 4 => In("tag", Array.fill(1 + rnd.nextInt(3))(tagLit: Any))
+        case 5 => StringStartsWith("tag", tagLit.take(1 + rnd.nextInt(3)))
+        case _ => LessThanOrEqual("tag", tagLit)
+      }
+    }
+    for (i <- 0 until 30) {
+      val fs = Array.fill(1 + rnd.nextInt(2))(randFilter())
+      val got = rel.scanPlan(Array(LakeTable.KeyCol, "amount", "tag"), fs)
+        .collect().map(_.toSeq).toSet
+      val exp = fs.foldLeft(full)((d, f) => d.filter(toCol(f)))
+        .select(LakeTable.KeyCol, "amount", "tag")
+        .collect().map(_.toSeq).toSet
+      assert(got === exp, s"iteration $i diverged under ${fs.mkString(" AND ")}")
+    }
+  }
+
   test("column stats survive vacuum and restore") {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     val nb = 4
