@@ -1380,9 +1380,12 @@ final class LakeTable(
     case _ => false
   }
 
-  /** Distributed min/max over the buckets just written; tiny scalar
-    * collect (buckets x 2 x columns values); one JSON sidecar per commit.
-    * Returns the manifest-relative path, or None when nothing statable.
+  /** Distributed min/max + null counts over the buckets just written
+    * (Hudi col_stats records null counts too — they buy IsNull/IsNotNull
+    * pruning and disambiguate "all null" from "not statable"); tiny
+    * scalar collect (buckets x (2 + 1) x columns values); one JSON
+    * sidecar per commit. Returns the manifest-relative path, or None
+    * when nothing statable.
     */
   private def writeStatsSidecar(relDir: String, written: Set[Int]): Option[String] = {
     if (written.isEmpty) return None
@@ -1391,8 +1394,11 @@ final class LakeTable(
     val eligible = statsColumns.filter(c =>
       df.schema.fields.exists(f => f.name == c && statable(f.dataType)))
     if (eligible.isEmpty) return None
-    val aggs = eligible.flatMap(c =>
-      Seq(min(col("`" + c + "`")).as(s"min:$c"), max(col("`" + c + "`")).as(s"max:$c")))
+    val aggs = eligible.flatMap { c =>
+      val qc = col("`" + c + "`")
+      Seq(min(qc).as(s"min:$c"), max(qc).as(s"max:$c"),
+        sum(when(qc.isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
+    } :+ count(lit(1)).as("rows")
     val rows = df.groupBy(bucketOf(col(KeyCol)).as(BucketCol))
       .agg(aggs.head, aggs.drop(1): _*).collect()
     val mapper = new ObjectMapper()
@@ -1407,7 +1413,7 @@ final class LakeTable(
       case other => node.put(field, other.toString)
     }
     // A non-finite double bound is not JSON-orderable: drop that column's
-    // stats for the bucket (conservative) rather than serialize NaN.
+    // bounds for the bucket (conservative) rather than serialize NaN.
     def enc(v: Any): Option[Any] = v match {
       case null => None
       case d: java.lang.Double if !java.lang.Double.isFinite(d) => None
@@ -1416,13 +1422,16 @@ final class LakeTable(
     }
     rows.sortBy(_.getInt(0)).foreach { r =>
       val bNode = bucketsNode.putObject(r.getInt(0).toString)
+      bNode.put("rows", r.getLong(1 + eligible.size * 3))
+      val colsNode = bNode.putObject("cols")
       eligible.zipWithIndex.foreach { case (c, i) =>
-        (enc(r.get(1 + i * 2)), enc(r.get(2 + i * 2))) match {
+        val cNode = colsNode.putObject(c)
+        cNode.put("nulls", r.getLong(3 + i * 3))
+        (enc(r.get(1 + i * 3)), enc(r.get(2 + i * 3))) match {
           case (Some(mn), Some(mx)) =>
-            val cNode = bNode.putObject(c)
             put(cNode, "min", mn)
             put(cNode, "max", mx)
-          case _ => () // all-null column in this bucket: no stats
+          case _ => () // all-null column in this bucket: null count only
         }
       }
     }
@@ -1431,31 +1440,40 @@ final class LakeTable(
     Some(rel)
   }
 
-  /** path -> bucket -> column -> (min, max) JSON nodes. Sidecars are
-    * immutable once published — cached per handle like commit times.
-    * A missing/corrupt sidecar reads as empty (no prune, never a failure).
+  /** path -> bucket -> parsed stats. Sidecars are immutable once
+    * published — cached per handle like commit times. A missing/corrupt
+    * sidecar reads as empty (no prune, never a failure).
     */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[Int, Map[String, (JsonNode, JsonNode)]]]()
+    String, Map[Int, LakeTable.BucketStats]]()
 
-  private def loadStats(path: String): Map[Int, Map[String, (JsonNode, JsonNode)]] =
+  private def loadStats(path: String): Map[Int, LakeTable.BucketStats] =
     statsCache.computeIfAbsent(path, { p =>
       // NonFatal, not just IOException: the contract is missing/corrupt/
       // alien-shaped sidecar = NO PRUNE, never a failed scan — a
-      // non-integer bucket key or a column node without both bounds must
+      // non-integer bucket key or a column node without bounds must
       // degrade the same way a missing file does.
       try {
         val root = new ObjectMapper().readTree(io.readString(io.resolve(p)))
         val bNode = root.get("buckets")
         if (bNode == null || !bNode.isObject) Map.empty
         else bNode.asInstanceOf[ObjectNode].fieldNames().asScala.map { b =>
-          val cols = bNode.get(b).asInstanceOf[ObjectNode]
-          b.toInt -> cols.fieldNames().asScala.flatMap { c =>
-            val mn = cols.get(c).get("min")
-            val mx = cols.get(c).get("max")
-            if (mn == null || mn.isNull || mx == null || mx.isNull) None
-            else Some(c -> (mn, mx))
+          val bucket = bNode.get(b).asInstanceOf[ObjectNode]
+          // current shape: {"rows": N, "cols": {col: {min, max, nulls}}};
+          // the early-r13 shape ({col: {min, max}} directly) still loads
+          // (bounds only, no null counts)
+          val colsNode = Option(bucket.get("cols"))
+            .filter(_.isObject).map(_.asInstanceOf[ObjectNode]).getOrElse(bucket)
+          val rows = Option(bucket.get("rows")).filter(_.isNumber).map(_.asLong())
+          def opt(n: JsonNode): Option[JsonNode] =
+            Option(n).filterNot(_.isNull)
+          val cols = colsNode.fieldNames().asScala.filter(colsNode.get(_).isObject).map { c =>
+            val cNode = colsNode.get(c)
+            c -> LakeTable.ColStat(
+              opt(cNode.get("min")), opt(cNode.get("max")),
+              Option(cNode.get("nulls")).filter(_.isNumber).map(_.asLong()))
           }.toMap
+          b.toInt -> LakeTable.BucketStats(rows, cols)
         }.toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     })
@@ -1473,7 +1491,8 @@ final class LakeTable(
     m.allBuckets.filter { b =>
       m.deltas.getOrElse(b, Nil).nonEmpty ||
         !m.statsFiles.contains(b) || {
-          val st = byPath(m.statsFiles(b)).getOrElse(b, Map.empty)
+          val st = byPath(m.statsFiles(b))
+            .getOrElse(b, LakeTable.BucketStats(None, Map.empty))
           !filters.exists(f => excludes(f, st))
         }
     }
@@ -1481,10 +1500,10 @@ final class LakeTable(
 
   /** True iff `f` is UNSATISFIABLE on a bucket whose columns span the
     * recorded ranges (min/max ignore nulls: a range never proves a null
-    * row absent, which is why null-matching predicates return false).
+    * row absent — null-matching predicates prune only through the
+    * recorded null counts).
     */
-  private def excludes(
-      f: SFilter, st: Map[String, (JsonNode, JsonNode)]): Boolean = {
+  private def excludes(f: SFilter, st: LakeTable.BucketStats): Boolean = {
     import org.apache.spark.sql.sources._
     def cmp(node: JsonNode, v: Any): Option[Int] = v match {
       case _ if node == null || node.isNull => None
@@ -1502,23 +1521,32 @@ final class LakeTable(
           s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
-    def mn(a: String): Option[JsonNode] = st.get(a).map(_._1)
-    def mx(a: String): Option[JsonNode] = st.get(a).map(_._2)
+    def mn(a: String): Option[JsonNode] = st.cols.get(a).flatMap(_.mn)
+    def mx(a: String): Option[JsonNode] = st.cols.get(a).flatMap(_.mx)
+    def nulls(a: String): Option[Long] = st.cols.get(a).flatMap(_.nulls)
+    // a non-null-matching predicate is unsatisfiable when every row of
+    // the bucket is null in that column (bounds are absent then, so the
+    // range tests alone can't see it)
+    def allNull(a: String): Boolean =
+      (for { n <- nulls(a); r <- st.rows } yield n == r).getOrElse(false)
     def outside(a: String, v: Any): Boolean =
       mn(a).flatMap(cmp(_, v)).exists(_ > 0) || mx(a).flatMap(cmp(_, v)).exists(_ < 0)
     f match {
-      case GreaterThan(a, v)        => mx(a).flatMap(cmp(_, v)).exists(_ <= 0)
-      case GreaterThanOrEqual(a, v) => mx(a).flatMap(cmp(_, v)).exists(_ < 0)
-      case LessThan(a, v)           => mn(a).flatMap(cmp(_, v)).exists(_ >= 0)
-      case LessThanOrEqual(a, v)    => mn(a).flatMap(cmp(_, v)).exists(_ > 0)
-      case EqualTo(a, v) if v != null => outside(a, v)
+      case GreaterThan(a, v)        => allNull(a) || mx(a).flatMap(cmp(_, v)).exists(_ <= 0)
+      case GreaterThanOrEqual(a, v) => allNull(a) || mx(a).flatMap(cmp(_, v)).exists(_ < 0)
+      case LessThan(a, v)           => allNull(a) || mn(a).flatMap(cmp(_, v)).exists(_ >= 0)
+      case LessThanOrEqual(a, v)    => allNull(a) || mn(a).flatMap(cmp(_, v)).exists(_ > 0)
+      case EqualTo(a, v) if v != null => allNull(a) || outside(a, v)
       // any string with prefix v is >= v in byte order, so max < v
       // excludes the bucket (the min side needs a prefix upper bound —
       // not worth the byte surgery; half the prune is free)
       case StringStartsWith(a, v) if v != null =>
-        mx(a).flatMap(cmp(_, v)).exists(_ < 0)
+        allNull(a) || mx(a).flatMap(cmp(_, v)).exists(_ < 0)
       case In(a, vs) =>
-        vs != null && vs.nonEmpty && !vs.contains(null) && vs.forall(outside(a, _))
+        vs != null && vs.nonEmpty && !vs.contains(null) &&
+          (allNull(a) || vs.forall(outside(a, _)))
+      case IsNull(a)    => nulls(a).contains(0L)
+      case IsNotNull(a) => allNull(a)
       case And(l, r) => excludes(l, st) || excludes(r, st)
       case Or(l, r)  => excludes(l, st) && excludes(r, st)
       case _ => false
@@ -1584,6 +1612,16 @@ object LakeTable {
   val BucketCol = "b"
   val BloomFileName = "_bloom"
   val StatsFileName = "_stats.json"
+
+  /** Parsed per-column sidecar stats: min/max bounds (absent = all-null
+    * or non-finite) and the null count (absent on early-r13 sidecars). */
+  private[lake] final case class ColStat(
+      mn: Option[JsonNode], mx: Option[JsonNode], nulls: Option[Long])
+
+  /** Parsed per-bucket sidecar stats: row count (absent on early-r13
+    * sidecars) and per-column stats. */
+  private[lake] final case class BucketStats(
+      rows: Option[Long], cols: Map[String, ColStat])
 
   /** Parse a user-facing instant: epoch millis, or
     * 'yyyy-MM-dd HH:mm:ss[.SSS]' read as UTC (the `timestampAsOf` /

@@ -1411,6 +1411,32 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.statsPrunedBuckets(m, Seq(In("tag", Array("aaa", "alpha")))).nonEmpty)
   }
 
+  test("null-count stats prune IsNull/IsNotNull and all-null range predicates") {
+    import org.apache.spark.sql.sources.{GreaterThan, IsNotNull, IsNull}
+    val dir = tempDir("lake-stats-null-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 1, statsColumns = Seq("amount"))
+    // bucket 1: amount entirely null
+    lt.upsert(Seq(("a", 1L, null: java.lang.Long), ("b", 1L, null: java.lang.Long))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val allNull = lt.latestManifest().get
+    // all-null: IsNotNull prunes, IsNull keeps, and a RANGE predicate
+    // prunes too (bounds are absent, so only the null count can see it)
+    assert(lt.statsPrunedBuckets(allNull, Seq(IsNotNull("amount"))).isEmpty)
+    assert(lt.statsPrunedBuckets(allNull, Seq(GreaterThan("amount", 0L))).isEmpty)
+    assert(lt.statsPrunedBuckets(allNull, Seq(IsNull("amount"))).nonEmpty)
+    // rewrite with no nulls: IsNull prunes, IsNotNull keeps
+    lt.upsert(Seq(("a", 2L, java.lang.Long.valueOf(5L)), ("b", 2L, java.lang.Long.valueOf(7L)))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val noNull = lt.latestManifest().get
+    assert(lt.statsPrunedBuckets(noNull, Seq(IsNull("amount"))).isEmpty)
+    assert(lt.statsPrunedBuckets(noNull, Seq(IsNotNull("amount"))).nonEmpty)
+    // the relation honors it end-to-end
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "1"))
+    assert(rel.scanPlan(Array("amount"), Array(IsNull("amount"))).count() === 0)
+    assert(rel.scanPlan(Array("amount"), Array(IsNotNull("amount"))).count() === 2)
+  }
+
   test("randomized: stats-pruned reads equal unpruned filters (conservativeness oracle)") {
     import org.apache.spark.sql.sources._
     // Pruning may only SKIP buckets a filter provably excludes — any
@@ -1443,18 +1469,23 @@ class LakeTableSpec extends SparkSpec {
       case EqualTo(a, v)            => col(a) === lit(v)
       case In(a, vs)                => col(a).isInCollection(vs.toSeq)
       case StringStartsWith(a, v)   => col(a).startsWith(v)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
       case other                    => sys.error(s"unexpected $other")
     }
     def randFilter(): Filter = {
       def amtLit: Long = rnd.nextInt(260) - 130L // beyond the data range too
       def tagLit: String = tags(rnd.nextInt(tags.size)) + (if (rnd.nextBoolean()) "" else "x")
-      rnd.nextInt(7) match {
+      def anyCol: String = if (rnd.nextBoolean()) "amount" else "tag"
+      rnd.nextInt(9) match {
         case 0 => GreaterThan("amount", amtLit)
         case 1 => GreaterThanOrEqual("amount", amtLit)
         case 2 => LessThan("amount", amtLit)
         case 3 => EqualTo("amount", amtLit)
         case 4 => In("tag", Array.fill(1 + rnd.nextInt(3))(tagLit: Any))
         case 5 => StringStartsWith("tag", tagLit.take(1 + rnd.nextInt(3)))
+        case 6 => IsNull(anyCol)
+        case 7 => IsNotNull(anyCol)
         case _ => LessThanOrEqual("tag", tagLit)
       }
     }
