@@ -278,6 +278,40 @@ object TextStats {
           regexp_replace(col(textCol), UrlPattern, "<URL>"),
           EmailPattern, "<EMAIL>"))
 
+  /** PII patterns for [[withPiiScrubbed]], chosen inside the Java-regex ∩
+    * RE2 portable subset (no backreferences, no lookaround, unambiguous
+    * greedy runs) so Spark and any RE2-based engine (DuckDB, Go) match
+    * byte-for-byte identically.
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhonePattern = "\\+\\d{1,3} \\d{3}-\\d+"
+  val CardPattern = "\\b\\d{13,16}\\b"
+
+  /** [[withScrubbed]]'s PII sibling: count and redact IPv4 addresses,
+    * international-format phone numbers, and 13-16 digit card-like runs —
+    * the redaction pass a training-data pipeline runs before anything
+    * else sees the text. Counts are computed per pattern on the ORIGINAL
+    * text (independent, so overlapping matches count in each family);
+    * redaction applies IP → phone → card, which cannot interact (the
+    * patterns are disjoint: dots / leading '+' / bare digit run). Same
+    * shape as the URL/email scrub: narrow per-row codegen'd builtins,
+    * zero shuffle.
+    */
+  def withPiiScrubbed(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("n_cards",
+        size(regexp_extract_all(col(textCol), lit(CardPattern), lit(0))).cast("long"))
+      .withColumn("pii_scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), Ipv4Pattern, "<IP>"),
+            PhonePattern, "<PHONE>"),
+          CardPattern, "<CARD>"))
+
   /** [[withBlocklist]]'s audit sibling: WHICH phrases matched (`matched`,
     * in the list's order — "why was this document flagged"), plus the
     * same `n_blocked`/`keep`. Same one-pass automaton; null text matches

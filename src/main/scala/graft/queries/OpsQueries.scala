@@ -1538,6 +1538,47 @@ object OpsQueries {
         """SELECT CAST(doc_id AS BIGINT) AS d1,
           |       CAST(doc_id + 1000000 AS BIGINT) AS d2
           |FROM documents WHERE doc_id % 5 = 0
-          |ORDER BY d1, d2""".stripMargin))
+          |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- PII redaction (r13) -------------------------------------------
+    // The redaction pass a training pipeline runs first: count + redact
+    // IPv4s, international phone numbers, and card-like digit runs. The
+    // corpus carries no natural PII, so every 3rd document gets a
+    // deterministic planted line (SQL-expressible, so the oracle plants
+    // IDENTICAL text); patterns live in the Java-regex ∩ RE2 portable
+    // subset, making the redacted text byte-comparable across engines.
+    "q92_pii_scrub" -> QueryDef(
+      (spark, dir) => {
+        val planted = docs(spark, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" contact +1 555-"), col("doc_id").cast("string"),
+              lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 pay 4111111111111111 now")))
+            .otherwise(col("text")))
+        TextStats.withPiiScrubbed(planted)
+          .select(col("doc_id"), col("n_ips"), col("n_phones"), col("n_cards"),
+            col("pii_scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN
+          |      text || ' contact +1 555-' || CAST(doc_id AS VARCHAR) ||
+          |      ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          |      '.7 pay 4111111111111111 now'
+          |    ELSE text END AS text
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '\+\d{1,3} \d{3}-\d+')) AS BIGINT) AS n_phones,
+          |  CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS BIGINT) AS n_cards,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(text, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          |      '\+\d{1,3} \d{3}-\d+', '<PHONE>', 'g'),
+          |    '\b\d{13,16}\b', '<CARD>', 'g') AS pii_scrubbed
+          |FROM planted ORDER BY doc_id""".stripMargin))
   )
 }

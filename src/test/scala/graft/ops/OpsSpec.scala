@@ -1056,6 +1056,25 @@ class OpsSpec extends SparkSpec {
     assert(got16 === Set((1L, 2L)))
   }
 
+  test("withPiiScrubbed counts and redacts IPs, phones, and card-like runs") {
+    val rows = Seq(
+      (1L, "call +1 555-0100 or +44 207-946 maybe"),
+      (2L, "ip 192.168.0.1 and 8.8.8.8 ok"),
+      (3L, "pay 4111111111111111 thanks"),
+      (4L, "long run 12345678901234567890 is not a card"), // 20 digits: no \b split
+      (5L, "clean text with nothing to hide"))
+      .toDF("doc_id", "text")
+    val got = TextStats.withPiiScrubbed(rows)
+      .select("doc_id", "n_ips", "n_phones", "n_cards", "pii_scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(got(1L) === ((0L, 2L, 0L), "call <PHONE> or <PHONE> maybe"))
+    assert(got(2L) === ((2L, 0L, 0L), "ip <IP> and <IP> ok"))
+    assert(got(3L) === ((0L, 0L, 1L), "pay <CARD> thanks"))
+    assert(got(4L) === ((0L, 0L, 0L), "long run 12345678901234567890 is not a card"))
+    assert(got(5L) === ((0L, 0L, 0L), "clean text with nothing to hide"))
+  }
+
   test("hammingNearDupPairs maxBucket drops hot bands but keeps cold-band pairs") {
     // All 200 signatures share band 0 (low 8 bits of a 64-bit/7-hamming
     // split = band widths 8,8,8,8,8,8,8,8 -> band 0 = bits 0-7): that
