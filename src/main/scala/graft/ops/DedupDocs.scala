@@ -404,6 +404,25 @@ object DedupDocs {
     * qualifying pair is missed only if EVERY band the two signatures
     * agree on is hot — uncapped recall stays pigeonhole-complete.
     */
+  /** Pigeonhole band columns for a `sigBits`-wide signature split into
+    * `maxHamming + 1` contiguous bands — the shared derivation behind
+    * [[hammingNearDupPairs]] and [[hammingDedupeAgainstIndex]] (one
+    * formula, so a probe can never band differently than a batch).
+    */
+  private def hammingBandCols(
+      sigCol: String, sigBits: Int, maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    val nb = maxHamming + 1
+    val base = sigBits / nb
+    val widths = Array.tabulate(nb)(b => if (b < sigBits % nb) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nb).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col(sigCol), offsets(b))
+          .bitwiseAND(if (widths(b) == 64) -1L else (1L << widths(b)) - 1).as("bh"))
+    }
+  }
+
   def hammingNearDupPairs(
       sigs: DataFrame,
       idCol: String,
@@ -415,17 +434,8 @@ object DedupDocs {
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming in [0, $sigBits): $maxHamming")
     require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
-    val nb = maxHamming + 1
-    val base = sigBits / nb
-    val widths = Array.tabulate(nb)(b => if (b < sigBits % nb) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
     val sig = sigs.select(col(idCol), col(sigCol).cast("long").as(sigCol))
-    val bandCols = (0 until nb).map { b =>
-      struct(
-        lit(b).as("band"),
-        shiftright(col(sigCol), offsets(b))
-          .bitwiseAND(if (widths(b) == 64) -1L else (1L << widths(b)) - 1).as("bh"))
-    }
+    val bandCols = hammingBandCols(sigCol, sigBits, maxHamming)
     // Same pinned partitioning as simhashNearDupPairs: the banded index is
     // tiny in bytes but the self-join OUTPUT is Σdf² — don't let AQE
     // coalesce the join into one task.
@@ -449,6 +459,102 @@ object DedupDocs {
     cand
       .join(sig.select(col(idCol).as("d1"), col(sigCol).as("h1")), "d1")
       .join(sig.select(col(idCol).as("d2"), col(sigCol).as("h2")), "d2")
+      .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
+  /** Persist a corpus's bit signatures (image dHashes, simhashes) for
+    * INCREMENTAL hamming dedup: the artifact
+    * [[hammingDedupeAgainstIndex]] probes so that ingesting a new batch
+    * never re-DECODES or re-hashes the stored corpus — for images the
+    * decode is the dominant cost and the stored hash is 8 bytes/doc.
+    * Plain `(id, sig)` parquet layout: the probe consumes the index
+    * through a banded equi-JOIN, not a point probe, so a per-(band, bh)
+    * directory layout would only manufacture tiny files (the q50 index
+    * lesson). Stamped with `sigBits` ([[IndexMeta]]); banding derives
+    * from the probe's `maxHamming` via the shared formula, so any
+    * threshold can probe one stored artifact.
+    */
+  def writeHammingIndex(
+      sigs: DataFrame,
+      path: String,
+      idCol: String,
+      sigCol: String,
+      sigBits: Int): Unit = {
+    require(sigBits > 0 && sigBits <= 64, s"sigBits in (0, 64]: $sigBits")
+    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .write.mode("overwrite").parquet(path)
+    IndexMeta.write(sigs.sparkSession, path,
+      Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
+  }
+
+  /** Append an ACCEPTED batch's signatures into the index (validated
+    * against the stamp first) — the ingest loop's second half.
+    */
+  def appendToHammingIndex(
+      sigs: DataFrame,
+      path: String,
+      idCol: String,
+      sigCol: String,
+      sigBits: Int): Unit = {
+    IndexMeta.validate(sigs.sparkSession, path,
+      Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
+    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** New-batch near-dups against a [[writeHammingIndex]] corpus: both
+    * sides band with the shared pigeonhole formula, candidates form only
+    * where a band agrees (batch x index equi-join on (band, bh) — never
+    * batch x corpus), exact popcount verifies. Returns
+    * `(d1 = batch id, d2 = index id, dist)`. `maxBucket` caps HOT index
+    * band buckets exactly as in [[hammingNearDupPairs]] (recall stays
+    * complete for pairs agreeing on any cold band).
+    */
+  def hammingDedupeAgainstIndex(
+      batchSigs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      sigCol: String,
+      sigBits: Int,
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(sigBits > 0 && sigBits <= 64, s"sigBits in (0, 64]: $sigBits")
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits): $maxHamming")
+    require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
+    val spark = batchSigs.sparkSession
+    IndexMeta.validate(spark, indexPath,
+      Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
+    val bandCols = hammingBandCols("sig", sigBits, maxHamming)
+    def banded(df: DataFrame) = df
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val batch = batchSigs
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+    val idx = spark.read.parquet(indexPath)
+    val idxBanded0 = banded(idx)
+    val idxBanded = maxBucket match {
+      case None => idxBanded0
+      case Some(cap) =>
+        val hot = idxBanded0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+          .select(col("band"), col("bh"))
+        idxBanded0.join(hot, Seq("band", "bh"), "left_anti")
+    }
+    // The index side is the big one: pin its partitioning on the join
+    // key (the hammingNearDupPairs AQE-coalescing rule); the batch side
+    // is small and typically broadcasts.
+    val cand = banded(batch).as("x")
+      .join(idxBanded.repartition(
+        spark.sparkContext.defaultParallelism, col("band"), col("bh")).as("y"),
+        Seq("band", "bh"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .distinct()
+    cand
+      .join(batch.select(col("id").as("d1"), col("sig").as("h1")), "d1")
+      .join(idx.select(col("id").as("d2"), col("sig").as("h2")), "d2")
       .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
       .filter(col("dist") <= maxHamming)
       .select(col("d1"), col("d2"), col("dist"))

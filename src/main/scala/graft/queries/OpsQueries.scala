@@ -1540,6 +1540,46 @@ object OpsQueries {
           |FROM documents WHERE doc_id % 5 = 0
           |ORDER BY d1, d2""".stripMargin)),
 
+    // ---- incremental image dedup vs a persisted dHash index (r13) ------
+    // The ingest-loop variant of q90 (the q46/q50/q66 family symmetry for
+    // images): the corpus's dHashes persist once (8 bytes/image — the
+    // expensive DECODE never re-runs); a new batch (resized copies of
+    // every 5th image + genuinely fresh images) probes the index through
+    // the shared pigeonhole banding — candidates form batch x band-bucket,
+    // never batch x corpus. Same calibrated maxHamming=8 gate as q90: the
+    // pair set equals the planted copy mapping (fresh images match
+    // nothing), which is what the oracle states.
+    "q93_image_neardup_incr" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-dhidx-").toString + "/idx"
+        DedupDocs.writeHammingIndex(
+          Multimodal.dHashImagesBatched(base).toDF("doc_id", "decoded", "dhash"),
+          idxDir, "doc_id", "dhash", 64)
+        val copies = Multimodal.resizeImagesBatched(
+            base.filter(col("doc_id") % 5 === 0), 48, 48)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload"))
+        val fresh = Multimodal.renderSyntheticImages(
+            ids.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + lit(2000000L)).as("doc_id")), 64, 64)
+          .toDF("doc_id", "payload")
+        val batchSigs = Multimodal
+          .dHashImagesBatched(copies.unionByName(fresh))
+          .toDF("doc_id", "decoded", "dhash")
+        DedupDocs.hammingDedupeAgainstIndex(
+            batchSigs, idxDir, "doc_id", "dhash", 64, maxHamming = 8)
+          .select(col("d1"), col("d2"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """SELECT CAST(doc_id + 1000000 AS BIGINT) AS d1,
+          |       CAST(doc_id AS BIGINT) AS d2
+          |FROM documents WHERE doc_id % 5 = 0
+          |ORDER BY d1, d2""".stripMargin)),
+
     // ---- PII redaction (r13) -------------------------------------------
     // The redaction pass a training pipeline runs first: count + redact
     // IPv4s, international phone numbers, and card-like digit runs. The

@@ -1103,6 +1103,39 @@ class OpsSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("hamming index round-trip: probe == in-memory pairs; stamp validates") {
+    val rnd = new scala.util.Random(21)
+    val corpus = (0L until 120L).map(i => i -> rnd.nextLong())
+    val batch = corpus.filter(_._1 % 6 == 0).map { case (i, h) =>
+      (i + 500L) -> (h ^ 3L) // 2-bit-flip near copies
+    } ++ (900L until 920L).map(i => i -> rnd.nextLong()) // fresh
+    val idxDir = tempDir("hamming-idx").resolve("idx").toString
+    DedupDocs.writeHammingIndex(corpus.toDF("id", "sig"), idxDir, "id", "sig", 64)
+    val got = DedupDocs.hammingDedupeAgainstIndex(
+        batch.toDF("id", "sig"), idxDir, "id", "sig", 64, 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (bi, bh) <- batch; (ci, ch) <- corpus
+      if java.lang.Long.bitCount(bh ^ ch) <= 4
+    } yield (bi, ci)).toSet
+    assert(got === brute)
+    assert(brute.size >= 20, "planted copies must actually pair")
+    // append accepted batch, then a re-delivery of the same batch pairs
+    // against its earlier self through the grown index
+    DedupDocs.appendToHammingIndex(batch.toDF("id", "sig"), idxDir, "id", "sig", 64)
+    val again = DedupDocs.hammingDedupeAgainstIndex(
+        batch.toDF("id", "sig"), idxDir, "id", "sig", 64, 0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.map { case (i, _) => (i, i) }.toSet.subsetOf(again),
+      "appended signatures must be probeable")
+    // wrong sigBits fails loudly against the stamp
+    val e = intercept[IllegalArgumentException] {
+      DedupDocs.hammingDedupeAgainstIndex(
+        batch.toDF("id", "sig"), idxDir, "id", "sig", 32, 4)
+    }
+    assert(e.getMessage.contains("sigBits"))
+  }
+
   test("image dHash: resized copies land within the gate, unrelated images far outside") {
     val ids = (0L until 60L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
