@@ -423,6 +423,21 @@ object DedupDocs {
     }
   }
 
+  /** Drop band buckets larger than `cap` via a small anti-joined hot
+    * list (never a windowed filter, which would add its own exchange) —
+    * ONE definition shared by the batch self-join and the index probe,
+    * so the two paths' recall semantics cannot diverge.
+    */
+  private def capHotBands(
+      banded: DataFrame, maxBucket: Option[Int]): DataFrame = maxBucket match {
+    case None => banded
+    case Some(cap) =>
+      val hot = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+        .select(col("band"), col("bh"))
+      banded.join(hot, Seq("band", "bh"), "left_anti")
+  }
+
   def hammingNearDupPairs(
       sigs: DataFrame,
       idCol: String,
@@ -442,15 +457,7 @@ object DedupDocs {
     val bandedAll = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val capped = maxBucket match {
-      case None => bandedAll
-      case Some(cap) =>
-        val hot = bandedAll.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
-          .select(col("band"), col("bh"))
-        bandedAll.join(hot, Seq("band", "bh"), "left_anti")
-    }
-    val banded = capped.repartition(
+    val banded = capHotBands(bandedAll, maxBucket).repartition(
       sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
@@ -491,6 +498,12 @@ object DedupDocs {
 
   /** Append an ACCEPTED batch's signatures into the index (validated
     * against the stamp first) — the ingest loop's second half.
+    *
+    * Caller contract (same as [[appendToMinhashIndex]]): ids must be NEW
+    * to the index, and the append is NOT idempotent — an at-least-once
+    * ingest loop that may replay a batch needs its own replay guard
+    * (e.g. the lake's commitId pattern), because a double-appended id
+    * makes every later probe emit its pairs once per copy.
     */
   def appendToHammingIndex(
       sigs: DataFrame,
@@ -528,32 +541,30 @@ object DedupDocs {
     IndexMeta.validate(spark, indexPath,
       Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
     val bandCols = hammingBandCols("sig", sigBits, maxHamming)
-    def banded(df: DataFrame) = df
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val batch = batchSigs
       .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
     val idx = spark.read.parquet(indexPath)
-    val idxBanded0 = banded(idx)
-    val idxBanded = maxBucket match {
-      case None => idxBanded0
-      case Some(cap) =>
-        val hot = idxBanded0.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
-          .select(col("band"), col("bh"))
-        idxBanded0.join(hot, Seq("band", "bh"), "left_anti")
-    }
-    // The index side is the big one: pin its partitioning on the join
-    // key (the hammingNearDupPairs AQE-coalescing rule); the batch side
-    // is small and typically broadcasts.
-    val cand = banded(batch).as("x")
+    val idxBanded = capHotBands(
+      idx.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      maxBucket)
+    // The batch side CARRIES its signature through the banding, so the
+    // batch pipeline (for images: render/decode/dHash — the dominant
+    // cost) evaluates exactly ONCE; only the index parquet (an 8-byte-
+    // per-row scan) is read a second time for the verify join. The
+    // index side is the big one: pin its partitioning on the join key
+    // (the hammingNearDupPairs AQE-coalescing rule); the batch side is
+    // small and typically broadcasts.
+    val cand = batch
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .as("x")
       .join(idxBanded.repartition(
         spark.sparkContext.defaultParallelism, col("band"), col("bh")).as("y"),
         Seq("band", "bh"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
-      .distinct()
+      .select(col("x.id").as("d1"), col("x.sig").as("h1"), col("y.id").as("d2"))
+      .distinct() // h1 is functionally dependent on d1 — distinct stays (d1, d2)
     cand
-      .join(batch.select(col("id").as("d1"), col("sig").as("h1")), "d1")
       .join(idx.select(col("id").as("d2"), col("sig").as("h2")), "d2")
       .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
       .filter(col("dist") <= maxHamming)
