@@ -1088,7 +1088,14 @@ final class LakeTable(
                 graft.functions.InterleaveBits3(norm(0), norm(1), norm(2))
               else
                 graft.functions.InterleaveBits4(norm(0), norm(1), norm(2), norm(3)))
-            partitioned.sortWithinPartitions(col(BucketCol), z)
+            // Sort the code UNSIGNED: the 4-D interleave places dim-4 bit 15
+            // at bit 63, so normalized values >= 32768 yield negative codes
+            // that a signed sort puts before all positive ones — the curve
+            // breaks at its most significant bit. XOR with Long.MinValue is
+            // the standard unsigned-order map (a no-op reordering for the
+            // always-non-negative 3-D codes).
+            partitioned.sortWithinPartitions(
+              col(BucketCol), z.bitwiseXOR(lit(Long.MinValue)))
           case _ => partitioned
         }
         clustered
@@ -1507,6 +1514,15 @@ final class LakeTable(
     import org.apache.spark.sql.sources._
     def cmp(node: JsonNode, v: Any): Option[Int] = v match {
       case _ if node == null || node.isNull => None
+      // A Float literal must compare through its EXACT double widening —
+      // the write side stores f.doubleValue() (0.1f -> 0.10000000149011612)
+      // and Float.toString would yield "0.1", judging a bucket whose bound
+      // EQUALS the literal strictly outside (wrong prune). valueOf(double)
+      // goes through Double.toString, the same decimal Jackson wrote.
+      case fl: java.lang.Float if node.isNumber =>
+        if (!java.lang.Float.isFinite(fl)) None
+        else Some(node.decimalValue().compareTo(
+          java.math.BigDecimal.valueOf(fl.doubleValue())))
       case n: java.lang.Number if node.isNumber =>
         try Some(node.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
         catch { case _: NumberFormatException => None } // NaN/Infinity literal

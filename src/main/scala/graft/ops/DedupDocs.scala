@@ -453,22 +453,29 @@ object DedupDocs {
     val bandCols = hammingBandCols(sigCol, sigBits, maxHamming)
     // Same pinned partitioning as simhashNearDupPairs: the banded index is
     // tiny in bytes but the self-join OUTPUT is Σdf² — don't let AQE
-    // coalesce the join into one task.
-    val bandedAll = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val banded = capHotBands(bandedAll, maxBucket).repartition(
-      sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+    // coalesce the join into one task. The signature RIDES THROUGH the
+    // banding (8 extra bytes/row on the exchange), so the caller's
+    // signature pipeline — for q90 images the render/decode/dHash chain,
+    // the dominant cost — evaluates exactly ONCE: the popcount verify
+    // reads x/y columns at the self-join instead of joining back to `sig`
+    // (the r13 shape paid a second full evaluation there). Same carry the
+    // index probe has always used (hammingDedupeAgainstIndex).
+    // Repartition BEFORE the hot-band cap: the cap's bucket count and the
+    // anti-join probe then share this one pinned exchange (AQE stage
+    // reuse) instead of each re-evaluating the signature pipeline.
+    val banded = capHotBands(
+      sig.select(col(idCol), col(sigCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idCol), col(sigCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        .repartition(
+          sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh")),
+      maxBucket)
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
-      .distinct()
-    cand
-      .join(sig.select(col(idCol).as("d1"), col(sigCol).as("h1")), "d1")
-      .join(sig.select(col(idCol).as("d2"), col(sigCol).as("h2")), "d2")
-      .withColumn("dist", TextStats.hamming(col("h1"), col("h2")).cast("long"))
+      .select(
+        col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"),
+        TextStats.hamming(col(s"x.$sigCol"), col(s"y.$sigCol")).cast("long").as("dist"))
       .filter(col("dist") <= maxHamming)
-      .select(col("d1"), col("d2"), col("dist"))
+      .distinct() // dist is functionally dependent on (d1, d2): one row per pair
   }
 
   /** Persist a corpus's bit signatures (image dHashes, simhashes) for

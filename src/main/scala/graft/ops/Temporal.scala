@@ -127,6 +127,12 @@ object Temporal {
     * Pick `sliceWidth` so the hot key's densest slice fits one task's
     * sort (e.g. axis range / (10 × parallelism)). Width does not affect
     * results (TemporalSpec proves equality across widths).
+    *
+    * Unlike [[asofJoin]] (which only ORDERS by ts and so accepts any
+    * orderable type), the slice cut floor-divides the ts — both ts
+    * columns must be INTEGRAL (epoch micros/nanos as long, int, ...).
+    * Convert a TimestampType column first, e.g.
+    * `withColumn(ts, unix_micros(col(ts)))`.
     */
   def asofJoinSliced(
       left: DataFrame,
@@ -139,6 +145,18 @@ object Temporal {
       toleranceMicros: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoinSliced needs at least one key column")
     require(sliceWidth > 0, s"sliceWidth must be positive (got $sliceWidth)")
+    for ((df, c, side) <- Seq((left, leftTs, "left"), (right, rightTs, "right"))) {
+      import org.apache.spark.sql.types._
+      val dt = df.schema.find(_.name == c).map(_.dataType)
+      require(dt.forall {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        },
+        s"asofJoinSliced slices by integer floor division: $side ts column " +
+          s"'$c' must be integral, got ${dt.map(_.simpleString).getOrElse("?")} — " +
+          "convert first (e.g. unix_micros(col) for TimestampType); plain " +
+          "asofJoin accepts any orderable ts")
+    }
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     require(rPayload.contains(rightTs), s"right must contain ts column '$rightTs'")
     val overlap = rPayload.toSet.intersect(left.columns.toSet)

@@ -1115,6 +1115,72 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering prunes row groups for a 4-D range predicate (unsigned code order)") {
+    // Same harness, four dimensions. The 4-D interleave places dim-4 bit 15
+    // at bit 63, so half of each commit's normalized rows carry NEGATIVE
+    // Morton codes — the sort must order the code unsigned or the curve
+    // splits into two swapped halves at the dim-4 midpoint (r13 review).
+    // The box straddles that midpoint (d in [448, 703] maps across 32768
+    // after per-commit normalization of [0, 1023]) so a broken MSB costs
+    // boundary groups on exactly this predicate.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val rnd = new scala.util.Random(42)
+      val pts = (0 until 40000).map(i => (s"k$i", 1L,
+        rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+        rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      def build(zorder: Seq[String]): String = {
+        val dir = tempDir("lake-z4-").toString
+        new LakeTable(spark, dir, numBuckets = 1, zorderBy = zorder)
+          .upsert(pts.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y", "w", "d"))
+        dir
+      }
+      def matchingRowGroups(dir: String): (Int, Int) = {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).toSeq
+        assert(files.nonEmpty)
+        val groups = files.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p.toString), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map { block =>
+            val stats = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def range(col: String): (Long, Long) = {
+              val s = stats(col)
+              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            Seq(range("x"), range("y"), range("w"), range("d"))
+          }.toSeq
+          finally r.close()
+        }
+        // x,y,w in [256, 511]; d straddles the lane midpoint
+        val hit = groups.count { rs =>
+          rs.take(3).forall { case (lo, hi) => hi >= 256 && lo <= 511 } &&
+            (rs(3)._2 >= 448 && rs(3)._1 <= 703)
+        }
+        (hit, groups.size)
+      }
+      val (plainHit, plainTotal) = matchingRowGroups(build(Nil))
+      val (zHit, zTotal) = matchingRowGroups(build(Seq("x", "y", "w", "d")))
+      assert(plainTotal >= 8 && zTotal >= 8,
+        s"need multiple row groups to measure pruning (got $plainTotal / $zTotal)")
+      assert(zHit * 2 <= plainHit,
+        s"4-D z-order should prune at least half the row groups the " +
+          s"unclustered scan reads (clustered $zHit/$zTotal vs plain $plainHit/$plainTotal)")
+    } finally {
+      oldBlock match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None => hc.unset("parquet.block.size")
+      }
+    }
+  }
+
   test("restoreTo rolls back without touching data; replay idempotent; vacuum-safe") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")))
@@ -1448,16 +1514,23 @@ class LakeTableSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260814)
     val dir = tempDir("lake-stats-prop-").resolve("t").toString
     val lt = new LakeTable(spark, dir, numBuckets = 4,
-      statsColumns = Seq("amount", "tag"))
+      statsColumns = Seq("amount", "tag", "score"))
     val emoji = new String(Character.toChars(0x1F600))
     val tags = Seq("a", "ab", "alpha", "m", "z", "￿", emoji)
+    // Float pool of NON-dyadic values: the sidecar stores the exact double
+    // widening (0.1f -> 0.10000000149011612) while a Float literal's
+    // toString is "0.1" — filters at these exact boundary values are the
+    // regression case for the r13 float-prune bug (cmp must widen the
+    // literal the same way the writer did).
+    val scores = Seq(0.1f, -0.1f, 0.3f, 1.5f, 123.456f, 0.0f)
     val rows = (0 until 300).map { i =>
       (s"k$i", 1L,
         if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(200) - 100L),
-        if (rnd.nextInt(10) == 0) null else tags(rnd.nextInt(tags.size)))
+        if (rnd.nextInt(10) == 0) null else tags(rnd.nextInt(tags.size)),
+        if (rnd.nextInt(10) == 0) null else java.lang.Float.valueOf(scores(rnd.nextInt(scores.size))))
     }
-    lt.upsert(rows.take(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
-    lt.upsert(rows.drop(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+    lt.upsert(rows.take(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag", "score"))
+    lt.upsert(rows.drop(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag", "score"))
     val rel = new graft.sources.LakeSnapshotRelation(
       spark.sqlContext, Map("path" -> dir, "buckets" -> "4"))
     val full = lt.snapshot
@@ -1476,8 +1549,14 @@ class LakeTableSpec extends SparkSpec {
     def randFilter(): Filter = {
       def amtLit: Long = rnd.nextInt(260) - 130L // beyond the data range too
       def tagLit: String = tags(rnd.nextInt(tags.size)) + (if (rnd.nextBoolean()) "" else "x")
-      def anyCol: String = if (rnd.nextBoolean()) "amount" else "tag"
-      rnd.nextInt(9) match {
+      // mostly exact boundary values (pool members = per-bucket min/max
+      // candidates), sometimes perturbed off-boundary
+      def scoreLit: Float = scores(rnd.nextInt(scores.size)) +
+        (if (rnd.nextInt(3) == 0) 0.01f else 0.0f)
+      def anyCol: String = rnd.nextInt(3) match {
+        case 0 => "amount"; case 1 => "tag"; case _ => "score"
+      }
+      rnd.nextInt(13) match {
         case 0 => GreaterThan("amount", amtLit)
         case 1 => GreaterThanOrEqual("amount", amtLit)
         case 2 => LessThan("amount", amtLit)
@@ -1486,17 +1565,38 @@ class LakeTableSpec extends SparkSpec {
         case 5 => StringStartsWith("tag", tagLit.take(1 + rnd.nextInt(3)))
         case 6 => IsNull(anyCol)
         case 7 => IsNotNull(anyCol)
+        case 8 => EqualTo("score", scoreLit)
+        case 9 => GreaterThanOrEqual("score", scoreLit)
+        case 10 => LessThanOrEqual("score", scoreLit)
+        case 11 => GreaterThan("score", scoreLit)
         case _ => LessThanOrEqual("tag", tagLit)
       }
     }
-    for (i <- 0 until 30) {
+    for (i <- 0 until 40) {
       val fs = Array.fill(1 + rnd.nextInt(2))(randFilter())
-      val got = rel.scanPlan(Array(LakeTable.KeyCol, "amount", "tag"), fs)
+      val got = rel.scanPlan(Array(LakeTable.KeyCol, "amount", "tag", "score"), fs)
         .collect().map(_.toSeq).toSet
       val exp = fs.foldLeft(full)((d, f) => d.filter(toCol(f)))
-        .select(LakeTable.KeyCol, "amount", "tag")
+        .select(LakeTable.KeyCol, "amount", "tag", "score")
         .collect().map(_.toSeq).toSet
       assert(got === exp, s"iteration $i diverged under ${fs.mkString(" AND ")}")
+    }
+    // deterministic regression: filters AT a float bucket-boundary value
+    // must not prune the bucket holding it (r13 bug: the literal compared
+    // via Float.toString "0.1" while the sidecar stores the exact double
+    // widening 0.10000000149011612 — min == literal read as min > literal).
+    // Single bucket, 0.1f as the bucket MIN and -0.1f absent, so the wrong
+    // prune fires by construction pre-fix.
+    val bdir = tempDir("lake-stats-fboundary-").resolve("t").toString
+    val blt = new LakeTable(spark, bdir, numBuckets = 1, statsColumns = Seq("score"))
+    blt.upsert(Seq(("a", 1L, 0.1f), ("b", 1L, 0.3f))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "score"))
+    val brel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> bdir, "buckets" -> "1"))
+    for (f <- Seq(EqualTo("score", 0.1f), LessThanOrEqual("score", 0.1f),
+        GreaterThanOrEqual("score", 0.3f), EqualTo("score", 0.3f))) {
+      assert(brel.scanPlan(Array(LakeTable.KeyCol, "score"), Array(f)).count() === 1,
+        s"float boundary filter $f dropped its matching row")
     }
   }
 

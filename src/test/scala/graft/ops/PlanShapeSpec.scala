@@ -244,6 +244,34 @@ class PlanShapeSpec extends SparkSpec {
         a.dataType == org.apache.spark.sql.types.StringType))
     assert(wide.isEmpty,
       s"image near-dup exchanges must carry only numeric signatures:\n$wide")
+    // Single evaluation of the signature pipeline (r13 verdict): after
+    // exchange reuse, the decode mapPartitions must appear exactly ONCE —
+    // the r13 shape joined candidates back to `sigs` for the verify,
+    // paying a second full image decode (the dominant stage at scale).
+    // Both self-join sides share one pinned (band, bh) exchange, so
+    // ReuseExchange collapses them; counted on the non-AQE executedPlan
+    // (AdaptiveSparkPlanExec hides its tree from collect).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p2 = DedupDocs.hammingNearDupPairs(sigs, "doc_id", "dhash", 64, 8)
+      val plan = p2.queryExecution.executedPlan
+      // ONE pipeline evaluation = exactly the render + dHash mapPartitions
+      // pair (collect skips subtrees behind ReusedExchange, so a duplicated
+      // evaluation would double the count — the r13 shape showed 4)
+      val decodes = plan.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }
+      assert(decodes.size == 2,
+        s"expected one render+decode pipeline evaluation (2 mapPartitions), " +
+          s"found ${decodes.size}:\n$plan")
+      // and the second self-join side must REUSE the banded exchange,
+      // not recompute it
+      assert(plan.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.nonEmpty,
+        s"the y side of the self-join must reuse the banded exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("vocab encode probes the corpus through a broadcast join") {

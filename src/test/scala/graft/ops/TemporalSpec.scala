@@ -128,6 +128,20 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map(1L -> "old", 2L -> "old", 3L -> "old"))
   }
 
+  test("asofJoinSliced rejects a non-integral ts column with a clear contract message") {
+    // plain asofJoin only ORDERS by ts, so it accepts TimestampType — the
+    // sliced variant floor-divides and must fail loudly at the contract,
+    // not with a cryptic arithmetic analysis error (r13 review).
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L))
+      .toDF("k", "lts", "id")
+    val r = Seq((1L, 5L, "old")).toDF("k", "rts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinSliced(l, r, Seq("k"), "lts", "rts", 10L)
+    }
+    assert(e.getMessage.contains("must be integral") &&
+      e.getMessage.contains("unix_micros"), e.getMessage)
+  }
+
   // ---- rangeJoin ----------------------------------------------------------
 
   // points may be negative (bucketing must floor, not truncate)
