@@ -28,8 +28,71 @@ import org.apache.spark.sql.SparkSession
   *    cannot leak across queries and slow later ones.
   *  - `SPARK_GRAFT_ONLY=q27,q34` runs a comma-separated subset (substring
   *    match), for fast single-query iteration.
+  *
+  * Round-14 addition (VERDICT r13 #6 — three rounds of manual contention
+  * forensics): the bench ADJUDICATES ITSELF against the stored build-host
+  * stats (`bench_stats_build.json`, or `SPARK_GRAFT_REF_STATS`). A query
+  * whose shuffle bytes and task count match the reference within 2% but
+  * whose cpu_ms inflates >= 2x ran the SAME plan on a contended host —
+  * identical plans over identical data do not change cpu 2x. The JSON
+  * carries `"loadavg_start"`/`"loadavg_end"` (/proc/loadavg), per-query
+  * contention flags in `"contended_queries"`, and a top-level
+  * `"contended": true` when >= 3 carried queries inflate that way, so
+  * BASELINE.md adjudication cites the flag instead of hand-diffing stats.
   */
 object Bench {
+
+  /** First /proc/loadavg field, or -1 where unavailable. */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Reference per-query stats (cpu_ms/shuffle/tasks) from the stored
+    * build-host bench payload; empty when absent/unreadable.
+    */
+  private def refStats(path: String): Map[String, Map[String, Long]] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val stats = root.get("stats")
+      if (stats == null || !stats.isObject) Map.empty
+      else {
+        val it = stats.fieldNames()
+        val out = scala.collection.mutable.Map[String, Map[String, Long]]()
+        while (it.hasNext) {
+          val q = it.next()
+          val node = stats.get(q)
+          val fit = node.fieldNames()
+          val m = scala.collection.mutable.Map[String, Long]()
+          while (fit.hasNext) {
+            val f = fit.next()
+            if (node.get(f).isNumber) m += f -> node.get(f).asLong()
+          }
+          out += q -> m.toMap
+        }
+        out.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** True when `cur` ran the reference's plan (shuffle bytes and task
+    * count within 2%) with cpu_ms inflated >= 2x — the contended-host
+    * signature (identical plans over identical data do not change cpu).
+    * Sub-500ms reference cpu is noise-dominated and never flags.
+    */
+  private def contendedVsRef(
+      cur: Map[String, Long], ref: Map[String, Long]): Boolean = {
+    def close(f: String): Boolean = (cur.get(f), ref.get(f)) match {
+      case (Some(a), Some(b)) => math.abs(a - b) <= math.max(a, b) * 0.02
+      case _ => false
+    }
+    (for { c <- cur.get("cpu_ms"); r <- ref.get("cpu_ms") } yield
+      r >= 500L && c >= 2L * r &&
+        close("shuffle_read_b") && close("shuffle_write_b") && close("tasks")
+    ).getOrElse(false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -47,6 +110,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val load0 = loadavg()
+    val ref = refStats(sys.env.getOrElse(
+      "SPARK_GRAFT_REF_STATS", "bench_stats_build.json"))
     val probe = new org.apache.spark.graft.BenchProbe
     probe.install(spark.sparkContext)
     // Warm the session with a parquet-backed query so the timed loop never
@@ -101,9 +167,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (Right(s), _)) => s }.sum
     val nOk = results.count(_._2._1.isRight)
+    // Self-adjudication vs the stored build-host stats (r14): identical
+    // shuffle + tasks with >= 2x cpu inflation = contended host, not plan.
+    val contendedQ = results.collect {
+      case (k, (_, st)) if ref.get(k).exists(contendedVsRef(st, _)) => k
+    }
+    val load1 = loadavg()
+    val contended = contendedQ.size >= 3
+    val contendedJson = contendedQ.map(q => s""""$q"""").mkString("[", ",", "]")
+    def fmtL(d: Double): String = f"$d%.2f"
+    val adjud =
+      s""""loadavg_start":${fmtL(load0)},"loadavg_end":${fmtL(load1)},""" +
+        s""""contended":$contended,"contended_queries":$contendedJson"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(short = false)},""" +
-        s""""errors":$errs,"stats":$stats,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}"""
+        s""""errors":$errs,"stats":$stats,$adjud,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_stats.json"),
@@ -112,7 +190,7 @@ object Bench {
     println(fullLine) // early line: full detail for humans reading the log
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(short = true)},""" +
-        s""""errors":$errs,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}""")
+        s""""errors":$errs,"contended":$contended,"n_ok":$nOk,"n_total":${names.size},"sf":"$sfDir"}""")
     spark.stop()
     if (nOk < names.size) sys.exit(1)
   }

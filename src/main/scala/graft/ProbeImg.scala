@@ -47,6 +47,59 @@ object ProbeImg {
       .select(graft.ops.TextStats.hamming(col("a.dhash"), col("b.dhash")).as("d"))
     println("min cross distance: " + cross.agg(min("d")).collect()(0).get(0))
     println("cross pairs under 16: " + cross.filter($"d" <= 16).count())
+
+    // ---- rotation-robust family calibration (r14, q95) -----------------
+    // Planted copies: pure 90°/180° rotations, a mirrored 270°, and a
+    // rotation of a RESIZED copy (augmentation chain). Family distance =
+    // min hamming over orientation pairs; the q95 gate must sit above
+    // every planted family distance and below the closest unrelated one.
+    // The exact q95 plant sets: pure 90° rotations at +2000000, the full
+    // augmentation chain (resize 48x48 -> mirror -> 270°) at +4000000.
+    val every7 = base.filter($"doc_id" % 7 === 0)
+    val rot90 = ops.Multimodal.rotateImagesBatched(every7, 1)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"payload")
+    val chain = ops.Multimodal.rotateImagesBatched(
+        ops.Multimodal.resizeImagesBatched(every7, 48, 48)
+          .select($"doc_id", $"payload"), 3, mirror = true)
+      .select(($"doc_id" + 4000000L).as("doc_id"), $"payload")
+    val fam = ops.Multimodal.dHash8ImagesBatched(
+        base.unionByName(rot90).unionByName(chain))
+      .toDF("doc_id", "decoded", "hhashes", "vhashes").cache()
+    require(fam.filter(!$"decoded").count() == 0, "all rotated payloads must decode")
+    val ex = fam
+      .select($"doc_id", posexplode(arrays_zip($"hhashes", $"vhashes")).as(Seq("o", "hv")))
+      .select($"doc_id", $"o", $"hv.hhashes".as("h1"), $"hv.vhashes".as("h2"))
+    def d128 = graft.ops.TextStats.hamming(col("a.h1"), col("b.h1")).cast("long") +
+      graft.ops.TextStats.hamming(col("a.h2"), col("b.h2")).cast("long")
+    val exBase = ex.filter($"doc_id" < 1000000L)
+    for (off <- Seq(2000000L, 4000000L)) {
+      val d = exBase.as("a").join(ex.as("b"), col("a.doc_id") + off === col("b.doc_id"))
+        .groupBy(col("a.doc_id")).agg(min(d128).as("d"))
+      println(s"family dist base->plant (offset $off): " + d.groupBy("d").count()
+        .orderBy("d").collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+    }
+    // the plant-vs-plant pairs (rot90 of d vs chained copy of d) are
+    // same-source too — the q95 output maps pairs back to base ids and
+    // dedups, but their distance must ALSO clear the gate to pair
+    val p2p = ex.filter($"doc_id" >= 2000000L && $"doc_id" < 3000000L).as("a")
+      .join(ex.as("b"), col("a.doc_id") + 2000000L === col("b.doc_id"))
+      .groupBy(col("a.doc_id")).agg(min(d128).as("d"))
+    println("family dist plant->plant (rot90 vs chain): " + p2p.groupBy("d").count()
+      .orderBy("d").collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+    // closest unrelated family pair, found via the banded wide operator
+    // itself at a wide gate (pigeonhole recall is complete, so absence at
+    // 40 bounds the true min above 40)
+    val oids = ex.select(($"doc_id" * 8 + $"o").as("oid"), $"h1", $"h2")
+    val at40 = ops.DedupDocs.hammingNearDupPairsWide(oids, "oid", Seq("h1", "h2"), 40)
+      .select(floor($"d1" / 8).cast("long").as("a"),
+        floor($"d2" / 8).cast("long").as("b"), $"dist")
+      // same-source pairs (any two orientations/copies of one base image)
+      // share the base id residue — everything else is unrelated
+      .filter($"a" % 1000000L =!= $"b" % 1000000L)
+    val unrelated = at40.groupBy($"a", $"b").agg(min($"dist").as("d"))
+    println("closest unrelated family pair <= 40 (128-bit): " +
+      unrelated.agg(min("d")).collect()(0).get(0) +
+      " (pairs: " + unrelated.count() + ")")
     spark.stop()
   }
 }

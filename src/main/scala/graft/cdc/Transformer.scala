@@ -23,6 +23,11 @@ object Transformer {
 
   /** Apply a `<SRC>` SQL transform to a batch DataFrame. */
   def transform(df: DataFrame, sql: String): DataFrame = {
+    // The native expression family is part of the transformer's SQL
+    // surface (r14): register idempotently so reference configs can call
+    // multi_contains_count / plane_signature / pair_cosine / ... without
+    // the session having been built with GraftExtensions.
+    graft.functions.GraftSqlFunctions.registerAll(df.sparkSession)
     val view = ViewPrefix + UUID.randomUUID().toString.replace("-", "_")
     df.createOrReplaceTempView(view)
     // spark.sql analyzes eagerly, so the returned plan no longer needs the

@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(InterleaveBits.descriptor)
     ext.injectFunction(InterleaveBits3.descriptor)
     ext.injectFunction(InterleaveBits4.descriptor)
+    // the full native family (blocklist matching, LSH/IVF signatures,
+    // cosine verifies) — see GraftSqlFunctions for the SQL shapes
+    GraftSqlFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -80,12 +80,14 @@ final class LakeTable(
   require(compactAfter > 0, s"compactAfter must be positive: $compactAfter")
   require(mergeMode == OverwriteMode || mergeMode == PartialMode,
     s"mergeMode must be '$OverwriteMode' or '$PartialMode': $mergeMode")
-  // Partial merge is a WRITE-side fold; MOR defers merging to the
-  // READ-side stack collapse, which applies the whole-row LWW comparator
-  // — supporting partial there means every reader re-deriving per-column
-  // winners across base+delta layers. Loud until that exists.
-  require(mergeMode == OverwriteMode || tableType == CowType,
-    s"mergeMode=$PartialMode requires a cow table (mor stack collapse is whole-row LWW)")
+  // mergeMode=partial works on BOTH table types since r14: cow folds at
+  // write time (partialMerge), mor defers to the read-side stack collapse
+  // (morPartialMerge) — sound because the `_pts` per-column-time map makes
+  // the fold associative across any commit grouping (q85's proof), so
+  // collapsing N delta fragments at read equals folding them one commit at
+  // a time. Readers pick the collapse from the MANIFEST SCHEMA (`_pts`
+  // present = partial table), never from handle construction, so
+  // cow/mor/reader handles keep interoperating on one table.
 
   // All small-file metadata I/O goes through the Hadoop FS abstraction —
   // the table works on any FileSystem URI (local, HDFS; see LakeIO's doc
@@ -439,7 +441,8 @@ final class LakeTable(
     * user-facing route strips it.
     */
   private def readBuckets(
-      m: Manifest, buckets: Set[Int], internal: Boolean = false): DataFrame = {
+      m: Manifest, buckets: Set[Int], internal: Boolean = false,
+      pruneFiles: Map[Int, Seq[String]] = Map.empty): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     // Reads are MANIFEST-driven, not constructor-driven: a bucket with a
     // delta stack (docs/MOR_DESIGN.md) is merged here whatever tableType
@@ -447,10 +450,16 @@ final class LakeTable(
     // relation, incremental source, another writer configured cow) can
     // never observe unmerged delta rows.
     val deltaBuckets = buckets.filter(b => m.deltas.getOrElse(b, Nil).nonEmpty)
+    // `pruneFiles` (from per-file column stats) narrows a bucket's scan
+    // to named files — only ever populated for non-delta buckets by
+    // statsPrunedFiles; an empty list means every file was excluded.
     val plainPaths = m.buckets.collect {
       case (b, dir) if buckets.contains(b) && !deltaBuckets.contains(b) =>
-        s"$basePath/$dir"
-    }.toSeq.sorted
+        pruneFiles.get(b) match {
+          case Some(files) => files.map(f => s"$basePath/$dir/$f")
+          case None => Seq(s"$basePath/$dir")
+        }
+    }.flatten.toSeq.sorted
     // Read under the manifest's (widened, drift-merged) schema instead of
     // a mergeSchema footer scan: no footer-merge job per read, columns a
     // file lacks come back null, and files written before a type widening
@@ -480,7 +489,15 @@ final class LakeTable(
           .withColumn(OpCol, lit(UpsertOp)).withColumn(DvCol, lit(0L))
       val stacked = baseSide.unionByName(
         spark.read.schema(metaSchema).parquet(deltaPaths: _*))
-      plain.unionByName(morMerge(stacked, schema))
+      // Partial tables collapse per-COLUMN (newest non-null by fragment
+      // time); the mode is inferred from the manifest schema (`_pts` is
+      // reserved, so its presence <=> mergeMode=partial wrote this
+      // table), keeping reads manifest-driven whatever this handle's
+      // construction says.
+      val collapsed =
+        if (schema.fieldNames.contains(PtsCol)) morPartialMerge(stacked, schema)
+        else morMerge(stacked, schema)
+      plain.unionByName(collapsed)
     }
   } match {
     // drop is a no-op on non-partial tables (no such column)
@@ -519,6 +536,47 @@ final class LakeTable(
         struct(cols.map(col).toIndexedSeq: _*),
         struct(col(TsCol), col(DvCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
       .select("_r.*")
+  }
+
+  /** Per-column stack collapse for `mergeMode=partial` MOR tables — the
+    * read-side equivalent of [[partialMerge]], fragment for fragment:
+    * tombstones kill fragments at delta version <= theirs exactly as in
+    * [[morMerge]]; surviving fragments then compose per column, newest
+    * non-null by EFFECTIVE time winning. A fragment's effective time for
+    * column c is its recorded `_pts[c]` (base rows — they were composed
+    * at the last fold) or its own `_ts` (raw delta fragments, whose
+    * parquet lacks `_pts` and reads it as null). Ties order by
+    * `(time, delta version, content hash)` — the same total order the
+    * write-side fold applies with its old/new `_seq` tag, since a later
+    * delta version IS the later batch; LakeMorSpec pins the randomized
+    * equivalence against a cow partial table at every version.
+    */
+  private def morPartialMerge(stacked: DataFrame, schema: StructType): DataFrame = {
+    val delVers = stacked.filter(col(OpCol) === DeleteOp)
+      .groupBy(col(KeyCol)).agg(max(col(DvCol)).as("_del_v"))
+    val live = stacked.filter(col(OpCol) === UpsertOp)
+      .join(broadcastIfSmall(delVers), Seq(KeyCol), "left")
+      .filter(col("_del_v").isNull || col(DvCol) > col("_del_v"))
+    val cols = schema.fieldNames.toSeq // includes PtsCol on partial tables
+    val payload = cols.filterNot(c => c == KeyCol || c == TsCol || c == PtsCol)
+    val hashIn = cols.map { c =>
+      if (containsMap(schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+    def fts(c: String) = coalesce(element_at(col(PtsCol), lit(c)), col(TsCol))
+    def ord(c: String) =
+      when(col(c).isNotNull,
+        struct(fts(c), col(DvCol), xxhash64(hashIn.toIndexedSeq: _*)))
+    val aggs =
+      max(col(TsCol)).as(TsCol) +:
+        map_from_arrays(
+          array(payload.map(lit).toIndexedSeq: _*),
+          array(payload.map(c => max(when(col(c).isNotNull, fts(c)))).toIndexedSeq: _*))
+          .as(PtsCol) +:
+        payload.map(c => max_by(col(c), ord(c)).as(c))
+    live
+      .groupBy(col(KeyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(cols.map(col).toIndexedSeq: _*)
   }
 
   /** Widest common type for the supported widenings (or None): numeric
@@ -984,7 +1042,11 @@ final class LakeTable(
         // column to parquet but silently drop it from every read (ADVICE
         // r11 #1). Loud on EVERY write path so the invariant can't depend
         // on which handle type a batch happens to take.
-        Seq(OpCol, DvCol, PtsCol).foreach(c => require(
+        // BucketCol ('b') is reserved too (r14): the write path derives it
+        // with withColumn, which would silently REPLACE a payload column
+        // of that name — and partitionBy then strips it from the files,
+        // so the payload column reads back all-null. Loud beats data loss.
+        Seq(OpCol, DvCol, PtsCol, BucketCol).foreach(c => require(
           !inc.columns.contains(c),
           s"'$c' is a reserved lake meta column — rename the " +
             s"payload column (incoming: ${inc.columns.mkString(",")})"))
@@ -1019,7 +1081,7 @@ final class LakeTable(
           tableType == MorType &&
           affected.forall(b =>
             prev.get.deltas.getOrElse(b, Nil).size < compactAfter)
-        val merged =
+        val merged0 =
           if (asDelta)
             deltaRows.get(inc).withColumn(DvCol, lit(version))
           else {
@@ -1032,6 +1094,19 @@ final class LakeTable(
             }
             merge(old, inc)
           }
+        // Partial tables carry `_pts` in EVERY commit's schema (null map
+        // where the path didn't compose one — delta fragments, bulkInsert):
+        // readers infer the partial stack collapse from the manifest
+        // schema, so the column must be present from the first commit
+        // whatever write path it took. Null `_pts` reads as "effective
+        // time = the row's own _ts", which is exactly right for raw rows.
+        val merged =
+          if (mergeMode == PartialMode && !merged0.columns.contains(PtsCol))
+            merged0.withColumn(PtsCol, lit(null).cast(
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.LongType)))
+          else merged0
 
         val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
         val outDir = s"$basePath/$relDir"
@@ -1041,20 +1116,19 @@ final class LakeTable(
         // adds intra-bucket write parallelism (key-salted) for bucket sizes
         // beyond one task — raise it together with numBuckets at scale.
         val toWrite = merged.withColumn(BucketCol, bucketOf(col(KeyCol)))
-        val partitioned =
-          if (!shuffle) toWrite // bulkInsert sortMode=none: task-local write
-          else if (filesPerBucket == 1) toWrite.repartition(affected.size.max(1), col(BucketCol))
-          else toWrite.repartition(affected.size.max(1) * filesPerBucket, col(BucketCol), col(KeyCol))
-        // Optional Z-order clustering inside each file: rows sorted by the
-        // Morton code of two dimension keys, so parquet row-group min/max
-        // stats prune range predicates on either dimension.
-        val clustered = zorderBy match {
+        // Optional Z-order clustering: the Morton-code sort key (in
+        // UNSIGNED order — the 4-D interleave places dim-4 bit 15 at bit
+        // 63, and the 2-D code's bit 63 is the second dimension's bit 31,
+        // so a signed sort would break the curve at its most significant
+        // bit; XOR with Long.MinValue is the standard unsigned-order map,
+        // a no-op reordering for the always-non-negative 3-D codes).
+        val zKey: Option[org.apache.spark.sql.Column] = zorderBy match {
           case Seq(a, b) if merged.columns.contains(a) && merged.columns.contains(b) =>
             import org.apache.spark.sql.graft.Exprs
-            val z = Exprs.column(graft.functions.InterleaveBits(
+            Some(Exprs.column(graft.functions.InterleaveBits(
               Exprs.expression(col(a).cast("long")),
               Exprs.expression(col(b).cast("long"))))
-            partitioned.sortWithinPartitions(col(BucketCol), z)
+              .bitwiseXOR(lit(Long.MinValue)))
           case dims if dims.size >= 3 && dims.forall(merged.columns.contains) =>
             // 3-D/4-D Morton clustering. Lane width shrinks with arity
             // (21/16 bits), so each dimension is scaled into its lane by
@@ -1083,20 +1157,36 @@ final class LakeTable(
                   floor((col(d).cast("double") - lit(mn.toDouble)) / lit(range) *
                     lit(maxCode.toDouble)).cast("long"))))
             }
-            val z = Exprs.column(
+            Some(Exprs.column(
               if (dims.size == 3)
                 graft.functions.InterleaveBits3(norm(0), norm(1), norm(2))
               else
                 graft.functions.InterleaveBits4(norm(0), norm(1), norm(2), norm(3)))
-            // Sort the code UNSIGNED: the 4-D interleave places dim-4 bit 15
-            // at bit 63, so normalized values >= 32768 yield negative codes
-            // that a signed sort puts before all positive ones — the curve
-            // breaks at its most significant bit. XOR with Long.MinValue is
-            // the standard unsigned-order map (a no-op reordering for the
-            // always-non-negative 3-D codes).
-            partitioned.sortWithinPartitions(
-              col(BucketCol), z.bitwiseXOR(lit(Long.MinValue)))
-          case _ => partitioned
+              .bitwiseXOR(lit(Long.MinValue)))
+          case _ => None
+        }
+        val partitioned = (zKey, filesPerBucket) match {
+          case _ if !shuffle => toWrite // bulkInsert sortMode=none: task-local write
+          case (_, 1) => toWrite.repartition(affected.size.max(1), col(BucketCol))
+          case (Some(z), fpb) =>
+            // Z-ordered multi-file buckets RANGE-partition on (bucket,
+            // code): a bucket's files then TILE the Z-curve instead of
+            // being hash-random row subsets, so the per-file column
+            // stats recorded by writeStatsSidecar are near-disjoint
+            // ranges on the clustered columns — the layout that makes
+            // file-level stats pruning effective. Costs the range
+            // exchange's sampling pass over the outgoing rows (the same
+            // trade Hudi's sort-based clustering makes).
+            toWrite.repartitionByRange(affected.size.max(1) * fpb, col(BucketCol), z)
+          case (None, fpb) =>
+            toWrite.repartition(affected.size.max(1) * fpb, col(BucketCol), col(KeyCol))
+        }
+        // Sort rows by the Morton code within each task's file so parquet
+        // row-group min/max stats prune range predicates on any clustered
+        // dimension.
+        val clustered = zKey match {
+          case Some(z) => partitioned.sortWithinPartitions(col(BucketCol), z)
+          case None => partitioned
         }
         clustered
           .write.partitionBy(BucketCol).mode("errorifexists")
@@ -1390,9 +1480,21 @@ final class LakeTable(
   /** Distributed min/max + null counts over the buckets just written
     * (Hudi col_stats records null counts too — they buy IsNull/IsNotNull
     * pruning and disambiguate "all null" from "not statable"); tiny
-    * scalar collect (buckets x (2 + 1) x columns values); one JSON
-    * sidecar per commit. Returns the manifest-relative path, or None
-    * when nothing statable.
+    * scalar collect; one JSON sidecar per commit. Returns the
+    * manifest-relative path, or None when nothing statable.
+    *
+    * r14: stats are computed per FILE (grouped on `input_file_name`, the
+    * Hudi metadata-table col_stats granularity) and rolled up to the
+    * bucket locally from the collected per-file rows — still ONE
+    * distributed pass over the just-written data. With `zorderBy` +
+    * `filesPerBucket > 1` the files inside a bucket tile the Z-curve
+    * (range-partitioned write), so per-file ranges on clustered columns
+    * are near-disjoint and a range predicate skips FILES inside
+    * surviving buckets before any footer read — the pruning lane bucket
+    * hashing can't give (a uniform payload column spans every bucket).
+    * The file map is commit-atomic and complete: it is derived from
+    * exactly the files this commit published, in the same job that
+    * publishes their manifest.
     */
   private def writeStatsSidecar(relDir: String, written: Set[Int]): Option[String] = {
     if (written.isEmpty) return None
@@ -1406,8 +1508,23 @@ final class LakeTable(
       Seq(min(qc).as(s"min:$c"), max(qc).as(s"max:$c"),
         sum(when(qc.isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
     } :+ count(lit(1)).as("rows")
-    val rows = df.groupBy(bucketOf(col(KeyCol)).as(BucketCol))
-      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val perFileDf = df.groupBy(
+        bucketOf(col(KeyCol)).as(BucketCol),
+        element_at(split(input_file_name(), "/"), -1).as("_file"))
+      .agg(aggs.head, aggs.drop(1): _*)
+    val fileRows = perFileDf.collect()
+    // Bucket rollup over the collected per-file frame: a LOCAL tiny job
+    // (files x columns scalars), so the data is scanned once while the
+    // rollup still uses Spark's own orderings (UTF-8 string min/max —
+    // never reimplemented driver-side).
+    import scala.jdk.CollectionConverters._
+    val local = spark.createDataFrame(fileRows.toSeq.asJava, perFileDf.schema)
+    val rollups = eligible.flatMap { c =>
+      Seq(min(col(s"`min:$c`")).as(s"min:$c"), max(col(s"`max:$c`")).as(s"max:$c"),
+        sum(col(s"`nulls:$c`")).cast("long").as(s"nulls:$c"))
+    } :+ sum(col("rows")).cast("long").as("rows")
+    val rows = local.groupBy(col(BucketCol))
+      .agg(rollups.head, rollups.drop(1): _*).collect()
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val bucketsNode = root.putObject("buckets")
@@ -1427,19 +1544,30 @@ final class LakeTable(
       case f: java.lang.Float if !java.lang.Float.isFinite(f) => None
       case other => Some(other)
     }
-    rows.sortBy(_.getInt(0)).foreach { r =>
-      val bNode = bucketsNode.putObject(r.getInt(0).toString)
-      bNode.put("rows", r.getLong(1 + eligible.size * 3))
-      val colsNode = bNode.putObject("cols")
+    // Emits one {rows, cols{...}} node from a stats row whose layout is
+    // [..prefix.., (min,max,nulls) x eligible, rows] starting at `off`.
+    def emit(node: ObjectNode, r: Row, off: Int): Unit = {
+      node.put("rows", r.getLong(off + eligible.size * 3))
+      val colsNode = node.putObject("cols")
       eligible.zipWithIndex.foreach { case (c, i) =>
         val cNode = colsNode.putObject(c)
-        cNode.put("nulls", r.getLong(3 + i * 3))
-        (enc(r.get(1 + i * 3)), enc(r.get(2 + i * 3))) match {
+        cNode.put("nulls", r.getLong(off + 2 + i * 3))
+        (enc(r.get(off + i * 3)), enc(r.get(off + 1 + i * 3))) match {
           case (Some(mn), Some(mx)) =>
             put(cNode, "min", mn)
             put(cNode, "max", mx)
-          case _ => () // all-null column in this bucket: null count only
+          case _ => () // all-null column in this bucket/file: null count only
         }
+      }
+    }
+    val filesByBucket = fileRows.groupBy(_.getInt(0))
+    rows.sortBy(_.getInt(0)).foreach { r =>
+      val b = r.getInt(0)
+      val bNode = bucketsNode.putObject(b.toString)
+      emit(bNode, r, 1)
+      val filesNode = bNode.putObject("files")
+      filesByBucket.getOrElse(b, Array.empty[Row]).sortBy(_.getString(1)).foreach { fr =>
+        emit(filesNode.putObject(fr.getString(1)), fr, 2)
       }
     }
     val rel = s"$relDir/$StatsFileName"
@@ -1463,24 +1591,35 @@ final class LakeTable(
       try {
         val root = new ObjectMapper().readTree(io.readString(io.resolve(p)))
         val bNode = root.get("buckets")
-        if (bNode == null || !bNode.isObject) Map.empty
-        else bNode.asInstanceOf[ObjectNode].fieldNames().asScala.map { b =>
-          val bucket = bNode.get(b).asInstanceOf[ObjectNode]
-          // current shape: {"rows": N, "cols": {col: {min, max, nulls}}};
-          // the early-r13 shape ({col: {min, max}} directly) still loads
-          // (bounds only, no null counts)
-          val colsNode = Option(bucket.get("cols"))
-            .filter(_.isObject).map(_.asInstanceOf[ObjectNode]).getOrElse(bucket)
-          val rows = Option(bucket.get("rows")).filter(_.isNumber).map(_.asLong())
-          def opt(n: JsonNode): Option[JsonNode] =
-            Option(n).filterNot(_.isNull)
+        // current shape: {"rows": N, "cols": {col: {min, max, nulls}},
+        // "files": {name: {rows, cols}}}; the early-r13 shape
+        // ({col: {min, max}} directly) still loads (bounds only, no null
+        // counts, no files), as does r13's cols-without-files.
+        def opt(n: JsonNode): Option[JsonNode] =
+          Option(n).filterNot(_.isNull)
+        def parseOne(node: ObjectNode, withFiles: Boolean): LakeTable.BucketStats = {
+          val colsNode = Option(node.get("cols"))
+            .filter(_.isObject).map(_.asInstanceOf[ObjectNode]).getOrElse(node)
+          val rows = Option(node.get("rows")).filter(_.isNumber).map(_.asLong())
           val cols = colsNode.fieldNames().asScala.filter(colsNode.get(_).isObject).map { c =>
             val cNode = colsNode.get(c)
             c -> LakeTable.ColStat(
               opt(cNode.get("min")), opt(cNode.get("max")),
               Option(cNode.get("nulls")).filter(_.isNumber).map(_.asLong()))
           }.toMap
-          b.toInt -> LakeTable.BucketStats(rows, cols)
+          val files =
+            if (!withFiles) Map.empty[String, LakeTable.BucketStats]
+            else Option(node.get("files")).filter(_.isObject)
+              .map(_.asInstanceOf[ObjectNode]).map { fn =>
+                fn.fieldNames().asScala.filter(fn.get(_).isObject).map { f =>
+                  f -> parseOne(fn.get(f).asInstanceOf[ObjectNode], withFiles = false)
+                }.toMap
+              }.getOrElse(Map.empty)
+          LakeTable.BucketStats(rows, cols, files)
+        }
+        if (bNode == null || !bNode.isObject) Map.empty
+        else bNode.asInstanceOf[ObjectNode].fieldNames().asScala.map { b =>
+          b.toInt -> parseOne(bNode.get(b).asInstanceOf[ObjectNode], withFiles = true)
         }.toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     })
@@ -1569,17 +1708,50 @@ final class LakeTable(
     }
   }
 
+  /** For surviving non-delta buckets whose sidecar carries per-file
+    * stats: the file subsets the filters can still touch. Only buckets
+    * where at least one file is provably excluded appear in the result
+    * (absent = read the whole bucket dir, the conservative default —
+    * also what pre-r14 sidecars and delta-carrying buckets get). An
+    * empty surviving list is VALID: the bucket's rolled-up range can
+    * straddle a filter that individually excludes every file (a value
+    * in a gap between file ranges) — the bucket then contributes no
+    * scan paths at all.
+    */
+  private[lake] def statsPrunedFiles(
+      m: Manifest, keep: Set[Int], filters: Seq[SFilter]): Map[Int, Seq[String]] = {
+    if (m.statsFiles.isEmpty || filters.isEmpty) return Map.empty
+    keep.iterator.flatMap { b =>
+      if (m.deltas.getOrElse(b, Nil).nonEmpty) None
+      else m.statsFiles.get(b).flatMap { p =>
+        val st = loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty))
+        if (st.files.isEmpty) None
+        else {
+          val kept = st.files.collect {
+            case (f, fst) if !filters.exists(excludes(_, fst)) => f
+          }.toSeq.sorted
+          if (kept.size == st.files.size) None else Some(b -> kept)
+        }
+      }
+    }.toMap
+  }
+
   /** Stats-pruned snapshot at `version` for pushed filters: Some(df)
-    * reading ONLY surviving buckets (zero listings/opens for skipped
-    * ones), None when stats cannot prune anything (callers keep their
-    * cached full-snapshot plan).
+    * reading ONLY surviving buckets — and, inside surviving buckets
+    * whose sidecar records per-file stats, only surviving FILES (zero
+    * listings/opens for skipped ones; the file names come from the
+    * commit-atomic sidecar, so no directory listing either). None when
+    * stats cannot prune anything (callers keep their cached
+    * full-snapshot plan).
     */
   private[graft] def statsPrune(
       version: Long, filters: Seq[SFilter]): Option[DataFrame] = {
     val m = readManifest(version)
     if (m.statsFiles.isEmpty || filters.isEmpty) return None
     val keep = statsPrunedBuckets(m, filters)
-    if (keep.size == m.allBuckets.size) None else Some(readBuckets(m, keep))
+    val fileKeep = statsPrunedFiles(m, keep, filters)
+    if (keep.size == m.allBuckets.size && fileKeep.isEmpty) None
+    else Some(readBuckets(m, keep, pruneFiles = fileKeep))
   }
 
   /** Next manifest schema: existing columns keep their slot but WIDEN when
@@ -1635,9 +1807,13 @@ object LakeTable {
       mn: Option[JsonNode], mx: Option[JsonNode], nulls: Option[Long])
 
   /** Parsed per-bucket sidecar stats: row count (absent on early-r13
-    * sidecars) and per-column stats. */
+    * sidecars), per-column stats, and (r14, Hudi metadata-table
+    * `col_stats` shape) per-FILE stats keyed by file name within the
+    * bucket dir — each file's entry reuses this class with `files`
+    * empty. Absent on pre-r14 sidecars (bucket-level pruning only). */
   private[lake] final case class BucketStats(
-      rows: Option[Long], cols: Map[String, ColStat])
+      rows: Option[Long], cols: Map[String, ColStat],
+      files: Map[String, BucketStats] = Map.empty)
 
   /** Parse a user-facing instant: epoch millis, or
     * 'yyyy-MM-dd HH:mm:ss[.SSS]' read as UTC (the `timestampAsOf` /

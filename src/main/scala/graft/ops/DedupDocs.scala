@@ -478,6 +478,78 @@ object DedupDocs {
       .distinct() // dist is functionally dependent on (d1, d2): one row per pair
   }
 
+  /** Pigeonhole band columns spanning a MULTI-WORD signature (64-bit
+    * words, little-endian: word 0 holds bits 0-63). Same contiguous-band
+    * derivation as [[hammingBandCols]]; a band straddling a word
+    * boundary stitches its low and high parts with shifts. Masked
+    * arithmetic shifts are exact: the mask removes every sign-extended
+    * bit.
+    */
+  private def hammingBandColsWide(
+      sigCols: Seq[String], maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    val totalBits = 64 * sigCols.size
+    val nb = maxHamming + 1
+    val base = totalBits / nb
+    val widths = Array.tabulate(nb)(b => if (b < totalBits % nb) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    (0 until nb).map { b =>
+      val o = offsets(b); val wd = widths(b)
+      val wi = o / 64; val wo = o % 64
+      val value =
+        if (wo + wd <= 64)
+          shiftright(col(sigCols(wi)), wo).bitwiseAND(mask(wd))
+        else {
+          val lowBits = 64 - wo
+          shiftright(col(sigCols(wi)), wo).bitwiseAND(mask(lowBits)).bitwiseOR(
+            shiftleft(col(sigCols(wi + 1)).bitwiseAND(mask(wd - lowBits)), lowBits))
+        }
+      struct(lit(b).as("band"), value.as("bh"))
+    }
+  }
+
+  /** [[hammingNearDupPairs]] over signatures WIDER than 64 bits — one
+    * long column per 64-bit word (2 words = the 128-bit dual-gradient
+    * image family hash, q95). Same pigeonhole recall contract over the
+    * concatenated bit string (`maxHamming + 1` contiguous bands across
+    * all words, so any pair within the gate agrees on some whole band),
+    * same pinned-exchange single-evaluation shape (every word rides
+    * through the banding; verify sums per-word popcounts at the join).
+    * Wider signatures exist precisely for scale: the unrelated-pair
+    * hamming floor grows linearly with bits while near-dup noise does
+    * not, so the gate/floor gap survives populations where 64-bit
+    * floors collapse (measured: 8-orientation image families at sf0.1).
+    */
+  def hammingNearDupPairsWide(
+      sigs: DataFrame,
+      idCol: String,
+      sigCols: Seq[String],
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(sigCols.size >= 2, "use hammingNearDupPairs for single-word signatures")
+    require(maxHamming >= 0 && maxHamming < 64 * sigCols.size,
+      s"maxHamming in [0, ${64 * sigCols.size}): $maxHamming")
+    require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
+    val sig = sigs.select(
+      col(idCol) +: sigCols.map(c => col(c).cast("long").as(c)): _*)
+    val bandCols = hammingBandColsWide(sigCols, maxHamming)
+    val banded = capHotBands(
+      sig.select((col(idCol) +: sigCols.map(col)) :+
+          explode(array(bandCols: _*)).as("bb"): _*)
+        .select((col(idCol) +: sigCols.map(col)) ++
+          Seq(col("bb.band").as("band"), col("bb.bh").as("bh")): _*)
+        .repartition(
+          sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bh")),
+      maxBucket)
+    val dist = sigCols.map(c =>
+      TextStats.hamming(col(s"x.$c"), col(s"y.$c")).cast("long")).reduce(_ + _)
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"), dist.as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct() // dist is functionally dependent on (d1, d2): one row per pair
+  }
+
   /** Persist a corpus's bit signatures (image dHashes, simhashes) for
     * INCREMENTAL hamming dedup: the artifact
     * [[hammingDedupeAgainstIndex]] probes so that ingesting a new batch

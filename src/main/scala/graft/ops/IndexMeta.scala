@@ -59,4 +59,76 @@ object IndexMeta {
           "rebuild the index or match the build parameters")
     }
   }
+
+  /** Rewrite an append-accumulated index artifact to a compact file
+    * layout, stamp preserved (VERDICT r13 #5): every `appendTo*Index`
+    * call adds one parquet fragment per ingest batch, so after thousands
+    * of batches a probe pays file COUNT instead of bytes (the q50
+    * lesson re-manifesting slowly). Works on any of the engine's index
+    * layouts — partition dirs (`band=`/`bh=`/`centroid=`) are
+    * self-detected from the directory tree and preserved, one file per
+    * leaf dir; a plain bucketless layout rewrites to `targetFiles` files
+    * (default: the session's parallelism, so a compacted index still
+    * scans in parallel).
+    *
+    * Same single-writer contract as the appends themselves: run it from
+    * the ingest loop between batches, never concurrently with an append
+    * (the swap is two renames, not atomic). A probe running concurrently
+    * on ANOTHER session may transiently fail and should retry; rows and
+    * stamp are byte-preserved, so results before == after.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $path")
+    // partition column chain from the directory names (band=…/bh=…)
+    val pcols = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = root
+    var next = fs.listStatus(cur).filter(_.isDirectory)
+      .map(_.getPath).find(_.getName.contains("="))
+    while (next.isDefined) {
+      pcols += next.get.getName.split("=")(0)
+      cur = next.get
+      next = fs.listStatus(cur).filter(_.isDirectory)
+        .map(_.getPath).find(_.getName.contains("="))
+    }
+    val metaPath = new HPath(path, FileName)
+    val meta =
+      if (!fs.exists(metaPath)) None
+      else {
+        val in = fs.open(metaPath)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var r = in.read(b)
+          while (r >= 0) { buf.write(b, 0, r); r = in.read(b) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      }
+    val df = spark.read.parquet(path)
+    val tmp = new HPath(path + ".compacting")
+    fs.delete(tmp, true)
+    val n = if (targetFiles > 0) targetFiles else spark.sparkContext.defaultParallelism
+    val out =
+      if (pcols.nonEmpty)
+        // hash on the partition combo: each leaf dir's rows land in one
+        // task -> one file per dir
+        df.repartition(pcols.toSeq.map(col): _*)
+          .write.partitionBy(pcols.toSeq: _*)
+      else df.repartition(n).write
+    out.parquet(tmp.toString)
+    meta.foreach { bytes =>
+      val o = fs.create(new HPath(tmp, FileName), true)
+      try o.write(bytes) finally o.close()
+    }
+    val old = new HPath(path + ".precompact")
+    fs.delete(old, true)
+    require(fs.rename(root, old), s"compactIndex: could not move $path aside")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // restore; the index was never unreadable
+      throw new java.io.IOException(s"compactIndex: could not publish $tmp")
+    }
+    fs.delete(old, true)
+  }
 }

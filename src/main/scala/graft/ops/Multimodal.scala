@@ -255,6 +255,211 @@ object Multimodal {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
+  /** The 8-orientation perceptual hash family from
+    * [[dHash8ImagesBatched]]: for dihedral transform k (4 rotations x
+    * mirror), `hhashes(k)`/`vhashes(k)` are the horizontal/vertical
+    * difference hashes the image WOULD have after that transform — a
+    * 128-bit signature per orientation. Undecodable payloads repeat the
+    * byte-hash in every slot (exact-dup semantics, same as
+    * [[ImageDHash]]).
+    */
+  final case class ImageDHash8(
+      doc_id: Long, decoded: Boolean, hhashes: Seq[Long], vhashes: Seq[Long])
+
+  /** Rotation/flip-ROBUST variant of [[dHashImagesBatched]] (VERDICT r13
+    * #7): plain dHash is resize-stable only — a 90° rotation or mirror
+    * (standard training-set augmentation) permutes the gradient grid and
+    * defeats it. This operator block-averages the raster onto ONE 9x9
+    * grayscale grid and derives all EIGHT dihedral orientations' hashes
+    * by grid index arithmetic — the image decodes once, not eight times.
+    *
+    * Two load-bearing design points, both measured (ProbeImg r14):
+    *  - grid cell boundaries use SYMMETRIC rounding
+    *    `b(i) = (2*i*w + 9) / 18` — `b(9-i) = w - b(i)` exactly for
+    *    every w (2iw+9 is odd, so the rounding never ties), which makes
+    *    the grid of a rotated/mirrored square image the EXACT index
+    *    permutation of the original grid: a pure-rotation copy has
+    *    family distance 0, and only genuine resampling (resize) costs
+    *    bits. Truncating division (the plain dHash grid) is asymmetric
+    *    at 64/9 and cost 4-10 bits of pure-rotation noise.
+    *  - each orientation carries a 128-BIT signature (horizontal +
+    *    vertical 8x8 gradient hashes): comparing 8-orientation families
+    *    multiplies the unrelated-pair population by 64, which pushed the
+    *    closest unrelated 64-bit pair to hamming 8 at sf0.1 — inside
+    *    resize noise. At 128 bits the unrelated floor moves to ~2x the
+    *    planted ceiling (binomial mean 64 vs resize noise <= ~14).
+    *
+    * Match rotated copies by comparing hash FAMILIES: one row per
+    * (doc, orientation) with composite id `doc_id * 8 + k` through
+    * [[DedupDocs.hammingNearDupPairsWide]]; an aligned orientation pair
+    * lands within the gate whatever rotation/flip/resize chain produced
+    * the copy (dihedral closure), and the id arithmetic maps pairs back
+    * to documents (see q95).
+    *
+    * Bits: for orientation k with grid view g_k, horizontal bit
+    * (x + 8*y) = g_k(x+1, y) > g_k(x, y); vertical bit
+    * (x + 8*y) = g_k(x, y+1) > g_k(x, y); x,y in [0,8).
+    */
+  def dHash8ImagesBatched(
+      assets: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ImageDHash8] = {
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        // dihedral transforms of a 9x9 grid index (8 = max index):
+        // k in 0..3 rotations, +4 = mirrored (x -> 8-x) first
+        def sym(k: Int, x: Int, y: Int): (Int, Int) = {
+          val (mx, my) = if (k >= 4) (8 - x, y) else (x, y)
+          (k % 4) match {
+            case 0 => (mx, my)
+            case 1 => (my, 8 - mx) // 90°
+            case 2 => (8 - mx, 8 - my) // 180°
+            case _ => (8 - my, mx) // 270°
+          }
+        }
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) {
+              val f = fold64(digest, bytes)
+              ImageDHash8(id, decoded = false, Seq.fill(8)(f), Seq.fill(8)(f))
+            } else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              val n = 9
+              // symmetric cell boundaries (see scaladoc); degenerate cells
+              // (w < 9) clamp to at least one pixel
+              def bx(i: Int): Int = (2 * i * w + n) / (2 * n)
+              def by(i: Int): Int = (2 * i * h + n) / (2 * n)
+              val grid = Array.ofDim[Long](n, n)
+              var gx = 0
+              while (gx < n) {
+                val x0 = bx(gx); val x1 = math.max(bx(gx + 1), x0 + 1)
+                var gy = 0
+                while (gy < n) {
+                  val y0 = by(gy); val y1 = math.max(by(gy + 1), y0 + 1)
+                  var sum = 0L; var cnt = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val p = argb(math.min(y, h - 1) * w + math.min(x, w - 1))
+                      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                      cnt += 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  grid(gx)(gy) = if (cnt == 0) 0L else sum / cnt
+                  gy += 1
+                }
+                gx += 1
+              }
+              def hashOf(k: Int, vertical: Boolean): Long = {
+                var hash = 0L
+                var bit = 0
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val (ax, ay) =
+                      if (vertical) sym(k, xx, yy + 1) else sym(k, xx + 1, yy)
+                    val (bx2, by2) = sym(k, xx, yy)
+                    if (grid(ax)(ay) > grid(bx2)(by2)) hash |= 1L << bit
+                    bit += 1
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                hash
+              }
+              ImageDHash8(id, decoded = true,
+                (0 until 8).map(hashOf(_, vertical = false)),
+                (0 until 8).map(hashOf(_, vertical = true)))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              val f = fold64(digest, bytes)
+              ImageDHash8(id, decoded = false, Seq.fill(8)(f), Seq.fill(8)(f))
+          }
+        }
+      }
+  }
+
+  /** REAL rotation/mirror operator (JDK-only, exact pixel permutation —
+    * no interpolation, so a rotated PNG decodes to the exactly-permuted
+    * raster): `quarterTurns` counter-clockwise 90° rotations, optional
+    * horizontal mirror applied FIRST. The augmentation-copy generator
+    * for rotation-robust dedup fixtures (q95) and a real operator for
+    * canonicalizing mis-oriented crawl images. Unreadable payloads pass
+    * through unchanged (`resized = false`), same contract as
+    * [[resizeImagesBatched]].
+    */
+  def rotateImagesBatched(
+      assets: DataFrame,
+      quarterTurns: Int,
+      mirror: Boolean = false,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ResizedImage] = {
+    require(quarterTurns >= 0 && quarterTurns <= 3,
+      s"quarterTurns in [0, 3]: $quarterTurns")
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          digest.reset()
+          digest.digest(b).map("%02x".format(_)).mkString
+        }
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val src = img.getRGB(0, 0, w, h, null, 0, w)
+              val (dw, dh) = if (quarterTurns % 2 == 1) (h, w) else (w, h)
+              val dst = new Array[Int](src.length)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val mx = if (mirror) w - 1 - x else x
+                  // counter-clockwise: (x, y) -> quarter-turn image coords
+                  val (tx, ty) = quarterTurns match {
+                    case 0 => (mx, y)
+                    case 1 => (y, w - 1 - mx) // 90° ccw: width becomes height
+                    case 2 => (w - 1 - mx, h - 1 - y)
+                    case _ => (h - 1 - y, mx)
+                  }
+                  dst(ty * dw + tx) = src(y * w + x)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.awt.image.BufferedImage(
+                dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              out.setRGB(0, 0, dw, dh, dst, 0, dw)
+              val bb = java.nio.ByteBuffer.allocate(dst.length * 4)
+              dst.foreach(bb.putInt)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              ResizedImage(id, dw, dh, resized = true, baos.toByteArray, hex(bb.array()))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+          }
+        }
+      }
+  }
+
   /** Deterministic SMOOTH synthetic images (id-seeded sinusoid mixtures
     * rendered as grayscale PNG): the fixture generator for image-pipeline
     * queries in environments with no real image corpus. Smoothness is the

@@ -137,6 +137,35 @@ object LakeQueries {
       .orderBy("user_id")
   }
 
+  /** q94: the q85 fragment composition on a MERGE-ON-READ table — the
+    * three commits land as base + two DELTA commits (compactAfter high:
+    * no fold), so the snapshot exercises the read-side per-column stack
+    * collapse (`morPartialMerge`) instead of the write-time fold. Shares
+    * q85's oracle verbatim: the per-column winners are a property of the
+    * fragment SET, independent of which side of the read/write boundary
+    * composes them — exactly the associativity the `_pts` map buys.
+    */
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val lake = new LakeTable(
+      spark, scratchDir("partialmor"), numBuckets = 16,
+      bloomOnWrite = false, mergeMode = LakeTable.PartialMode,
+      tableType = LakeTable.MorType, compactAfter = 10)
+    val frags = Tables.load(spark, dir, "events").select(
+      md5(concat_ws("_", lit("graft"), lit("events"), col("user_id")))
+        .as(LakeTable.KeyCol),
+      col("event_id").as(LakeTable.TsCol),
+      col("user_id"),
+      when(col("event_id") % 2 === 0, col("event_type")).as("event_type"),
+      when(col("event_id") % 2 === 1, col("value")).as("value"))
+    (0 to 2).foreach(i =>
+      lake.upsert(frags.filter(col(LakeTable.TsCol) % 3 === i), commitId = s"b$i"))
+    lake.snapshot
+      .select(
+        col("user_id"), col(LakeTable.TsCol).as("last_event"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   private def q80(spark: SparkSession, dir: String): DataFrame = {
     val lake = new LakeTable(spark, scratchDir("lake"), numBuckets = 16, bloomOnWrite = false)
     val ev = keyedEvents(spark, dir)
@@ -592,6 +621,14 @@ object LakeQueries {
     "q23_lake_upsert" -> QueryDef(q23, Some(s"$lwwOracle ORDER BY user_id")),
     "q85_lake_partial" -> QueryDef(
       q85,
+      Some(
+        """SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+          |  max_by(event_type, CASE WHEN event_id % 2 = 0 THEN event_id END)
+          |    AS event_type,
+          |  max_by(value, CASE WHEN event_id % 2 = 1 THEN event_id END) AS value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q94_lake_mor_partial" -> QueryDef(
+      q94,
       Some(
         """SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
           |  max_by(event_type, CASE WHEN event_id % 2 = 0 THEN event_id END)

@@ -1588,6 +1588,65 @@ object OpsQueries {
           |FROM documents WHERE doc_id % 5 = 0
           |ORDER BY d1, d2""".stripMargin)),
 
+    // ---- rotation/flip-robust image dedup (r14, VERDICT r13 #7) --------
+    // Plain dHash is resize-stable only: a 90° rotation or mirror
+    // (standard training-set augmentation) permutes the gradient grid and
+    // defeats it. dHash8 block-averages each decoded raster ONCE onto a
+    // 9x9 grid and derives all eight dihedral orientations' hashes by
+    // index arithmetic; every (doc, orientation) becomes one signature
+    // row (composite id doc*8+k) through the SAME pigeonhole banding as
+    // q90 — an aligned orientation pair lands within the gate whatever
+    // rotation/flip/resize chain produced the copy. Pairs map back to
+    // documents via the id arithmetic.
+    //
+    // The 128-bit gate is CALIBRATED (graft.ProbeImg rotation section,
+    // fixed seeds + 2026-08-13 testdata): the symmetric grid makes pure
+    // rotations EXACT — every rot90 family distance measures 0 at both
+    // scales — so planted distance is pure resize noise on the chain
+    // plant (max 8 @ sf0.01, 11 @ sf0.1), while the closest unrelated
+    // family pair is 30 / 25. maxHamming=20 sits in that gap with >= 5
+    // bits of margin on both sides (a 64-bit family had planted 9 vs
+    // unrelated 8 at sf0.1 — no gate existed; that measurement is WHY
+    // the signature is 128-bit). Re-measure after ANY testdata regen
+    // (q90 protocol).
+    "q95_image_rotation_dedup" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val every7 = base.filter(col("doc_id") % 7 === 0)
+        val rot90 = Multimodal.rotateImagesBatched(every7, 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("payload"))
+        val chain = Multimodal.rotateImagesBatched(
+            Multimodal.resizeImagesBatched(every7, 48, 48)
+              .select(col("doc_id"), col("payload")), 3, mirror = true)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("payload"))
+        val fam = Multimodal.dHash8ImagesBatched(
+            base.unionByName(rot90).unionByName(chain))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+        val sigs = fam
+          .select(col("doc_id"),
+            posexplode(arrays_zip(col("hhashes"), col("vhashes"))).as(Seq("o", "hv")))
+          .select((col("doc_id") * 8 + col("o")).as("oid"),
+            col("hv.hhashes").as("h1"), col("hv.vhashes").as("h2"))
+        DedupDocs.hammingNearDupPairsWide(sigs, "oid", Seq("h1", "h2"), maxHamming = 20)
+          .select(floor(col("d1") / 8).cast("long").as("a"),
+            floor(col("d2") / 8).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("d1"),
+            greatest(col("a"), col("b")).as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          |           FROM documents WHERE doc_id % 7 = 0)
+          |SELECT d1, d2 FROM (
+          |  SELECT doc_id AS d1, doc_id + 2000000 AS d2 FROM s
+          |  UNION ALL SELECT doc_id, doc_id + 4000000 FROM s
+          |  UNION ALL SELECT doc_id + 2000000, doc_id + 4000000 FROM s) t
+          |ORDER BY d1, d2""".stripMargin)),
+
     // ---- PII redaction (r13) -------------------------------------------
     // The redaction pass a training pipeline runs first: count + redact
     // IPv4s, international phone numbers, and card-like digit runs. The

@@ -142,6 +142,42 @@ class CdcEndToEndSpec extends SparkSpec {
       s"reinsert after in-batch delete must survive; delete-newest must not: $got")
   }
 
+  test("merge.mode=partial composes on a table.type=mor table (r14: read-side collapse)") {
+    // Same fragment flow as the partial test, but the commits land as
+    // delta files and the per-column winners come from the mor stack
+    // collapse at read — the CDC surface for Hudi's
+    // PartialUpdateAvroPayload-on-MOR combination.
+    val root = tempDir("cdc-").toString
+    val opts = options(root) ++ Map(
+      "db.person.merge.mode" -> "partial",
+      "db.person.table.type" -> "mor",
+      "db.person.compact.deltas" -> "10")
+    CdcSyncCommand.run(Seq(
+      env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}"""))).toDF("value"), opts, batchId = 1L)
+    CdcSyncCommand.run(Seq(
+      env("db", "person", personSchema, 2L, "upsert", Seq(
+        """{"id":1,"age":31}"""))).toDF("value"), opts, batchId = 2L)
+    CdcSyncCommand.run(Seq(
+      env("db", "person", personSchema, 3L, "upsert", Seq(
+        """{"id":1,"name":"anne"}""", """{"id":2,"age":41}"""))).toDF("value"),
+      opts, batchId = 3L)
+    val t = new LakeTable(spark, s"$root/db/ods_db_person", 4,
+      tableType = LakeTable.MorType, compactAfter = 10,
+      mergeMode = LakeTable.PartialMode)
+    // batches 2/3 must be DELTA commits (no fold at this cadence): the
+    // read-optimized view then still shows batch-1 base state
+    val ro = t.snapshotReadOptimized.select("id", "name", "age")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(ro == Seq((1L, "ann", 30L), (2L, "bob", 40L)),
+      s"batches 2/3 should be delta commits (ro = fold-time state): $ro")
+    val got = t.snapshot.select("id", "name", "age")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "anne", 31L), (2L, "bob", 41L)),
+      s"per-column winners must compose across the delta stack: $got")
+  }
+
   test("table.type=mor routes CDC batches through delta commits; Hudi synonym accepted") {
     val root = tempDir("cdc-").toString
     val opts = options(root) ++ Map(
@@ -492,6 +528,28 @@ class CdcEndToEndSpec extends SparkSpec {
     val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
       .select("name").as[String].collect()
     assert(got.toSeq == Seq("ANN"))
+  }
+
+  test("transformer SQL reaches the native expression family (r14: Q1 surface)") {
+    // The reference's hoodie.transformer.sql is the engine's SQL query
+    // surface — the codegen'd operators must be callable there. The
+    // transformer registers them idempotently, so a plain session (no
+    // GraftExtensions conf) works.
+    val root = tempDir("cdc-").toString
+    val opts = options(root) +
+      ("db.person.transformer.sql" ->
+        ("SELECT id, name, age, _key, _ts, " +
+          "multi_contains_count(name, array('an', 'ann', 'zzz')) AS hits " +
+          "FROM <SRC>"))
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}"""))).toDF("value"),
+      opts, batchId = 1L)
+    val got = new LakeTable(spark, s"$root/db/ods_db_person", 4).snapshot
+      .select("id", "hits").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 0L)),
+      "multi_contains_count must run inside the <SRC> transformer")
   }
 
   test("partition.field routes a table through PartitionedLakeTable") {

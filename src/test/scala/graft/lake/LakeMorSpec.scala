@@ -384,6 +384,79 @@ class LakeMorSpec extends SparkSpec {
     }
   }
 
+  test("mor partial: column fragments compose across delta commits; deletes reset composition") {
+    val root = tempDir("mor-partial-").toString
+    val m = new LakeTable(spark, s"$root/t", numBuckets = 2,
+      tableType = LakeTable.MorType, compactAfter = 10, // stack stays un-folded
+      mergeMode = LakeTable.PartialMode)
+    def frag(t: (String, Long, java.lang.Long, String)*): DataFrame =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+    m.upsert(frag(("k1", 1L, 10L, null)), "c1")          // base: a=10
+    m.upsert(frag(("k1", 2L, null, "x")), "c2")          // delta: b=x
+    m.upsert(frag(("k1", 1L, 11L, null)), "c3")          // delta: EQUAL ts -> later arrival wins
+    def st = m.snapshot.select(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+      .as[(String, Long, Option[Long], Option[String])].collect().toSet
+    // composed across the stack: c3's a=11 beats c1's a=10 at equal
+    // fragment time (later delta version = later arrival, same rule as the
+    // cow fold's updates-beat-snapshot); b=x; _ts = max fragment time = 2
+    assert(st == Set(("k1", 2L, Some(11L), Some("x"))))
+    // a delete tombstone kills fragments at version <= its own — including
+    // the SAME merge batch's upsert (in-batch deletes win, the cow rule)
+    m.merge(frag(("k1", 5L, null, "y")), Seq("k1").toDF(LakeTable.KeyCol), "c4")
+    assert(st == Set.empty[(String, Long, Option[Long], Option[String])],
+      "the tombstone must kill the whole earlier composition")
+    // later fragments compose from scratch — nothing resurrects
+    m.upsert(frag(("k1", 6L, 42L, null)), "c5")
+    assert(st == Set(("k1", 6L, Some(42L), None)))
+    // _pts never leaks to external reads
+    assert(!m.snapshot.columns.contains(LakeTable.PtsCol))
+  }
+
+  test("randomized partial equivalence: mor partial == cow partial at every version (3 seeds)") {
+    // The r14 gate for folding the `_pts` composition through the stack
+    // collapse: any interleaving of fragment upserts, merges-with-deletes
+    // and fold points must land on the same per-column winners as the
+    // write-time cow fold — at the head AND through time travel.
+    def frag(t: Seq[(String, Long, java.lang.Long, String)]): DataFrame =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+    for (seed <- Seq(7, 21, 42)) {
+      val root = tempDir(s"mor-prand$seed-").toString
+      val m = new LakeTable(spark, s"$root/mor", numBuckets = 4,
+        tableType = LakeTable.MorType, compactAfter = 2,
+        mergeMode = LakeTable.PartialMode)
+      val c = new LakeTable(spark, s"$root/cow", numBuckets = 4,
+        mergeMode = LakeTable.PartialMode)
+      val rnd = new scala.util.Random(seed)
+      val keyPool = (0 until 10).map(i => s"k$i")
+      def someA(): java.lang.Long =
+        if (rnd.nextBoolean()) null else java.lang.Long.valueOf(rnd.nextInt(100).toLong)
+      def someB(): String = if (rnd.nextBoolean()) null else s"b${rnd.nextInt(100)}"
+      var version = 0L
+      (0 until 8).foreach { i =>
+        val cid = s"b$i"
+        val ups = frag(Seq.fill(1 + rnd.nextInt(3))(
+          (keyPool(rnd.nextInt(keyPool.size)), rnd.nextInt(6).toLong, someA(), someB())))
+        if (rnd.nextInt(3) < 2) { m.upsert(ups, cid); c.upsert(ups, cid) }
+        else {
+          val dels = Seq.fill(1 + rnd.nextInt(2))(
+            keyPool(rnd.nextInt(keyPool.size))).toDF(LakeTable.KeyCol)
+          m.merge(ups, dels, cid); c.merge(ups, dels, cid)
+        }
+        version += 1
+        def st(t: LakeTable) = t.snapshot
+          .select(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+          .as[(String, Long, Option[Long], Option[String])].collect().toSet
+        assert(st(m) == st(c), s"seed=$seed diverged after batch $i")
+      }
+      (1L to version).foreach { v =>
+        def at(t: LakeTable) = t.snapshotAt(v)
+          .select(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+          .as[(String, Long, Option[Long], Option[String])].collect().toSet
+        assert(at(m) == at(c), s"seed=$seed time travel diverged at v$v")
+      }
+    }
+  }
+
   test("read-optimized view shows fold-time state; equals snapshot once compacted") {
     val root = tempDir("mor-").toString
     val m = mor(root, compactAfter = 10) // high cadence: no inline folds

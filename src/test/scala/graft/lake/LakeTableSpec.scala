@@ -677,11 +677,8 @@ class LakeTableSpec extends SparkSpec {
     ow.upsert(frag(("a", 2L, null, "paris")))
     assert(ow.snapshot.select("name", "city").as[(String, String)].head() ==
       ((null, "paris")))
-    // partial is a write-side fold — mor handles are rejected loudly
-    intercept[IllegalArgumentException] {
-      new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2,
-        tableType = LakeTable.MorType, mergeMode = LakeTable.PartialMode)
-    }
+    // r14: partial also works on mor handles (read-side stack collapse) —
+    // LakeMorSpec carries the equivalence proof
   }
 
   test("partial merge is associative: random fragments, random commit orders, one answer") {
@@ -1513,8 +1510,10 @@ class LakeTableSpec extends SparkSpec {
     // row for row, every time.
     val rnd = new scala.util.Random(20260814)
     val dir = tempDir("lake-stats-prop-").resolve("t").toString
-    val lt = new LakeTable(spark, dir, numBuckets = 4,
-      statsColumns = Seq("amount", "tag", "score"))
+    // filesPerBucket + zorderBy: the randomized oracle also exercises the
+    // r14 per-FILE stats prune path (range-partitioned multi-file buckets)
+    val lt = new LakeTable(spark, dir, numBuckets = 4, filesPerBucket = 2,
+      zorderBy = Seq("amount", "score"), statsColumns = Seq("amount", "tag", "score"))
     val emoji = new String(Character.toChars(0x1F600))
     val tags = Seq("a", "ab", "alpha", "m", "z", "￿", emoji)
     // Float pool of NON-dyadic values: the sidecar stores the exact double
@@ -1598,6 +1597,50 @@ class LakeTableSpec extends SparkSpec {
       assert(brel.scanPlan(Array(LakeTable.KeyCol, "score"), Array(f)).count() === 1,
         s"float boundary filter $f dropped its matching row")
     }
+  }
+
+  test("per-file column stats prune files inside surviving buckets (z-order composed)") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    // The r14 lane: x is UNIFORM, so key-hash buckets can never prune it —
+    // but with zorderBy + filesPerBucket the files inside each bucket tile
+    // the Z-curve, and the per-file sidecar stats skip most of them for a
+    // narrow range predicate BEFORE any listing or footer read.
+    // 16 files per bucket: a 1/16 z-chunk pins the top FOUR interleaved
+    // bits (y9 x9 y8 x8 — y owns the odd lanes), so each file's x-extent
+    // is ~256 of 1024 and x < 64 provably excludes ~3/4 of the files; at
+    // 8 files only x9 is pinned (512-wide extents) and the prune sits at
+    // the assertion margin, sampling-boundary dependent.
+    val dir = tempDir("lake-fstats-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2, filesPerBucket = 16,
+      statsColumns = Seq("x"), zorderBy = Seq("x", "y"))
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 20000).map(i =>
+      (s"k$i", 1L, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    lt.upsert(pts.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y"))
+    val m = lt.latestManifest().get
+    val filters = Seq(LessThan("x", 64L))
+    assert(lt.statsPrunedBuckets(m, filters).size === 2,
+      "uniform x must not bucket-prune (that's the per-file lane's job)")
+    val fileKeep = lt.statsPrunedFiles(m, Set(0, 1), filters)
+    assert(fileKeep.nonEmpty, "per-file stats should prune for x < 64")
+    // end-to-end through the relation: only surviving files reach the scan
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "2"))
+    val scan = rel.scanPlan(Array(LakeTable.KeyCol, "x", "y"), Array(LessThan("x", 64L)))
+    val opened = scan.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.relation.location.rootPaths).map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    import scala.jdk.CollectionConverters._
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(totalFiles >= 16, s"need multiple files per bucket, got $totalFiles")
+    assert(opened.nonEmpty && opened.size * 2 <= totalFiles,
+      s"x < 64 should skip at least half the files (opened ${opened.size}/$totalFiles)")
+    assert(scan.count() === pts.count(_._3 < 64L))
+    // boundary conservativeness: equality at a likely file-boundary value
+    assert(rel.scanPlan(Array("x"), Array(EqualTo("x", 63L))).count() ===
+      pts.count(_._3 == 63L))
   }
 
   test("column stats survive vacuum and restore") {

@@ -1136,6 +1136,130 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("sigBits"))
   }
 
+  test("hammingNearDupPairsWide == brute force over 128-bit signatures") {
+    val rnd = new scala.util.Random(5)
+    val baseSigs = (0L until 150L).map(i => (i, rnd.nextLong(), rnd.nextLong()))
+    // planted near pairs flip bits in BOTH words, including bit 63 of
+    // word 2 (a band straddling the word boundary must see it)
+    val planted = baseSigs.take(30).map { case (i, a, b) =>
+      (i + 500L, a ^ 0x8000000000000011L, b ^ (1L << 63) ^ 1L)
+    }
+    val all = baseSigs ++ planted
+    val got = DedupDocs.hammingNearDupPairsWide(
+        all.toDF("id", "h1", "h2"), "id", Seq("h1", "h2"), 25)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = (for {
+      (i, a1, b1) <- all
+      (j, a2, b2) <- all
+      if i < j
+      d = java.lang.Long.bitCount(a1 ^ a2) + java.lang.Long.bitCount(b1 ^ b2)
+      if d <= 25
+    } yield ((i, j), d.toLong)).toMap
+    assert(got === brute)
+    assert(brute.size >= 30, "planted 5-bit pairs must all qualify")
+  }
+
+  test("compactIndex: appendxN then compact — identical probes, collapsed file count, stamp kept") {
+    def parquetFiles(dir: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
+    val rnd = new scala.util.Random(33)
+    // plain layout: hamming index, five appended batches
+    val idxDir = tempDir("hamming-compact").resolve("idx").toString
+    val base = (0L until 60L).map(i => i -> rnd.nextLong())
+    DedupDocs.writeHammingIndex(base.toDF("id", "sig"), idxDir, "id", "sig", 64)
+    val appended = (1 to 5).flatMap { b =>
+      val batch = (0L until 20L).map(i => (b * 1000L + i) -> rnd.nextLong())
+      DedupDocs.appendToHammingIndex(batch.toDF("id", "sig"), idxDir, "id", "sig", 64)
+      batch
+    }
+    val probe = (base ++ appended).take(30).map { case (i, h) => (i + 90000L, h ^ 1L) }
+    def probeSet = DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probeSet
+    val filesBefore = parquetFiles(idxDir).size
+    IndexMeta.compactIndex(spark, idxDir, targetFiles = 2)
+    assert(parquetFiles(idxDir).size < filesBefore,
+      s"compaction must shrink file count (was $filesBefore)")
+    assert(parquetFiles(idxDir).size <= 2)
+    assert(probeSet === before, "probe results must be byte-identical after compaction")
+    // stamp survived: the wrong-parameter probe still fails loudly
+    intercept[IllegalArgumentException] {
+      DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 32, 2)
+    }
+    // partitioned layout: minhash band index, one file per band dir after
+    val docs = (0L until 40L).map(i => (i, s"common shingle text block $i " * 3))
+    val mIdx = tempDir("minhash-compact").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(docs.toDF("doc_id", "text"), mIdx)
+    val mAppended = (1 to 3).flatMap { b =>
+      val batch = (0L until 10L).map(i => (b * 100L + i, s"other text body $b $i " * 3))
+      DedupDocs.appendToMinhashIndex(batch.toDF("doc_id", "text"), mIdx)
+      batch
+    }
+    val allDocs = (docs ++ mAppended).toDF("doc_id", "text")
+    val q = docs.take(10).map { case (i, t) => (i + 5000L, t) }
+    def mProbe = DedupDocs.dedupeAgainstIndex(q.toDF("doc_id", "text"), allDocs, mIdx)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mBefore = mProbe
+    val mFilesBefore = parquetFiles(mIdx).size
+    IndexMeta.compactIndex(spark, mIdx)
+    val bandDirs = new java.io.File(mIdx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band=")).map(_.toString)
+    assert(bandDirs.nonEmpty)
+    assert(bandDirs.forall(d => parquetFiles(d).size == 1),
+      "each band dir must collapse to one file")
+    assert(parquetFiles(mIdx).size < mFilesBefore)
+    assert(mProbe === mBefore)
+  }
+
+  test("dHash8 family pairs rotated/flipped copies; plain dHash misses them") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
+    val rot = Multimodal.rotateImagesBatched(base, 1)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"payload")
+    val mir = Multimodal.rotateImagesBatched(base, 2, mirror = true)
+      .select(($"doc_id" + 2000L).as("doc_id"), $"payload")
+    val fam = Multimodal.dHash8ImagesBatched(base.unionByName(rot).unionByName(mir))
+      .toDF("doc_id", "decoded", "hhashes", "vhashes")
+    assert(fam.filter(!$"decoded").count() == 0, "all rotated PNGs must decode")
+    val sigs = fam
+      .select($"doc_id", posexplode(arrays_zip($"hhashes", $"vhashes")).as(Seq("o", "hv")))
+      .select(($"doc_id" * 8 + $"o").as("oid"),
+        $"hv.hhashes".as("h1"), $"hv.vhashes".as("h2"))
+    // PURE rotations/mirrors: the symmetric grid makes the permutation
+    // exact, so the aligned orientation pair is at distance ZERO
+    val pairs = DedupDocs.hammingNearDupPairsWide(sigs, "oid", Seq("h1", "h2"), 0)
+      .select(floor($"d1" / 8).cast("long").as("a"), floor($"d2" / 8).cast("long").as("b"))
+      .filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L).flatMap(d =>
+      Seq((d, d + 1000L), (d, d + 2000L), (d + 1000L, d + 2000L))).toSet
+    assert(expected.subsetOf(pairs),
+      s"every rotated/mirrored copy must pair AT DISTANCE 0, missing: ${expected -- pairs}")
+    assert(pairs.forall { case (a, b) => a % 1000L == b % 1000L },
+      s"no unrelated pair at distance 0: ${pairs.filter(p => p._1 % 1000L != p._2 % 1000L)}")
+    // the hole this closes: plain dHash misses every 90-degree rotation
+    val plain = Multimodal.dHashImagesBatched(base.unionByName(rot))
+      .toDF("doc_id", "decoded", "dhash")
+    assert(DedupDocs.hammingNearDupPairs(plain, "doc_id", "dhash", 64, 8).count() == 0,
+      "plain dHash should NOT pair rotated copies (else dHash8 is redundant)")
+    // exact pixel permutation: two 180-degree rotations reproduce the
+    // original raster bit for bit (feature = md5 over ARGB ints)
+    val once = Multimodal.rotateImagesBatched(base, 2)
+      .toDF().select($"doc_id", $"payload")
+    val idFeat = Multimodal.rotateImagesBatched(base, 0)
+      .toDF().select($"doc_id", $"feature".as("f0"))
+    val mism = Multimodal.rotateImagesBatched(once, 2).toDF()
+      .select($"doc_id", $"feature".as("f2"))
+      .join(idFeat, "doc_id").filter($"f2" =!= $"f0").count()
+    assert(mism == 0, "rot180 twice must reproduce the exact raster")
+  }
+
   test("image dHash: resized copies land within the gate, unrelated images far outside") {
     val ids = (0L until 60L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
