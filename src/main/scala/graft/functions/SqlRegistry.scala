@@ -43,24 +43,39 @@ object GraftSqlFunctions {
     }.toSeq
   }
 
-  private def foldableVector(e: Expression, fn: String): Array[Double] = {
-    val ok = e.dataType match {
-      case ArrayType(DoubleType | FloatType, _) => true
-      case _ => false
+  // Spark parses plain `1.5` / `array(0.1, 0.2)` literals as DecimalType,
+  // not double — the numeric extractors below accept double, float AND
+  // decimal element types so the natural SQL spelling works, not just
+  // D-suffixed literals.
+  private def numericElem(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  private def toDoubles(ad: ArrayData, dt: org.apache.spark.sql.types.DataType): Array[Double] =
+    dt match {
+      case FloatType => ad.toFloatArray().map(_.toDouble)
+      case DoubleType => ad.toDoubleArray()
+      case _ => ad.toObjectArray(dt).map(
+        _.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
     }
-    require(e.foldable && ok,
+
+  private def foldableVector(e: Expression, fn: String): Array[Double] = {
+    val elem = e.dataType match {
+      case ArrayType(dt, _) if numericElem(dt) => Some(dt)
+      case _ => None
+    }
+    require(e.foldable && elem.isDefined,
       s"$fn expects a literal array<double> argument, got ${e.sql}")
     val ad = e.eval().asInstanceOf[ArrayData]
     require(ad != null, s"$fn: vector literal must not be null")
-    e.dataType match {
-      case ArrayType(FloatType, _) => ad.toFloatArray().map(_.toDouble)
-      case _ => ad.toDoubleArray()
-    }
+    toDoubles(ad, elem.get)
   }
 
   private def foldableMatrix(e: Expression, fn: String): Array[Array[Double]] = {
     val elem = e.dataType match {
-      case ArrayType(inner @ ArrayType(DoubleType | FloatType, _), _) => Some(inner)
+      case ArrayType(inner @ ArrayType(dt, _), _) if numericElem(dt) => Some(inner)
       case _ => None
     }
     require(e.foldable && elem.isDefined,
@@ -69,11 +84,8 @@ object GraftSqlFunctions {
     require(ad != null, s"$fn: matrix literal must not be null")
     ad.toObjectArray(elem.get).map { row =>
       require(row != null, s"$fn: null row in the matrix literal")
-      elem.get match {
-        case ArrayType(FloatType, _) =>
-          row.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
-        case _ => row.asInstanceOf[ArrayData].toDoubleArray()
-      }
+      toDoubles(row.asInstanceOf[ArrayData],
+        elem.get.asInstanceOf[ArrayType].elementType)
     }
   }
 
@@ -81,6 +93,7 @@ object GraftSqlFunctions {
     require(e.foldable, s"$fn: scale must be a literal, got ${e.sql}")
     e.eval() match {
       case null => throw new IllegalArgumentException(s"$fn: scale must not be null")
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case n: java.lang.Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
         s"$fn: scale must be numeric, got $other")
@@ -129,11 +142,18 @@ object GraftSqlFunctions {
     * `spark.sql.extensions=graft.functions.GraftExtensions`). The CDC
     * transformer calls this before running `<SRC>` SQL, so reference
     * configs can use the native operators out of the box.
+    *
+    * Register-if-ABSENT: a same-named function the user already put on
+    * the session (their own UDF, or an earlier registration) is never
+    * replaced — a per-batch transformer call silently swapping the
+    * user's function for the engine's would change their SQL's results
+    * with no error.
     */
   def registerAll(spark: SparkSession): Unit =
     (all ++ Seq(InterleaveBits.descriptor, InterleaveBits3.descriptor,
       InterleaveBits4.descriptor)).foreach { case (id, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        id.funcName, builder, "built-in")
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "built-in")
     }
 }

@@ -1028,6 +1028,26 @@ final class LakeTable(
       // right before publish) so a replayed batch can't apply twice.
       if (attempt > 0 && freshlyCommitted()) return
       val prev = latestManifest()
+      // The table's merge mode is RECORDED state (`_pts` in the manifest
+      // schema <=> written partial), and the read side dispatches on it —
+      // so the write side must too: an overwrite-handle upsert (or fold)
+      // on a partial table would whole-row-replace composed rows (nulling
+      // previously composed columns with no error), and a partial-handle
+      // upsert on an overwrite table would flip every reader's collapse
+      // semantics for existing rows. Loud beats either silent corruption.
+      prev.foreach { m =>
+        val tablePartial = DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType].fieldNames.contains(PtsCol)
+        require(tablePartial == (mergeMode == PartialMode),
+          if (tablePartial)
+            s"table at $basePath is mergeMode=$PartialMode (its schema carries " +
+              s"$PtsCol) but this handle was constructed mergeMode=$mergeMode — " +
+              "open the handle with mergeMode=partial"
+          else
+            s"table at $basePath is mergeMode=$OverwriteMode but this handle " +
+              s"was constructed mergeMode=$PartialMode — partial and overwrite " +
+              "histories cannot mix on one table")
+      }
       val inc =
         if (manifestDependent) incomingFor(prev).persist()
         else reused.getOrElse { val d = incomingFor(prev).persist(); reused = Some(d); d }

@@ -488,7 +488,10 @@ object DedupDocs {
   private def hammingBandColsWide(
       sigCols: Seq[String], maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
     val totalBits = 64 * sigCols.size
-    val nb = maxHamming + 1
+    // at least one band per word: a band value must fit one long, and
+    // MORE bands than maxHamming+1 keeps the pigeonhole guarantee (some
+    // band still sees zero flips)
+    val nb = math.max(maxHamming + 1, sigCols.size)
     val base = totalBits / nb
     val widths = Array.tabulate(nb)(b => if (b < totalBits % nb) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)

@@ -147,7 +147,15 @@ object Temporal {
     require(sliceWidth > 0, s"sliceWidth must be positive (got $sliceWidth)")
     for ((df, c, side) <- Seq((left, leftTs, "left"), (right, rightTs, "right"))) {
       import org.apache.spark.sql.types._
-      val dt = df.schema.find(_.name == c).map(_.dataType)
+      // exact match first, case-insensitive fallback (Spark's default
+      // resolution is case-insensitive — an exact-only lookup would let a
+      // TimestampType "TS" slip past this guard when the caller wrote "ts")
+      val dt = df.schema.find(_.name == c)
+        .orElse(df.schema.find(_.name.equalsIgnoreCase(c)))
+        .map(_.dataType)
+      require(dt.isDefined,
+        s"asofJoinSliced: $side ts column '$c' not found " +
+          s"(columns: ${df.columns.mkString(",")})")
       require(dt.forall {
           case ByteType | ShortType | IntegerType | LongType => true
           case _ => false

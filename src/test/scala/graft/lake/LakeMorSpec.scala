@@ -410,6 +410,15 @@ class LakeMorSpec extends SparkSpec {
     assert(st == Set(("k1", 6L, Some(42L), None)))
     // _pts never leaks to external reads
     assert(!m.snapshot.columns.contains(LakeTable.PtsCol))
+    // incremental reads emit COMPOSED visible rows (the partial branch
+    // diffs on visible content, so a delta fragment that changes any
+    // column re-emits the composed row once)
+    val inc = m.incrementalBetween(1L, 3L)
+      .select(LakeTable.KeyCol, LakeTable.TsCol, "va", "vb")
+      .as[(String, Long, Option[Long], Option[String])].collect().toSet
+    assert(inc == Set(("k1", 2L, Some(11L), Some("x"))),
+      s"incremental over partial deltas must emit the composed row: $inc")
+    assert(!m.incrementalBetween(1L, 3L).columns.contains(LakeTable.PtsCol))
   }
 
   test("randomized partial equivalence: mor partial == cow partial at every version (3 seeds)") {

@@ -1157,6 +1157,28 @@ class OpsSpec extends SparkSpec {
     } yield ((i, j), d.toLong)).toMap
     assert(got === brute)
     assert(brute.size >= 30, "planted 5-bit pairs must all qualify")
+    // maxHamming < words: bands must still fit one 64-bit word each (a
+    // 128-bit band would wrap its shift and collapse to an OR of words) —
+    // the nb = max(maxHamming+1, words) floor. Exact duplicates and
+    // 1-bit-off pairs at gates 0 and 1:
+    for (mh <- Seq(0, 1)) {
+      val dup = baseSigs.take(20).map { case (i, a, b) =>
+        (i + 900L, if (mh == 0) a else a ^ 1L, b)
+      }
+      val tiny = baseSigs ++ dup
+      val g = DedupDocs.hammingNearDupPairsWide(
+          tiny.toDF("id", "h1", "h2"), "id", Seq("h1", "h2"), mh)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val b = (for {
+        (i, a1, b1) <- tiny
+        (j, a2, b2) <- tiny
+        if i < j
+        d = java.lang.Long.bitCount(a1 ^ a2) + java.lang.Long.bitCount(b1 ^ b2)
+        if d <= mh
+      } yield ((i, j), d.toLong)).toMap
+      assert(g === b, s"maxHamming=$mh diverged")
+      assert(b.size >= 20)
+    }
   }
 
   test("compactIndex: appendxN then compact — identical probes, collapsed file count, stamp kept") {

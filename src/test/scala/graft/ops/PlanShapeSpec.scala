@@ -274,6 +274,43 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("wide hamming pairs: one pipeline evaluation, reused banded exchange, numeric-only shuffles") {
+    // The q95 shape: dHash8 families through the multi-word banding.
+    // Same single-evaluation contract as the 64-bit operator — both
+    // self-join sides share the one pinned (band, bh) exchange and the
+    // verify reads carried sig words at the join, so the decode
+    // mapPartitions pair appears exactly once after ReuseExchange.
+    val ids = (0L until 30L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 32, 32).toDF("doc_id", "payload")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.dHash8ImagesBatched(df).toDF("doc_id", "decoded", "hhashes", "vhashes")
+        .select($"doc_id", posexplode(arrays_zip($"hhashes", $"vhashes")).as(Seq("o", "hv")))
+        .select(($"doc_id" * 8 + $"o").as("oid"),
+          $"hv.hhashes".as("h1"), $"hv.vhashes".as("h2"))
+    val pairs = DedupDocs.hammingNearDupPairsWide(sigsOf(base), "oid", Seq("h1", "h2"), 20)
+    val wide = shuffles(pairs.queryExecution.sparkPlan).filter(_.child.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.BinaryType ||
+        a.dataType == org.apache.spark.sql.types.StringType))
+    assert(wide.isEmpty,
+      s"wide-hamming exchanges must carry only numeric signatures:\n$wide")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p2 = DedupDocs.hammingNearDupPairsWide(sigsOf(base), "oid", Seq("h1", "h2"), 20)
+      val plan = p2.queryExecution.executedPlan
+      val decodes = plan.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }
+      assert(decodes.size == 2,
+        s"expected one render+decode pipeline evaluation (2 mapPartitions), " +
+          s"found ${decodes.size}:\n$plan")
+      assert(plan.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.nonEmpty,
+        s"the y side of the self-join must reuse the banded exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("vocab encode probes the corpus through a broadcast join") {
     val d = graft.Tables.load(spark, sfDir, "documents")
     val plan = Vocab.encode(d, Vocab.build(d, size = 20)).queryExecution.sparkPlan
