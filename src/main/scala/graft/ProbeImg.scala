@@ -100,6 +100,48 @@ object ProbeImg {
     println("closest unrelated family pair <= 40 (128-bit): " +
       unrelated.agg(min("d")).collect()(0).get(0) +
       " (pairs: " + unrelated.count() + ")")
+
+    // ---- crop-robust keypoint calibration (r15, q96) -------------------
+    // Planted copies of every 7th image: a 52x52 crop at (6,6)
+    // (+3000000) and a 48x48 crop at (8,4) (+5000000). Report keypoint
+    // counts, the planted pairs' shared-distinct-signature distribution
+    // (the q96 minShared gate must sit at or below its minimum), and the
+    // max shared count among unrelated pairs (the gate must sit above
+    // it). Interior keypoints of a lossless crop reproduce bit-exactly,
+    // so planted sharing is bounded only by border loss + top-K churn.
+    val crop1 = ops.Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"payload")
+    val crop2 = ops.Multimodal.cropImagesBatched(every7, 8, 4, 48, 48)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"payload")
+    val kp = ops.Multimodal.keypointHashImagesBatched(
+        base.unionByName(crop1).unionByName(crop2))
+      .toDF("doc_id", "decoded", "sigs").cache()
+    require(kp.filter(!$"decoded").count() == 0, "all cropped payloads must decode")
+    println("keypoints per image (min/avg/max): " +
+      kp.select(size($"sigs").as("n")).agg(min("n"), avg("n"), max("n")).collect()(0))
+    val nPlanted = every7.count()
+    val kpx = kp.select($"doc_id", explode($"sigs").as("sig"))
+    val shared = ops.DedupDocs.sharedSigPairs(kpx, "doc_id", "sig", 1).cache()
+    for (off <- Seq(3000000L, 5000000L)) {
+      val p = shared.filter($"d1" + off === $"d2")
+      println(s"planted shared-sig counts (offset $off): " +
+        p.groupBy("shared").count().orderBy("shared")
+          .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" ") +
+        s" | pairs sharing >=1: ${p.count()} / $nPlanted planted")
+    }
+    // crop1 <-> crop2 of one source share only keypoints interior to BOTH
+    // crops — the weakest same-source pair class; q96's output maps pairs
+    // to base ids, so these too must clear (or the query must exclude them)
+    val p2pCrop = shared.filter($"d1" >= 3000000L && $"d1" < 4000000L &&
+      $"d2" === $"d1" + 2000000L)
+    println("crop1<->crop2 shared-sig counts: " +
+      p2pCrop.groupBy("shared").count().orderBy("shared")
+        .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" ") +
+      s" | pairs sharing >=1: ${p2pCrop.count()} / $nPlanted")
+    val unrelatedShared = shared.filter($"d1" % 1000000L =!= $"d2" % 1000000L)
+    println("unrelated pairs sharing >=1 sig: " + unrelatedShared.count() +
+      ", max shared: " +
+      unrelatedShared.agg(max("shared")).collect()(0).get(0))
     spark.stop()
   }
 }

@@ -273,6 +273,49 @@ final class LakeTable(
       s"restore to $version lost the publish race $MaxCommitRetries times at $basePath")
   }
 
+  /** One-time migration hook (ADVICE r14): latch an UNLATCHED table as
+    * `mergeMode=partial`. A pre-r14 partial table whose only commits went
+    * through bulkInsert carries no `_pts` in its manifest schema (the
+    * null-`_pts` stamp on every write path is r14+), so the mode guard on
+    * the next partial upsert rejects it as an overwrite-mode table.
+    * Because no merge ever ran on such a table, its rows are identical
+    * under either mode — latching is MANIFEST-ONLY: republish the latest
+    * manifest with the `_pts` map column appended to the schema. Existing
+    * base files lack the physical column and read it as null under the
+    * manifest schema (readBuckets reads under the manifest schema, never
+    * footer-merged) — exactly the raw-fragment semantics the partial
+    * collapse composes over. No-op when already latched; loud on an empty
+    * table (nothing to latch — just write through a partial handle).
+    *
+    * ONLY safe when the table's history is genuinely merge-free; manifests
+    * record no operation types, so that judgement is the caller's — hence
+    * an explicit hook, never an automatic unlatch.
+    */
+  def latchPartial(commitId: String = ""): Long = synchronized {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    require(latestVersion.nonEmpty,
+      s"empty table at $basePath — write through a mergeMode=partial handle instead")
+    if (isCommitted(commitId)) return latestVersion.get
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val cur = latestManifest().get
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      if (schema.fieldNames.contains(PtsCol)) return cur.version // latched
+      try {
+        publish(cur.version + 1, cur.copy(
+          version = cur.version + 1, commitId = commitId,
+          schemaJson = schema.add(PtsCol, MapType(StringType, LongType)).json))
+        return cur.version + 1
+      } catch {
+        case _: IllegalStateException =>
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1 // concurrent writer won; re-read and re-check
+      }
+    }
+    throw new IllegalStateException(
+      s"latchPartial lost the publish race $MaxCommitRetries times at $basePath")
+  }
+
   /** Incremental read: rows whose (`_key`, `_ts`) state changed after
     * `sinceVersion` — inserts and updates since that commit (deletes are
     * absent; diff keys via a left-anti the other way for tombstones).
@@ -544,8 +587,9 @@ final class LakeTable(
     * [[morMerge]]; surviving fragments then compose per column, newest
     * non-null by EFFECTIVE time winning. A fragment's effective time for
     * column c is its recorded `_pts[c]` (base rows — they were composed
-    * at the last fold) or its own `_ts` (raw delta fragments, whose
-    * parquet lacks `_pts` and reads it as null). Ties order by
+    * at the last fold) or its own `_ts` (raw delta fragments carry a
+    * null `_pts` map — physically present since r14, stamped by every
+    * write path). Ties order by
     * `(time, delta version, content hash)` — the same total order the
     * write-side fold applies with its old/new `_seq` tag, since a later
     * delta version IS the later batch; LakeMorSpec pins the randomized
@@ -559,6 +603,10 @@ final class LakeTable(
       .filter(col("_del_v").isNull || col(DvCol) > col("_del_v"))
     val cols = schema.fieldNames.toSeq // includes PtsCol on partial tables
     val payload = cols.filterNot(c => c == KeyCol || c == TsCol || c == PtsCol)
+    // Tie-break hash input, in MANIFEST-SCHEMA order — which must match
+    // partialMerge's union-column order (see the contract note there):
+    // the in-batch tie-break for same-key same-time conflicting fragments
+    // is only mor==cow-equivalent while both sides hash identical tuples.
     val hashIn = cols.map { c =>
       if (containsMap(schema(c).dataType)) to_json(col(c)) else col(c)
     }
@@ -702,6 +750,15 @@ final class LakeTable(
       else unioned0.withColumn(PtsCol, lit(null).cast(MapType(StringType, LongType)))
     val payload = unioned.columns
       .filter(c => c != SeqCol && c != KeyCol && c != TsCol && c != PtsCol)
+    // Tie-break hash input. COLUMN ORDER IS A CONTRACT (ADVICE r14):
+    // morPartialMerge hashes the same tuple in manifest-schema order, and
+    // the mor==cow equivalence for same-key same-time conflicting
+    // fragments inside one batch holds only while the two orders agree.
+    // They do: unioned here starts from the stored (manifest-schema-
+    // ordered) frame and unionByName appends new columns in incoming
+    // order — the same order mergedSchemaJson appends them to the
+    // manifest. Change one side only and LakeMorSpec's randomized
+    // equivalence seeds will catch it.
     val hashIn = unioned.columns.filter(_ != SeqCol).map { c =>
       if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
     }
@@ -1046,7 +1103,9 @@ final class LakeTable(
           else
             s"table at $basePath is mergeMode=$OverwriteMode but this handle " +
               s"was constructed mergeMode=$PartialMode — partial and overwrite " +
-              "histories cannot mix on one table")
+              "histories cannot mix on one table (a pre-r14 partial table " +
+              "whose history is merge-free — bulkInsert only — migrates via " +
+              "latchPartial())")
       }
       val inc =
         if (manifestDependent) incomingFor(prev).persist()
@@ -1239,20 +1298,31 @@ final class LakeTable(
         // false` trades lookup pruning for write latency.
         val sidecars =
           if (bloomOnWrite) writeBloomSidecars(relDir, written) else Map.empty[Int, String]
-        // Column min/max stats for the rewritten buckets (opt-in, like
-        // Hudi's metadata-table col_stats): ONE distributed min/max agg
-        // over just-written files, a tiny scalar collect, one _stats.json
-        // per commit dir. Delta commits skip it — a bucket carrying any
-        // delta stack is never stats-pruned (readers would need
-        // delta-layer stats to prove absence), so base stats stay
-        // describing base files only.
+        // Column min/max stats (opt-in, like Hudi's metadata-table
+        // col_stats): ONE distributed min/max agg over just-written
+        // files, a tiny scalar collect, one _stats.json per commit dir.
+        // r15 (VERDICT r14 #3): DELTA commits record their own sidecar
+        // too (the batch was just written — the scan is delta-sized),
+        // stacked in `deltaStats` alongside `deltas`; readers prune a
+        // delta-carrying bucket when base ∪ every-delta-layer ranges
+        // exclude the predicate, so high-churn MOR tables keep pruning
+        // between folds instead of going stats-dark.
         val statsPath =
-          if (!asDelta && statsColumns.nonEmpty)
-            writeStatsSidecar(relDir, written) else None
+          if (statsColumns.nonEmpty) writeStatsSidecar(relDir, written) else None
         val newStats =
           if (asDelta) prev.map(_.statsFiles).getOrElse(Map.empty)
           else (prev.map(_.statsFiles).getOrElse(Map.empty) -- affected) ++
             statsPath.toSeq.flatMap(p => written.map(_ -> p))
+        val prevDeltaStats = prev.map(_.deltaStats).getOrElse(Map.empty)
+        val newDeltaStats =
+          if (asDelta)
+            // Append this commit's sidecar per written bucket. When the
+            // sidecar could not be written (nothing statable in this
+            // batch), the stack goes shorter than `deltas` — the read
+            // side treats a misaligned stack as unknown (never prunes).
+            prevDeltaStats ++ statsPath.toSeq.flatMap(p => written.map(b =>
+              b -> (prevDeltaStats.getOrElse(b, Nil) :+ p)))
+          else prevDeltaStats -- affected // fold/cow rewrite resets the stacks
         val newBlooms =
           if (asDelta) prev.get.bloomFiles // base blooms describe base files
           else (prev.map(_.bloomFiles).getOrElse(Map.empty) -- affected) ++ sidecars
@@ -1272,7 +1342,7 @@ final class LakeTable(
           merged.schema.fields.filterNot(f => f.name == OpCol || f.name == DvCol)))
         val manifest = Manifest(
           version, commitId, numBuckets, newBuckets, newBlooms, schemaJson,
-          newDeltas, newDeltaBlooms, newStats)
+          newDeltas, newDeltaBlooms, newStats, deltaStats = newDeltaStats)
         // Last idempotency gate before publish: narrows the duplicate
         // window for two same-commitId deliveries racing to the publish
         // call itself (which is atomic per version).
@@ -1492,9 +1562,32 @@ final class LakeTable(
     * (absent stats never prune — conservative).
     */
   private def statable(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.NumericType => true
+    case _: org.apache.spark.sql.types.NumericType => true // incl. DecimalType
     case org.apache.spark.sql.types.StringType => true
+    // r15 (VERDICT r14 #4): genuine temporal payload columns — a real CDC
+    // table's created_at/updated_at — record integer bounds (epoch micros
+    // / epoch days, see statNorm) like Hudi col_stats. TimestampNTZ stays
+    // un-statable: normalizing it needs a session zone, and a sidecar
+    // written under one zone would mis-prune readers under another.
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.DateType => true
     case _ => false
+  }
+
+  /** Stat-input normalization: temporal columns record INTEGER bounds —
+    * timestamp as epoch micros (`unix_micros`, instant-exact, zone-free)
+    * and date as epoch days (`unix_date`) — so the sidecar JSON stays
+    * scalar and comparisons stay exact integer arithmetic. The prune side
+    * ([[excludes]]' cmp) converts pushed Timestamp/Instant/Date/LocalDate
+    * literals through the SAME encoding; change one side only and ranges
+    * silently stop matching, so keep them paired.
+    */
+  private def statNorm(
+      qc: org.apache.spark.sql.Column,
+      dt: DataType): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(qc)
+    case org.apache.spark.sql.types.DateType => unix_date(qc)
+    case _ => qc
   }
 
   /** Distributed min/max + null counts over the buckets just written
@@ -1524,7 +1617,8 @@ final class LakeTable(
       df.schema.fields.exists(f => f.name == c && statable(f.dataType)))
     if (eligible.isEmpty) return None
     val aggs = eligible.flatMap { c =>
-      val qc = col("`" + c + "`")
+      val dt = df.schema.fields.find(_.name == c).get.dataType
+      val qc = statNorm(col("`" + c + "`"), dt)
       Seq(min(qc).as(s"min:$c"), max(qc).as(s"max:$c"),
         sum(when(qc.isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
     } :+ count(lit(1)).as("rows")
@@ -1652,15 +1746,34 @@ final class LakeTable(
     */
   private[lake] def statsPrunedBuckets(
       m: Manifest, filters: Seq[SFilter]): Set[Int] = {
-    if (m.statsFiles.isEmpty || filters.isEmpty) return m.allBuckets
-    val byPath = m.statsFiles.values.toSeq.distinct.map(p => p -> loadStats(p)).toMap
+    if ((m.statsFiles.isEmpty && m.deltaStats.isEmpty) || filters.isEmpty)
+      return m.allBuckets
     m.allBuckets.filter { b =>
-      m.deltas.getOrElse(b, Nil).nonEmpty ||
+      val deltas = m.deltas.getOrElse(b, Nil)
+      if (deltas.isEmpty)
         !m.statsFiles.contains(b) || {
-          val st = byPath(m.statsFiles(b))
+          val st = loadStats(m.statsFiles(b))
             .getOrElse(b, LakeTable.BucketStats(None, Map.empty))
           !filters.exists(f => excludes(f, st))
         }
+      else {
+        // Delta-carrying bucket (r15): prunable iff EVERY layer has a
+        // stats sidecar — the base (when a base dir exists) plus one per
+        // stacked delta ([[Manifest.deltaStats]] aligned with `deltas`).
+        // Any unknown layer could hold a matching row, so a misaligned
+        // stack (pre-r15 deltas, un-statable batch) never prunes. The
+        // union range over-covers rows tombstones have since deleted —
+        // conservative by construction.
+        val dstats = m.deltaStats.getOrElse(b, Nil)
+        val baseKnown = !m.buckets.contains(b) || m.statsFiles.contains(b)
+        dstats.size != deltas.size || !baseKnown || {
+          val layers =
+            (m.statsFiles.get(b).toSeq ++ dstats).map(p =>
+              loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty)))
+          val st = LakeTable.unionStats(layers)
+          !filters.exists(f => excludes(f, st))
+        }
+      }
     }
   }
 
@@ -1685,6 +1798,23 @@ final class LakeTable(
       case n: java.lang.Number if node.isNumber =>
         try Some(node.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
         catch { case _: NumberFormatException => None } // NaN/Infinity literal
+      // Temporal literals compare through the statNorm encodings (epoch
+      // micros / epoch days) — both external-type families Spark pushes
+      // (java.sql.* default, java.time.* under datetime.java8API.enabled).
+      case t: java.sql.Timestamp if node.isNumber =>
+        Some(node.decimalValue().compareTo(java.math.BigDecimal.valueOf(
+          Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+            1000000L), t.getNanos.toLong / 1000L))))
+      case i: java.time.Instant if node.isNumber =>
+        Some(node.decimalValue().compareTo(java.math.BigDecimal.valueOf(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano.toLong / 1000L))))
+      case d: java.sql.Date if node.isNumber =>
+        Some(node.decimalValue().compareTo(
+          java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay)))
+      case d: java.time.LocalDate if node.isNumber =>
+        Some(node.decimalValue().compareTo(
+          java.math.BigDecimal.valueOf(d.toEpochDay)))
       case s: String if node.isTextual =>
         // Spark orders strings by UTF-8 BYTES (UTF8String.compareTo) —
         // Java String.compareTo is UTF-16 code units, which disagrees for
@@ -1835,6 +1965,65 @@ object LakeTable {
       rows: Option[Long], cols: Map[String, ColStat],
       files: Map[String, BucketStats] = Map.empty)
 
+  /** Stored-bound ordering: the same families [[LakeTable.excludes]]'
+    * cmp compares (numbers by exact decimal value, strings by UTF-8
+    * bytes); None for a mixed/unknown pair — callers must treat the
+    * column as unprunable then.
+    */
+  private def cmpNodes(a: JsonNode, b: JsonNode): Option[Int] =
+    if (a.isNumber && b.isNumber) Some(a.decimalValue().compareTo(b.decimalValue()))
+    else if (a.isTextual && b.isTextual) Some(java.util.Arrays.compareUnsigned(
+      a.asText().getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.asText().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    else None
+
+  /** Conservative union of per-layer stats (base + delta sidecars of one
+    * bucket, r15): a column's union bounds exist only when EVERY layer
+    * either records bounds or is PROVABLY all-null in it (nulls == rows
+    * — bounds can also be absent because a non-finite double bound was
+    * dropped, and treating that as "no values" would un-cover real
+    * rows). Rows/nulls sum across layers (tombstoned rows stay counted —
+    * over-covering is the conservative direction for every predicate the
+    * prune side evaluates). Mixed-kind bounds (a widening changed the
+    * JSON shape between layers) drop the column.
+    */
+  private[lake] def unionStats(layers: Seq[BucketStats]): BucketStats = {
+    if (layers.isEmpty) return BucketStats(None, Map.empty)
+    val rows =
+      if (layers.forall(_.rows.isDefined)) Some(layers.flatMap(_.rows).sum) else None
+    val shared = layers.map(_.cols.keySet).reduce(_ & _)
+    val cols = shared.flatMap { c =>
+      val entries = layers.map(l => (l, l.cols(c)))
+      def known(l: BucketStats, e: ColStat): Boolean =
+        (e.mn.isDefined && e.mx.isDefined) ||
+          (for { n <- e.nulls; r <- l.rows } yield n == r).getOrElse(false)
+      if (!entries.forall((known _).tupled)) None
+      else {
+        val mns = entries.flatMap(_._2.mn)
+        val mxs = entries.flatMap(_._2.mx)
+        def reduceBy(ns: Seq[JsonNode], pick: Int => Boolean): Option[JsonNode] =
+          ns.foldLeft(Option.empty[Option[JsonNode]]) {
+            case (None, n) => Some(Some(n))
+            case (Some(None), _) => Some(None) // poisoned by a mixed pair
+            case (Some(Some(a)), n) =>
+              Some(cmpNodes(a, n).map(s => if (pick(s)) a else n))
+          }.flatten
+        val mn = reduceBy(mns, _ <= 0)
+        val mx = reduceBy(mxs, _ >= 0)
+        // a poisoned (mixed-kind) reduction drops the whole column: half-
+        // known bounds would let one-sided range tests prune wrongly
+        if ((mns.nonEmpty && mn.isEmpty) || (mxs.nonEmpty && mx.isEmpty)) None
+        else {
+          val nulls =
+            if (entries.forall(_._2.nulls.isDefined)) Some(entries.flatMap(_._2.nulls).sum)
+            else None
+          Some(c -> ColStat(mn, mx, nulls))
+        }
+      }
+    }.toMap
+    BucketStats(rows, cols, Map.empty)
+  }
+
   /** Parse a user-facing instant: epoch millis, or
     * 'yyyy-MM-dd HH:mm:ss[.SSS]' read as UTC (the `timestampAsOf` /
     * `startingTimestamp` option shape). Loud on anything else.
@@ -1932,7 +2121,12 @@ object LakeTable {
       deltas: Map[Int, Seq[String]] = Map.empty,
       deltaBlooms: Map[Int, Seq[String]] = Map.empty,
       statsFiles: Map[Int, String] = Map.empty,
-      commitTimeMs: Long = 0L) {
+      commitTimeMs: Long = 0L,
+      // r15: per-delta-commit stats sidecars, aligned with `deltas` (one
+      // path per stacked delta layer). A bucket prunes under a live stack
+      // only when EVERY layer has stats (stack lengths equal) — see
+      // statsPrunedBuckets.
+      deltaStats: Map[Int, Seq[String]] = Map.empty) {
 
     /** Buckets holding any data: a base dir, a delta stack, or both. */
     def allBuckets: Set[Int] = buckets.keySet ++ deltas.keySet
@@ -1958,6 +2152,7 @@ object LakeTable {
         }
       putSeqMap("deltas", deltas)
       putSeqMap("deltaBlooms", deltaBlooms)
+      putSeqMap("deltaStats", deltaStats)
       if (statsFiles.nonEmpty) {
         val st = root.putObject("statsFiles")
         statsFiles.toSeq.sortBy(_._1).foreach { case (k, v) => st.put(k.toString, v) }
@@ -2002,7 +2197,8 @@ object LakeTable {
         // pre-r12 manifests carry no commit time — 0 keeps them resolvable
         // by versionAt (they sort before any stamped commit)
         commitTimeMs =
-          Option(root.get("commitTimeMs")).map(_.asLong()).getOrElse(0L))
+          Option(root.get("commitTimeMs")).map(_.asLong()).getOrElse(0L),
+        deltaStats = seqMap("deltaStats"))
     }
   }
 }

@@ -553,6 +553,55 @@ object DedupDocs {
       .distinct() // dist is functionally dependent on (d1, d2): one row per pair
   }
 
+  /** Pairs of docs sharing at least `minShared` DISTINCT exact 64-bit
+    * signature values — the inverted-index match step behind crop-robust
+    * image dedup ([[graft.ops.Multimodal.keypointHashImagesBatched]])
+    * and any other set-of-local-hashes scheme. Candidates form ONLY
+    * inside signature buckets (equi-join on the value — never all-pairs,
+    * the minhash scale shape); random 64-bit local-patch hashes make
+    * cross-image collisions vanishing, so the shared-count gate
+    * separates with no verify pass. `maxBucket` caps degenerate hot
+    * signatures (a flat-texture patch shared by thousands of images) via
+    * the shared anti-joined hot-list idiom; a capped pair is missed only
+    * if ALL its shared signatures are hot. Returns `(d1, d2, shared)`.
+    *
+    * Scale shape: one pinned exchange on `sig` feeds dedup, the hot-list
+    * aggregation, and both join sides (AQE stage reuse); join output is
+    * Σ df² over signature buckets — bounded by `maxBucket`² per value,
+    * and 16-byte rows throughout (ids + sig, never image bytes).
+    */
+  def sharedSigPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      minShared: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
+    val spark = sigs.sparkSession
+    // distinct (id, sig) so the pair count below counts DISTINCT shared
+    // values; the sig-keyed repartition pins the join-side partitioning
+    // (the q27 AQE-coalescing rule — the join OUTPUT is far larger than
+    // the shuffled bytes suggest)
+    val deduped = sigs
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("sig"))
+    val capped = maxBucket match {
+      case None => deduped
+      case Some(cap) =>
+        val hot = deduped.groupBy(col("sig"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+          .select(col("sig"))
+        deduped.join(hot, Seq("sig"), "left_anti")
+    }
+    capped.as("x").join(capped.as("y"), Seq("sig"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("d1"), col("y.id").as("d2"))
+      .agg(count(lit(1)).as("shared")) // one row per shared distinct sig
+      .filter(col("shared") >= minShared)
+  }
+
   /** Persist a corpus's bit signatures (image dHashes, simhashes) for
     * INCREMENTAL hamming dedup: the artifact
     * [[hammingDedupeAgainstIndex]] probes so that ingesting a new batch
@@ -592,11 +641,16 @@ object DedupDocs {
       path: String,
       idCol: String,
       sigCol: String,
-      sigBits: Int): Unit = {
+      sigBits: Int,
+      compactEvery: Int = 0): Unit = {
     IndexMeta.validate(sigs.sparkSession, path,
       Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
     sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
       .write.mode("append").parquet(path)
+    // compactEvery > 0: fold fragments back to a compact layout once the
+    // parquet file count exceeds it (same single-writer contract as the
+    // append itself; see IndexMeta.compactIfFragmented).
+    IndexMeta.compactIfFragmented(sigs.sparkSession, path, compactEvery)
   }
 
   /** New-batch near-dups against a [[writeHammingIndex]] corpus: both
@@ -710,13 +764,15 @@ object DedupDocs {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxDf: Int = Int.MaxValue): Unit = {
+      maxDf: Int = Int.MaxValue,
+      compactEvery: Int = 0): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
     bandedFromShingles(
         capDfAnti(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one appended file per band dir
       .write.mode("append").partitionBy("band").parquet(path)
+    IndexMeta.compactIfFragmented(docs.sparkSession, path, compactEvery)
   }
 
   /** INCREMENTAL dedup — near-dup pairs between an incoming `batch` and an

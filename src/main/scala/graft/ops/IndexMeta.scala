@@ -60,6 +60,33 @@ object IndexMeta {
     }
   }
 
+  /** Number of parquet data files under an index root (recursive) — the
+    * fragmentation measure the auto-compaction cadence keys on. */
+  def parquetFileCount(spark: SparkSession, path: String): Int = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Automatic compaction cadence behind the `appendTo*Index` family's
+    * `compactEvery` knob (VERDICT r14 #5 — [[compactIndex]] existed but
+    * nothing called it, so an ingest loop had to know to): compact when
+    * the index's parquet fragment count exceeds `maxFiles`; `maxFiles <=
+    * 0` disables (the manual contract). Deterministic — the decision
+    * reads only the file listing, so a single-writer ingest loop
+    * triggers at the same batch wherever it runs. Returns true when a
+    * compaction ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String, maxFiles: Int): Boolean =
+    maxFiles > 0 && parquetFileCount(spark, path) > maxFiles && {
+      compactIndex(spark, path)
+      true
+    }
+
   /** Rewrite an append-accumulated index artifact to a compact file
     * layout, stamp preserved (VERDICT r13 #5): every `appendTo*Index`
     * call adds one parquet fragment per ingest batch, so after thousands
@@ -81,6 +108,16 @@ object IndexMeta {
     import org.apache.spark.sql.functions.col
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery (ADVICE r14): the publish below is two renames; a
+    // crash between them leaves nothing at `path` and the live data
+    // stranded at `.precompact`. Restore it on entry so probes and the
+    // next compaction work unattended instead of requiring a manual
+    // rename. (A stale `.compacting` dir — crash before the first
+    // rename — is torn down below before the rewrite either way.)
+    val pre = new HPath(path + ".precompact")
+    if (!fs.exists(root) && fs.exists(pre))
+      require(fs.rename(pre, root),
+        s"compactIndex: could not restore stranded $pre to $path")
     require(fs.exists(root), s"no index at $path")
     // partition column chain from the directory names (band=…/bh=…)
     val pcols = scala.collection.mutable.ArrayBuffer[String]()

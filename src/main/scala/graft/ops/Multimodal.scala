@@ -261,10 +261,12 @@ object Multimodal {
     * difference hashes the image WOULD have after that transform — a
     * 128-bit signature per orientation. Undecodable payloads repeat the
     * byte-hash in every slot (exact-dup semantics, same as
-    * [[ImageDHash]]).
+    * [[ImageDHash]]). `Array[Long]` (not `Seq`) is load-bearing: the
+    * primitive-array encoder writes the 8 hashes unboxed — the boxed
+    * `Seq[Long]` variant was q95's top gc contributor (VERDICT r14).
     */
   final case class ImageDHash8(
-      doc_id: Long, decoded: Boolean, hhashes: Seq[Long], vhashes: Seq[Long])
+      doc_id: Long, decoded: Boolean, hhashes: Array[Long], vhashes: Array[Long])
 
   /** Rotation/flip-ROBUST variant of [[dHashImagesBatched]] (VERDICT r13
     * #7): plain dHash is resize-stable only — a 90° rotation or mirror
@@ -325,7 +327,7 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             if (img == null) {
               val f = fold64(digest, bytes)
-              ImageDHash8(id, decoded = false, Seq.fill(8)(f), Seq.fill(8)(f))
+              ImageDHash8(id, decoded = false, Array.fill(8)(f), Array.fill(8)(f))
             } else {
               val w = img.getWidth
               val h = img.getHeight
@@ -378,13 +380,13 @@ object Multimodal {
                 hash
               }
               ImageDHash8(id, decoded = true,
-                (0 until 8).map(hashOf(_, vertical = false)),
-                (0 until 8).map(hashOf(_, vertical = true)))
+                Array.tabulate(8)(hashOf(_, vertical = false)),
+                Array.tabulate(8)(hashOf(_, vertical = true)))
             }
           } catch {
             case scala.util.control.NonFatal(_) =>
               val f = fold64(digest, bytes)
-              ImageDHash8(id, decoded = false, Seq.fill(8)(f), Seq.fill(8)(f))
+              ImageDHash8(id, decoded = false, Array.fill(8)(f), Array.fill(8)(f))
           }
         }
       }
@@ -455,6 +457,237 @@ object Multimodal {
           } catch {
             case scala.util.control.NonFatal(_) =>
               ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+          }
+        }
+      }
+  }
+
+  /** REAL crop operator (JDK-only, exact pixel extraction — lossless PNG
+    * in, lossless PNG out, so the cropped raster is the pixel-identical
+    * sub-rectangle of the source): extract `cw`×`ch` starting at
+    * `(x0, y0)`, clamped to the image bounds. The augmentation-copy
+    * generator for crop-robust dedup fixtures (q96) and a real operator
+    * for border/watermark removal. Unreadable payloads pass through
+    * unchanged (`resized = false`), same contract as
+    * [[resizeImagesBatched]].
+    */
+  def cropImagesBatched(
+      assets: DataFrame,
+      x0: Int,
+      y0: Int,
+      cw: Int,
+      ch: Int,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ResizedImage] = {
+    require(x0 >= 0 && y0 >= 0, s"crop origin must be non-negative: ($x0, $y0)")
+    require(cw > 0 && ch > 0, s"crop dims must be positive: ${cw}x$ch")
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          digest.reset()
+          digest.digest(b).map("%02x".format(_)).mkString
+        }
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val cx = math.min(x0, w - 1)
+              val cy = math.min(y0, h - 1)
+              val dw = math.min(cw, w - cx)
+              val dh = math.min(ch, h - cy)
+              val dst = img.getRGB(cx, cy, dw, dh, null, 0, dw)
+              val out = new java.awt.image.BufferedImage(
+                dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              out.setRGB(0, 0, dw, dh, dst, 0, dw)
+              val bb = java.nio.ByteBuffer.allocate(dst.length * 4)
+              dst.foreach(bb.putInt)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              ResizedImage(id, dw, dh, resized = true, baos.toByteArray, hex(bb.array()))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImage(id, -1, -1, resized = false, bytes, hex(bytes))
+          }
+        }
+      }
+  }
+
+  /** Keypoint signature rows produced by [[keypointHashImagesBatched]]:
+    * up to `maxKeypoints` 64-bit local-patch hashes per image (unboxed
+    * long array — the q95 gc lesson). Undecodable payloads carry salted
+    * byte-hash signatures (identical payloads share all of them:
+    * exact-dup semantics, same contract as the dHash family).
+    */
+  final case class ImageKeypoints(doc_id: Long, decoded: Boolean, sigs: Array[Long])
+
+  /** Crop-ROBUST local signatures (VERDICT r14 #2 — the last standard
+    * augmentation class the dHash family can't survive): a cropped copy
+    * shifts every global grid boundary, so any whole-image hash breaks;
+    * local features anchored at IMAGE CONTENT do not — a crop only
+    * removes the keypoints near the removed border.
+    *
+    * Per image, one decode pass:
+    *  1. integer grayscale (r+g+b per pixel) and gradient magnitude
+    *     `g(x,y) = |gray(x+1,y)-gray(x-1,y)| + |gray(x,y+1)-gray(x,y-1)|`
+    *     (central differences, exact integers);
+    *  2. KEYPOINTS = strict local maxima of g over a
+    *     `(2*suppressRadius+1)²` window with `g >= minGradient`, the
+    *     patch fully inside the image. Ties break lexicographically on
+    *     `(g, y, x)` — a pure crop shifts every candidate by the same
+    *     offset, so the relative order (hence the winner set, away from
+    *     the cut border) is crop-invariant;
+    *  3. DESCRIPTOR per keypoint: the `patch`×`patch` pixel block
+    *     centered on it, block-averaged onto a 9×8 integer grid (the
+    *     dHash geometry), hashed as 64 horizontal-gradient bits. All
+    *     arithmetic is integer over raw pixels, so a lossless crop
+    *     reproduces interior descriptors BIT-EXACTLY;
+    *  4. the `maxKeypoints` strongest keypoints (by `(g, y, x)` desc)
+    *     emit signatures.
+    *
+    * Match via [[DedupDocs.sharedSigPairs]]: docs sharing >= k exact
+    * signatures pair — an inverted-index equi-join (candidates form only
+    * inside signature buckets, never all-pairs), the minhash scale
+    * shape. 64-bit random-patch hashes make cross-image collisions
+    * vanishing, so `k` small (ProbeImg-calibrated) separates cleanly.
+    */
+  def keypointHashImagesBatched(
+      assets: DataFrame,
+      maxKeypoints: Int = 32,
+      patch: Int = 16,
+      suppressRadius: Int = 2,
+      minGradient: Int = 3,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[ImageKeypoints] = {
+    require(maxKeypoints > 0, s"maxKeypoints must be positive: $maxKeypoints")
+    require(patch >= 9 && patch % 2 == 0, s"patch must be even and >= 9: $patch")
+    require(suppressRadius >= 1, s"suppressRadius must be positive: $suppressRadius")
+    import assets.sparkSession.implicits._
+    val half = patch / 2
+    assets.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) {
+              val f = fold64(digest, bytes)
+              ImageKeypoints(id, decoded = false,
+                Array.tabulate(8)(i => f + i * 0x9E3779B97F4A7C15L))
+            } else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              val gray = new Array[Int](w * h)
+              var i = 0
+              while (i < argb.length) {
+                val p = argb(i)
+                gray(i) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                i += 1
+              }
+              def grad(x: Int, y: Int): Int =
+                math.abs(gray(y * w + x + 1) - gray(y * w + x - 1)) +
+                  math.abs(gray((y + 1) * w + x) - gray((y - 1) * w + x))
+              // strict-lex local maxima with full patch coverage
+              val r = suppressRadius
+              val cands = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (g, y, x)
+              var y = math.max(half, 1 + r)
+              val yMax = math.min(h - 1 - half, h - 2 - r)
+              val xMin = math.max(half, 1 + r)
+              val xMax = math.min(w - 1 - half, w - 2 - r)
+              while (y <= yMax) {
+                var x = xMin
+                while (x <= xMax) {
+                  val g = grad(x, y)
+                  if (g >= minGradient) {
+                    var isMax = true
+                    var dy = -r
+                    while (isMax && dy <= r) {
+                      var dx = -r
+                      while (isMax && dx <= r) {
+                        if (dx != 0 || dy != 0) {
+                          val gn = grad(x + dx, y + dy)
+                          // lexicographic (g, y, x): crop-shift-invariant
+                          if (gn > g || (gn == g &&
+                              (dy > 0 || (dy == 0 && dx > 0)))) isMax = false
+                        }
+                        dx += 1
+                      }
+                      dy += 1
+                    }
+                    if (isMax) cands += ((g, y, x))
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              val top = cands.sortBy { case (g, yy, xx) => (-g, yy, xx) }
+                .take(maxKeypoints)
+              val sigs = top.map { case (_, ky, kx) =>
+                // 9x9 block grid over the patch, integer boundaries; the
+                // signature mixes 64 horizontal + 64 vertical gradient
+                // bits into one 64-bit value — the dual-gradient entropy
+                // (the q95 lesson) pushes unrelated exact-collisions
+                // below the corpus scale while a lossless crop still
+                // reproduces both parts bit-exactly.
+                val px0 = kx - half; val py0 = ky - half
+                val grid = Array.ofDim[Long](9, 9)
+                var gx = 0
+                while (gx < 9) {
+                  val x0 = px0 + gx * patch / 9
+                  val x1 = px0 + math.max((gx + 1) * patch / 9, gx * patch / 9 + 1)
+                  var gy = 0
+                  while (gy < 9) {
+                    val y0 = py0 + gy * patch / 9
+                    val y1 = py0 + math.max((gy + 1) * patch / 9, gy * patch / 9 + 1)
+                    var sum = 0L; var n = 0L
+                    var yy = y0
+                    while (yy < y1) {
+                      var xx = x0
+                      while (xx < x1) {
+                        sum += gray(yy * w + xx)
+                        n += 1
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    grid(gx)(gy) = if (n == 0) 0L else sum / n
+                    gy += 1
+                  }
+                  gx += 1
+                }
+                var hh = 0L
+                var vv = 0L
+                var bit = 0
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    if (grid(xx + 1)(yy) > grid(xx)(yy)) hh |= 1L << bit
+                    if (grid(xx)(yy + 1) > grid(xx)(yy)) vv |= 1L << bit
+                    bit += 1
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                // deterministic 128->64 mix: equality <=> (hh, vv) equal
+                // up to a vanishing 2^-64 mixing collision
+                (hh * 0x9E3779B97F4A7C15L) ^ java.lang.Long.rotateLeft(vv, 31)
+              }.toArray
+              ImageKeypoints(id, decoded = true, sigs)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              val f = fold64(digest, bytes)
+              ImageKeypoints(id, decoded = false,
+                Array.tabulate(8)(i => f + i * 0x9E3779B97F4A7C15L))
           }
         }
       }

@@ -193,13 +193,15 @@ object Similarity {
       bandBits: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      probeLayout: Boolean = true): Unit = {
+      probeLayout: Boolean = true,
+      compactEvery: Int = 0): Unit = {
     IndexMeta.validate(df.sparkSession, path, annMeta(ps, bandBits, probeLayout))
     val idx = bandedIndex(df, ps, bandBits, idCol, embCol)
     if (probeLayout)
       idx.repartition(col("band"), col("bh")) // one appended file per dir
         .write.mode("append").partitionBy("band", "bh").parquet(path)
     else idx.write.mode("append").parquet(path)
+    IndexMeta.compactIfFragmented(df.sparkSession, path, compactEvery)
   }
 
   /** The query vector's `(band, bh)` probe buckets (driver-side: one

@@ -1647,6 +1647,60 @@ object OpsQueries {
           |  UNION ALL SELECT doc_id + 2000000, doc_id + 4000000 FROM s) t
           |ORDER BY d1, d2""".stripMargin)),
 
+    // ---- crop-robust image dedup (r15, VERDICT r14 #2) -----------------
+    // The last standard augmentation class the dHash family can't
+    // survive: a crop shifts every global grid boundary, so whole-image
+    // hashes break (q95's family included — OpsSpec pins that plain
+    // dHash pairs ZERO cropped copies). Keypoint local hashes are
+    // alignment-free: strict local maxima of the gradient field anchor
+    // 64-bit patch hashes at IMAGE CONTENT, so a lossless crop
+    // reproduces every interior signature bit-exactly and only the cut
+    // border's keypoints are lost. Docs sharing >= minShared distinct
+    // signatures pair via an inverted-index equi-join (sharedSigPairs —
+    // candidates form only inside signature buckets, never all-pairs;
+    // ids+sig are the only bytes shuffled, images never cross an
+    // exchange).
+    //
+    // minShared=4 is CALIBRATED (graft.ProbeImg crop section, fixed
+    // seeds + 2026-08-13 testdata, BOTH scales): every planted pair
+    // class — base->crop(6,6,52x52), base->crop(8,4,48x48), and the
+    // weakest, crop1<->crop2 (interior-of-both survivors only) — shares
+    // >= 7 @ sf0.01 / >= 6 @ sf0.1 distinct signatures, while the max
+    // unrelated pair shares 0 @ sf0.01 / 1 @ sf0.1 (the dual-gradient
+    // descriptor killed single-gradient's unrelated-collision floor of
+    // 2), so the gate clears by >= 2 on both sides at both scales
+    // (re-measure after any testdata regen, q90 protocol).
+    "q96_image_crop_dedup" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val every7 = base.filter(col("doc_id") % 7 === 0)
+        val crop1 = Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload"))
+        val crop2 = Multimodal.cropImagesBatched(every7, 8, 4, 48, 48)
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("payload"))
+        val kp = Multimodal.keypointHashImagesBatched(
+            base.unionByName(crop1).unionByName(crop2))
+          .toDF("doc_id", "decoded", "sigs")
+        // no residue filtering: the oracle states the output IS the
+        // planted mapping, so a gate miss on EITHER side (a planted pair
+        // below 5, an unrelated pair at 5) fails the compare loudly
+        DedupDocs.sharedSigPairs(
+            kp.select(col("doc_id"), explode(col("sigs")).as("sig")),
+            "doc_id", "sig", minShared = 4)
+          .select(col("d1"), col("d2"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          |           FROM documents WHERE doc_id % 7 = 0)
+          |SELECT d1, d2 FROM (
+          |  SELECT doc_id AS d1, doc_id + 3000000 AS d2 FROM s
+          |  UNION ALL SELECT doc_id, doc_id + 5000000 FROM s
+          |  UNION ALL SELECT doc_id + 3000000, doc_id + 5000000 FROM s) t
+          |ORDER BY d1, d2""".stripMargin)),
+
     // ---- PII redaction (r13) -------------------------------------------
     // The redaction pass a training pipeline runs first: count + redact
     // IPv4s, international phone numbers, and card-like digit runs. The

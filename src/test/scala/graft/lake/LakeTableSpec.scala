@@ -724,6 +724,43 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("latchPartial migrates a merge-free unlatched table to mergeMode=partial") {
+    // Simulate a pre-r14 partial table: its only commits were bulkInserts,
+    // which (before the universal null-_pts stamp) left no _pts in the
+    // manifest schema — indistinguishable from an overwrite table.
+    val dir = tempDir("lake-").toString
+    val ow = new LakeTable(spark, dir, numBuckets = 2)
+    ow.bulkInsert(Seq(("a", 10L, "alice", "rome"), ("b", 10L, "bob", "oslo"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "name", "city"))
+    val pt = new LakeTable(spark, dir, numBuckets = 2,
+      mergeMode = LakeTable.PartialMode)
+    def frag(t: (String, Long, String, String)*) =
+      t.toDF(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+    // the mode guard rejects the partial handle on the unlatched table...
+    val err = intercept[IllegalArgumentException](pt.upsert(frag(("a", 20L, null, "paris"))))
+    assert(err.getMessage.contains("latchPartial"))
+    // ...latchPartial publishes a manifest-only migration commit...
+    val v = pt.latchPartial(commitId = "latch-1")
+    assert(v == 2L)
+    assert(pt.latchPartial() == 2L, "already latched = no-op, no new version")
+    assert(pt.latchPartial(commitId = "latch-1") == 2L, "replayed commitId = no-op")
+    // ...after which partial upserts COMPOSE with the pre-latch base rows
+    // (their files lack the physical _pts column; the manifest schema
+    // reads it as null = raw-fragment semantics)
+    pt.upsert(frag(("a", 20L, null, "paris")))
+    val got = pt.snapshot
+      .select(LakeTable.KeyCol, LakeTable.TsCol, "name", "city")
+      .as[(String, Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 20L, "alice", "paris"), ("b", 10L, "bob", "oslo")))
+    // an overwrite handle is now rejected both ways (table is latched)
+    intercept[IllegalArgumentException](
+      new LakeTable(spark, dir, numBuckets = 2).upsert(frag(("a", 30L, "x", "y"))))
+    // empty table: nothing to latch, loud
+    intercept[IllegalArgumentException](
+      new LakeTable(spark, tempDir("lake-").toString,
+        mergeMode = LakeTable.PartialMode).latchPartial())
+  }
+
   test("changesBetween emits the net insert/update/delete diff with images") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")))   // v1
@@ -1599,6 +1636,97 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("timestamp/date/decimal column stats: conservativeness + temporal prune effectiveness") {
+    import org.apache.spark.sql.sources._
+    // r15 (VERDICT r14 #4): temporal columns record integer bounds (epoch
+    // micros / days), decimals record exact decimal bounds — the same
+    // conservativeness contract as the numeric/string oracle.
+    val rnd = new scala.util.Random(20260815)
+    val dir = tempDir("lake-stats-temporal-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 4,
+      statsColumns = Seq("created", "day", "price"))
+    def ts(millis: Long) = new java.sql.Timestamp(millis)
+    def day(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+    val t0 = 1700000000000L // fixed epoch base
+    val rows = (0 until 300).map { i =>
+      (s"k$i", 1L,
+        if (rnd.nextInt(10) == 0) null else ts(t0 + rnd.nextInt(1000000) * 1000L),
+        if (rnd.nextInt(10) == 0) null else day(19000 + rnd.nextInt(400)),
+        if (rnd.nextInt(10) == 0) null else BigDecimal(rnd.nextInt(100000), 2))
+    }
+    lt.upsert(rows.take(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "created", "day", "price"))
+    lt.upsert(rows.drop(150).toDF(LakeTable.KeyCol, LakeTable.TsCol, "created", "day", "price"))
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> "4"))
+    val full = lt.snapshot
+    def toCol(f: Filter): org.apache.spark.sql.Column = f match {
+      case GreaterThan(a, v)        => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v)           => col(a) < lit(v)
+      case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
+      case other                    => sys.error(s"unexpected $other")
+    }
+    def randFilter(): Filter = {
+      // boundary-heavy literal pools, incl. java.time externals (the
+      // datetime.java8API literal family) and sub-millisecond micros
+      def tsLit: Any = rnd.nextInt(3) match {
+        case 0 => ts(t0 + rnd.nextInt(1000000) * 1000L)
+        case 1 => { val x = ts(t0 + rnd.nextInt(1000000) * 1000L); x.setNanos(123456); x }
+        case _ => java.time.Instant.ofEpochMilli(t0 + rnd.nextInt(1000000) * 1000L)
+      }
+      def dayLit: Any =
+        if (rnd.nextBoolean()) day(19000 + rnd.nextInt(400))
+        else java.time.LocalDate.ofEpochDay(19000L + rnd.nextInt(400))
+      def priceLit: Any = BigDecimal(rnd.nextInt(110000) - 5000, 2)
+      val (c, v): (String, Any) = rnd.nextInt(3) match {
+        case 0 => ("created", tsLit)
+        case 1 => ("day", dayLit)
+        case _ => ("price", priceLit)
+      }
+      rnd.nextInt(7) match {
+        case 0 => GreaterThan(c, v)
+        case 1 => GreaterThanOrEqual(c, v)
+        case 2 => LessThan(c, v)
+        case 3 => LessThanOrEqual(c, v)
+        case 4 => EqualTo(c, v)
+        case 5 => IsNull(c)
+        case _ => IsNotNull(c)
+      }
+    }
+    val cols = Array(LakeTable.KeyCol, "created", "day", "price")
+    for (i <- 0 until 30) {
+      val fs = Array.fill(1 + rnd.nextInt(2))(randFilter())
+      val got = rel.scanPlan(cols, fs).collect().map(_.toSeq).toSet
+      val exp = fs.foldLeft(full)((d, f) => d.filter(toCol(f)))
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(got === exp, s"iteration $i diverged under ${fs.mkString(" AND ")}")
+    }
+    // prune effectiveness on a timestamp-range predicate: engineered
+    // per-bucket created ranges (one day per bucket)
+    val edir = tempDir("lake-stats-tseff-").resolve("t").toString
+    val elt = new LakeTable(spark, edir, numBuckets = 4, statsColumns = Seq("created"))
+    val dayMs = 86400000L
+    val erows = (0 until 200).map { i =>
+      val k = s"k$i"
+      (k, 1L, ts(t0 + LakeTable.bucketOfKey(k, 4) * dayMs + (i % 24) * 3600000L))
+    }
+    elt.upsert(erows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "created"))
+    val m = elt.latestManifest().get
+    val cut = ts(t0 + 2 * dayMs)
+    val keep = elt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("created", cut)))
+    assert(keep === Set(2, 3), s"expected buckets 2..3 to survive the timestamp range, got $keep")
+    // and the same cut expressed as an Instant prunes identically
+    assert(elt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("created",
+      java.time.Instant.ofEpochMilli(t0 + 2 * dayMs)))) === Set(2, 3))
+    val got = new graft.sources.LakeSnapshotRelation(
+        spark.sqlContext, Map("path" -> edir, "buckets" -> "4"))
+      .scanPlan(Array(LakeTable.KeyCol, "created"), Array(GreaterThanOrEqual("created", cut)))
+    assert(got.count() === erows.count(_._3.getTime >= cut.getTime))
+  }
+
   test("per-file column stats prune files inside surviving buckets (z-order composed)") {
     import org.apache.spark.sql.sources.{EqualTo, LessThan}
     // The r14 lane: x is UNIFORM, so key-hash buckets can never prune it —
@@ -1667,7 +1795,7 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.count() === 200)
   }
 
-  test("column stats never prune a bucket carrying a delta stack") {
+  test("delta-aware column stats: base∪delta union prunes, unknown layers never do") {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     val nb = 4
     val dir = tempDir("lake-stats-mor-").resolve("t").toString
@@ -1679,21 +1807,113 @@ class LakeTableSpec extends SparkSpec {
     }
     lt.upsert(base.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")) // first commit = base
     val m1 = lt.latestManifest().get
-    // base stats alone would prune bucket 0 for amount >= 150
+    // base stats alone prune bucket 0 for amount >= 150
     assert(!lt.statsPrunedBuckets(m1, Seq(GreaterThanOrEqual("amount", 150L))).contains(0))
-    // a delta commit lands a qualifying row in bucket 0 — the bucket must
-    // survive pruning even though its BASE stats still exclude the range
+    // a delta commit lands a qualifying row in bucket 0 — the union range
+    // now covers it, so the bucket survives even though its BASE stats
+    // still exclude the range
     val k0 = base.map(_._1).find(k => LakeTable.bucketOfKey(k, nb) == 0).get
     lt.upsert(Seq((k0, 2L, 500L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
     val m2 = lt.latestManifest().get
     assert(m2.deltas.getOrElse(0, Nil).nonEmpty, "expected a delta commit on bucket 0")
+    assert(m2.deltaStats.getOrElse(0, Nil).size === 1,
+      "the delta commit must record its own stats layer")
     val keep = lt.statsPrunedBuckets(m2, Seq(GreaterThanOrEqual("amount", 150L)))
-    assert(keep.contains(0), "delta-carrying bucket must never be stats-pruned")
+    assert(keep.contains(0), "a delta layer holding a matching row must keep the bucket")
+    // r15: a range the base∪delta union EXCLUDES prunes the bucket even
+    // under a live delta stack (bucket 0 spans {0, 500}; 600 is out) —
+    // the high-churn-MOR case where pre-r15 stats went dark
+    val keep600 = lt.statsPrunedBuckets(m2, Seq(GreaterThanOrEqual("amount", 600L)))
+    assert(!keep600.contains(0),
+      "base∪delta union excluding the range must prune a delta-carrying bucket")
+    // buckets 1..3 (base max 300, no deltas) prune too; nothing survives
+    assert(keep600.isEmpty, s"expected full prune at amount >= 600, kept $keep600")
+    // a stack layer WITHOUT stats (simulated pre-r15 manifest: deltaStats
+    // stripped) reverts to never-prune for that bucket
+    val legacy = m2.copy(deltaStats = Map.empty)
+    assert(lt.statsPrunedBuckets(legacy, Seq(GreaterThanOrEqual("amount", 600L))).contains(0),
+      "a delta stack with unknown stats layers must never be pruned")
     // and the relation read finds the delta row
     val rel = new graft.sources.LakeSnapshotRelation(
       spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
     val got = rel.scanPlan(
       Array(LakeTable.KeyCol, "amount"), Array(GreaterThanOrEqual("amount", 150L)))
     assert(got.count() === base.count(_._3 >= 150L) + 1)
+    assert(rel.scanPlan(
+      Array(LakeTable.KeyCol, "amount"), Array(GreaterThanOrEqual("amount", 600L))).count() === 0)
+    // a fold (compact) clears the delta stats stacks with the deltas
+    lt.compact()
+    val m3 = lt.latestManifest().get
+    assert(m3.deltas.isEmpty && m3.deltaStats.isEmpty)
+    assert(!lt.statsPrunedBuckets(m3, Seq(GreaterThanOrEqual("amount", 600L))).contains(0))
+    assert(lt.statsPrunedBuckets(m3, Seq(GreaterThanOrEqual("amount", 450L))).contains(0),
+      "post-fold base stats must cover the folded delta row (500)")
+  }
+
+  test("randomized: delta-carrying MOR stats pruning stays conservative (oracle)") {
+    import org.apache.spark.sql.sources._
+    // The r15 delta-union lane under the same oracle contract as the COW
+    // randomized test: random upsert/delete delta batches (nulls
+    // included) over a MOR table, random pushed conjunctions — the
+    // pruned relation read must equal the unpruned filter every time.
+    val rnd = new scala.util.Random(20260816)
+    for (trial <- 0 until 3) {
+      val dir = tempDir("lake-stats-morprop-").resolve("t").toString
+      val lt = new LakeTable(spark, dir, numBuckets = 3, tableType = LakeTable.MorType,
+        compactAfter = 8, statsColumns = Seq("amount", "tag"))
+      val tags = Seq("a", "ab", "m", "z", "￿")
+      def rows(n: Int, ts: Long) = (0 until n).map { _ =>
+        (s"k${rnd.nextInt(120)}", ts,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(rnd.nextInt(200) - 100L),
+          if (rnd.nextInt(8) == 0) null else tags(rnd.nextInt(tags.size)))
+      }
+      lt.upsert(rows(80, 1L).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+      var ts = 2L
+      for (_ <- 0 until 3 + rnd.nextInt(3)) {
+        if (rnd.nextInt(4) == 0)
+          lt.delete(rows(10, ts).map(_._1).distinct.toDF(LakeTable.KeyCol))
+        else
+          lt.upsert(rows(5 + rnd.nextInt(20), ts)
+            .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "tag"))
+        ts += 1L
+      }
+      val m = lt.latestManifest().get
+      assert(m.deltas.nonEmpty, s"trial $trial should carry live delta stacks")
+      val rel = new graft.sources.LakeSnapshotRelation(
+        spark.sqlContext, Map("path" -> dir, "buckets" -> "3"))
+      val full = lt.snapshot
+      def toCol(f: Filter): org.apache.spark.sql.Column = f match {
+        case GreaterThan(a, v)        => col(a) > lit(v)
+        case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+        case LessThan(a, v)           => col(a) < lit(v)
+        case EqualTo(a, v)            => col(a) === lit(v)
+        case IsNull(a)                => col(a).isNull
+        case IsNotNull(a)             => col(a).isNotNull
+        case other                    => sys.error(s"unexpected $other")
+      }
+      def randFilter(): Filter = {
+        def amt: Long = rnd.nextInt(260) - 130L
+        def tag: String = tags(rnd.nextInt(tags.size)) + (if (rnd.nextBoolean()) "" else "x")
+        rnd.nextInt(8) match {
+          case 0 => GreaterThan("amount", amt)
+          case 1 => GreaterThanOrEqual("amount", amt)
+          case 2 => LessThan("amount", amt)
+          case 3 => EqualTo("amount", amt)
+          case 4 => EqualTo("tag", tag)
+          case 5 => IsNull(if (rnd.nextBoolean()) "amount" else "tag")
+          case 6 => IsNotNull(if (rnd.nextBoolean()) "amount" else "tag")
+          case _ => LessThan("tag", tag)
+        }
+      }
+      for (i <- 0 until 15) {
+        val fs = Array.fill(1 + rnd.nextInt(2))(randFilter())
+        val got = rel.scanPlan(Array(LakeTable.KeyCol, "amount", "tag"), fs)
+          .collect().map(_.toSeq).toSet
+        val exp = fs.foldLeft(full)((d, f) => d.filter(toCol(f)))
+          .select(LakeTable.KeyCol, "amount", "tag")
+          .collect().map(_.toSeq).toSet
+        assert(got === exp, s"trial $trial iteration $i diverged under ${fs.mkString(" AND ")}")
+      }
+    }
   }
 }

@@ -1238,6 +1238,54 @@ class OpsSpec extends SparkSpec {
     assert(mProbe === mBefore)
   }
 
+  test("compactEvery cadence: appends auto-compact once over threshold; crash recovery restores") {
+    def parquetFiles(dir: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
+    val rnd = new scala.util.Random(71)
+    val idxDir = tempDir("hamming-cadence").resolve("idx").toString
+    val base = (0L until 40L).map(i => i -> rnd.nextLong())
+    DedupDocs.writeHammingIndex(base.toDF("id", "sig").repartition(1), idxDir, "id", "sig", 64)
+    assert(parquetFiles(idxDir).size == 1)
+    // threshold 4: appends 1-3 accumulate fragments (single-file batches:
+    // counts 2,3,4 — none over), append 4 pushes the count to 5 > 4 and
+    // triggers EXACTLY ONE compaction back to targetless default layout
+    var compactions = 0
+    val appended = (1 to 4).flatMap { b =>
+      val batch = (0L until 10L).map(i => (b * 1000L + i) -> rnd.nextLong())
+      val before = parquetFiles(idxDir).toSet
+      DedupDocs.appendToHammingIndex(
+        batch.toDF("id", "sig").repartition(1), idxDir, "id", "sig", 64,
+        compactEvery = 4)
+      // an append only ADDS files; a compaction rewrites the whole layout,
+      // so no pre-existing file path survives it
+      if (!before.subsetOf(parquetFiles(idxDir).toSet)) compactions += 1
+      batch
+    }
+    assert(compactions == 1, s"exactly one auto-compaction expected, got $compactions")
+    val probe = (base ++ appended).take(20).map { case (i, h) => (i + 90000L, h ^ 1L) }
+    val pairs = DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size >= 20, "every planted 1-bit neighbor must survive the auto-compaction")
+    // crash recovery (ADVICE r14): a crash between compactIndex's two
+    // publish renames leaves the live index stranded at `.precompact` and
+    // nothing at the root — the next compactIndex must restore it.
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(idxDir + ".precompact")))
+    IndexMeta.compactIndex(spark, idxDir, targetFiles = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + ".precompact")))
+    val pairsAfter = DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter === pairs, "restored + recompacted index must probe identically")
+  }
+
   test("dHash8 family pairs rotated/flipped copies; plain dHash misses them") {
     val ids = (0L until 40L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
@@ -1280,6 +1328,66 @@ class OpsSpec extends SparkSpec {
       .select($"doc_id", $"feature".as("f2"))
       .join(idFeat, "doc_id").filter($"f2" =!= $"f0").count()
     assert(mism == 0, "rot180 twice must reproduce the exact raster")
+  }
+
+  test("keypoint signatures pair cropped copies; banded pairs == brute-force intersection") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
+    val crop = Multimodal.cropImagesBatched(base, 6, 6, 52, 52)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"payload")
+    // crop is EXACT pixel extraction: decoding the cropped payload
+    // reproduces the source's sub-rectangle bit for bit
+    val srcBytes = base.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val cropBytes = crop.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    locally {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(srcBytes(0L)))
+      val cr = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cropBytes(1000L)))
+      assert(cr.getWidth == 52 && cr.getHeight == 52)
+      for (x <- 0 until 52; y <- 0 until 52)
+        assert((cr.getRGB(x, y) & 0xFFFFFF) == (src.getRGB(x + 6, y + 6) & 0xFFFFFF),
+          s"crop pixel ($x,$y) diverged")
+    }
+    val kp = Multimodal.keypointHashImagesBatched(base.unionByName(crop))
+      .toDF("doc_id", "decoded", "sigs").cache()
+    assert(kp.filter(!$"decoded").count() == 0, "all cropped PNGs must decode")
+    val perDoc = kp.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sigs").toSet).toMap
+    assert(perDoc.values.forall(_.size >= 6),
+      s"every synthetic image needs keypoints to gate on, min ${perDoc.values.map(_.size).min}")
+    // operator output == brute-force distinct-intersection oracle
+    val sigRows = kp.select($"doc_id", explode($"sigs").as("sig"))
+    val got = DedupDocs.sharedSigPairs(sigRows, "doc_id", "sig", 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val docsSorted = perDoc.keys.toSeq.sorted
+    val brute = (for {
+      i <- docsSorted; j <- docsSorted if i < j
+      n = (perDoc(i) & perDoc(j)).size.toLong if n >= 1
+    } yield ((i, j), n)).toMap
+    assert(got === brute, "banded shared-sig pairs must equal brute-force intersection")
+    // separation: every planted crop pair shares clearly more than any
+    // unrelated pair (gate calibration lives in ProbeImg at corpus scale)
+    val planted = (0L until 40L).map(i => brute.getOrElse((i, i + 1000L), 0L))
+    val unrelated = brute.collect { case ((a, b), n) if a % 1000L != b % 1000L => n }
+    assert(planted.min > (unrelated ++ Seq(0L)).max,
+      s"planted min ${planted.min} must clear unrelated max ${(unrelated ++ Seq(0L)).max}")
+    // determinism: re-rendered + re-hashed signatures are identical
+    val again = Multimodal.keypointHashImagesBatched(
+        Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload"))
+      .collect().map(r => r.doc_id -> r.sigs.toSet).toMap
+    (0L until 40L).foreach(i => assert(again(i) === perDoc(i)))
+    // the hole this closes: plain dHash misses cropped copies entirely
+    val plain = Multimodal.dHashImagesBatched(base.unionByName(crop))
+      .toDF("doc_id", "decoded", "dhash")
+    assert(DedupDocs.hammingNearDupPairs(plain, "doc_id", "dhash", 64, 8)
+      .filter($"d1" + 1000L === $"d2").count() == 0,
+      "plain dHash should NOT pair cropped copies (else keypoints are redundant)")
+    // hot-signature cap: capping at 1 drops every shared signature bucket
+    // with two members — planted pairs then need their count from cold
+    // buckets only (here: none survive, the recall trade made explicit)
+    val capped = DedupDocs.sharedSigPairs(sigRows, "doc_id", "sig", 1, maxBucket = Some(1))
+    assert(capped.count() == 0, "cap=1 must drop every 2-member signature bucket")
   }
 
   test("image dHash: resized copies land within the gate, unrelated images far outside") {
