@@ -602,6 +602,112 @@ object DedupDocs {
       .filter(col("shared") >= minShared)
   }
 
+  /** Persist a corpus's signature SETS (keypoint patch hashes — any
+    * set-of-exact-64-bit-values family) for INCREMENTAL shared-signature
+    * dedup: [[sharedSigsAgainstIndex]] probes the artifact so ingesting
+    * a new batch never re-DECODES or re-keypoints the stored corpus (the
+    * decode dominates; stored rows are 16 bytes). Plain `(id, sig)`
+    * parquet layout — the probe consumes the index through an equi-JOIN
+    * on the value, not a point probe, so a per-sig directory layout
+    * would only manufacture tiny files (the q50 index lesson). `family`
+    * is stamped ([[IndexMeta]]) and MUST encode every parameter of the
+    * signature scheme (e.g. keypoint patch/suppression/gradient/grid
+    * settings): a probe hashed under different parameters would join an
+    * incompatible signature space and silently pair nothing — the stamp
+    * makes that loud. Rows are `distinct`ed: signatures are SETS, and
+    * the probe's shared count must count distinct values.
+    */
+  def writeSigSetIndex(
+      sigs: DataFrame,
+      path: String,
+      idCol: String,
+      sigCol: String,
+      family: String): Unit = {
+    require(family.nonEmpty, "family must name the signature scheme's parameters")
+    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+    IndexMeta.write(sigs.sparkSession, path,
+      Map("kind" -> "sigset", "family" -> family))
+  }
+
+  /** Append an ACCEPTED batch's signature sets into the index (validated
+    * against the stamp first) — the ingest loop's second half. Same
+    * caller contract as [[appendToHammingIndex]]: ids must be NEW to the
+    * index and the append is not idempotent (replay needs the caller's
+    * guard); `distinct` is per-batch, so a replayed batch would double
+    * every row. `compactEvery > 0` folds fragments once the parquet file
+    * count exceeds it ([[IndexMeta.compactIfFragmented]]).
+    */
+  def appendToSigSetIndex(
+      sigs: DataFrame,
+      path: String,
+      idCol: String,
+      sigCol: String,
+      family: String,
+      compactEvery: Int = 0): Unit = {
+    IndexMeta.validate(sigs.sparkSession, path,
+      Map("kind" -> "sigset", "family" -> family))
+    sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .distinct()
+      .write.mode("append").parquet(path)
+    IndexMeta.compactIfFragmented(sigs.sparkSession, path, compactEvery)
+  }
+
+  /** New-batch pairs against a [[writeSigSetIndex]] corpus: batch docs
+    * sharing at least `minShared` DISTINCT signature values with a
+    * stored doc — [[sharedSigPairs]]' incremental half. Candidates form
+    * only where a signature value matches (batch × index equi-join on
+    * the value, never batch × corpus), so the probe cost is the batch's
+    * signature buckets, and the corpus is never re-decoded. Returns
+    * `(d1 = batch id, d2 = index id, shared)`.
+    *
+    * `maxBucket` caps hot signatures by their df in the STORED corpus
+    * (the corpus defines what is degenerate — a flat-texture patch hash
+    * shared by thousands of images); both sides anti-join the hot list,
+    * so a capped pair is missed only if ALL its shared values are hot —
+    * the [[sharedSigPairs]] trade, made explicit.
+    *
+    * Scale shape: the batch side repartitions on `sig` (pinned — the
+    * q27 AQE rule: the join OUTPUT dwarfs the shuffled bytes); the index
+    * side shuffles its 16-byte rows once per probe, the same per-probe
+    * corpus pass every equi-join-consumed index in this family pays
+    * (hamming bands, minhash bands) — at batch ≪ corpus, AQE broadcasts
+    * the batch side instead and the corpus never shuffles at all.
+    */
+  def sharedSigsAgainstIndex(
+      batch: DataFrame,
+      path: String,
+      idCol: String,
+      sigCol: String,
+      family: String,
+      minShared: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    require(maxBucket.forall(_ > 0), s"maxBucket must be positive: $maxBucket")
+    val spark = batch.sparkSession
+    IndexMeta.validate(spark, path, Map("kind" -> "sigset", "family" -> family))
+    val idx = spark.read.parquet(path)
+      .select(col("id").as("iid"), col("sig"))
+    val b = batch
+      .select(col(idCol).as("bid"), col(sigCol).cast("long").as("sig"))
+      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("sig"))
+    val (bSide, iSide) = maxBucket match {
+      case None => (b, idx)
+      case Some(cap) =>
+        val hot = idx.groupBy(col("sig"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+          .select(col("sig"))
+        (b.join(hot, Seq("sig"), "left_anti"),
+          idx.join(hot, Seq("sig"), "left_anti"))
+    }
+    bSide.join(iSide, Seq("sig"))
+      .groupBy(col("bid").as("d1"), col("iid").as("d2"))
+      .agg(count(lit(1)).as("shared")) // distinct by construction both sides
+      .filter(col("shared") >= minShared)
+  }
+
   /** Persist a corpus's bit signatures (image dHashes, simhashes) for
     * INCREMENTAL hamming dedup: the artifact
     * [[hammingDedupeAgainstIndex]] probes so that ingesting a new batch

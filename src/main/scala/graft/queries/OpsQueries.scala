@@ -1701,6 +1701,55 @@ object OpsQueries {
           |  UNION ALL SELECT doc_id + 3000000, doc_id + 5000000 FROM s) t
           |ORDER BY d1, d2""".stripMargin)),
 
+    // ---- incremental crop-robust dedup vs a persisted keypoint index ---
+    // (r15) q96's ingest-loop variant, completing the family symmetry:
+    // exact q26/q66, minhash q28/q46, embedding q37/q50, dHash q90/q93,
+    // keypoint q96/q97. The corpus's keypoint signatures persist ONCE
+    // (16 bytes/row, ~25 rows/image — the decode+keypoint pass never
+    // re-runs); a new batch of CROPPED copies probes the index through
+    // the shared-signature equi-join (candidates form batch x sig
+    // bucket, never batch x corpus). Same calibrated minShared=4 gate as
+    // q96 — the probe compares only batch x corpus, so the relevant
+    // measured classes are base->crop sharing (>= 7 @ sf0.01 / >= 6 @
+    // sf0.1) vs unrelated (0 / 1); the family stamp pins the keypoint
+    // parameters, so a probe hashed under drifted settings fails loudly
+    // instead of silently pairing nothing.
+    "q97_image_crop_incr" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val fam = "keypoint|p16r2g3k32|dualgrad" // == the build defaults
+        val idxDir = stampedIndexPath(dir, "documents.parquet", "sigset|" + fam)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir, "_SUCCESS"))) {
+          System.err.println(s"[graft] building keypoint sig index at $idxDir")
+          val corpus = Multimodal.keypointHashImagesBatched(base)
+            .toDF("doc_id", "decoded", "sigs")
+          DedupDocs.writeSigSetIndex(
+            corpus.select(col("doc_id"), explode(col("sigs")).as("sig")),
+            idxDir, "doc_id", "sig", fam)
+        }
+        val every7 = base.filter(col("doc_id") % 7 === 0)
+        val batch = Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload"))
+          .unionByName(Multimodal.cropImagesBatched(every7, 8, 4, 48, 48)
+            .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("payload")))
+        val batchSigs = Multimodal.keypointHashImagesBatched(batch)
+          .toDF("doc_id", "decoded", "sigs")
+        DedupDocs.sharedSigsAgainstIndex(
+            batchSigs.select(col("doc_id"), explode(col("sigs")).as("sig")),
+            idxDir, "doc_id", "sig", fam, minShared = 4)
+          .select(col("d1"), col("d2"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          |           FROM documents WHERE doc_id % 7 = 0)
+          |SELECT d1, d2 FROM (
+          |  SELECT doc_id + 3000000 AS d1, doc_id AS d2 FROM s
+          |  UNION ALL SELECT doc_id + 5000000, doc_id FROM s) t
+          |ORDER BY d1, d2""".stripMargin)),
+
     // ---- PII redaction (r13) -------------------------------------------
     // The redaction pass a training pipeline runs first: count + redact
     // IPv4s, international phone numbers, and card-like digit runs. The

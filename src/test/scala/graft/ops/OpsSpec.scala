@@ -1390,6 +1390,66 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0, "cap=1 must drop every 2-member signature bucket")
   }
 
+  test("sig-set index: incremental probe == inline pairs; appends visible; stamp loud") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
+    val corpusSigs = Multimodal.keypointHashImagesBatched(base)
+      .toDF("doc_id", "decoded", "sigs")
+      .select($"doc_id", explode($"sigs").as("sig"))
+    val fam = "kp|p16r2g3k32|test"
+    val idxDir = tempDir("sigset").resolve("idx").toString
+    DedupDocs.writeSigSetIndex(corpusSigs, idxDir, "doc_id", "sig", fam)
+    val batchSigs = Multimodal.keypointHashImagesBatched(
+        Multimodal.cropImagesBatched(base.filter($"doc_id" % 3 === 0), 6, 6, 52, 52)
+          .select(($"doc_id" + 1000L).as("doc_id"), $"payload"))
+      .toDF("doc_id", "decoded", "sigs")
+      .select($"doc_id", explode($"sigs").as("sig")).cache()
+    val got = DedupDocs
+      .sharedSigsAgainstIndex(batchSigs, idxDir, "doc_id", "sig", fam, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // oracle: the inline operator over the union, restricted to
+    // batch x corpus pairs (batch ids are +1000, so they sort second)
+    val inline = DedupDocs
+      .sharedSigPairs(corpusSigs.unionByName(batchSigs), "doc_id", "sig", 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .collect { case ((a, b), n) if a < 1000L && b >= 1000L => ((b, a), n) }
+      .toMap
+    assert(got === inline, "incremental probe must equal inline batch x corpus pairs")
+    assert((0L until 30L by 3).forall(i => got.contains((i + 1000L, i))),
+      "every planted crop must pair its source")
+    // append: new corpus images become probe-visible through the same index
+    val extra = Multimodal.renderSyntheticImages(
+        (100L until 110L).toDF("doc_id"), 64, 64).toDF("doc_id", "payload")
+    DedupDocs.appendToSigSetIndex(
+      Multimodal.keypointHashImagesBatched(extra).toDF("doc_id", "decoded", "sigs")
+        .select($"doc_id", explode($"sigs").as("sig")),
+      idxDir, "doc_id", "sig", fam)
+    val batch2 = Multimodal.keypointHashImagesBatched(
+        Multimodal.cropImagesBatched(extra, 6, 6, 52, 52)
+          .select(($"doc_id" + 1000L).as("doc_id"), $"payload"))
+      .toDF("doc_id", "decoded", "sigs")
+      .select($"doc_id", explode($"sigs").as("sig"))
+    val got2 = DedupDocs
+      .sharedSigsAgainstIndex(batch2, idxDir, "doc_id", "sig", fam, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((100L until 110L).forall(i => got2.contains((i + 1000L, i))),
+      "appended corpus images must be probe-visible")
+    // hot-signature cap: capped counts never exceed uncapped
+    val capped = DedupDocs
+      .sharedSigsAgainstIndex(batchSigs, idxDir, "doc_id", "sig", fam, 1,
+        maxBucket = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped.forall { case (k, n) => n <= got.getOrElse(k, 0L) },
+      "capping must only remove shared values")
+    // a drifted family stamp fails loudly instead of pairing nothing
+    intercept[IllegalArgumentException](
+      DedupDocs.sharedSigsAgainstIndex(
+        batchSigs, idxDir, "doc_id", "sig", "kp|OTHER", 1).collect())
+    intercept[IllegalArgumentException](
+      DedupDocs.appendToSigSetIndex(batchSigs, idxDir, "doc_id", "sig", "kp|OTHER"))
+    batchSigs.unpersist()
+  }
+
   test("image dHash: resized copies land within the gate, unrelated images far outside") {
     val ids = (0L until 60L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
