@@ -104,7 +104,38 @@ object IndexMeta {
     * on ANOTHER session may transiently fail and should retry; rows and
     * stamp are byte-preserved, so results before == after.
     */
-  def compactIndex(spark: SparkSession, path: String, targetFiles: Int = 0): Unit = {
+  def compactIndex(spark: SparkSession, path: String, targetFiles: Int = 0): Unit =
+    rewriteIndex(spark, path, identity, targetFiles)
+
+  /** DELETE ids from a persisted index artifact in place (r15): the
+    * lifecycle half every dedup/ANN index family needs — a corpus
+    * delete (user opt-out, takedown, retention sweep) must propagate to
+    * the persisted signatures or probes keep pairing content the corpus
+    * no longer holds. Anti-joins the stored rows on `idCol` (AQE
+    * broadcasts a small id set) and republishes through the same
+    * two-rename + crash-recovery swap as [[compactIndex]] — layout
+    * self-detected and preserved, stamp byte-preserved, same
+    * single-writer contract. The rewrite costs one pass over the index
+    * (rows are 8-16 bytes; the decode/hash work the index exists to
+    * avoid is NOT re-paid). Deleting every row of a value-bucket leaves
+    * an empty dir — probes read empty, correct.
+    */
+  def deleteIds(
+      spark: SparkSession,
+      path: String,
+      ids: org.apache.spark.sql.DataFrame,
+      idCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val del = ids.select(col(idCol)).distinct()
+    rewriteIndex(spark, path,
+      df => df.join(del, df(idCol) === del(idCol), "left_anti"))
+  }
+
+  private def rewriteIndex(
+      spark: SparkSession,
+      path: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      targetFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,7 +148,7 @@ object IndexMeta {
     val pre = new HPath(path + ".precompact")
     if (!fs.exists(root) && fs.exists(pre))
       require(fs.rename(pre, root),
-        s"compactIndex: could not restore stranded $pre to $path")
+        s"index rewrite: could not restore stranded $pre to $path")
     require(fs.exists(root), s"no index at $path")
     // partition column chain from the directory names (band=…/bh=…)
     val pcols = scala.collection.mutable.ArrayBuffer[String]()
@@ -143,7 +174,7 @@ object IndexMeta {
           Some(buf.toByteArray)
         } finally in.close()
       }
-    val df = spark.read.parquet(path)
+    val df = transform(spark.read.parquet(path))
     val tmp = new HPath(path + ".compacting")
     fs.delete(tmp, true)
     val n = if (targetFiles > 0) targetFiles else spark.sparkContext.defaultParallelism
@@ -161,10 +192,10 @@ object IndexMeta {
     }
     val old = new HPath(path + ".precompact")
     fs.delete(old, true)
-    require(fs.rename(root, old), s"compactIndex: could not move $path aside")
+    require(fs.rename(root, old), s"index rewrite: could not move $path aside")
     if (!fs.rename(tmp, root)) {
       fs.rename(old, root) // restore; the index was never unreadable
-      throw new java.io.IOException(s"compactIndex: could not publish $tmp")
+      throw new java.io.IOException(s"index rewrite: could not publish $tmp")
     }
     fs.delete(old, true)
   }

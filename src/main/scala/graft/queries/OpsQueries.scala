@@ -187,6 +187,36 @@ object OpsQueries {
     spark.read.parquet(path)
   }
 
+  /** Stamp family for the persisted keypoint signature index — MUST
+    * encode every [[Multimodal.keypointHashImagesBatched]] build default
+    * (patch=16, suppressRadius=2, minGradient=3, maxKeypoints=32,
+    * dual-gradient descriptor): change a parameter, change the tag, or a
+    * probe joins an incompatible signature space (the stamp makes it
+    * loud either way).
+    */
+  private val KeypointFamily = "keypoint|p16r2g3k32|dualgrad"
+
+  /** The corpus's keypoint signature index as a stamped /tmp artifact
+    * (the q43/q93 stored-index pattern): built ONCE per testdata
+    * identity — the corpus decode+keypoint pass never re-runs — and
+    * shared by q97 (batch probe) and q98 (streaming ingest loop, which
+    * COPIES it to scratch before appending).
+    */
+  private def keypointIndex(spark: SparkSession, dir: String): String = {
+    val idxDir = stampedIndexPath(dir, "documents.parquet", "sigset|" + KeypointFamily)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir, "_SUCCESS"))) {
+      System.err.println(s"[graft] building keypoint sig index at $idxDir")
+      val ids = docs(spark, dir).select(col("doc_id"))
+      val corpus = Multimodal.keypointHashImagesBatched(
+          Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload"))
+        .toDF("doc_id", "decoded", "sigs")
+      DedupDocs.writeSigSetIndex(
+        corpus.select(col("doc_id"), explode(col("sigs")).as("sig")),
+        idxDir, "doc_id", "sig", KeypointFamily)
+    }
+    idxDir
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- dedup: exact (hash-groupBy) ----------------------------------
@@ -1717,19 +1747,12 @@ object OpsQueries {
     "q97_image_crop_incr" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+        val idxDir = keypointIndex(spark, dir)
+        // render only the batch's sources — a filter cannot push through
+        // the render mapPartitions, so filter the IDS, not the images
+        val every7 = Multimodal.renderSyntheticImages(
+            ids.filter(col("doc_id") % 7 === 0), 64, 64)
           .toDF("doc_id", "payload")
-        val fam = "keypoint|p16r2g3k32|dualgrad" // == the build defaults
-        val idxDir = stampedIndexPath(dir, "documents.parquet", "sigset|" + fam)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir, "_SUCCESS"))) {
-          System.err.println(s"[graft] building keypoint sig index at $idxDir")
-          val corpus = Multimodal.keypointHashImagesBatched(base)
-            .toDF("doc_id", "decoded", "sigs")
-          DedupDocs.writeSigSetIndex(
-            corpus.select(col("doc_id"), explode(col("sigs")).as("sig")),
-            idxDir, "doc_id", "sig", fam)
-        }
-        val every7 = base.filter(col("doc_id") % 7 === 0)
         val batch = Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
           .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload"))
           .unionByName(Multimodal.cropImagesBatched(every7, 8, 4, 48, 48)
@@ -1738,7 +1761,7 @@ object OpsQueries {
           .toDF("doc_id", "decoded", "sigs")
         DedupDocs.sharedSigsAgainstIndex(
             batchSigs.select(col("doc_id"), explode(col("sigs")).as("sig")),
-            idxDir, "doc_id", "sig", fam, minShared = 4)
+            idxDir, "doc_id", "sig", KeypointFamily, minShared = 4)
           .select(col("d1"), col("d2"))
           .orderBy("d1", "d2")
       },
@@ -1748,6 +1771,103 @@ object OpsQueries {
           |SELECT d1, d2 FROM (
           |  SELECT doc_id + 3000000 AS d1, doc_id AS d2 FROM s
           |  UNION ALL SELECT doc_id + 5000000, doc_id FROM s) t
+          |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- streaming image-dedup ingest loop (r15) ------------------------
+    // The q97 probe run as a LIVE ingest loop over real micro-batches —
+    // the pipeline a training-data ingest actually runs: each arriving
+    // image batch (streamed off a lake table through the cdc-lake
+    // incremental source, one commit per micro-batch) is keypoint-hashed
+    // ONCE, probed against the signature index, and then APPENDED into it
+    // under the auto-compaction cadence, so later batches dedup against
+    // everything ingested before them — cross-batch state lives in the
+    // INDEX, not in stream state. Wave 1 = genuinely fresh images (must
+    // match nothing — the corpus never saw them); wave 2 = crops of
+    // corpus images (match via the bootstrap index) AND crops of wave-1
+    // images (match ONLY because wave 1 was appended — this class is the
+    // cross-batch proof; a loop that forgot to append would drop exactly
+    // these rows and fail the oracle). Same calibrated minShared=4 gate
+    // and stamped family as q96/q97; compactEvery exercises
+    // IndexMeta.compactIfFragmented mid-loop (compaction is
+    // content-preserving, so the pair set is invariant to when it fires).
+    "q98_image_stream_ingest" -> QueryDef(
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-imgstream-")
+          .toString + "/" + java.util.UUID.randomUUID().toString.take(8)
+        // Bootstrap the loop's MUTABLE index from the persisted corpus
+        // artifact (a plain local-fs copy: the stamped artifact must stay
+        // read-only — Bench's warm-up and timed runs share it).
+        val idxDir = s"$root/idx"
+        locally {
+          val src = java.nio.file.Paths.get(keypointIndex(spark, dir))
+          val dst = java.nio.file.Paths.get(idxDir)
+          java.nio.file.Files.createDirectories(dst)
+          java.nio.file.Files.walk(src).forEach { p =>
+            val t = dst.resolve(src.relativize(p))
+            if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(p, t)
+          }
+        }
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val fresh = Multimodal.renderSyntheticImages(
+            ids.filter(col("doc_id") % 11 === 0)
+              .select((col("doc_id") + lit(2000000000L)).as("doc_id")), 64, 64)
+          .toDF("doc_id", "payload")
+        // filter the IDS before rendering (same rule as q97)
+        val every7 = Multimodal.renderSyntheticImages(
+            ids.filter(col("doc_id") % 7 === 0), 64, 64)
+          .toDF("doc_id", "payload")
+        val wave2 = Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload"))
+          .unionByName(Multimodal.cropImagesBatched(fresh, 6, 6, 52, 52)
+            .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload")))
+        val lakeDir = s"$root/t"
+        val lake = new LakeTable(spark, lakeDir, numBuckets = 8, bloomOnWrite = false)
+        def keyed(df: DataFrame, n: Long): DataFrame = df.select(
+          concat(lit("img#"), col("doc_id")).as(LakeTable.KeyCol),
+          lit(n).as(LakeTable.TsCol), col("doc_id"), col("payload"))
+        lake.bulkInsert(keyed(fresh, 1L), commitId = "w1")
+        lake.bulkInsert(keyed(wave2, 2L), commitId = "w2")
+        val stage = s"$root/stage"
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = spark.readStream.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "8")
+          .option("maxVersionsPerBatch", "1").load()
+          .select(col("doc_id"), col("payload"))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batches.incrementAndGet()
+            val sigs = Multimodal.keypointHashImagesBatched(df)
+              .toDF("doc_id", "decoded", "sigs")
+              .select(col("doc_id"), explode(col("sigs")).as("sig"))
+              .localCheckpoint() // hashed ONCE: probe + append reuse the rows
+            DedupDocs.sharedSigsAgainstIndex(
+                sigs, idxDir, "doc_id", "sig", KeypointFamily, minShared = 4)
+              .select(col("d1"), col("d2"))
+              .write.mode("append").parquet(stage)
+            DedupDocs.appendToSigSetIndex(
+              sigs, idxDir, "doc_id", "sig", KeypointFamily, compactEvery = 48)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // One micro-batch per wave, or the crop-of-fresh class would be
+        // probed in the same batch that appends its sources and prove
+        // nothing about carried index state.
+        require(batches.get() == 2, s"expected 2 micro-batches, got ${batches.get()}")
+        spark.read.parquet(stage).orderBy("d1", "d2")
+      },
+      Some(
+        """SELECT d1, d2 FROM (
+          |  SELECT CAST(doc_id + 3000000 AS BIGINT) AS d1,
+          |         CAST(doc_id AS BIGINT) AS d2
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT CAST(doc_id + 2003000000 AS BIGINT),
+          |         CAST(doc_id + 2000000000 AS BIGINT)
+          |  FROM documents WHERE doc_id % 11 = 0) t
           |ORDER BY d1, d2""".stripMargin)),
 
     // ---- PII redaction (r13) -------------------------------------------

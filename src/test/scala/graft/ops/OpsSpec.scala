@@ -1238,6 +1238,47 @@ class OpsSpec extends SparkSpec {
     assert(mProbe === mBefore)
   }
 
+  test("deleteIds: corpus deletes propagate to persisted indexes, layout + stamp preserved") {
+    val rnd = new scala.util.Random(77)
+    // plain layout: hamming index — deleted ids stop pairing, others keep
+    val idxDir = tempDir("hamming-del").resolve("idx").toString
+    val corpus = (0L until 80L).map(i => i -> rnd.nextLong())
+    DedupDocs.writeHammingIndex(corpus.toDF("id", "sig"), idxDir, "id", "sig", 64)
+    val probe = corpus.map { case (i, h) => (i + 90000L, h ^ 1L) }
+    def pairs = DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs
+    assert((0L until 80L).forall(i => before.contains((i + 90000L, i))))
+    IndexMeta.deleteIds(spark, idxDir, (0L until 80L by 4L).toDF("id"), "id")
+    val after = pairs
+    assert((0L until 80L by 4L).forall(i => !after.contains((i + 90000L, i))),
+      "deleted ids must stop pairing")
+    assert(after === before.filterNot { case (_, d2) => d2 % 4 == 0 },
+      "surviving pairs must be untouched")
+    // stamp survived the rewrite: wrong-parameter probes stay loud
+    intercept[IllegalArgumentException] {
+      DedupDocs.hammingDedupeAgainstIndex(
+        probe.toDF("id", "sig"), idxDir, "id", "sig", 32, 2)
+    }
+    // partitioned layout: minhash band index — band dirs preserved
+    val docs = (0L until 30L).map(i => (i, s"common shingle text block $i " * 3))
+    val mIdx = tempDir("minhash-del").resolve("idx").toString
+    DedupDocs.writeMinhashIndex(docs.toDF("doc_id", "text"), mIdx)
+    val q = docs.map { case (i, t) => (i + 5000L, t) }
+    val allDocs = docs.toDF("doc_id", "text")
+    def mPairs = DedupDocs.dedupeAgainstIndex(q.toDF("doc_id", "text"), allDocs, mIdx)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mBefore = mPairs
+    assert((0L until 30L).forall(i => mBefore.contains((i + 5000L, i))))
+    IndexMeta.deleteIds(spark, mIdx, (0L until 30L by 3L).toDF("doc_id"), "doc_id")
+    val mAfter = mPairs
+    assert(mAfter === mBefore.filterNot { case (_, d2) => d2 % 3 == 0 })
+    assert(new java.io.File(mIdx).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("band=")),
+      "partition layout must survive the delete rewrite")
+  }
+
   test("compactEvery cadence: appends auto-compact once over threshold; crash recovery restores") {
     def parquetFiles(dir: String): Seq[String] = {
       import scala.jdk.CollectionConverters._
