@@ -46,4 +46,94 @@ object Sketches {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("approx_distinct"))
+
+  /** Fixed-bin integer HISTOGRAM sketches (r15) — the quantile
+    * counterpart of [[distinctSketches]]: percentiles do not decompose
+    * either (p95-per-day cannot be combined into p95-per-month), so any
+    * new reporting window re-scans raw data. A fixed-bin histogram
+    * DOES decompose — merging is element-wise integer addition, exact,
+    * associative, commutative — at the cost of quantiles resolved to
+    * bin granularity (the caller picks `binWidth` = the error bound;
+    * DataSketches KLL would bound RANK error instead, but Spark ships no
+    * mergeable KLL aggregate and a fixed grid keeps every step exact
+    * integer arithmetic, hence SQL-oracle-able end to end).
+    *
+    * One `bins` map (bin index → count) per (groupCols, bucketCol) cell,
+    * at most `nBins` entries (the persistable unit, kilobytes). Values
+    * clamp into the edge bins (bin 0 / bin nBins-1), so out-of-range
+    * values are COUNTED, never dropped — rank queries stay exact even
+    * when the grid misjudged the range; nulls are skipped. Two-phase
+    * shape: a (cell, bin) count — map-side combinable, at most
+    * #cells × nBins rows into the exchange — then an nBins-bounded
+    * map_from_entries per cell.
+    */
+  def histSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: String,
+      valueCol: String,
+      lo: Double,
+      binWidth: Double,
+      nBins: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(nBins > 1, s"nBins must exceed 1: $nBins")
+    val keys = groupCols :+ bucketCol
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(binWidth)),
+        lit(0.0)), lit((nBins - 1).toDouble)).cast("int").as("bin")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ bin): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(keys.map(col): _*)
+      .agg(map_from_entries(sort_array(collect_list(struct(col("bin"), col("n")))))
+        .as("bins"))
+  }
+
+  /** Roll histogram sketches up to `groupCols`, dropping the bucket
+    * dimension: element-wise integer bin addition (exact — the rolled-up
+    * histogram EQUALS a direct histogram of the union). Input is #cells
+    * sketch rows; the raw corpus is never re-touched.
+    */
+  def rollupHist(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      binsCol: String = "bins"): DataFrame =
+    sketches
+      .select((groupCols.map(col) :+ explode(col(binsCol)).as(Seq("bin", "n"))): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(collect_list(struct(col("bin"), col("n")))))
+        .as("bins"))
+
+  /** Quantile BINS from histogram sketches: for each q, the lowest bin
+    * whose cumulative count reaches `ceil(q * total)` — the classic
+    * histogram rank query, exact integer arithmetic over the bins (the
+    * only doubles are `q * total`, exact below 2^53, and its ceil — both
+    * engine-portable bit for bit, which is what lets a DuckDB oracle
+    * re-derive identical bins from raw data). Emits one `p<q>_bin`
+    * column per requested quantile (BIGINT); the value-space edge is
+    * `lo + (bin + 1) * binWidth`, left to the caller so the sketch
+    * output stays integer-exact.
+    */
+  def histQuantiles(
+      hists: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      binsCol: String = "bins"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs in (0, 1]: $qs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = hists
+      .select((groupCols.map(col) :+ explode(col(binsCol)).as(Seq("bin", "n"))): _*)
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val aggs = qs.map { q =>
+      val name = "p" + math.round(q * 100) + "_bin"
+      min(when(col("cum") >= ceil(lit(q) * col("total")).cast("long"),
+        col("bin").cast("long"))).as(name)
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

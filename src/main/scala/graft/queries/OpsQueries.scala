@@ -1458,6 +1458,51 @@ object OpsQueries {
         """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- mergeable-histogram quantile rollup (r15) ----------------------
+    // q84's pattern for PERCENTILES: p95-per-day cannot combine into
+    // p95-per-month, so any new window re-scans raw data — unless the
+    // persisted unit is a fixed-bin histogram, whose merge is element-
+    // wise integer addition (EXACT: the rollup equals a direct histogram
+    // of the union). Per-(event_type, day) histogram sketches build in
+    // one map-side-combinable pass; the any-window rollup reads #cells
+    // sketch rows; quantiles resolve to bin granularity (binWidth = the
+    // chosen error bound; out-of-range values clamp into edge bins,
+    // counted, never dropped). Every step after binning is exact integer
+    // arithmetic — the only doubles are the bin division and q*total,
+    // identical single IEEE ops in both engines — so the oracle
+    // re-derives the SAME bins from raw rows: a mis-merged histogram
+    // shifts a cumulative count and hash-fails.
+    "q99_hist_quantile_rollup" -> QueryDef(
+      (spark, dir) => {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("day", expr("ts DIV 86400000000000"))
+        val sketches = Sketches.histSketches(
+          ev, Seq("event_type"), "day", "value",
+          lo = 0.0, binWidth = 5.0, nBins = 200)
+        val rolled = Sketches.rollupHist(sketches, Seq("event_type"))
+        Sketches.histQuantiles(rolled, Seq("event_type"), Seq(0.5, 0.95, 0.99))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         CAST(least(greatest(floor((value - 0.0) / 5.0), 0), 199)
+          |              AS BIGINT) AS bin
+          |  FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+          |w AS (SELECT event_type, bin, n,
+          |             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+          |             SUM(n) OVER (PARTITION BY event_type) AS total
+          |      FROM c)
+          |SELECT event_type,
+          |       MIN(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT)
+          |                THEN bin END) AS p50_bin,
+          |       MIN(CASE WHEN cum >= CAST(ceil(0.95 * total) AS BIGINT)
+          |                THEN bin END) AS p95_bin,
+          |       MIN(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT)
+          |                THEN bin END) AS p99_bin
+          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- skew-safe temporal joins (VERDICT r12 #1) ---------------------
     // q81's as-of semantics on an ENGINEERED pathological key: 95% of
     // users collapse into hkey=0, the shape that serializes asofJoin's

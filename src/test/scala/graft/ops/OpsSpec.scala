@@ -1529,4 +1529,45 @@ class OpsSpec extends SparkSpec {
       .mapValues(_.map(_._3).distinct.size.toLong).toMap
     assert(rolled === exact)
   }
+
+  test("histogram sketches: rollup == direct histogram; quantile bins == brute force; clamps count") {
+    val rnd = new scala.util.Random(11)
+    // values straddle the [0, 100) grid on both sides — clamping must
+    // COUNT them in the edge bins, never drop them
+    val rows = (0 until 2000).map(i =>
+      ("g" + (i % 3), (i % 7).toLong, rnd.nextDouble() * 120.0 - 10.0))
+    val df = rows.toDF("g", "bucket", "v")
+    def toBin(v: Double): Long =
+      math.min(math.max(math.floor(v / 10.0), 0.0), 9.0).toLong
+    def binsOf(frame: org.apache.spark.sql.DataFrame): Map[String, Map[Int, Long]] =
+      frame.collect().map(r => r.getString(0) ->
+        r.getMap[Int, Long](r.fieldIndex("bins")).toMap).toMap
+    val sk = Sketches.histSketches(df, Seq("g"), "bucket", "v",
+      lo = 0.0, binWidth = 10.0, nBins = 10)
+    assert(sk.count() === 21) // one sketch per (g, bucket) cell
+    val rolled = Sketches.rollupHist(sk, Seq("g"))
+    val rolledBins = binsOf(rolled)
+    // exact-merge property: the rollup equals a direct histogram of the
+    // union (single-cell build over the same rows)
+    val direct = binsOf(Sketches.histSketches(
+      df.withColumn("one", lit(1)), Seq("g"), "one", "v", 0.0, 10.0, 10))
+    assert(rolledBins === direct, "rollup must equal the direct histogram")
+    // nothing dropped: totals equal raw row counts per group
+    val perG = rows.groupBy(_._1)
+    assert(rolledBins.map { case (g, m) => g -> m.values.sum } ===
+      perG.view.mapValues(_.size.toLong).toMap)
+    // brute-force bins match the Scala-side binning
+    assert(rolledBins === perG.view.mapValues(
+      _.groupBy(r => toBin(r._3).toInt).view.mapValues(_.size.toLong).toMap).toMap)
+    // quantile bins == brute-force rank queries over the binned values
+    val got = Sketches.histQuantiles(rolled, Seq("g"), Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val brute = perG.view.mapValues { rs =>
+      val sorted = rs.map(r => toBin(r._3)).sorted.toIndexedSeq
+      def rank(q: Double): Long = sorted(math.ceil(q * sorted.size).toInt - 1)
+      (rank(0.5), rank(0.9), rank(1.0))
+    }.toMap
+    assert(got === brute, "histogram rank queries must match brute force")
+  }
 }

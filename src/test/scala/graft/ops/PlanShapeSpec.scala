@@ -274,6 +274,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("keypoint shared-sig pairs: numeric-only shuffles, one decode pipeline, reused sig exchange") {
+    // The q96 shape: render → keypoint hashes (narrow codec work) →
+    // inverted-index self-join on the signature value. Same contracts as
+    // the hamming family: image bytes never cross an exchange, and the
+    // pinned sig exchange is evaluated once (both self-join sides reuse
+    // it), so the decode+keypoint pass — the dominant stage — runs ONCE.
+    val ids = (0L until 30L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 32, 32).toDF("doc_id", "payload")
+    val sigs = Multimodal.keypointHashImagesBatched(base)
+      .toDF("doc_id", "decoded", "sigs")
+      .select($"doc_id", explode($"sigs").as("sig"))
+    val pairs = DedupDocs.sharedSigPairs(sigs, "doc_id", "sig", 2)
+    val wide = shuffles(pairs.queryExecution.sparkPlan).filter(_.child.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.BinaryType ||
+        a.dataType == org.apache.spark.sql.types.StringType))
+    assert(wide.isEmpty,
+      s"shared-sig exchanges must carry only ids and signatures:\n$wide")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = DedupDocs.sharedSigPairs(sigs, "doc_id", "sig", 2)
+        .queryExecution.executedPlan
+      val decodes = plan.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }
+      assert(decodes.size == 2,
+        s"expected one render+keypoint pipeline evaluation (2 mapPartitions), " +
+          s"found ${decodes.size}:\n$plan")
+      assert(plan.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.nonEmpty,
+        s"the y side of the sig self-join must reuse the pinned exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("wide hamming pairs: one pipeline evaluation, reused banded exchange, numeric-only shuffles") {
     // The q95 shape: dHash8 families through the multi-word banding.
     // Same single-evaluation contract as the 64-bit operator — both
