@@ -1897,7 +1897,9 @@ final class LakeTable(
   private[graft] def statsPrune(
       version: Long, filters: Seq[SFilter]): Option[DataFrame] = {
     val m = readManifest(version)
-    if (m.statsFiles.isEmpty || filters.isEmpty) return None
+    // deltaStats alone can prune too (r15): an all-delta MOR table — no
+    // base commit yet, statsFiles empty — still has per-delta sidecars.
+    if ((m.statsFiles.isEmpty && m.deltaStats.isEmpty) || filters.isEmpty) return None
     val keep = statsPrunedBuckets(m, filters)
     val fileKeep = statsPrunedFiles(m, keep, filters)
     if (keep.size == m.allBuckets.size && fileKeep.isEmpty) None

@@ -1847,11 +1847,12 @@ object OpsQueries {
           val src = java.nio.file.Paths.get(keypointIndex(spark, dir))
           val dst = java.nio.file.Paths.get(idxDir)
           java.nio.file.Files.createDirectories(dst)
-          java.nio.file.Files.walk(src).forEach { p =>
+          val walk = java.nio.file.Files.walk(src)
+          try walk.forEach { p =>
             val t = dst.resolve(src.relativize(p))
             if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
             else java.nio.file.Files.copy(p, t)
-          }
+          } finally walk.close()
         }
         val ids = docs(spark, dir).select(col("doc_id"))
         val fresh = Multimodal.renderSyntheticImages(
