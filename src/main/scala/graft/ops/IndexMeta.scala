@@ -41,8 +41,18 @@ object IndexMeta {
 
   /** Require every expected key to match the stamped value (no-op when the
     * artifact carries no stamp).
+    *
+    * Every append and probe validates first, so this is also the
+    * crash-recovery choke point (code-review r15): a crash between the
+    * rewrite publish's two renames leaves the live index stranded at
+    * `.precompact` and nothing at `path` — without the restore HERE, the
+    * next append would recreate `path` holding only its own batch
+    * (validate no-ops on a missing stamp), probes would silently pair
+    * against that near-empty root, and the next rewrite would delete the
+    * stranded corpus for good.
     */
   def validate(spark: SparkSession, path: String, expected: Map[String, String]): Unit = {
+    restoreStranded(spark, path)
     val p = new HPath(path, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -58,6 +68,21 @@ object IndexMeta {
         s"index at $path was built with $k=${stored.get}, probe expects $k=$v — " +
           "rebuild the index or match the build parameters")
     }
+  }
+
+  /** Restore an index stranded at `.precompact` by a crash between the
+    * rewrite publish's two renames — no-op in the healthy state. Called
+    * from [[validate]] (every append/probe) and [[compactIndex]]'s
+    * rewrite entry, so whatever operation arrives first after the crash
+    * heals the artifact.
+    */
+  private def restoreStranded(spark: SparkSession, path: String): Unit = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pre = new HPath(path + ".precompact")
+    if (!fs.exists(root) && fs.exists(pre))
+      require(fs.rename(pre, root),
+        s"index rewrite: could not restore stranded $pre to $path")
   }
 
   /** Number of parquet data files under an index root (recursive) — the
@@ -141,14 +166,11 @@ object IndexMeta {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash recovery (ADVICE r14): the publish below is two renames; a
     // crash between them leaves nothing at `path` and the live data
-    // stranded at `.precompact`. Restore it on entry so probes and the
-    // next compaction work unattended instead of requiring a manual
-    // rename. (A stale `.compacting` dir — crash before the first
-    // rename — is torn down below before the rewrite either way.)
-    val pre = new HPath(path + ".precompact")
-    if (!fs.exists(root) && fs.exists(pre))
-      require(fs.rename(pre, root),
-        s"index rewrite: could not restore stranded $pre to $path")
+    // stranded at `.precompact` — restored here AND in validate() (every
+    // append/probe), so whichever operation arrives first heals it. (A
+    // stale `.compacting` dir — crash before the first rename — is torn
+    // down below before the rewrite either way.)
+    restoreStranded(spark, path)
     require(fs.exists(root), s"no index at $path")
     // partition column chain from the directory names (band=…/bh=…)
     val pcols = scala.collection.mutable.ArrayBuffer[String]()

@@ -129,8 +129,17 @@ object Sketches {
       .select((groupCols.map(col) :+ explode(col(binsCol)).as(Seq("bin", "n"))): _*)
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("total", sum(col("n")).over(wAll))
-    val aggs = qs.map { q =>
-      val name = "p" + math.round(q * 100) + "_bin"
+    // Name from the EXACT q, decimal point as underscore (p99_9_bin for
+    // q=0.999) — a rounded percent would collide distinct quantiles into
+    // one duplicate column name (code-review r15: round(0.999*100) ==
+    // round(1.0*100)) and surface only later as an ambiguous-reference
+    // error in the caller's select.
+    def qName(q: Double): String = "p" + java.math.BigDecimal.valueOf(q)
+      .multiply(java.math.BigDecimal.valueOf(100L)).stripTrailingZeros()
+      .toPlainString.replace('.', '_') + "_bin"
+    val names = qs.map(qName)
+    require(names.distinct.size == names.size, s"duplicate quantile names: $names")
+    val aggs = qs.zip(names).map { case (q, name) =>
       min(when(col("cum") >= ceil(lit(q) * col("total")).cast("long"),
         col("bin").cast("long"))).as(name)
     }

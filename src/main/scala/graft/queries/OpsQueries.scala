@@ -1760,7 +1760,7 @@ object OpsQueries {
           .toDF("doc_id", "decoded", "sigs")
         // no residue filtering: the oracle states the output IS the
         // planted mapping, so a gate miss on EITHER side (a planted pair
-        // below 5, an unrelated pair at 5) fails the compare loudly
+        // below 4, an unrelated pair at 4) fails the compare loudly
         DedupDocs.sharedSigPairs(
             kp.select(col("doc_id"), explode(col("sigs")).as("sig")),
             "doc_id", "sig", minShared = 4)
@@ -1881,18 +1881,31 @@ object OpsQueries {
           .option("maxVersionsPerBatch", "1").load()
           .select(col("doc_id"), col("payload"))
           .writeStream
-          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batches.incrementAndGet()
-            val sigs = Multimodal.keypointHashImagesBatched(df)
-              .toDF("doc_id", "decoded", "sigs")
-              .select(col("doc_id"), explode(col("sigs")).as("sig"))
-              .localCheckpoint() // hashed ONCE: probe + append reuse the rows
-            DedupDocs.sharedSigsAgainstIndex(
-                sigs, idxDir, "doc_id", "sig", KeypointFamily, minShared = 4)
-              .select(col("d1"), col("d2"))
-              .write.mode("append").parquet(stage)
-            DedupDocs.appendToSigSetIndex(
-              sigs, idxDir, "doc_id", "sig", KeypointFamily, compactEvery = 48)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            // Replay guard (code-review r15): appendToSigSetIndex is
+            // documented non-idempotent, and a task failure after the
+            // side effects re-invokes foreachBatch with the same batchId
+            // — which would double index rows and duplicate stage pairs.
+            // The stage write is per-batch OVERWRITE (idempotent) and the
+            // probe+append pair is skipped entirely once this batch's
+            // marker exists; the marker lands after the append, narrowing
+            // the at-least-once window to a crash between the two (the
+            // lake's commitId pattern is the full production answer).
+            val marker = new java.io.File(s"$root/applied-$id")
+            if (!marker.exists()) {
+              batches.incrementAndGet()
+              val sigs = Multimodal.keypointHashImagesBatched(df)
+                .toDF("doc_id", "decoded", "sigs")
+                .select(col("doc_id"), explode(col("sigs")).as("sig"))
+                .localCheckpoint() // hashed ONCE: probe + append reuse the rows
+              DedupDocs.sharedSigsAgainstIndex(
+                  sigs, idxDir, "doc_id", "sig", KeypointFamily, minShared = 4)
+                .select(col("d1"), col("d2"))
+                .write.mode("overwrite").parquet(s"$stage/batch=$id")
+              DedupDocs.appendToSigSetIndex(
+                sigs, idxDir, "doc_id", "sig", KeypointFamily, compactEvery = 48)
+              marker.createNewFile()
+            }
             ()
           }
           .option("checkpointLocation", s"$root/ckpt")
@@ -1903,7 +1916,7 @@ object OpsQueries {
         // probed in the same batch that appends its sources and prove
         // nothing about carried index state.
         require(batches.get() == 2, s"expected 2 micro-batches, got ${batches.get()}")
-        spark.read.parquet(stage).orderBy("d1", "d2")
+        spark.read.parquet(stage).select(col("d1"), col("d2")).orderBy("d1", "d2")
       },
       Some(
         """SELECT d1, d2 FROM (

@@ -1325,6 +1325,26 @@ class OpsSpec extends SparkSpec {
         probe.toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsAfter === pairs, "restored + recompacted index must probe identically")
+    // ...and when an APPEND (not a rewrite) arrives first after the crash
+    // (code-review r15): without the validate-path restore, the append
+    // would recreate the root holding only its own batch — probes would
+    // silently pair against that near-empty index and the NEXT rewrite
+    // would delete the stranded corpus for good.
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(idxDir + ".precompact")))
+    val late = (0L until 5L).map(i => (9000L + i) -> rnd.nextLong())
+    DedupDocs.appendToHammingIndex(
+      late.toDF("id", "sig"), idxDir, "id", "sig", 64)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + ".precompact")),
+      "the append must restore the stranded corpus before writing")
+    val probeLate = late.map { case (i, h) => (i + 90000L, h ^ 1L) }
+    val all = DedupDocs.hammingDedupeAgainstIndex(
+        (probe ++ probeLate).toDF("id", "sig"), idxDir, "id", "sig", 64, 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(all), "the stranded corpus must survive the append")
+    assert(probeLate.map(_._1).forall(p => all.exists(_._1 == p)),
+      "the appended batch must be probe-visible")
   }
 
   test("dHash8 family pairs rotated/flipped copies; plain dHash misses them") {
