@@ -1850,6 +1850,45 @@ class LakeTableSpec extends SparkSpec {
       "post-fold base stats must cover the folded delta row (500)")
   }
 
+  test("all-delta stats (r15): delta-only buckets prune when the base commit had no statable column") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    // The widening scenario: the stat column arrives AFTER the base
+    // commit, so the manifest has statsFiles EMPTY and deltaStats
+    // non-empty — statsPrune used to bail on `statsFiles.isEmpty` alone
+    // and never engage the delta sidecars (code-review r15 fix).
+    val nb = 4
+    val dir = tempDir("lake-stats-alldelta-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = nb,
+      tableType = LakeTable.MorType, statsColumns = Seq("amt"))
+    val keysFor = (b: Int) => (0 until 400).map(i => s"k$i")
+      .filter(k => LakeTable.bucketOfKey(k, nb) == b)
+    // base commit WITHOUT amt: nothing statable, no sidecar
+    lt.upsert(keysFor(1).map(k => (k, 1L, "x"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "other"))
+    assert(lt.latestManifest().get.statsFiles.isEmpty,
+      "a batch without the stat column must record no sidecar")
+    // delta commit of NEW keys into a bucket with NO base dir, WITH amt
+    lt.upsert(keysFor(2).map(k => (k, 2L, "y", 50L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "other", "amt"))
+    val m = lt.latestManifest().get
+    assert(m.statsFiles.isEmpty, "still no base sidecars")
+    assert(m.deltas.getOrElse(2, Nil).nonEmpty, "expected a delta commit on bucket 2")
+    assert(m.deltaStats.getOrElse(2, Nil).size === 1)
+    val keep = lt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("amt", 1000L)))
+    assert(!keep.contains(2),
+      "a delta-only bucket must prune on its delta sidecar alone")
+    assert(keep.contains(1),
+      "the base bucket (no stats recorded) must stay — conservative")
+    // the regression proper: statsPrune must ENGAGE (it used to return
+    // None whenever statsFiles was empty) and read correctly
+    val pruned = lt.statsPrune(m.version, Seq(GreaterThanOrEqual("amt", 1000L)))
+    assert(pruned.isDefined, "statsPrune must engage on deltaStats alone")
+    assert(pruned.get.filter(col("amt") >= 1000L).count() === 0)
+    val keepAll = lt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("amt", 10L)))
+    assert(keepAll.contains(1) && keepAll.contains(2),
+      "a range the delta sidecar covers must keep the bucket")
+  }
+
   test("randomized: delta-carrying MOR stats pruning stays conservative (oracle)") {
     import org.apache.spark.sql.sources._
     // The r15 delta-union lane under the same oracle contract as the COW
