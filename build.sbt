@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// the bench JSON. Two sbt behaviors defeat that: the forked JVM's stdout
+// is re-logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time ..." epilogue. StdoutOutput passes the forked
+// process's output straight through un-prefixed; showSuccess drops the
+// epilogue. Verified locally: `sbt -batch "runMain graft.Bench ..." |
+// tail -1` is the bare compact JSON line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
