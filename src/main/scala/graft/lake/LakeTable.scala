@@ -270,7 +270,7 @@ final class LakeTable(
       }
     }
     throw new IllegalStateException(
-      s"restore to $version lost the publish race $MaxCommitRetries times at $basePath")
+      s"restore to $version lost the publish race ${MaxCommitRetries + 1} times at $basePath")
   }
 
   /** One-time migration hook (ADVICE r14): latch an UNLATCHED table as
@@ -313,7 +313,7 @@ final class LakeTable(
       }
     }
     throw new IllegalStateException(
-      s"latchPartial lost the publish race $MaxCommitRetries times at $basePath")
+      s"latchPartial lost the publish race ${MaxCommitRetries + 1} times at $basePath")
   }
 
   /** Incremental read: rows whose (`_key`, `_ts`) state changed after
@@ -1314,13 +1314,28 @@ final class LakeTable(
           else (prev.map(_.statsFiles).getOrElse(Map.empty) -- affected) ++
             statsPath.toSeq.flatMap(p => written.map(_ -> p))
         val prevDeltaStats = prev.map(_.deltaStats).getOrElse(Map.empty)
+        // A PURE-DELETE delta batch (the delete() path's shape: key + op
+        // tags, no payload, no _ts — upsert/merge batches always carry
+        // _ts) has nothing statable, but deletes only REMOVE rows, so the
+        // layer provably adds nothing to any value range: record the
+        // EmptyStatsLayer sentinel to keep the stack aligned instead of
+        // going stats-dark until fold (r16, VERDICT r15 #3). Any OTHER
+        // sidecar-less batch (e.g. an upsert missing the stat column)
+        // still misaligns the stack — the read side then never prunes,
+        // the conservative default.
+        val deleteShaped = merged.schema.fieldNames.forall(
+          Set(KeyCol, OpCol, DvCol, PtsCol).contains)
+        val deltaStatsLayer = statsPath.orElse(
+          if (statsColumns.nonEmpty && deleteShaped) Some(LakeTable.EmptyStatsLayer)
+          else None)
         val newDeltaStats =
           if (asDelta)
-            // Append this commit's sidecar per written bucket. When the
-            // sidecar could not be written (nothing statable in this
-            // batch), the stack goes shorter than `deltas` — the read
-            // side treats a misaligned stack as unknown (never prunes).
-            prevDeltaStats ++ statsPath.toSeq.flatMap(p => written.map(b =>
+            // Append this commit's sidecar (or delete sentinel) per
+            // written bucket. When neither exists (nothing statable in a
+            // row-carrying batch), the stack goes shorter than `deltas` —
+            // the read side treats a misaligned stack as unknown (never
+            // prunes).
+            prevDeltaStats ++ deltaStatsLayer.toSeq.flatMap(p => written.map(b =>
               b -> (prevDeltaStats.getOrElse(b, Nil) :+ p)))
           else prevDeltaStats -- affected // fold/cow rewrite resets the stacks
         val newBlooms =
@@ -1761,14 +1776,19 @@ final class LakeTable(
         // stats sidecar — the base (when a base dir exists) plus one per
         // stacked delta ([[Manifest.deltaStats]] aligned with `deltas`).
         // Any unknown layer could hold a matching row, so a misaligned
-        // stack (pre-r15 deltas, un-statable batch) never prunes. The
-        // union range over-covers rows tombstones have since deleted —
-        // conservative by construction.
+        // stack (pre-r15/r16 deltas, un-statable row-carrying batch)
+        // never prunes. Pure-DELETE layers are recorded as
+        // [[LakeTable.EmptyStatsLayer]] sentinels (r16): they keep the
+        // stack aligned but are SKIPPED from the union — a delete can
+        // only remove rows, so it adds nothing to any range. The union
+        // over-covers rows tombstones have since deleted — conservative
+        // by construction.
         val dstats = m.deltaStats.getOrElse(b, Nil)
         val baseKnown = !m.buckets.contains(b) || m.statsFiles.contains(b)
         dstats.size != deltas.size || !baseKnown || {
           val layers =
-            (m.statsFiles.get(b).toSeq ++ dstats).map(p =>
+            (m.statsFiles.get(b).toSeq ++
+              dstats.filterNot(_ == LakeTable.EmptyStatsLayer)).map(p =>
               loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty)))
           val st = LakeTable.unionStats(layers)
           !filters.exists(f => excludes(f, st))
@@ -1842,11 +1862,36 @@ final class LakeTable(
       case LessThan(a, v)           => allNull(a) || mn(a).flatMap(cmp(_, v)).exists(_ >= 0)
       case LessThanOrEqual(a, v)    => allNull(a) || mn(a).flatMap(cmp(_, v)).exists(_ > 0)
       case EqualTo(a, v) if v != null => allNull(a) || outside(a, v)
+      // null-safe equality (r16): v != null behaves exactly like EqualTo
+      // (a null row can't <=> a non-null literal); v == null is IsNull.
+      case EqualNullSafe(a, v) =>
+        if (v == null) nulls(a).contains(0L) else allNull(a) || outside(a, v)
+      // a != v keeps only rows PROVABLY different from v — null rows
+      // evaluate to unknown and are filtered post-scan, so an all-null
+      // bucket is excluded; so is a constant bucket whose entire range IS
+      // v (min == v == max: every non-null row equals v) (r16).
+      case Not(EqualTo(a, v)) if v != null =>
+        allNull(a) ||
+          (mn(a).flatMap(cmp(_, v)).exists(_ == 0) &&
+            mx(a).flatMap(cmp(_, v)).exists(_ == 0))
       // any string with prefix v is >= v in byte order, so max < v
-      // excludes the bucket (the min side needs a prefix upper bound —
-      // not worth the byte surgery; half the prune is free)
+      // excludes; and it is < ub(v) — v's UTF-8 bytes with the 0xFF tail
+      // dropped and the last remaining byte incremented — so min >= ub(v)
+      // excludes too (r16; no ub when v is all 0xFF bytes). Both sides
+      // compare raw UTF-8 bytes, the same order the sidecar's string
+      // bounds were reduced under.
       case StringStartsWith(a, v) if v != null =>
-        allNull(a) || mx(a).flatMap(cmp(_, v)).exists(_ < 0)
+        allNull(a) || mx(a).flatMap(cmp(_, v)).exists(_ < 0) || {
+          val bs = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = bs.length - 1
+          while (i >= 0 && bs(i) == 0xFF.toByte) i -= 1
+          i >= 0 && {
+            val ub = java.util.Arrays.copyOf(bs, i + 1)
+            ub(i) = (ub(i) + 1).toByte
+            mn(a).exists(n => n.isTextual && java.util.Arrays.compareUnsigned(
+              n.asText().getBytes(java.nio.charset.StandardCharsets.UTF_8), ub) >= 0)
+          }
+        }
       case In(a, vs) =>
         vs != null && vs.nonEmpty && !vs.contains(null) &&
           (allNull(a) || vs.forall(outside(a, _)))
@@ -1952,6 +1997,16 @@ object LakeTable {
   val BucketCol = "b"
   val BloomFileName = "_bloom"
   val StatsFileName = "_stats.json"
+  /** Sentinel recorded in [[Manifest.deltaStats]] for a PURE-DELETE delta
+    * commit (r16, VERDICT r15 #3): the batch carries no payload columns,
+    * so there is no sidecar to write — but deletes only REMOVE rows, so
+    * the layer provably contributes nothing to the bucket's value ranges.
+    * Recording the sentinel keeps the stack aligned with `deltas` (the
+    * every-layer-known prune precondition) instead of going stats-dark on
+    * delete-heavy MOR workloads; the read side skips sentinel layers when
+    * unioning. Never a real path — sidecar paths always end in
+    * [[StatsFileName]]. */
+  val EmptyStatsLayer = "-"
 
   /** Parsed per-column sidecar stats: min/max bounds (absent = all-null
     * or non-finite) and the null count (absent on early-r13 sidecars). */

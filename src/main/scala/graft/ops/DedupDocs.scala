@@ -647,7 +647,7 @@ object DedupDocs {
       family: String,
       compactEvery: Int = 0): Unit = {
     IndexMeta.validate(sigs.sparkSession, path,
-      Map("kind" -> "sigset", "family" -> family))
+      Map("kind" -> "sigset", "family" -> family), heal = true)
     sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
       .distinct()
       .write.mode("append").parquet(path)
@@ -703,6 +703,11 @@ object DedupDocs {
           idx.join(hot, Seq("sig"), "left_anti"))
     }
     bSide.join(iSide, Seq("sig"))
+      // Self-pair guard (advice r15): the ids-are-new contract can be
+      // transiently violated (q98's crash-replay window re-probes a batch
+      // whose append already landed) — without this, every such doc pairs
+      // with itself at shared = its full signature count.
+      .filter(col("bid") =!= col("iid"))
       .groupBy(col("bid").as("d1"), col("iid").as("d2"))
       .agg(count(lit(1)).as("shared")) // distinct by construction both sides
       .filter(col("shared") >= minShared)
@@ -750,7 +755,7 @@ object DedupDocs {
       sigBits: Int,
       compactEvery: Int = 0): Unit = {
     IndexMeta.validate(sigs.sparkSession, path,
-      Map("kind" -> "hamming", "sigBits" -> sigBits.toString))
+      Map("kind" -> "hamming", "sigBits" -> sigBits.toString), heal = true)
     sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
       .write.mode("append").parquet(path)
     // compactEvery > 0: fold fragments back to a compact layout once the
@@ -873,7 +878,7 @@ object DedupDocs {
       maxDf: Int = Int.MaxValue,
       compactEvery: Int = 0): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf))
+    IndexMeta.validate(docs.sparkSession, path, minhashMeta(n, numHashes, bands, maxDf), heal = true)
     bandedFromShingles(
         capDfAnti(shingles(docs, idCol, textCol, n), maxDf), idCol, numHashes, bands)
       .repartition(col("band")) // one appended file per band dir

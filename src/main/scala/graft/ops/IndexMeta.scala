@@ -42,17 +42,25 @@ object IndexMeta {
   /** Require every expected key to match the stamped value (no-op when the
     * artifact carries no stamp).
     *
-    * Every append and probe validates first, so this is also the
-    * crash-recovery choke point (code-review r15): a crash between the
-    * rewrite publish's two renames leaves the live index stranded at
-    * `.precompact` and nothing at `path` — without the restore HERE, the
-    * next append would recreate `path` holding only its own batch
-    * (validate no-ops on a missing stamp), probes would silently pair
-    * against that near-empty root, and the next rewrite would delete the
-    * stranded corpus for good.
+    * `heal = true` (the WRITER entry points — every `appendTo*Index` —
+    * plus [[compactIndex]]'s own entry) additionally restores an index
+    * stranded at `.precompact` by a rewrite crash (code-review r15):
+    * without the restore there, the next append would recreate `path`
+    * holding only its own batch (validate no-ops on a missing stamp),
+    * later probes would silently pair against that near-empty root, and
+    * the next rewrite would delete the stranded corpus for good.
+    * READ-ONLY probes deliberately do NOT heal (advice r15): a probe on
+    * another session renaming `.precompact` back mid-rewrite would abort
+    * the rewriter's publish rename. A probe that lands in the crash
+    * window instead fails loudly on the missing path (retryable; the
+    * single-writer's next append/compact heals).
     */
-  def validate(spark: SparkSession, path: String, expected: Map[String, String]): Unit = {
-    restoreStranded(spark, path)
+  def validate(
+      spark: SparkSession,
+      path: String,
+      expected: Map[String, String],
+      heal: Boolean = false): Unit = {
+    if (heal) restoreStranded(spark, path)
     val p = new HPath(path, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -72,9 +80,10 @@ object IndexMeta {
 
   /** Restore an index stranded at `.precompact` by a crash between the
     * rewrite publish's two renames — no-op in the healthy state. Called
-    * from [[validate]] (every append/probe) and [[compactIndex]]'s
-    * rewrite entry, so whatever operation arrives first after the crash
-    * heals the artifact.
+    * from [[validate]] with `heal = true` (writer entry points only) and
+    * [[compactIndex]]'s rewrite entry, so the single writer's next
+    * operation after the crash heals the artifact; read-only probes
+    * never mutate (they'd race a live rewrite on another session).
     */
   private def restoreStranded(spark: SparkSession, path: String): Unit = {
     val root = new HPath(path)
@@ -166,8 +175,8 @@ object IndexMeta {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash recovery (ADVICE r14): the publish below is two renames; a
     // crash between them leaves nothing at `path` and the live data
-    // stranded at `.precompact` — restored here AND in validate() (every
-    // append/probe), so whichever operation arrives first heals it. (A
+    // stranded at `.precompact` — restored here AND in validate(heal=true)
+    // (writer entry points), so the writer's next operation heals it. (A
     // stale `.compacting` dir — crash before the first rename — is torn
     // down below before the rewrite either way.)
     restoreStranded(spark, path)

@@ -195,7 +195,7 @@ object Similarity {
       embCol: String = "embedding",
       probeLayout: Boolean = true,
       compactEvery: Int = 0): Unit = {
-    IndexMeta.validate(df.sparkSession, path, annMeta(ps, bandBits, probeLayout))
+    IndexMeta.validate(df.sparkSession, path, annMeta(ps, bandBits, probeLayout), heal = true)
     val idx = bandedIndex(df, ps, bandBits, idCol, embCol)
     if (probeLayout)
       idx.repartition(col("band"), col("bh")) // one appended file per dir

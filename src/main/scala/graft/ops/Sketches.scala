@@ -121,6 +121,10 @@ object Sketches {
       qs: Seq[Double],
       binsCol: String = "bins"): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs in (0, 1]: $qs")
+    // Each window partition holds <= nBins rows (one per histogram bin —
+    // a fixed sketch parameter, never data-sized); with empty groupCols
+    // this is the deliberate source of Spark's "WindowExec: No Partition
+    // Defined" warning in Verify — bounded by nBins, not a scale bug.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
     val wAll = org.apache.spark.sql.expressions.Window

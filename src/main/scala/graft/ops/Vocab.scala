@@ -47,7 +47,10 @@ object Vocab {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(size)
-    // The single-partition window is over <= `size` rows by construction.
+    // The single-partition window is over <= `size` rows by construction
+    // (the limit above) — `size` is the caller's vocab size, driver-scale
+    // by definition. This is the deliberate source of Spark's "WindowExec:
+    // No Partition Defined" warning in Verify; bounded, not a scale bug.
     top.withColumn("id",
       (row_number().over(Window.orderBy(col("n").desc, col("tok").asc)) - 1)
         .cast("long"))

@@ -1506,6 +1506,12 @@ class LakeTableSpec extends SparkSpec {
     // bucket; a prefix at/below it does not
     assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", emoji + "x"))).isEmpty)
     assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", "alp"))).nonEmpty)
+    // min-side prefix prune (r16): every "A*" string is < "B" in byte
+    // order, and the bucket min is "alpha" >= "B" — excluded; a prefix
+    // whose upper bound sits above the min keeps the bucket
+    assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", "A"))).isEmpty,
+      "prefix upper bound below the bucket min must prune")
+    assert(lt.statsPrunedBuckets(m, Seq(StringStartsWith("tag", "a"))).nonEmpty)
     // In with every value outside the range prunes; a value inside keeps
     assert(lt.statsPrunedBuckets(m, Seq(In("tag", Array("aaa", "aab")))).isEmpty)
     assert(lt.statsPrunedBuckets(m, Seq(In("tag", Array("aaa", "alpha")))).nonEmpty)
@@ -1535,6 +1541,25 @@ class LakeTableSpec extends SparkSpec {
       spark.sqlContext, Map("path" -> dir, "buckets" -> "1"))
     assert(rel.scanPlan(Array("amount"), Array(IsNull("amount"))).count() === 0)
     assert(rel.scanPlan(Array("amount"), Array(IsNotNull("amount"))).count() === 2)
+    // r16 excludes cases over the same fixtures:
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Not}
+    // null-safe equality: a null literal is IsNull; a non-null literal
+    // can't match an all-null bucket
+    assert(lt.statsPrunedBuckets(noNull, Seq(EqualNullSafe("amount", null))).isEmpty)
+    assert(lt.statsPrunedBuckets(allNull, Seq(EqualNullSafe("amount", 5L))).isEmpty)
+    assert(lt.statsPrunedBuckets(noNull, Seq(EqualNullSafe("amount", 5L))).nonEmpty)
+    // Not(EqualTo): no row of an all-null bucket is provably != v; and a
+    // constant bucket whose whole range IS v has no row != v either
+    assert(lt.statsPrunedBuckets(allNull, Seq(Not(EqualTo("amount", 5L)))).isEmpty)
+    assert(lt.statsPrunedBuckets(noNull, Seq(Not(EqualTo("amount", 5L)))).nonEmpty)
+    val cdir = tempDir("lake-stats-const-").resolve("t").toString
+    val clt = new LakeTable(spark, cdir, numBuckets = 1, statsColumns = Seq("amount"))
+    clt.upsert(Seq(("a", 1L, 5L), ("b", 1L, 5L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val const = clt.latestManifest().get
+    assert(clt.statsPrunedBuckets(const, Seq(Not(EqualTo("amount", 5L)))).isEmpty,
+      "a constant bucket (min == max == v) has no row != v")
+    assert(clt.statsPrunedBuckets(const, Seq(Not(EqualTo("amount", 6L)))).nonEmpty)
   }
 
   test("randomized: stats-pruned reads equal unpruned filters (conservativeness oracle)") {
@@ -1580,6 +1605,8 @@ class LakeTableSpec extends SparkSpec {
       case StringStartsWith(a, v)   => col(a).startsWith(v)
       case IsNull(a)                => col(a).isNull
       case IsNotNull(a)             => col(a).isNotNull
+      case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+      case Not(EqualTo(a, v))       => !(col(a) === lit(v))
       case other                    => sys.error(s"unexpected $other")
     }
     def randFilter(): Filter = {
@@ -1592,7 +1619,7 @@ class LakeTableSpec extends SparkSpec {
       def anyCol: String = rnd.nextInt(3) match {
         case 0 => "amount"; case 1 => "tag"; case _ => "score"
       }
-      rnd.nextInt(13) match {
+      rnd.nextInt(16) match {
         case 0 => GreaterThan("amount", amtLit)
         case 1 => GreaterThanOrEqual("amount", amtLit)
         case 2 => LessThan("amount", amtLit)
@@ -1605,6 +1632,14 @@ class LakeTableSpec extends SparkSpec {
         case 9 => GreaterThanOrEqual("score", scoreLit)
         case 10 => LessThanOrEqual("score", scoreLit)
         case 11 => GreaterThan("score", scoreLit)
+        // r16 excludes arms: null-safe equality (incl. the null literal =
+        // IsNull shape) and negated equality (all-null / constant-bucket
+        // prunes)
+        case 12 => EqualNullSafe("tag", if (rnd.nextInt(4) == 0) null else tagLit)
+        case 13 => EqualNullSafe("amount", if (rnd.nextInt(4) == 0) null else amtLit: Any)
+        case 14 =>
+          if (rnd.nextBoolean()) Not(EqualTo("amount", amtLit))
+          else Not(EqualTo("tag", tagLit))
         case _ => LessThanOrEqual("tag", tagLit)
       }
     }
@@ -1850,6 +1885,54 @@ class LakeTableSpec extends SparkSpec {
       "post-fold base stats must cover the folded delta row (500)")
   }
 
+  test("delete-only delta commits keep stats pruning alive (r16 sentinel)") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull}
+    // A pure-DELETE delta batch has no payload columns, so no sidecar can
+    // be written — pre-r16 that misaligned the stack and the bucket went
+    // stats-dark until fold (VERDICT r15 #3: exactly the retention-sweep
+    // workload). Deletes only REMOVE rows, so the EmptyStatsLayer
+    // sentinel keeps the stack aligned and the base's own range keeps
+    // pruning.
+    val nb = 2
+    val dir = tempDir("lake-stats-deldelta-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = nb,
+      tableType = LakeTable.MorType, statsColumns = Seq("amount"))
+    val base = (0 until 100).map(i => (s"k$i", 1L, (i % 50).toLong))
+    lt.upsert(base.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    lt.delete(Seq("k1", "k2", "k3").toDF(LakeTable.KeyCol))
+    val m = lt.latestManifest().get
+    assert(m.deltas.nonEmpty, "the delete must land as a delta commit")
+    m.deltas.foreach { case (b, stack) =>
+      assert(m.deltaStats.getOrElse(b, Nil).size === stack.size,
+        s"bucket $b: delete delta must keep the stats stack aligned")
+      assert(m.deltaStats(b).contains(LakeTable.EmptyStatsLayer),
+        s"bucket $b: the delete layer must be the sentinel")
+    }
+    // amount spans [0, 49]; >= 100 is excluded by the base range alone —
+    // the sentinel layers contribute nothing and every bucket prunes
+    assert(lt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("amount", 100L))).isEmpty,
+      "delete-only delta stacks must not go stats-dark")
+    // a null-matching predicate stays conservative too: base has 0 nulls,
+    // the delete layer holds no data rows, so IsNull still prunes
+    assert(lt.statsPrunedBuckets(m, Seq(IsNull("amount"))).isEmpty)
+    // surviving reads through the pruned relation stay exact
+    val rel = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map("path" -> dir, "buckets" -> nb.toString))
+    assert(
+      rel.scanPlan(Array(LakeTable.KeyCol, "amount"),
+        Array(GreaterThanOrEqual("amount", 40L))).count() ===
+        lt.snapshot.filter(col("amount") >= 40L).count())
+    // an UPSERT delta missing the stat column still misaligns (no silent
+    // sentinel for row-carrying batches — those rows are unstatable)
+    lt.upsert(Seq(("k500", 5L, "x")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "other"))
+    val m2 = lt.latestManifest().get
+    val b500 = LakeTable.bucketOfKey("k500", nb)
+    assert(m2.deltaStats.getOrElse(b500, Nil).size < m2.deltas(b500).size,
+      "a row-carrying batch without the stat column must NOT record a sentinel")
+    assert(lt.statsPrunedBuckets(m2, Seq(GreaterThanOrEqual("amount", 100L)))
+      .contains(b500), "misaligned stack must stay conservative")
+  }
+
   test("all-delta stats (r15): delta-only buckets prune when the base commit had no statable column") {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     // The widening scenario: the stat column arrives AFTER the base
@@ -1928,12 +2011,15 @@ class LakeTableSpec extends SparkSpec {
         case EqualTo(a, v)            => col(a) === lit(v)
         case IsNull(a)                => col(a).isNull
         case IsNotNull(a)             => col(a).isNotNull
+        case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+        case Not(EqualTo(a, v))       => !(col(a) === lit(v))
+        case StringStartsWith(a, v)   => col(a).startsWith(v)
         case other                    => sys.error(s"unexpected $other")
       }
       def randFilter(): Filter = {
         def amt: Long = rnd.nextInt(260) - 130L
         def tag: String = tags(rnd.nextInt(tags.size)) + (if (rnd.nextBoolean()) "" else "x")
-        rnd.nextInt(8) match {
+        rnd.nextInt(11) match {
           case 0 => GreaterThan("amount", amt)
           case 1 => GreaterThanOrEqual("amount", amt)
           case 2 => LessThan("amount", amt)
@@ -1941,6 +2027,13 @@ class LakeTableSpec extends SparkSpec {
           case 4 => EqualTo("tag", tag)
           case 5 => IsNull(if (rnd.nextBoolean()) "amount" else "tag")
           case 6 => IsNotNull(if (rnd.nextBoolean()) "amount" else "tag")
+          // r16 arms over the delta-union lane (delete sentinels in the
+          // stacks by construction of the batch loop above)
+          case 7 => EqualNullSafe("tag", if (rnd.nextInt(4) == 0) null else tag)
+          case 8 =>
+            if (rnd.nextBoolean()) Not(EqualTo("amount", amt))
+            else Not(EqualTo("tag", tag))
+          case 9 => StringStartsWith("tag", tag.take(1 + rnd.nextInt(2)))
           case _ => LessThan("tag", tag)
         }
       }
