@@ -142,6 +142,117 @@ object ProbeImg {
     println("unrelated pairs sharing >=1 sig: " + unrelatedShared.count() +
       ", max shared: " +
       unrelatedShared.agg(max("shared")).collect()(0).get(0))
+
+    // ---- lossy re-encode calibration (r16, q100) -----------------------
+    // JPEG-re-encoded copies (the most common real duplicate class) of
+    // every 7th image, at several qualities, plus the chained classes
+    // (jpeg of a resized copy — the dHash8 lane; jpeg of a crop — the
+    // keypoint lane). Reports: dHash8 family distance distributions per
+    // quality (the q100 gate must sit above every planted distance and
+    // below the unrelated floor measured above), exact-keypoint sig
+    // survival under JPEG noise (expected ~zero — bit-exact integer
+    // functions of raw pixels), and the banded/quantized variant if one
+    // is calibrated later.
+    for (q <- Seq(0.9f, 0.7f, 0.5f)) {
+      val jp = ops.Multimodal.reencodeJpegImagesBatched(every7, q)
+        .select(($"doc_id" + 6000000L).as("doc_id"), $"payload")
+      val famJ = ops.Multimodal.dHash8ImagesBatched(base.unionByName(jp))
+        .toDF("doc_id", "decoded", "hhashes", "vhashes")
+      require(famJ.filter(!$"decoded").count() == 0, "all jpeg payloads must decode")
+      val exJ = famJ
+        .select($"doc_id", posexplode(arrays_zip($"hhashes", $"vhashes")).as(Seq("o", "hv")))
+        .select($"doc_id", $"o", $"hv.hhashes".as("h1"), $"hv.vhashes".as("h2"))
+      val dJ = exJ.filter($"doc_id" < 1000000L).as("a")
+        .join(exJ.as("b"), col("a.doc_id") + 6000000L === col("b.doc_id"))
+        .groupBy(col("a.doc_id")).agg(min(d128).as("d"))
+      println(s"jpeg($q) dHash8 family dist base->reencode: " + dJ.groupBy("d").count()
+        .orderBy("d").collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+      // exact keypoint sig survival under this quality
+      val kpJ = ops.Multimodal.keypointHashImagesBatched(base.unionByName(jp))
+        .toDF("doc_id", "decoded", "sigs")
+        .select($"doc_id", explode($"sigs").as("sig"))
+      val sharedJ = ops.DedupDocs.sharedSigPairs(kpJ, "doc_id", "sig", 1)
+        .filter($"d1" + 6000000L === $"d2")
+      println(s"jpeg($q) exact-keypoint planted pairs sharing >=1 sig: " +
+        sharedJ.count() + s" / $nPlanted, shared dist: " +
+        sharedJ.groupBy("shared").count().orderBy("shared")
+          .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+    }
+    // chained: resize 48x48 -> jpeg(0.7) (the q100 dHash8 chain class)
+    val chainJ = ops.Multimodal.reencodeJpegImagesBatched(
+        ops.Multimodal.resizeImagesBatched(every7, 48, 48)
+          .select($"doc_id", $"payload"), 0.7f)
+      .select(($"doc_id" + 7000000L).as("doc_id"), $"payload")
+    val famC = ops.Multimodal.dHash8ImagesBatched(base.unionByName(chainJ))
+      .toDF("doc_id", "decoded", "hhashes", "vhashes")
+    val exC = famC
+      .select($"doc_id", posexplode(arrays_zip($"hhashes", $"vhashes")).as(Seq("o", "hv")))
+      .select($"doc_id", $"o", $"hv.hhashes".as("h1"), $"hv.vhashes".as("h2"))
+    val dC = exC.filter($"doc_id" < 1000000L).as("a")
+      .join(exC.as("b"), col("a.doc_id") + 7000000L === col("b.doc_id"))
+      .groupBy(col("a.doc_id")).agg(min(d128).as("d"))
+    println("resize48+jpeg(0.7) dHash8 family dist: " + dC.groupBy("d").count()
+      .orderBy("d").collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+    // unrelated floor WITH jpeg copies in the pool (must stay >> the gate)
+    val oidsJ = exC.select(($"doc_id" * 8 + $"o").as("oid"), $"h1", $"h2")
+    val at40J = ops.DedupDocs.hammingNearDupPairsWide(oidsJ, "oid", Seq("h1", "h2"), 40)
+      .select(floor($"d1" / 8).cast("long").as("a"),
+        floor($"d2" / 8).cast("long").as("b"), $"dist")
+      .filter($"a" % 1000000L =!= $"b" % 1000000L)
+    println("closest unrelated (incl. jpeg copies) <= 40: " +
+      at40J.agg(min("dist")).collect()(0).get(0))
+
+    // ---- blurred keypoint family (r16): jpeg + crop chain --------------
+    // The exact family is bit-fragile under JPEG (measured above); the
+    // blur-preprocessed variant attenuates the noise while keeping crop
+    // exactness. Measure, per blur radius: pure jpeg survival, the
+    // jpeg-after-crop chain, the lossless crop (sanity — blur must not
+    // hurt it), and the unrelated floor (blur lowers descriptor entropy,
+    // so the floor must be re-measured for this family).
+    // r16 sweep (sf0.01) measured (blur, maxKeypoints, minGradient) in
+    // {(2,32,3),(3,32,3),(2,48,2),(3,48,2)}: every variant paired 72/72
+    // crop+jpeg(0.8) plants with unrelated floor 0; blur=2 at the default
+    // keypoint params had the best worst-case (min shared 3 vs 2 for
+    // blur=3) — that is the shipped q101 family. The jpeg<->crop+jpeg
+    // plant-to-plant class measured min 1 in EVERY variant, which is why
+    // q101 plants only one copy class.
+    for ((blurR, mk, mg) <- Seq((2, 32, 3))) {
+      val tag = s"blur=$blurR,mk=$mk,mg=$mg"
+      val jpeg07 = ops.Multimodal.reencodeJpegImagesBatched(every7, 0.7f)
+        .select(($"doc_id" + 6000000L).as("doc_id"), $"payload")
+      val cropJpeg = ops.Multimodal.reencodeJpegImagesBatched(
+          ops.Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+            .select($"doc_id", $"payload"), 0.8f)
+        .select(($"doc_id" + 8000000L).as("doc_id"), $"payload")
+      val kpRows = ops.Multimodal.keypointHashImagesBatched(
+          base.unionByName(jpeg07).unionByName(cropJpeg),
+          maxKeypoints = mk, minGradient = mg, blur = blurR)
+        .toDF("doc_id", "decoded", "sigs").cache()
+      println(s"$tag keypoints per image (min/avg/max): " +
+        kpRows.select(size($"sigs").as("n")).agg(min("n"), avg("n"), max("n")).collect()(0))
+      val kpB = kpRows.select($"doc_id", explode($"sigs").as("sig"))
+      val sharedB = ops.DedupDocs.sharedSigPairs(kpB, "doc_id", "sig", 1).cache()
+      for ((off, namE) <- Seq((6000000L, "jpeg(0.7)"), (8000000L, "crop+jpeg(0.8)"))) {
+        val p = sharedB.filter($"d1" + off === $"d2")
+        println(s"$tag $namE planted shared: " +
+          p.groupBy("shared").count().orderBy("shared")
+            .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" ") +
+          s" | pairs >=1: ${p.count()} / $nPlanted")
+      }
+      // jpeg <-> crop+jpeg of one source (the weakest same-source class
+      // if a query plants both)
+      val p2pJ = sharedB.filter($"d1" >= 6000000L && $"d1" < 7000000L &&
+        $"d2" === $"d1" + 2000000L)
+      println(s"$tag jpeg<->crop+jpeg shared: " +
+        p2pJ.groupBy("shared").count().orderBy("shared")
+          .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" ") +
+        s" | pairs >=1: ${p2pJ.count()} / $nPlanted")
+      val unrelB = sharedB.filter($"d1" % 1000000L =!= $"d2" % 1000000L)
+      println(s"$tag unrelated pairs sharing >=1 sig: " + unrelB.count() +
+        ", max shared: " + unrelB.agg(max("shared")).collect()(0).get(0))
+      sharedB.unpersist()
+      kpRows.unpersist()
+    }
     spark.stop()
   }
 }

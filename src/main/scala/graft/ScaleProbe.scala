@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probe for the banded dedup/ANN candidate-generation
+  * cores (VERDICT r15 #4): the 100 TB claim for these operators rests on
+  * plan SHAPE (bucket/band-local pair generation, signature-only
+  * shuffles); this probe MEASURES it. It synthesizes corpora of the same
+  * shape as `documents`/`embeddings` at 1x/4x/16x the sf0.1 row counts —
+  * constant duplicate RATE (1 planted near-dup per 10 rows), constant
+  * per-row size, Zipf-ish token head — runs each core to completion
+  * through the noop sink, and reports wall/tasks/shuffle bytes per
+  * (core, scale) plus the 16x/1x growth factors. A shape that is
+  * genuinely row-linear shows ~16x shuffle bytes and pair counts at 16x
+  * rows; anything superlinear (an uncapped hot bucket, an accidental
+  * cross join) shows up as a >>16 factor long before a cluster run
+  * would. Synthetic corpora (not testdata replication) because
+  * replicating real docs 16x turns every near-dup pair into a 16-clique
+  * — pair counts would grow quadratically BY CONSTRUCTION and mask real
+  * regressions.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"` (~2-5 min; prints one JSON
+  * line per measurement — record the factors in BASELINE.md, the
+  * MorWriteAmpProbe protocol).
+  */
+object ScaleProbe {
+  private val BaseDocs = 5000L // sf0.1 documents.parquet row count
+  private val BaseSigs = 5000L
+
+  /** Synthetic documents: ~120 Zipf-ish tokens each; row 10k+9 is a
+    * near-dup copy of row 10k+8 (every 29th token mutated), all other
+    * rows unrelated. Token stream and mutations are pure column
+    * expressions over the id — fully distributed, deterministic, no
+    * driver data.
+    *
+    * Corpus-regime note (measured r16): the Zipf-1 token law
+    * (`floor(1/u)`) concentrates mass in a few hot tokens at EVERY
+    * scale, so hot-shingle df grows ~n and co-occurrence pair mass
+    * grows superlinearly BY CORPUS CONSTRUCTION (the `vocab` cap binds
+    * for <0.01% of draws — scaling it is a no-op, verified by identical
+    * shuffle bytes at 30k vs 480k caps). jaccard/minhash therefore
+    * measure the duplicate-density-GROWING regime, whose documented
+    * control is the maxDf cap; the banded signature cores (hamming /
+    * sharedsigs / dupgroups) have no such data dependence and measure
+    * the pure engine shape. Numbers in BASELINE.md r16.
+    */
+  private def synthDocs(spark: SparkSession, n: Long, vocab: Long): DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism
+    val doc = col("doc_id")
+    val src = when(doc % 10 === 9, doc - 1).otherwise(doc)
+    val tok = (p: org.apache.spark.sql.Column) => {
+      val h = when(doc =!= src && p % 29 === 0, xxhash64(doc, p, lit(0x5EED)))
+        .otherwise(xxhash64(src, p, lit(0x5EED)))
+      val u = (pmod(h, lit(1000000L)).cast("double") + lit(1.0)) / lit(1000001.0)
+      concat(lit("t"), least(lit(vocab), floor(pow(u, lit(-1.0))).cast("long")))
+    }
+    spark.range(0, n, 1, parts).toDF("doc_id")
+      .withColumn("text", concat_ws(" ", transform(sequence(lit(0), lit(119)), tok)))
+  }
+
+  /** Synthetic 64-bit signatures (the dHash/simhash shape): row 10k+9 is
+    * its predecessor's signature with 3 deterministic bits flipped
+    * (inside the maxHamming=8 gate), everything else uniform random.
+    */
+  private def synthSigs(spark: SparkSession, n: Long): DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism
+    val id = col("id")
+    val src = when(id % 10 === 9, id - 1).otherwise(id)
+    val base = xxhash64(src, lit(7))
+    // dynamic shift amount needs the SQL form (the Scala shiftleft only
+    // takes a literal amount)
+    val flip = (k: Int) => expr(s"shiftleft(1L, int(pmod(xxhash64(id, $k), 64L)))")
+    spark.range(0, n, 1, parts).toDF("id")
+      .withColumn("sig",
+        when(id =!= src, base.bitwiseXOR(flip(1)).bitwiseXOR(flip(2)).bitwiseXOR(flip(3)))
+          .otherwise(base))
+  }
+
+  /** Synthetic keypoint-style signature SETS (24 sigs/doc, the q96
+    * shape): a planted copy shares 20 of 24 values with its source;
+    * unrelated docs share none (64-bit space).
+    */
+  private def synthSigSets(spark: SparkSession, n: Long): DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism
+    val id = col("id")
+    val src = when(id % 10 === 9, id - 1).otherwise(id)
+    spark.range(0, n, 1, parts).toDF("id")
+      .withColumn("k", explode(sequence(lit(0), lit(23))))
+      .withColumn("sig",
+        when(col("k") < 20, xxhash64(src, col("k"), lit(0xCAFE)))
+          .otherwise(xxhash64(id, col("k"), lit(0xD00D))))
+      .select(col("id"), col("sig"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probe = new org.apache.spark.graft.BenchProbe
+    probe.install(spark.sparkContext)
+
+    def measure(op: String, scale: Int, rows: Long)(mk: => DataFrame): Map[String, Long] = {
+      probe.harvest(spark.sparkContext) // reset counters
+      val t0 = System.nanoTime()
+      val df = mk
+      df.write.format("noop").mode("overwrite").save()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val st = probe.harvest(spark.sparkContext)
+      val out = st + ("wall_ms" -> wallMs) + ("rows" -> rows)
+      println(s"""{"op":"$op","scale":$scale,""" + Seq(
+        "rows", "wall_ms", "tasks", "shuffle_read_b", "shuffle_write_b", "spill_b")
+        .map(k => s""""$k":${out(k)}""").mkString(",") + "}")
+      out
+    }
+
+    val scales = Seq(1, 4, 16)
+    val results = scala.collection.mutable.Map[(String, Int), Map[String, Long]]()
+    for (s <- scales) {
+      val nDocs = BaseDocs * s
+      val nSigs = BaseSigs * s
+      val docsDf = synthDocs(spark, nDocs, vocab = 30000L * s).persist()
+      docsDf.count()
+      results(("jaccard", s)) = measure("jaccard", s, nDocs) {
+        ops.DedupDocs.jaccardPairs(docsDf, n = 3, num = 1, den = 2, maxDf = 512)
+      }
+      results(("minhash", s)) = measure("minhash", s, nDocs) {
+        ops.DedupDocs.minhashVerifiedPairs(
+          docsDf, n = 3, numHashes = 64, bands = 16, num = 1, den = 2, maxDf = 512)
+      }
+      docsDf.unpersist()
+      val sigsDf = synthSigs(spark, nSigs).persist()
+      sigsDf.count()
+      results(("hamming", s)) = measure("hamming", s, nSigs) {
+        ops.DedupDocs.hammingNearDupPairs(sigsDf, "id", "sig", 64, maxHamming = 8)
+      }
+      results(("dupgroups", s)) = measure("dupgroups", s, nSigs) {
+        val pairs = ops.DedupDocs.hammingNearDupPairs(sigsDf, "id", "sig", 64, maxHamming = 8)
+        ops.DedupDocs.dupGroups(sigsDf.select(col("id").as("doc_id")), pairs)
+      }
+      sigsDf.unpersist()
+      val setsDf = synthSigSets(spark, nSigs).persist()
+      setsDf.count()
+      results(("sharedsigs", s)) = measure("sharedsigs", s, nSigs) {
+        ops.DedupDocs.sharedSigPairs(setsDf, "id", "sig", minShared = 4, maxBucket = Some(512))
+      }
+      setsDf.unpersist()
+    }
+    // growth factors: 16x rows should show ~16x shuffle bytes and wall
+    // well under 16^2; print the per-op factor table for BASELINE.md
+    for (op <- Seq("jaccard", "minhash", "hamming", "dupgroups", "sharedsigs")) {
+      val a = results((op, 1)); val b = results((op, 16))
+      def f(k: String): String =
+        if (a(k) <= 0) "n/a" else "%.1f".format(b(k).toDouble / a(k))
+      println(s"""{"op":"$op","factor16":{"wall":${f("wall_ms")},""" +
+        s""""shuffle_write":${f("shuffle_write_b")},"tasks":${f("tasks")}}}""")
+    }
+    spark.stop()
+  }
+}

@@ -421,7 +421,10 @@ object CdcSyncCommand {
     * resolving the table, and repaired by re-registering (the same
     * alter-on-change shape as Hudi's Hive sync).
     */
-  private[cdc] def syncCatalog(spark: SparkSession, cfg: TableConfig): Unit = {
+  // public: a fresh in-memory-catalog session re-registers by calling
+  // this directly (the registration's lifetime is the catalog's — see
+  // README; a metastore-backed catalog persists it instead)
+  def syncCatalog(spark: SparkSession, cfg: TableConfig): Unit = {
     val db = cfg.extras.getOrElse("hoodie.datasource.hive_sync.database", cfg.db)
     val tbl = cfg.extras.getOrElse(
       "hoodie.datasource.hive_sync.table",

@@ -1503,6 +1503,114 @@ object OpsQueries {
           |                THEN bin END) AS p99_bin
           |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- lossy-re-encode robust image dedup (r16, VERDICT r15 #2) ------
+    // JPEG re-encoded copies are the most common real-world duplicate
+    // class — more common than crops or rotations. ProbeImg's re-encode
+    // section (fixed seeds + 2026-08-13 testdata) shows dHash8's
+    // block-mean geometry is essentially JPEG-immune: pure re-encode at
+    // quality 0.5 measures family distance <= 2 @ sf0.01, the
+    // resize48+jpeg(0.7) chain <= 10, while the closest unrelated family
+    // pair (jpeg copies included in the pool) stays at 30 — so the q95
+    // gate (maxHamming=20) covers lossy copies with ~10 bits of margin
+    // on both sides. The jpeg<->chain plant-to-plant class is
+    // triangle-bounded at orientation 0 by the two measured classes
+    // (<= 12). Re-measure after any testdata regen (q90 protocol).
+    "q100_image_jpeg_dedup" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val every7 = base.filter(col("doc_id") % 7 === 0)
+        val jp = Multimodal.reencodeJpegImagesBatched(every7, 0.5f)
+          .select((col("doc_id") + lit(6000000L)).as("doc_id"), col("payload"))
+        val chain = Multimodal.reencodeJpegImagesBatched(
+            Multimodal.resizeImagesBatched(every7, 48, 48)
+              .select(col("doc_id"), col("payload")), 0.7f)
+          .select((col("doc_id") + lit(7000000L)).as("doc_id"), col("payload"))
+        val fam = Multimodal.dHash8ImagesBatched(
+            base.unionByName(jp).unionByName(chain))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+        val sigs = fam
+          .select(col("doc_id"),
+            posexplode(arrays_zip(col("hhashes"), col("vhashes"))).as(Seq("o", "hv")))
+          .select((col("doc_id") * 8 + col("o")).as("oid"),
+            col("hv.hhashes").as("h1"), col("hv.vhashes").as("h2"))
+        DedupDocs.hammingNearDupPairsWide(sigs, "oid", Seq("h1", "h2"), maxHamming = 20)
+          .select(floor(col("d1") / 8).cast("long").as("a"),
+            floor(col("d2") / 8).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("d1"),
+            greatest(col("a"), col("b")).as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          |           FROM documents WHERE doc_id % 7 = 0)
+          |SELECT d1, d2 FROM (
+          |  SELECT doc_id AS d1, doc_id + 6000000 AS d2 FROM s
+          |  UNION ALL SELECT doc_id, doc_id + 7000000 FROM s
+          |  UNION ALL SELECT doc_id + 6000000, doc_id + 7000000 FROM s) t
+          |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- chained crop + lossy re-encode dedup (r16) --------------------
+    // The hardest standard duplicate chain: a crop breaks every
+    // whole-image hash (dHash8 included) and JPEG noise breaks the
+    // bit-exact keypoint family (measured: 225/715 crop-free pairs
+    // survive jpeg(0.7) at sf0.1). The blur=2 keypoint family closes it:
+    // a radius-2 integer box blur before gradients/descriptors
+    // attenuates the high-frequency JPEG noise ~25x (window area) while
+    // box means stay translation-invariant, so crop-exactness is
+    // preserved. A DIFFERENT signature family from q96-q98's exact one —
+    // their calibration is untouched.
+    //
+    // Lossy matching is APPROXIMATE (a rare plant loses every stable
+    // keypoint to the noise), so — like q36/q45/q76 — the oracle
+    // contract is the quality gate itself, not the exact mapping.
+    // Measured (graft.ProbeImg blurred-family section, fixed seeds +
+    // 2026-08-13 testdata): crop(6,6,52x52)+jpeg(0.8) plants at
+    // minShared=3 recover 72/72 @ sf0.01 and 699/715 (97.8%) @ sf0.1
+    // (one pair shares 0 sigs, 15 fall below 3), with ZERO unrelated
+    // pairs at the gate at both scales — recall_ok gates >= 95%, fp is
+    // exact. The r16 sweep over (blur, maxKeypoints, minGradient)
+    // variants picked blur=2 at the default keypoint params for the best
+    // worst-case. Re-measure after any testdata regen (q90 protocol).
+    "q101_image_cropjpeg_dedup" -> QueryDef(
+      (spark, dir) => {
+        val ids = docs(spark, dir).select(col("doc_id"))
+        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
+          .toDF("doc_id", "payload")
+        val every7 = base.filter(col("doc_id") % 7 === 0)
+        val cj = Multimodal.reencodeJpegImagesBatched(
+            Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
+              .select(col("doc_id"), col("payload")), 0.8f)
+          .select((col("doc_id") + lit(8000000L)).as("doc_id"), col("payload"))
+        val kp = Multimodal.keypointHashImagesBatched(
+            base.unionByName(cj), blur = 2)
+          .toDF("doc_id", "decoded", "sigs")
+        val pairs = DedupDocs.sharedSigPairs(
+            kp.select(col("doc_id"), explode(col("sigs")).as("sig")),
+            "doc_id", "sig", minShared = 3)
+        val planted = every7.select(
+          col("doc_id").as("d1"), (col("doc_id") + lit(8000000L)).as("d2"))
+        pairs
+          .join(planted.withColumn("ok", lit(1)), Seq("d1", "d2"), "full_outer")
+          .agg(
+            sum(when(col("ok").isNull, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("ok").isNotNull, 1L).otherwise(0L)).cast("long")
+              .as("n_planted"),
+            sum(when(col("ok").isNotNull && col("shared").isNotNull, 1L)
+              .otherwise(0L)).as("_rec"))
+          .select(
+            col("n_planted"),
+            col("fp").cast("long").as("fp"),
+            (col("_rec") * 100L >= col("n_planted") * 95L).as("recall_ok"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+          |       CAST(0 AS BIGINT) AS fp, true AS recall_ok
+          |FROM documents WHERE doc_id % 7 = 0""".stripMargin)),
+
     // ---- skew-safe temporal joins (VERDICT r12 #1) ---------------------
     // q81's as-of semantics on an ENGINEERED pathological key: 95% of
     // users collapse into hkey=0, the shape that serializes asofJoin's

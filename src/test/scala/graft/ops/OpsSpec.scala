@@ -1451,6 +1451,76 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0, "cap=1 must drop every 2-member signature bucket")
   }
 
+  test("jpeg re-encode is real + lossy; blurred keypoint family survives it, exact family does not") {
+    val ids = (0L until 24L).toDF("doc_id")
+    val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
+    val jp = Multimodal.reencodeJpegImagesBatched(base, 0.7f).cache()
+    assert(jp.filter(!$"resized").count() == 0, "all PNGs must re-encode")
+    val srcBytes = base.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    var anyPixelDiff = false
+    jp.collect().foreach { r =>
+      assert(r.width == 64 && r.height == 64, "re-encode must preserve dimensions")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 64,
+        "jpeg payload must decode at source dimensions")
+      assert(!java.util.Arrays.equals(r.payload, srcBytes(r.doc_id)),
+        "re-encoded bytes must differ from the source PNG")
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(srcBytes(r.doc_id)))
+      var x = 0
+      while (!anyPixelDiff && x < 64) {
+        var y = 0
+        while (!anyPixelDiff && y < 64) {
+          if ((img.getRGB(x, y) & 0xFFFFFF) != (src.getRGB(x, y) & 0xFFFFFF))
+            anyPixelDiff = true
+          y += 1
+        }
+        x += 1
+      }
+    }
+    assert(anyPixelDiff, "quality 0.7 must actually be lossy on some pixel")
+    // unreadable payloads pass through unchanged
+    val junk = Seq((99L, Array.fill[Byte](16)(3))).toDF("doc_id", "payload")
+    val pj = Multimodal.reencodeJpegImagesBatched(junk, 0.7f).collect()(0)
+    assert(!pj.resized && pj.payload.length == 16, "junk must pass through")
+    // the family motivation, in miniature (corpus-scale calibration lives
+    // in ProbeImg): over the same base<->jpeg pool, the blur=2 family
+    // pairs nearly every planted copy at >= 3 shared sigs while the
+    // exact family loses most of them
+    val pool = base.unionByName(jp.select(($"doc_id" + 1000L).as("doc_id"), $"payload"))
+    def plantedShared(blur: Int): Map[Long, Long] = {
+      val kp = Multimodal.keypointHashImagesBatched(pool, blur = blur)
+        .toDF("doc_id", "decoded", "sigs")
+      DedupDocs.sharedSigPairs(
+          kp.select($"doc_id", explode($"sigs").as("sig")), "doc_id", "sig", 1)
+        .filter($"d1" + 1000L === $"d2")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val blurred = plantedShared(2)
+    val exact = plantedShared(0)
+    val blurredStrong = (0L until 24L).count(i => blurred.getOrElse(i, 0L) >= 3L)
+    val exactStrong = (0L until 24L).count(i => exact.getOrElse(i, 0L) >= 3L)
+    assert(blurredStrong >= 20,
+      s"blur=2 family must survive jpeg(0.7) on most copies, got $blurredStrong/24")
+    assert(exactStrong < blurredStrong,
+      s"exact family should be weaker under jpeg ($exactStrong vs $blurredStrong) — " +
+        "else the blur variant is redundant")
+    // blur preserves crop-exactness: a lossless crop still shares
+    // interior signatures under the blurred family
+    val crop = Multimodal.cropImagesBatched(base, 6, 6, 52, 52)
+      .select(($"doc_id" + 2000L).as("doc_id"), $"payload")
+    val kpC = Multimodal.keypointHashImagesBatched(
+        base.unionByName(crop), blur = 2)
+      .toDF("doc_id", "decoded", "sigs")
+    val cropShared = DedupDocs.sharedSigPairs(
+        kpC.select($"doc_id", explode($"sigs").as("sig")), "doc_id", "sig", 1)
+      .filter($"d1" + 2000L === $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((0L until 24L).count(i => cropShared.getOrElse(i, 0L) >= 3L) >= 20,
+      "box blur must preserve crop interior signatures (translation invariance)")
+  }
+
   test("sig-set index: incremental probe == inline pairs; appends visible; stamp loud") {
     val ids = (0L until 30L).toDF("doc_id")
     val base = Multimodal.renderSyntheticImages(ids, 64, 64).toDF("doc_id", "payload")
