@@ -141,6 +141,16 @@ final class LakeTable(
 
   private[lake] def latestManifest(): Option[Manifest] = latestVersion.map(readManifest)
 
+  /** True iff the STORED table is mergeMode=partial (its manifest schema
+    * carries the reserved `_pts` map) — the same inference every reader
+    * uses. Public so write surfaces that open handles generically (the
+    * SQL INSERT path, tooling) can construct a mode-matched handle
+    * instead of tripping the loud mode guard (r16).
+    */
+  def isPartialTable: Boolean = latestManifest().exists(m =>
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      .fieldNames.contains(PtsCol))
+
   /** Commit ids of every committed version (for idempotent replay checks),
     * including versions whose snapshots were vacuumed — replaying a batch
     * that committed before a vacuum must stay a no-op.

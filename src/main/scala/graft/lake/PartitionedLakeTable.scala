@@ -97,6 +97,14 @@ final class PartitionedLakeTable(
         compactAfter = compactAfter, mergeMode = mergeMode,
         statsColumns = statsColumns))
 
+  /** True iff the STORED table is mergeMode=partial — any committed
+    * partition's manifest schema carries `_pts` (partitions share one
+    * logical mode: the CDC sink writes them all under one table config).
+    * Same purpose as [[LakeTable.isPartialTable]] (r16).
+    */
+  def isPartialTable: Boolean =
+    partitions.headOption.exists(v => partitionTable(v).isPartialTable)
+
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =
     io.list(io.resolve())

@@ -119,7 +119,8 @@ class CdcLakeSinkProvider extends StreamSinkProvider
   */
 class LakeSnapshotRelation(
     ctx: SQLContext,
-    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+    parameters: Map[String, String]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   // Lazy: the batch-WRITE path returns this relation constructed from the
   // sink options (no single `path`); only an actual read needs one.
@@ -343,6 +344,62 @@ class LakeSnapshotRelation(
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
     scanPlan(requiredColumns, filters).rdd
+
+  /** SQL write surface (r16, a v1-expressible slice of the deferred DSv2
+    * item): `INSERT INTO <catalog-synced cdc-lake table> ...` resolves to
+    * this v1 `InsertableRelation`, and the batch runs the table's NATIVE
+    * last-write-wins upsert — the same semantic Hudi gives spark-sql
+    * `INSERT INTO` — so SQL writers and DataFrame writers produce
+    * identical state (commit protocol, blooms, stats, MOR deltas via a
+    * fold-on-touch cow commit, schema widening all included). Incoming
+    * rows must carry the lake contract columns (`_key`, `_ts`). Partial
+    * tables get a mode-matched handle (inferred from the manifest like
+    * every reader). Rejected loudly: `INSERT OVERWRITE` (truncate-and-
+    * load has no single-commit lake equivalent — use delete + upsert or
+    * `restoreTo`) and writes through a time-travel / read-optimized
+    * relation (a pinned historical view must never accept new rows).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!overwrite,
+      "cdc-lake INSERT OVERWRITE is not supported — INSERT INTO runs the " +
+        "native LWW upsert; for truncate-and-load use delete + upsert or restoreTo")
+    require(
+      requestedVersion.isEmpty && requestedTimestamp.isEmpty && !readOptimized,
+      "cannot INSERT INTO a time-travel or read-optimized cdc-lake relation")
+    require(
+      data.columns.contains(LakeTable.KeyCol) && data.columns.contains(LakeTable.TsCol),
+      s"cdc-lake INSERT needs the lake contract columns " +
+        s"('${LakeTable.KeyCol}', '${LakeTable.TsCol}') — got ${data.columns.mkString(",")}")
+    // A column-list INSERT that omits `_key`/`_ts` passes analysis with
+    // NULL fills — which would silently merge every such row into one
+    // null-key LWW group. Guard IN the plan (codegen'd, no extra pass):
+    // evaluating `_ts` on a null-key/null-ts row raises instead.
+    import org.apache.spark.sql.functions.{raise_error, when}
+    val checked = data.withColumn(
+      LakeTable.TsCol,
+      when(
+        col(LakeTable.KeyCol).isNull || col(LakeTable.TsCol).isNull,
+        raise_error(lit(
+          s"cdc-lake INSERT: '${LakeTable.KeyCol}' and '${LakeTable.TsCol}' must be " +
+            "non-null on every row (did the INSERT column list omit them?)")))
+        .otherwise(col(LakeTable.TsCol)))
+    opened match {
+      case Left(pt) =>
+        val handle =
+          if (pt.isPartialTable)
+            new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
+              buckets, mergeMode = LakeTable.PartialMode)
+          else pt
+        handle.upsert(checked)
+      case Right(t) =>
+        val handle =
+          if (t.isPartialTable)
+            new LakeTable(ctx.sparkSession, path, buckets,
+              mergeMode = LakeTable.PartialMode)
+          else t
+        handle.upsert(checked)
+    }
+  }
 }
 
 object CdcLakeSinkProvider {

@@ -492,6 +492,57 @@ class CdcEndToEndSpec extends SparkSpec {
       == Seq(3600000L))
   }
 
+  test("SQL INSERT INTO a catalog-synced lake table runs the native upsert (r16)") {
+    val root = tempDir("cdc-").toString
+    val opts = options(root) ++ Map("option.catalog.sync" -> "true")
+    CdcSyncCommand.run(
+      Seq(env("db", "person", personSchema, 1L, "upsert", Seq(
+        """{"id":1,"name":"ann","age":30}""",
+        """{"id":2,"name":"bob","age":40}"""))).toDF("value"),
+      opts, batchId = 0L)
+    assert(spark.catalog.tableExists("db", "person"))
+    val k1 = spark.sql("SELECT _key FROM db.person WHERE id = 1").as[String].head()
+    // INSERT INTO = the native LWW upsert: one new key, one update that
+    // must WIN by _ts over the stored row
+    spark.sql(
+      s"""INSERT INTO db.person (_key, _ts, id, name, age) VALUES
+         |  ('k-new', 5, 9, 'zoe', 25),
+         |  ('$k1', 5, 1, 'ann-updated', 31)""".stripMargin)
+    spark.catalog.refreshTable("db.person")
+    val got = spark.sql("SELECT id, name, age FROM db.person ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ann-updated", 31L), (2L, "bob", 40L), (9L, "zoe", 25L)))
+    // a STALE _ts must lose to the stored row (upsert, not append/replace)
+    spark.sql(
+      s"INSERT INTO db.person (_key, _ts, id, name, age) VALUES ('$k1', 0, 1, 'stale', 99)")
+    spark.catalog.refreshTable("db.person")
+    assert(spark.sql("SELECT name FROM db.person WHERE id = 1").as[String].head()
+      == "ann-updated")
+    // INSERT OVERWRITE is rejected loudly
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE TABLE db.person SELECT * FROM db.person"))
+    assert(e.getMessage.contains("INSERT OVERWRITE"),
+      s"unexpected: ${e.getMessage}")
+    // writes through a pinned time-travel relation are rejected loudly
+    val tt = new graft.sources.LakeSnapshotRelation(
+      spark.sqlContext, Map(
+        "path" -> s"$root/db/ods_db_person", "buckets" -> "4", "versionAsOf" -> "1"))
+    val e2 = intercept[IllegalArgumentException](
+      tt.insert(spark.sql("SELECT * FROM db.person"), overwrite = false))
+    assert(e2.getMessage.contains("time-travel"))
+    // a column list omitting the contract columns analyzes (NULL fill)
+    // but the in-plan guard raises before any null-key row can merge
+    val e3 = intercept[Exception](spark.sql(
+      "INSERT INTO db.person (id, name, age) VALUES (7, 'nokey', 1)"))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e3).contains("non-null"), s"unexpected: ${rootMsg(e3)}")
+    // and the failed insert must not have changed table state
+    spark.catalog.refreshTable("db.person")
+    assert(spark.sql("SELECT count(*) FROM db.person").as[Long].head() == 3L)
+  }
+
   test("inline compaction runs on its batch cadence and replays idempotently") {
     val root = tempDir("cdc-").toString
     val opts = options(root) ++ Map(
