@@ -73,5 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the full native family (blocklist matching, LSH/IVF signatures,
     // cosine verifies) — see GraftSqlFunctions for the SQL shapes
     GraftSqlFunctions.all.foreach(ext.injectFunction)
+    // SQL MERGE INTO over catalog-synced cdc-lake tables: Spark resolves
+    // MergeIntoTable for any relation but rewrites it only for DSv2
+    // row-level-op tables — this post-hoc rule routes a v1 lake target
+    // through the table's native merge/upsert/delete (r16; see
+    // graft.sources.LakeMergeIntoCommand for the supported shape)
+    ext.injectPostHocResolutionRule(s => new graft.sources.LakeMergeIntoRule(s))
   }
 }

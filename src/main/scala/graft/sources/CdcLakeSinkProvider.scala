@@ -383,23 +383,43 @@ class LakeSnapshotRelation(
           s"cdc-lake INSERT: '${LakeTable.KeyCol}' and '${LakeTable.TsCol}' must be " +
             "non-null on every row (did the INSERT column list omit them?)")))
         .otherwise(col(LakeTable.TsCol)))
-    opened match {
-      case Left(pt) =>
-        val handle =
-          if (pt.isPartialTable)
-            new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
-              buckets, mergeMode = LakeTable.PartialMode)
-          else pt
-        handle.upsert(checked)
-      case Right(t) =>
-        val handle =
-          if (t.isPartialTable)
-            new LakeTable(ctx.sparkSession, path, buckets,
-              mergeMode = LakeTable.PartialMode)
-          else t
-        handle.upsert(checked)
-    }
+    mergeWrite(Some(checked), None)
   }
+
+  /** Mode-matched write handle: a stored partial table gets a
+    * mergeMode=partial handle (manifest-inferred, both layouts) instead
+    * of tripping the loud mode guard.
+    */
+  private def writeHandle: Either[PartitionedLakeTable, LakeTable] = opened match {
+    case Left(pt) if pt.isPartialTable =>
+      Left(new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
+        buckets, mergeMode = LakeTable.PartialMode))
+    case Right(t) if t.isPartialTable =>
+      Right(new LakeTable(ctx.sparkSession, path, buckets,
+        mergeMode = LakeTable.PartialMode))
+    case other => other
+  }
+
+  /** The plain-table handle for exact key-membership probes (MERGE INTO's
+    * update-only / insert-only split); None on partitioned layouts. */
+  private[sources] def plainTableForProbe: Option[LakeTable] =
+    opened.toOption
+
+  /** Native-write dispatch shared by SQL INSERT INTO and MERGE INTO:
+    * upserts and deletes land in ONE `merge` commit when both are
+    * present (upsert-then-delete-in-one-batch stays consistent), through
+    * a mode-matched handle.
+    */
+  private[sources] def mergeWrite(ups: Option[DataFrame], dels: Option[DataFrame]): Unit =
+    (ups, dels) match {
+      case (Some(u), Some(d)) =>
+        writeHandle.fold(_.merge(u, d), _.merge(u, d))
+      case (Some(u), None) =>
+        writeHandle.fold(_.upsert(u), _.upsert(u))
+      case (None, Some(d)) =>
+        writeHandle.fold(_.delete(d), _.delete(d))
+      case (None, None) => ()
+    }
 }
 
 object CdcLakeSinkProvider {

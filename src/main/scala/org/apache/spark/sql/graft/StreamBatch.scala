@@ -35,6 +35,17 @@ object StreamBatch {
   }
 }
 
+/** LogicalPlan→DataFrame bridge (`Dataset.ofRows` is `private[sql]`) —
+  * lets a runnable command (the MERGE INTO rewrite) execute an analyzed
+  * source sub-plan through the public DataFrame API.
+  */
+object Plans {
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
+
 /** Column↔Expression bridge (`Column(expr)`/`col.expr` went internal in Spark 4). */
 object Exprs {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =

@@ -26,6 +26,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      // the production session shape: native SQL functions + the MERGE
+      // INTO post-hoc rule (LakeMergeIntoSpec exercises it through SQL)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
