@@ -155,8 +155,12 @@ object ScaleProbe {
     // well under 16^2; print the per-op factor table for BASELINE.md
     for (op <- Seq("jaccard", "minhash", "hamming", "dupgroups", "sharedsigs")) {
       val a = results((op, 1)); val b = results((op, 16))
+      // Locale.ROOT (a comma-decimal default locale would break the JSON
+      // line) and JSON null for an undefined ratio
       def f(k: String): String =
-        if (a(k) <= 0) "n/a" else "%.1f".format(b(k).toDouble / a(k))
+        if (a(k) <= 0) "null"
+        else String.format(java.util.Locale.ROOT, "%.1f",
+          java.lang.Double.valueOf(b(k).toDouble / a(k)))
       println(s"""{"op":"$op","factor16":{"wall":${f("wall_ms")},""" +
         s""""shuffle_write":${f("shuffle_write_b")},"tasks":${f("tasks")}}}""")
     }

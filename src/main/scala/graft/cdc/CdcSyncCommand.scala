@@ -430,10 +430,21 @@ object CdcSyncCommand {
       "hoodie.datasource.hive_sync.table",
       cfg.extras.getOrElse("hoodie.table.name", cfg.table))
     val ident = s"`$db`.`$tbl`"
+    // Writer config rides the registration (code-review r16 #5): SQL
+    // INSERT/MERGE open their write handle from these OPTIONS — without
+    // them a SQL write would strip stats sidecars / Z-clustering / the
+    // MOR delta path from every bucket it touches.
+    val writerOpts = Seq(
+      "filesPerBucket" -> (if (cfg.filesPerBucket != 1) cfg.filesPerBucket.toString else ""),
+      "zorderBy" -> cfg.zorderFields.mkString(","),
+      "tableType" -> (if (cfg.tableType != graft.lake.LakeTable.CowType) cfg.tableType else ""),
+      "compactAfter" -> (if (cfg.compactDeltas != 8) cfg.compactDeltas.toString else ""),
+      "statsColumns" -> cfg.statsColumns.mkString(","))
+      .collect { case (k, v) if v.nonEmpty => s", $k '$v'" }.mkString
     def create(): Unit = spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $ident
          |USING `${graft.sources.CdcLakeSinkProvider.ShortName}`
-         |OPTIONS (path '${cfg.path}', buckets '${cfg.numBuckets}')""".stripMargin)
+         |OPTIONS (path '${cfg.path}', buckets '${cfg.numBuckets}'$writerOpts)""".stripMargin)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     if (!spark.catalog.tableExists(db, tbl)) create()
     else {

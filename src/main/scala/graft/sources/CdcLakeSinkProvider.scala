@@ -364,40 +364,46 @@ class LakeSnapshotRelation(
       "cdc-lake INSERT OVERWRITE is not supported — INSERT INTO runs the " +
         "native LWW upsert; for truncate-and-load use delete + upsert or restoreTo")
     require(
-      requestedVersion.isEmpty && requestedTimestamp.isEmpty && !readOptimized,
-      "cannot INSERT INTO a time-travel or read-optimized cdc-lake relation")
-    require(
       data.columns.contains(LakeTable.KeyCol) && data.columns.contains(LakeTable.TsCol),
       s"cdc-lake INSERT needs the lake contract columns " +
         s"('${LakeTable.KeyCol}', '${LakeTable.TsCol}') — got ${data.columns.mkString(",")}")
-    // A column-list INSERT that omits `_key`/`_ts` passes analysis with
-    // NULL fills — which would silently merge every such row into one
-    // null-key LWW group. Guard IN the plan (codegen'd, no extra pass):
-    // evaluating `_ts` on a null-key/null-ts row raises instead.
-    import org.apache.spark.sql.functions.{raise_error, when}
-    val checked = data.withColumn(
-      LakeTable.TsCol,
-      when(
-        col(LakeTable.KeyCol).isNull || col(LakeTable.TsCol).isNull,
-        raise_error(lit(
-          s"cdc-lake INSERT: '${LakeTable.KeyCol}' and '${LakeTable.TsCol}' must be " +
-            "non-null on every row (did the INSERT column list omit them?)")))
-        .otherwise(col(LakeTable.TsCol)))
-    mergeWrite(Some(checked), None)
+    // time-travel/read-optimized rejection and the in-plan null-contract
+    // guard live in mergeWrite (shared with MERGE INTO)
+    mergeWrite(Some(data), None)
   }
 
-  /** Mode-matched write handle: a stored partial table gets a
-    * mergeMode=partial handle (manifest-inferred, both layouts) instead
-    * of tripping the loud mode guard.
+  /** Config-matched write handle (code-review r16 #5): SQL writes must
+    * not strip the table's writer configuration — a default handle would
+    * drop statsColumns (the COW commit DELETES a touched bucket's stats
+    * entry when its handle records none), Z-clustering, the MOR delta
+    * path, and bloom sidecars. The relation's OPTIONS carry them
+    * (`syncCatalog` registers each from the CDC TableConfig, and ad-hoc
+    * `CREATE TABLE ... USING cdc-lake` can set them directly);
+    * mergeMode is inferred from the stored manifest like every reader.
     */
-  private def writeHandle: Either[PartitionedLakeTable, LakeTable] = opened match {
-    case Left(pt) if pt.isPartialTable =>
-      Left(new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
-        buckets, mergeMode = LakeTable.PartialMode))
-    case Right(t) if t.isPartialTable =>
-      Right(new LakeTable(ctx.sparkSession, path, buckets,
-        mergeMode = LakeTable.PartialMode))
-    case other => other
+  private def writeHandle: Either[PartitionedLakeTable, LakeTable] = {
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val fpb = parameters.get("filesPerBucket").map(_.toInt).getOrElse(1)
+    val zo = csv("zorderBy")
+    val blm = parameters.get("bloomOnWrite").forall(_.toBoolean)
+    val tt = parameters.getOrElse("tableType", LakeTable.CowType)
+    val ca = parameters.get("compactAfter").map(_.toInt).getOrElse(8)
+    val sc = csv("statsColumns")
+    def mm(partial: Boolean): String =
+      if (partial) LakeTable.PartialMode else LakeTable.OverwriteMode
+    opened match {
+      case Left(pt) =>
+        Left(new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
+          buckets, filesPerBucket = fpb, bloomOnWrite = blm, zorderBy = zo,
+          tableType = tt, compactAfter = ca, mergeMode = mm(pt.isPartialTable),
+          statsColumns = sc))
+      case Right(t) =>
+        Right(new LakeTable(ctx.sparkSession, path, buckets,
+          filesPerBucket = fpb, zorderBy = zo, bloomOnWrite = blm,
+          tableType = tt, compactAfter = ca, mergeMode = mm(t.isPartialTable),
+          statsColumns = sc))
+    }
   }
 
   /** The plain-table handle for exact key-membership probes (MERGE INTO's
@@ -408,10 +414,28 @@ class LakeSnapshotRelation(
   /** Native-write dispatch shared by SQL INSERT INTO and MERGE INTO:
     * upserts and deletes land in ONE `merge` commit when both are
     * present (upsert-then-delete-in-one-batch stays consistent), through
-    * a mode-matched handle.
+    * a mode-matched handle. Centralizes the write guards (code-review
+    * r16 #2/#4): no writes through a pinned time-travel or
+    * read-optimized relation, and no null contract columns — an
+    * in-plan raise_error on the `_ts` projection (a NULL-filled INSERT
+    * column list, or a MERGE whose ON expression evaluates null, would
+    * otherwise silently collapse rows into one null-key LWW group).
     */
-  private[sources] def mergeWrite(ups: Option[DataFrame], dels: Option[DataFrame]): Unit =
-    (ups, dels) match {
+  private[sources] def mergeWrite(ups: Option[DataFrame], dels: Option[DataFrame]): Unit = {
+    require(
+      requestedVersion.isEmpty && requestedTimestamp.isEmpty && !readOptimized,
+      "cannot write through a time-travel or read-optimized cdc-lake relation")
+    import org.apache.spark.sql.functions.{raise_error, when}
+    val guarded = ups.map(u => u.withColumn(
+      LakeTable.TsCol,
+      when(
+        col(LakeTable.KeyCol).isNull || col(LakeTable.TsCol).isNull,
+        raise_error(lit(
+          s"cdc-lake write: '${LakeTable.KeyCol}' and '${LakeTable.TsCol}' must be " +
+            "non-null on every row (NULL-filled INSERT column list, or a MERGE ON " +
+            "expression that evaluates null?)")))
+        .otherwise(col(LakeTable.TsCol))))
+    (guarded, dels) match {
       case (Some(u), Some(d)) =>
         writeHandle.fold(_.merge(u, d), _.merge(u, d))
       case (Some(u), None) =>
@@ -420,6 +444,7 @@ class LakeSnapshotRelation(
         writeHandle.fold(_.delete(d), _.delete(d))
       case (None, None) => ()
     }
+  }
 }
 
 object CdcLakeSinkProvider {

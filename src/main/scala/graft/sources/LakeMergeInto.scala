@@ -57,8 +57,13 @@ import graft.lake.LakeTable
   */
 class LakeMergeIntoRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // m.resolved, not childrenResolved (code-review r16 #6): a merge
+    // whose conditions/assignments still hold unresolved attributes must
+    // stay a MergeIntoTable so checkAnalysis reports the proper
+    // column-not-found error — wrapping it in a resolved leaf command
+    // would smuggle the unresolved expressions past the analyzer.
     case m: MergeIntoTable
-        if m.childrenResolved && LakeMergeInto.targetRelation(m.targetTable).isDefined =>
+        if m.resolved && LakeMergeInto.targetRelation(m.targetTable).isDefined =>
       LakeMergeIntoCommand(m)
   }
 }
@@ -166,36 +171,61 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         ma.forall { case (k, v) => v.canonicalized == mb(k).canonicalized }
     }
 
-    // the delete split: condition rows' keys delete; the rest upsert
-    val delKeys: Option[DataFrame] = deleteCond.map { c =>
-      val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
-      rows.select(keyCol.as(LakeTable.KeyCol))
-    }
-    val upsSrc: DataFrame =
-      deleteCond.flatten.map(c => srcDf.filter(!Exprs.column(c))).getOrElse(srcDf)
-
-    def probeSplit(frame: DataFrame, wantMatched: Boolean): DataFrame = {
+    // SQL-faithful matched-ness (code-review r16 #1/#3): WHEN MATCHED /
+    // NOT MATCHED branch membership is decided by the EXACT distributed
+    // key probe ([[LakeTable.probeKeys]] — bloom-pruned, verified). The
+    // only probe-free path is the canonical SET */INSERT * merge WITHOUT
+    // a delete branch, where matched and unmatched rows take the same
+    // assignments and LWW upsert needs no split. Everything else —
+    // delete branches (a delete-condition row that is NOT matched must
+    // fall through to INSERT, and an unconditional matched DELETE must
+    // not swallow the same commit's inserts) and single-action merges —
+    // splits the source first; partitioned tables don't expose the probe
+    // and fail loudly.
+    lazy val (matchedSrc, unmatchedSrc): (DataFrame, DataFrame) = {
       val table = rel.plainTableForProbe.getOrElse(fail(
-        "UPDATE-only / INSERT-only merges need the exact key-membership probe, " +
-          "which partitioned tables do not expose — add the other branch " +
-          "(SET * / INSERT *) or use the DataFrame API"))
-      val existing = table.probeKeys(frame.select(LakeTable.KeyCol))
-      frame.join(existing, Seq(LakeTable.KeyCol),
-        if (wantMatched) "left_semi" else "left_anti")
+        "this merge shape needs the exact key-membership probe (WHEN MATCHED " +
+          "semantics), which partitioned tables do not expose — use the " +
+          "canonical SET * / INSERT * shape without a DELETE branch, or the " +
+          "DataFrame API"))
+      val existing = table.probeKeys(srcDf.select(keyCol.as(LakeTable.KeyCol)))
+      (srcDf.join(existing, keyCol === existing(LakeTable.KeyCol), "left_semi"),
+        srcDf.join(existing, keyCol === existing(LakeTable.KeyCol), "left_anti"))
     }
+    // matched rows routed to DELETE, and the matched remainder for UPDATE
+    lazy val delRows: DataFrame = deleteCond.get match {
+      case Some(c) => matchedSrc.filter(Exprs.column(c))
+      case None => matchedSrc
+    }
+    lazy val updSrc: DataFrame = deleteCond match {
+      case Some(Some(c)) => matchedSrc.filter(!Exprs.column(c))
+      case Some(None) => matchedSrc.limit(0) // everything matched deletes
+      case None => matchedSrc
+    }
+    val delKeys: Option[DataFrame] =
+      deleteCond.map(_ => delRows.select(keyCol.as(LakeTable.KeyCol)))
 
     (update, insert) match {
       case (Some(u), Some(i)) =>
         if (!equivalent(u, i)) fail(
           "UPDATE and INSERT assignments must be equivalent (the SET * / INSERT * " +
             "shape) — per-branch differing assignments are not supported")
-        rel.mergeWrite(Some(frameFor(i, upsSrc)), delKeys)
+        if (deleteCond.isEmpty)
+          rel.mergeWrite(Some(frameFor(i, srcDf)), None) // probe-free LWW fast path
+        else
+          rel.mergeWrite(Some(frameFor(i, updSrc.unionByName(unmatchedSrc))), delKeys)
       case (Some(u), None) =>
-        rel.mergeWrite(Some(probeSplit(frameFor(u, upsSrc), wantMatched = true)), delKeys)
+        rel.mergeWrite(Some(frameFor(u, updSrc)), delKeys)
       case (None, Some(i)) =>
-        rel.mergeWrite(Some(probeSplit(frameFor(i, upsSrc), wantMatched = false)), delKeys)
+        rel.mergeWrite(Some(frameFor(i, unmatchedSrc)), delKeys)
       case (None, None) =>
-        rel.mergeWrite(None, delKeys)
+        // delete-only: no probe needed — absent keys are a bloom-pruned
+        // no-op and nothing is inserted in the same commit
+        rel.mergeWrite(None,
+          deleteCond.map { c =>
+            val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
+            rows.select(keyCol.as(LakeTable.KeyCol))
+          })
     }
     Seq.empty
   }

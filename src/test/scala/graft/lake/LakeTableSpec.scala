@@ -1885,6 +1885,28 @@ class LakeTableSpec extends SparkSpec {
       "post-fold base stats must cover the folded delta row (500)")
   }
 
+  test("SQL writes keep the table's writer config: stats sidecars survive an INSERT") {
+    // code-review r16 #5: a default write handle would DELETE a touched
+    // bucket's stats entry (the COW commit records stats only for the
+    // columns ITS handle names) — the catalog registration's OPTIONS
+    // carry the writer config and the SQL write handle honors it.
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = tempDir("lake-sqlstats-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 1, statsColumns = Seq("amount"))
+    lt.upsert(Seq(("a", 1L, 10L), ("b", 1L, 20L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    spark.sql(
+      s"""CREATE TABLE sqlstats_t USING `cdc-lake`
+         |OPTIONS (path '$dir', buckets '1', statsColumns 'amount')""".stripMargin)
+    spark.sql("INSERT INTO sqlstats_t (_key, _ts, amount) VALUES ('c', 2, 30)")
+    val m = lt.latestManifest().get
+    assert(m.statsFiles.contains(0),
+      "the SQL insert's commit must re-record the bucket's stats sidecar")
+    assert(lt.statsPrunedBuckets(m, Seq(GreaterThanOrEqual("amount", 100L))).isEmpty,
+      "post-insert stats must still prune an excluded range")
+    assert(lt.snapshot.count() === 3)
+  }
+
   test("delete-only delta commits keep stats pruning alive (r16 sentinel)") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull}
     // A pure-DELETE delta batch has no payload columns, so no sidecar can

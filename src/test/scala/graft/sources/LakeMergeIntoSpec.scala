@@ -47,15 +47,48 @@ class LakeMergeIntoSpec extends SparkSpec {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(state(t) === Map(
       "a" -> (5L, 11L), "b" -> (1L, 20L), "d" -> (5L, 40L)))
-    // replaying the merge is a plain LWW re-merge: same final state
+    // SQL-faithful replay: 'c' is now UNMATCHED, so its op='d' source row
+    // takes the NOT MATCHED branch and is INSERTED (the delete condition
+    // guards only the MATCHED branch — code-review r16 #3)
     spark.sql(
       s"""MERGE INTO $t t USING src1 s ON t._key = s._key
          |WHEN MATCHED AND s.op = 'd' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(state(t) === Map(
-      "a" -> (5L, 11L), "b" -> (1L, 20L), "d" -> (5L, 40L)))
+      "a" -> (5L, 11L), "b" -> (1L, 20L), "c" -> (5L, 0L), "d" -> (5L, 40L)))
   }
+
+  test("unconditional MATCHED DELETE + INSERT: matched delete, unmatched insert (r16 review #1)") {
+    val t = freshTable(Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    Seq(("a", 5L, 0L), ("n", 5L, 70L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+      .createOrReplaceTempView("srcud")
+    spark.sql(
+      s"""MERGE INTO $t t USING srcud s ON t._key = s._key
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // 'a' matched -> deleted; 'n' unmatched -> inserted (the same-commit
+    // delete set must NOT swallow it); 'b' untouched
+    assert(state(t) === Map("b" -> (1L, 20L), "n" -> (5L, 70L)))
+  }
+
+  test("a null ON-expression value fails loudly instead of merging a null-key group") {
+    val t = freshTable(Seq(("a", 1L, 10L)))
+    Seq((Option("a"), 5L, 11L), (Option.empty[String], 5L, 99L))
+      .toDF("id", "ts", "amt").createOrReplaceTempView("srcnull")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $t t USING srcnull s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _key = s.id, _ts = s.ts, amount = s.amt
+         |WHEN NOT MATCHED THEN INSERT (_key, _ts, amount) VALUES (s.id, s.ts, s.amt)"""
+        .stripMargin))
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("non-null"), msgs(e))
+    assert(state(t) === Map("a" -> (1L, 10L)))
+  }
+
 
   test("explicit equivalent assignments work; ON may equate a source expression") {
     val t = freshTable(Seq(("k1", 1L, 10L)))
