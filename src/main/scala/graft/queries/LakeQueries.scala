@@ -749,6 +749,70 @@ object LakeQueries {
           |                          ORDER BY ts DESC, event_id DESC) AS rn
           |FROM events) t
           |WHERE rn = 1 AND event_type <> 'error'
-          |ORDER BY user_id""".stripMargin))
+          |ORDER BY user_id""".stripMargin)),
+
+    // ---- SQL MERGE INTO over a catalog-registered lake table (r16) -----
+    // The GraftExtensions post-hoc rule (LakeMergeInto) routes the merge
+    // through the native ops with SQL-faithful branch membership: seed =
+    // orders with key%3==0; source = key%2==0 at a newer _ts with a
+    // delete flag on key%4==0. Expected (the oracle derives each class
+    // independently): matched & flagged (%12==0) delete; matched &
+    // unflagged (%6==0, %4!=0) update; UNMATCHED source rows insert
+    // regardless of the flag (the delete condition guards only the
+    // MATCHED branch — the r16 review's semantic pin); untouched seed
+    // rows (%3==0, %2!=0) carry through. Exercises the probe split, the
+    // single-commit merge, and the ON-derived routing end-to-end under
+    // the driver's DuckDB gate.
+    "q102_lake_sql_merge" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqlmerge")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"))
+        new LakeTable(spark, lakeDir, numBuckets = 4, bloomOnWrite = false)
+          .bulkInsert(seed)
+        val tbl = s"gq102_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+        try {
+          orders.filter(col("o_orderkey") % 2 === 0).select(
+            concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+            lit(2L).as(LakeTable.TsCol),
+            col("o_orderkey").as("okey"),
+            (col("o_totalprice") + lit(10.0)).as("amount"),
+            (col("o_orderkey") % 4 === 0).as("del"))
+            .createOrReplaceTempView(s"src_$tag")
+          spark.sql(
+            s"""MERGE INTO $tbl t USING src_$tag s ON t._key = s._key
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"src_$tag")
+        }
+        // read the lake PATH directly (the catalog entry is dropped)
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"), col("amount"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount FROM (
+          |  SELECT o_orderkey AS okey, CAST(1 AS BIGINT) AS ts,
+          |         o_totalprice AS amount
+          |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10
+          |  FROM orders
+          |  WHERE o_orderkey % 6 = 0 AND o_orderkey % 4 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10
+          |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+          |) t ORDER BY okey""".stripMargin))
   )
 }
