@@ -153,6 +153,13 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           s"assignment values may reference only source columns: ${a.value.sql}"))
       val mkv = as.map(a => nameOf(a.key) -> a.value).toMap
       if (mkv.size != as.size) fail("duplicate assignment targets")
+      // an explicit `_key` assignment differing from the ON expression
+      // would store rows under a DIFFERENT key than the one matched-ness
+      // was decided on — silent rekeying, rejected
+      mkv.get(LakeTable.KeyCol).foreach(v =>
+        if (v.canonicalized != srcKeyExpr.canonicalized) fail(
+          s"the '${LakeTable.KeyCol}' assignment must equal the ON expression " +
+            s"(${srcKeyExpr.sql}), got: ${v.sql}"))
       mkv
     }
     // Rows for one action's assignments over `from`; `_key` derives from
@@ -188,9 +195,17 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           "semantics), which partitioned tables do not expose — use the " +
           "canonical SET * / INSERT * shape without a DELETE branch, or the " +
           "DataFrame API"))
-      val existing = table.probeKeys(srcDf.select(keyCol.as(LakeTable.KeyCol)))
-      (srcDf.join(existing, keyCol === existing(LakeTable.KeyCol), "left_semi"),
-        srcDf.join(existing, keyCol === existing(LakeTable.KeyCol), "left_anti"))
+      // Materialize the source ONCE: the probe path evaluates it across
+      // several jobs (probeKeys' documented double-eval, the semi/anti
+      // splits, the delete and upsert frames) — a nondeterministic SQL
+      // source (rand(), a view over mutating data) would otherwise split
+      // inconsistently. Also the legitimate reuse-across-different-plan-
+      // shapes case for materialization (the r6 rule).
+      val stable = srcDf.localCheckpoint()
+      val keyColS = Exprs.column(srcKeyExpr)
+      val existing = table.probeKeys(stable.select(keyColS.as(LakeTable.KeyCol)))
+      (stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_semi"),
+        stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_anti"))
     }
     // matched rows routed to DELETE, and the matched remainder for UPDATE
     lazy val delRows: DataFrame = deleteCond.get match {
