@@ -439,7 +439,10 @@ object CdcSyncCommand {
       "zorderBy" -> cfg.zorderFields.mkString(","),
       "tableType" -> (if (cfg.tableType != graft.lake.LakeTable.CowType) cfg.tableType else ""),
       "compactAfter" -> (if (cfg.compactDeltas != 8) cfg.compactDeltas.toString else ""),
-      "statsColumns" -> cfg.statsColumns.mkString(","))
+      "statsColumns" -> cfg.statsColumns.mkString(","),
+      // bloom-disabled tables must not grow sidecars through SQL writes
+      // (ADVICE r16 — writeHandle defaults bloomOnWrite=true)
+      "bloomOnWrite" -> (if (!cfg.bloomEnable) "false" else ""))
       .collect { case (k, v) if v.nonEmpty => s", $k '$v'" }.mkString
     def create(): Unit = spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $ident

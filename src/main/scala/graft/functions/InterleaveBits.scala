@@ -79,5 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through the table's native merge/upsert/delete (r16; see
     // graft.sources.LakeMergeIntoCommand for the supported shape)
     ext.injectPostHocResolutionRule(s => new graft.sources.LakeMergeIntoRule(s))
+    // SQL DELETE FROM / UPDATE over the same v1 lake targets (r17; see
+    // graft.sources.LakeDmlRule for the supported shapes)
+    ext.injectPostHocResolutionRule(s => new graft.sources.LakeDmlRule(s))
   }
 }

@@ -1011,16 +1011,38 @@ final class LakeTable(
   def probeKeys(keys: DataFrame, atVersion: Option[Long] = None): DataFrame =
     atVersion.map(readManifest).orElse(latestManifest()) match {
       case None => keys.select(KeyCol).limit(0)
-      case Some(m) =>
-        val cand = bloomPrune(keys.select(KeyCol).distinct(), m)
-        // Candidate buckets: tiny driver collect (≤ numBuckets ints).
-        val wanted = cand.select(bucketOf(col(KeyCol)).as("_b")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (wanted.isEmpty) cand.limit(0)
-        else readBuckets(m, wanted)
-          .join(broadcastIfSmall(cand), Seq(KeyCol), "left_semi")
-          .select(KeyCol).distinct()
+      case Some(m) => matchingRows(keys, m).select(KeyCol).distinct()
     }
+
+  /** [[probeKeys]]'s row-returning sibling — the FULL stored rows whose
+    * `_key` appears in `keys`, through the same bloom-pruned
+    * candidate-bucket broadcast-semi shape (and the same determinism
+    * contract on `keys`). The read side of a read-modify-write: SQL
+    * MERGE's partial `UPDATE SET` lists compose assigned columns with
+    * the stored row instead of nulling what they omit (r17). Keys are
+    * unique in a snapshot (the upsert invariant), so no dedup is needed
+    * beyond the candidate set's own distinct. An empty (never-committed)
+    * table yields a zero-column empty frame — callers conform it to
+    * their schema.
+    */
+  def rowsForKeys(keys: DataFrame, atVersion: Option[Long] = None): DataFrame =
+    atVersion.map(readManifest).orElse(latestManifest()) match {
+      case None => spark.emptyDataFrame
+      case Some(m) => matchingRows(keys, m)
+    }
+
+  /** Shared probe core: bloom-prune the key set, scan only the buckets
+    * surviving candidates hash to, semi-join the (broadcast) candidates.
+    */
+  private def matchingRows(keys: DataFrame, m: Manifest): DataFrame = {
+    val cand = bloomPrune(keys.select(KeyCol).distinct(), m)
+    // Candidate buckets: tiny driver collect (≤ numBuckets ints).
+    val wanted = cand.select(bucketOf(col(KeyCol)).as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (wanted.isEmpty) readBuckets(m, Set.empty).limit(0)
+    else readBuckets(m, wanted)
+      .join(broadcastIfSmall(cand), Seq(KeyCol), "left_semi")
+  }
 
   /** Broadcast hint only when the optimizer's size estimate fits under the
     * session's autoBroadcastJoinThreshold. Delete key sets and

@@ -97,13 +97,52 @@ final class PartitionedLakeTable(
         compactAfter = compactAfter, mergeMode = mergeMode,
         statsColumns = statsColumns))
 
-  /** True iff the STORED table is mergeMode=partial — any committed
+  /** True iff the STORED table is mergeMode=partial — a committed
     * partition's manifest schema carries `_pts` (partitions share one
     * logical mode: the CDC sink writes them all under one table config).
-    * Same purpose as [[LakeTable.isPartialTable]] (r16).
+    * Same purpose as [[LakeTable.isPartialTable]] (r16). Mixed state
+    * (e.g. `latchPartial` applied to only some partitions) fails LOUDLY
+    * instead of routing writes with an arbitrary first partition's mode
+    * (ADVICE r16): the probe reads one tiny manifest per partition.
     */
-  def isPartialTable: Boolean =
-    partitions.headOption.exists(v => partitionTable(v).isPartialTable)
+  def isPartialTable: Boolean = {
+    val modes = partitions.map(v => v -> partitionTable(v).isPartialTable)
+    modes.map(_._2).distinct match {
+      case Seq() => false
+      case Seq(one) => one
+      case _ =>
+        val (p, o) = modes.partition(_._2)
+        throw new IllegalStateException(
+          s"mixed merge modes across partitions at $basePath — partial: " +
+            s"${p.map(_._1).mkString(",")}; overwrite: ${o.map(_._1).mkString(",")}. " +
+            "Run latchPartial on the stragglers (or restore) before writing.")
+    }
+  }
+
+  /** Exact key-membership probe across the whole table — the union of
+    * per-partition [[LakeTable.probeKeys]] probes (r17, for SQL MERGE's
+    * branch split on partitioned targets). `_key` identity is GLOBAL
+    * (same contract as the key-only [[delete]] fan-out): every committed
+    * partition is probed, but each probe bloom-prunes the key set first,
+    * so partitions provably holding none of the keys scan nothing.
+    * Same determinism contract on `keys` as the plain probe.
+    */
+  def probeKeys(keys: DataFrame): DataFrame =
+    partitions.map(v => partitionTable(v).probeKeys(keys)) match {
+      case Seq() => keys.select(LakeTable.KeyCol).limit(0)
+      case head +: tail => tail.foldLeft(head)(_.unionByName(_)).distinct()
+    }
+
+  /** [[probeKeys]]'s row-returning sibling (see
+    * [[LakeTable.rowsForKeys]]): full stored rows for the key set, the
+    * partition value re-attached — so a read-modify-write caller (SQL
+    * MERGE partial UPDATE) sees exactly what a snapshot read would, and
+    * delete routing can take the TARGET row's partition value.
+    */
+  def rowsForKeys(keys: DataFrame): DataFrame = {
+    val ps = partitions
+    assemble(ps.map(v => v -> partitionTable(v).rowsForKeys(keys)), ps, None)
+  }
 
   /** Existing partition values (committed only). */
   def partitions: Seq[String] =

@@ -21,10 +21,25 @@ import graft.lake.LakeTable
 object LakeQueries {
 
   /** Fresh table dir per invocation (results are deterministic; the dir is
-    * throwaway scratch, never an input).
+    * throwaway scratch, never an input). Deleted at JVM exit (ADVICE r16:
+    * Bench/Verify run each query at least twice and the warm run's lazy
+    * plan must outlive the timed run, so exit-time is the earliest safe
+    * point — the q98 hygiene pattern).
     */
-  private def scratchDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag-").toString + "/" + UUID.randomUUID().toString.take(8)
+  private def scratchDir(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft-$tag-")
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      try rm(root) catch { case _: java.io.IOException => () }
+    }
+    root.toString + "/" + UUID.randomUUID().toString.take(8)
+  }
 
   private val lwwOracle =
     """SELECT user_id, event_id, event_type, value
@@ -813,6 +828,127 @@ object LakeQueries {
           |  UNION ALL
           |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10
           |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+          |) t ORDER BY okey""".stripMargin)),
+
+    // ---- SQL MERGE INTO with conditional branches + per-branch
+    // assignments + read-modify-write (r17) --------------------------
+    // First-match routing over the probe split: matched rows with
+    // delta>=50 ACCUMULATE into the stored amount (two-sided UPDATE
+    // value), 10<=delta<50 overwrite it, delta<10 match NO action and
+    // carry UNTOUCHED; unmatched rows insert only when delta>=25. Both
+    // UPDATE branches assign a PARTIAL column list — `note` and `okey`
+    // survive through the read-modify-write join (the ADVICE r16 fix:
+    // unassigned columns must never silently null). The oracle derives
+    // every class independently in DuckDB.
+    "q103_lake_sql_merge_cond" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqlmergec")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"),
+          lit("seed").as("note"))
+        new LakeTable(spark, lakeDir, numBuckets = 4, bloomOnWrite = false)
+          .bulkInsert(seed)
+        val tbl = s"gq103_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+        try {
+          orders.filter(col("o_orderkey") % 2 === 0).select(
+            concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+            lit(2L).as(LakeTable.TsCol),
+            col("o_orderkey").as("okey"),
+            (col("o_orderkey") % 100).as("delta"))
+            .createOrReplaceTempView(s"src_$tag")
+          spark.sql(
+            s"""MERGE INTO $tbl t USING src_$tag s ON t._key = s._key
+               |WHEN MATCHED AND s.delta >= 50 THEN
+               |  UPDATE SET _ts = s._ts, amount = t.amount + s.delta
+               |WHEN MATCHED AND s.delta >= 10 THEN
+               |  UPDATE SET _ts = s._ts, amount = CAST(s.delta AS DOUBLE)
+               |WHEN NOT MATCHED AND s.delta >= 25 THEN
+               |  INSERT (_key, _ts, okey, amount, note)
+               |  VALUES (s._key, s._ts, s.okey, CAST(s.delta AS DOUBLE), 'new')"""
+              .stripMargin)
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"src_$tag")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"), col("amount"), col("note"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount, note FROM (
+          |  SELECT o_orderkey AS okey, CAST(2 AS BIGINT) AS ts,
+          |         o_totalprice + (o_orderkey % 100) AS amount, 'seed' AS note
+          |  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 100 >= 50
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT),
+          |         CAST(o_orderkey % 100 AS DOUBLE), 'seed'
+          |  FROM orders
+          |  WHERE o_orderkey % 6 = 0
+          |    AND o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(1 AS BIGINT), o_totalprice, 'seed'
+          |  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 100 < 10
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(1 AS BIGINT), o_totalprice, 'seed'
+          |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT),
+          |         CAST(o_orderkey % 100 AS DOUBLE), 'new'
+          |  FROM orders
+          |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+          |    AND o_orderkey % 100 >= 25
+          |) t ORDER BY okey""".stripMargin)),
+
+    // ---- SQL UPDATE + DELETE FROM over a catalog-synced lake (r17) --
+    // The LakeDmlRule routes both statements through the native
+    // upsert/delete: UPDATE projects the assignments over the filtered
+    // snapshot (unassigned columns carry — free read-modify-write, `_ts`
+    // assigned here so the LWW ordering is explicit), DELETE
+    // scan-filters its predicate to keys and bloom-prunes the dispatch.
+    "q104_lake_sql_dml" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqldml")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"))
+        new LakeTable(spark, lakeDir, numBuckets = 4, bloomOnWrite = false)
+          .bulkInsert(seed)
+        val tbl = s"gq104_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+        try {
+          spark.sql(s"UPDATE $tbl SET amount = amount + 5, _ts = 2 WHERE okey % 5 = 0")
+          spark.sql(s"DELETE FROM $tbl WHERE okey % 7 = 0")
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"), col("amount"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount FROM (
+          |  SELECT o_orderkey AS okey, CAST(2 AS BIGINT) AS ts,
+          |         o_totalprice + 5 AS amount
+          |  FROM orders
+          |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(1 AS BIGINT), o_totalprice
+          |  FROM orders
+          |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
           |) t ORDER BY okey""".stripMargin))
   )
 }

@@ -406,10 +406,37 @@ class LakeSnapshotRelation(
     }
   }
 
-  /** The plain-table handle for exact key-membership probes (MERGE INTO's
-    * update-only / insert-only split); None on partitioned layouts. */
-  private[sources] def plainTableForProbe: Option[LakeTable] =
-    opened.toOption
+  /** Exact key-membership probe for MERGE INTO's branch split — both
+    * layouts (r17: partitioned = bloom-pruned union over partitions,
+    * global `_key` identity like the key-only delete fan-out). Probes
+    * LATEST state, like the write it gates.
+    */
+  private[sources] def probeExistingKeys(keys: DataFrame): DataFrame =
+    opened.fold(_.probeKeys(keys), _.probeKeys(keys))
+
+  /** Full target rows for a key set, conformed to the relation schema —
+    * the read side of MERGE's read-modify-write (partial `UPDATE SET`
+    * lists) and of target-referencing conditions/values; carries the
+    * partition column on partitioned layouts (delete routing takes the
+    * TARGET row's partition). Conforming matters on the empty-table edge
+    * (zero-column probe result) and pins the column set to the schema
+    * the merge resolved against.
+    */
+  private[sources] def targetRowsForKeys(keys: DataFrame): DataFrame =
+    conformed(opened.fold(_.rowsForKeys(keys), _.rowsForKeys(keys)))
+
+  /** The partition column when this relation is a partitioned layout. */
+  private[sources] def partitionColumn: Option[String] =
+    opened.left.toOption.map(_.partitionCol)
+
+  /** The LATEST stored user-facing schema (fresh manifest read, not the
+    * relation's pinned one) — SQL write commands compare it with the
+    * catalog entry after a write and re-register on widening, the same
+    * contract the CDC catalog sync keeps (a stale catalog schema makes
+    * every later read fail on the user-specified-vs-actual mismatch).
+    */
+  private[sources] def latestUserSchema: StructType =
+    opened.fold(_.snapshot.schema, _.snapshot.schema)
 
   /** Native-write dispatch shared by SQL INSERT INTO and MERGE INTO:
     * upserts and deletes land in ONE `merge` commit when both are
@@ -425,6 +452,13 @@ class LakeSnapshotRelation(
     require(
       requestedVersion.isEmpty && requestedTimestamp.isEmpty && !readOptimized,
       "cannot write through a time-travel or read-optimized cdc-lake relation")
+    // Loud contract error BEFORE building the raise_error projection
+    // (ADVICE r16): a MERGE/INSERT whose assignments omit the contract
+    // columns would otherwise die on a generic unresolved-column message.
+    ups.foreach(u => require(
+      u.columns.contains(LakeTable.KeyCol) && u.columns.contains(LakeTable.TsCol),
+      s"cdc-lake write needs the lake contract columns ('${LakeTable.KeyCol}', " +
+        s"'${LakeTable.TsCol}') on every upserted row — got ${u.columns.mkString(",")}"))
     import org.apache.spark.sql.functions.{raise_error, when}
     val guarded = ups.map(u => u.withColumn(
       LakeTable.TsCol,
@@ -441,7 +475,14 @@ class LakeSnapshotRelation(
       case (Some(u), None) =>
         writeHandle.fold(_.upsert(u), _.upsert(u))
       case (None, Some(d)) =>
-        writeHandle.fold(_.delete(d), _.delete(d))
+        // Partition-routed when the key set carries the partition column
+        // (MERGE takes it from the TARGET row) — only the named
+        // partitions dispatch; otherwise the global bloom-pruned fan-out.
+        writeHandle.fold(
+          pt =>
+            if (d.columns.contains(pt.partitionCol)) pt.deleteRouted(d)
+            else pt.delete(d.select(LakeTable.KeyCol)),
+          _.delete(d))
       case (None, None) => ()
     }
   }

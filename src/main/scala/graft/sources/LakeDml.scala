@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.{Exprs, Plans}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+
+/** SQL `DELETE FROM` / `UPDATE` for catalog-synced cdc-lake tables (r17 —
+  * the remaining everyday SQL write shapes after r16's INSERT INTO +
+  * MERGE INTO). Same pattern as [[LakeMergeIntoRule]]: Spark resolves
+  * both logical plans for any relation but rewrites them only for DSv2
+  * row-level-op tables (a v1 target fails checkAnalysis), so this
+  * post-hoc rule replaces the resolved plan with a command routing
+  * through the table's NATIVE delete/upsert — identical state to the
+  * DataFrame path (commit protocol, blooms, stats, MOR deltas, widening).
+  *
+  *  - `DELETE FROM t WHERE _key = 'k'` / `_key IN (...)` never scans:
+  *    the literal keys go straight to the bloom-pruned native delete.
+  *  - Any other predicate runs ONE snapshot scan filtered to the doomed
+  *    keys — and the v1 relation's own pushdown applies, so a predicate
+  *    on the partition column opens only those partitions and key
+  *    predicates take the lookup route. Partitioned deletes route by the
+  *    scanned row's partition value (no global fan-out).
+  *  - `UPDATE t SET c = expr [WHERE p]` = filtered snapshot + assignment
+  *    projection, upserted. Unassigned columns keep their scanned values
+  *    (free read-modify-write — the scan IS the target row), `_ts`
+  *    unassigned keeps the stored value (the update still wins: incoming
+  *    beats stored on equal `_ts`), values may reference any target
+  *    column (`SET amount = amount + 1`). Store-assignment casts unwrap
+  *    to the lake's widening contract like MERGE (long→int, double→
+  *    float). Rejected loudly: `_key` reassignment (rekeying — use
+  *    delete + insert) and partition-column assignment (a row's
+  *    partition is its placement; move explicitly).
+  */
+class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // resolved, not childrenResolved — same analyzer contract as
+    // LakeMergeIntoRule (unresolved conditions/assignments must keep
+    // failing in checkAnalysis with the proper error)
+    case d: DeleteFromTable
+        if d.resolved && LakeMergeInto.targetRelation(d.table).isDefined =>
+      LakeDeleteFromCommand(d)
+    case u: UpdateTable
+        if u.resolved && LakeMergeInto.targetRelation(u.table).isDefined =>
+      LakeUpdateCommand(u)
+  }
+}
+
+case class LakeDeleteFromCommand(d: DeleteFromTable) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(d)
+
+  /** Literal string keys when the WHERE is exactly a `_key` equality/IN
+    * over literals — the scan-free fast path. None = general predicate.
+    */
+  private def literalKeys(c: Expression, tOut: Set[String]): Option[Seq[String]] = {
+    def str(l: Literal): Option[String] = l.value match {
+      case s: UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    c match {
+      case EqualTo(a: Attribute, l: Literal)
+          if a.name == LakeTable.KeyCol && l.dataType == StringType =>
+        str(l).map(Seq(_))
+      case EqualTo(l: Literal, a: Attribute)
+          if a.name == LakeTable.KeyCol && l.dataType == StringType =>
+        str(l).map(Seq(_))
+      case In(a: Attribute, vs)
+          if a.name == LakeTable.KeyCol && vs.nonEmpty &&
+            vs.forall(v => v.isInstanceOf[Literal] && v.dataType == StringType) =>
+        val keys = vs.map(v => str(v.asInstanceOf[Literal]))
+        if (keys.forall(_.isDefined)) Some(keys.map(_.get)) else None
+      case _ => None
+    }
+  }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val rel = LakeMergeInto.targetRelation(d.table).get
+    import session.implicits._
+    literalKeys(d.condition, Set.empty) match {
+      case Some(keys) =>
+        // scan-free: literal keys -> bloom-pruned native delete (global
+        // fan-out on partitioned tables, each partition bloom-pruned)
+        rel.mergeWrite(None,
+          Some(keys.toDF(LakeTable.KeyCol)))
+      case None =>
+        val snapshot = Plans.ofRows(session, d.table)
+        val rows = snapshot.filter(Exprs.column(d.condition))
+        val keyCols = org.apache.spark.sql.functions.col(LakeTable.KeyCol) +:
+          rel.partitionColumn.map(org.apache.spark.sql.functions.col).toSeq
+        rel.mergeWrite(None, Some(rows.select(keyCols: _*)))
+    }
+    LakeMergeInto.syncCatalogSchema(session, rel, d.table)
+    Seq.empty
+  }
+}
+
+case class LakeUpdateCommand(u: UpdateTable) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(u)
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"cdc-lake UPDATE: $msg")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val rel = LakeMergeInto.targetRelation(u.table).get
+    val targetCols: Seq[Attribute] = u.table.output
+    val targetType = targetCols.map(a => a.name -> a.dataType).toMap
+    val partitionCol = rel.partitionColumn
+
+    def nameOf(k: Expression): String = k match {
+      case a: Attribute => a.name
+      case other => fail(s"only top-level column assignment keys are supported: ${other.sql}")
+    }
+    // Same widening unwrap as MERGE (see LakeMergeIntoCommand): Spark's
+    // resolveAssignments pre-narrows wider values to the stored type.
+    def unwiden(key: String, v: Expression): Expression = v match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if targetType.get(key).contains(c.dataType) &&
+            ((c.child.dataType == org.apache.spark.sql.types.LongType &&
+              c.dataType == org.apache.spark.sql.types.IntegerType) ||
+              (c.child.dataType == org.apache.spark.sql.types.DoubleType &&
+                c.dataType == org.apache.spark.sql.types.FloatType)) => c.child
+      case _ => v
+    }
+    val mkv: Map[String, Expression] =
+      u.assignments.map(a => nameOf(a.key) -> unwiden(nameOf(a.key), a.value)).toMap
+    if (mkv.size != u.assignments.size) fail("duplicate assignment targets")
+    if (mkv.contains(LakeTable.KeyCol)) fail(
+      s"'${LakeTable.KeyCol}' cannot be reassigned (rekeying) — delete + insert explicitly")
+    partitionCol.foreach(p => if (mkv.contains(p)) fail(
+      s"the partition column '$p' cannot be reassigned (a row's partition is its " +
+        "placement) — delete + insert explicitly"))
+
+    val snapshot = Plans.ofRows(session, u.table)
+    val rows = u.condition match {
+      case Some(c) => snapshot.filter(Exprs.column(c))
+      case None => snapshot
+    }
+    // Free read-modify-write: the filtered scan IS the stored row, so
+    // unassigned columns project straight through (their attributes
+    // resolve by exprId against u.table's output).
+    val cols = targetCols.map { a =>
+      mkv.get(a.name) match {
+        case Some(v) => Exprs.column(v).as(a.name)
+        case None => Exprs.column(a).as(a.name)
+      }
+    }
+    rel.mergeWrite(Some(rows.select(cols: _*)), None)
+    LakeMergeInto.syncCatalogSchema(session, rel, u.table)
+    Seq.empty
+  }
+}

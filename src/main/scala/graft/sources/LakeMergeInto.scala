@@ -1,20 +1,24 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
 import org.apache.spark.sql.graft.{Exprs, Plans}
 
 import graft.lake.LakeTable
 
-/** SQL `MERGE INTO` for catalog-synced cdc-lake tables (r16 — with the
-  * r16 `INSERT INTO` this closes the practical SQL write surface that
-  * was deferred in r11 when a DSv2 reader proved unable to carry the
-  * lake's exchange-bearing merge plans; commands don't have that
-  * limitation).
+/** SQL `MERGE INTO` for catalog-synced cdc-lake tables (r16, branches
+  * generalized r17 — with SQL `INSERT INTO` / `DELETE FROM` / `UPDATE`
+  * this closes the practical SQL write surface that was deferred in r11
+  * when a DSv2 reader proved unable to carry the lake's exchange-bearing
+  * merge plans; commands don't have that limitation).
   *
   * Spark parses and RESOLVES `MergeIntoTable` for any relation (star
   * actions expand to column-by-name assignments in ResolveReferences)
@@ -32,28 +36,39 @@ import graft.lake.LakeTable
   *
   * {{{
   * MERGE INTO t USING s ON t._key = <source key expr>
-  *   [WHEN MATCHED AND <cond> THEN DELETE]
-  *   [WHEN MATCHED THEN UPDATE SET ...]
-  *   [WHEN NOT MATCHED THEN INSERT ...]
+  *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET ... | DELETE]...
+  *   [WHEN NOT MATCHED [AND <cond>] THEN INSERT ...]...
   * }}}
   *
-  *  - UPDATE + INSERT with EQUIVALENT assignments (the `SET *` /
-  *    `INSERT *` canonical CDC shape) run as ONE LWW upsert of the
-  *    source (delete-condition rows split out; update+delete land in a
-  *    single `merge` commit). Last-write-wins by `_ts` is the lake's
-  *    merge semantic — a stale `_ts` loses, exactly like the DataFrame
-  *    path (Hudi's precombine contract for its spark-sql MERGE).
-  *  - UPDATE-only (no INSERT) and INSERT-only (no UPDATE) need real
-  *    matched-ness: the source is split by the EXACT distributed
-  *    key-membership probe ([[LakeTable.probeKeys]] — bloom-pruned,
-  *    verified; plain tables only) and only the relevant half is
-  *    upserted.
-  *  - DELETE-only deletes the condition's keys (bloom-pruned absent keys
-  *    are a no-op, so "matched" needs no probe).
-  *  - Differing UPDATE vs INSERT assignments, conditional UPDATE/INSERT,
-  *    `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`, non-`_key`
-  *    or non-equality ON conditions, and nested-field assignment keys
-  *    are all rejected loudly.
+  *  - Standard SQL first-match action routing: for each MATCHED source
+  *    row the FIRST matched action whose condition holds applies (a null
+  *    condition is a non-match); a matched row matching NO action is NOT
+  *    written — it carries through unchanged. Unmatched rows take the
+  *    first INSERT whose condition holds, or nothing. Matched conditions
+  *    and UPDATE values may reference BOTH sides (`t.amount + s.delta`);
+  *    INSERT conditions/values are source-only (there is no target row).
+  *  - Partial `UPDATE SET` lists are read-modify-write: unassigned
+  *    columns keep the TARGET row's values (the stored rows join in
+  *    through the bloom-pruned [[LakeTable.rowsForKeys]] probe), exactly
+  *    SQL UPDATE semantics — never silently nulled (ADVICE r16).
+  *  - Partial INSERT column lists put SQL's NULL in unassigned payload
+  *    columns; `_ts` must be assigned (the lake's precombine contract —
+  *    a null `_ts` has no place in LWW ordering) and `_key` derives from
+  *    the ON expression when unassigned.
+  *  - The canonical `SET * / INSERT *` equivalent full-coverage shape
+  *    WITHOUT a delete branch stays the probe-free LWW fast path: the
+  *    whole source upserts in one commit, stale `_ts` loses (Hudi's
+  *    precombine contract for its spark-sql MERGE). All split paths keep
+  *    the same LWW contract per branch frame.
+  *  - Partitioned tables are fully supported (r17):
+  *    [[graft.lake.PartitionedLakeTable.probeKeys]] decides matched-ness
+  *    globally, deletes route by the TARGET row's partition value, and a
+  *    matched UPDATE that would MOVE a row across partitions fails at
+  *    runtime (partition value is part of row placement; move = delete +
+  *    insert explicitly).
+  *  - `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`, non-`_key`
+  *    or non-equality ON conditions, nested-field assignment keys, and
+  *    `_key` reassignment differing from ON are rejected loudly.
   */
 class LakeMergeIntoRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -74,6 +89,25 @@ object LakeMergeInto {
       case lr: LogicalRelation if lr.relation.isInstanceOf[LakeSnapshotRelation] =>
         lr.relation.asInstanceOf[LakeSnapshotRelation]
     }
+
+  /** Re-register a catalog-backed lake target whose stored schema widened
+    * past the catalog entry (shared by MERGE INTO and the DML commands).
+    * No-op for path-only relations or when schemas already agree.
+    */
+  def syncCatalogSchema(
+      session: SparkSession, rel: LakeSnapshotRelation, target: LogicalPlan): Unit = {
+    val ctable = target.collectFirst {
+      case lr: LogicalRelation if lr.catalogTable.isDefined &&
+          lr.relation.isInstanceOf[LakeSnapshotRelation] => lr.catalogTable.get
+    }
+    ctable.foreach { ct =>
+      val latest = rel.latestUserSchema
+      if (latest.nonEmpty && latest != ct.dataSchema) {
+        session.sessionState.catalog.alterTableDataSchema(ct.identifier, latest)
+        session.catalog.refreshTable(ct.identifier.quotedString)
+      }
+    }
+  }
 }
 
 case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
@@ -81,6 +115,12 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"cdc-lake MERGE INTO: $msg")
+
+  /** Target columns live in the probe frame under this prefix, so a
+    * joined (source ⋈ target) row can evaluate two-sided expressions
+    * without name collisions.
+    */
+  private val TPref = "__graft_t_"
 
   override def run(session: SparkSession): Seq[Row] = {
     val rel = LakeMergeInto.targetRelation(m.targetTable).get
@@ -91,6 +131,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     def sourceOnly(e: Expression): Boolean = e.references.subsetOf(sOut)
+    def refsTarget(e: Expression): Boolean = e.references.exists(tOut.contains)
 
     // ON: exactly `t._key = <source expr>` (either side order)
     val srcKeyExpr: Expression = m.mergeCondition match {
@@ -109,49 +150,69 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           s"supported in ON, got: ${other.sql}")
     }
 
-    var update: Option[Seq[Assignment]] = None
-    var deleteCond: Option[Option[Expression]] = None
-    m.matchedActions.foreach {
-      case u: UpdateAction =>
-        if (u.condition.nonEmpty)
-          fail("conditional WHEN MATCHED ... UPDATE is not supported " +
-            "(only a DELETE action may carry a condition)")
-        if (update.nonEmpty) fail("at most one UPDATE action")
-        update = Some(u.assignments)
-      case d: DeleteAction =>
-        if (deleteCond.nonEmpty) fail("at most one DELETE action")
-        d.condition.foreach(c =>
-          if (!sourceOnly(c)) fail(
-            s"the DELETE condition may reference only source columns: ${c.sql}"))
-        deleteCond = Some(d.condition)
-      case other => fail(s"unsupported WHEN MATCHED action: $other")
-    }
-    if (update.isDefined && deleteCond.contains(None))
-      fail("an unconditional DELETE together with an UPDATE is ambiguous — " +
-        "give the DELETE a condition")
-    var insert: Option[Seq[Assignment]] = None
-    m.notMatchedActions.foreach {
-      case i: InsertAction =>
-        if (i.condition.nonEmpty) fail("conditional WHEN NOT MATCHED ... INSERT is not supported")
-        if (insert.nonEmpty) fail("at most one INSERT action")
-        insert = Some(i.assignments)
-      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
-    }
-    if (update.isEmpty && insert.isEmpty && deleteCond.isEmpty)
-      fail("no supported actions")
+    // Matched actions in DECLARATION order (first matching condition
+    // wins, standard SQL; the parser already forces unconditional
+    // clauses last). Right = update assignments, Left = delete.
+    val matched: Seq[(Option[Expression], Either[Unit, Seq[Assignment]])] =
+      m.matchedActions.map {
+        case u: UpdateAction =>
+          u.condition.foreach(c => if (!c.references.subsetOf(sOut ++ tOut)) fail(
+            s"unresolvable WHEN MATCHED condition: ${c.sql}"))
+          (u.condition, Right(u.assignments))
+        case d: DeleteAction =>
+          d.condition.foreach(c => if (!c.references.subsetOf(sOut ++ tOut)) fail(
+            s"unresolvable WHEN MATCHED condition: ${c.sql}"))
+          (d.condition, Left(()))
+        case other => fail(s"unsupported WHEN MATCHED action: $other")
+      }
+    val inserts: Seq[(Option[Expression], Seq[Assignment])] =
+      m.notMatchedActions.map {
+        case i: InsertAction =>
+          i.condition.foreach(c => if (!sourceOnly(c)) fail(
+            s"a WHEN NOT MATCHED condition may reference only source columns " +
+              s"(there is no target row): ${c.sql}"))
+          (i.condition, i.assignments)
+        case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+      }
+    if (matched.isEmpty && inserts.isEmpty) fail("no supported actions")
 
     val srcDf = Plans.ofRows(session, m.sourceTable)
     val keyCol = Exprs.column(srcKeyExpr)
+    val targetCols: Seq[Attribute] = m.targetTable.output
+    val targetNames = targetCols.map(_.name)
+    val partitionCol: Option[String] = rel.partitionColumn
 
     def nameOf(k: Expression): String = k match {
       case a: Attribute => a.name
       case other => fail(s"only top-level column assignment keys are supported: ${other.sql}")
     }
-    def assignMap(as: Seq[Assignment]): Map[String, Expression] = {
+    // Schema widening through the SQL route (r17): Spark's assignment
+    // resolution wraps every value in a store-assignment cast to the
+    // STORED column type (non-rewritable targets take the
+    // resolveAssignments branch), so a wider source would arrive
+    // pre-narrowed — cast(longVal as int) — and ANSI-overflow instead of
+    // widening. Unwrap exactly that inserted shape (top-level cast to
+    // the stored type over a lake-widenable wider child: long→int,
+    // double→float); the union + upsert then widen the table like the
+    // DataFrame path. A user-written identical cast widens too — the
+    // lake's evolution contract takes precedence over a value-preserving
+    // narrowing (values are unchanged either way; only the stored type
+    // grows).
+    val targetType = m.targetTable.output.map(a => a.name -> a.dataType).toMap
+    def unwiden(key: String, v: Expression): Expression = v match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if targetType.get(key).contains(c.dataType) &&
+            ((c.child.dataType == org.apache.spark.sql.types.LongType &&
+              c.dataType == org.apache.spark.sql.types.IntegerType) ||
+              (c.child.dataType == org.apache.spark.sql.types.DoubleType &&
+                c.dataType == org.apache.spark.sql.types.FloatType)) => c.child
+      case _ => v
+    }
+    def assignMap(as: Seq[Assignment], insert: Boolean): Map[String, Expression] = {
       as.foreach(a =>
-        if (!sourceOnly(a.value)) fail(
-          s"assignment values may reference only source columns: ${a.value.sql}"))
-      val mkv = as.map(a => nameOf(a.key) -> a.value).toMap
+        if (insert && !sourceOnly(a.value)) fail(
+          s"INSERT values may reference only source columns: ${a.value.sql}"))
+      val mkv = as.map(a => nameOf(a.key) -> unwiden(nameOf(a.key), a.value)).toMap
       if (mkv.size != as.size) fail("duplicate assignment targets")
       // an explicit `_key` assignment differing from the ON expression
       // would store rows under a DIFFERENT key than the one matched-ness
@@ -160,88 +221,193 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         if (v.canonicalized != srcKeyExpr.canonicalized) fail(
           s"the '${LakeTable.KeyCol}' assignment must equal the ON expression " +
             s"(${srcKeyExpr.sql}), got: ${v.sql}"))
+      if (insert && !mkv.contains(LakeTable.TsCol)) fail(
+        s"INSERT must assign '${LakeTable.TsCol}' — the lake's LWW precombine " +
+          "column cannot be null")
       mkv
     }
-    // Rows for one action's assignments over `from`; `_key` derives from
-    // the ON expression when not assigned explicitly.
-    def frameFor(as: Seq[Assignment], from: DataFrame): DataFrame = {
-      val mkv = assignMap(as)
-      val cols = mkv.toSeq.sortBy(_._1).map { case (n, v) => Exprs.column(v).as(n) }
-      val all =
-        if (mkv.contains(LakeTable.KeyCol)) cols
-        else cols :+ keyCol.as(LakeTable.KeyCol)
-      from.select(all: _*)
-    }
-    def equivalent(a: Seq[Assignment], b: Seq[Assignment]): Boolean = {
-      val (ma, mb) = (assignMap(a), assignMap(b))
-      ma.keySet == mb.keySet &&
-        ma.forall { case (k, v) => v.canonicalized == mb(k).canonicalized }
+    val updMaps: Seq[Map[String, Expression]] =
+      matched.collect { case (_, Right(as)) => assignMap(as, insert = false) }
+    val insMaps: Seq[Map[String, Expression]] =
+      inserts.map { case (_, as) => assignMap(as, insert = true) }
+
+    // `_key` always derives from the ON expression; everything else an
+    // UPDATE omits is read-modify-write from the target row.
+    def rmwNeeded(mkv: Map[String, Expression]): Boolean =
+      (targetNames.toSet - LakeTable.KeyCol -- mkv.keySet).nonEmpty
+
+    // Rewrite target attribute references to the prefixed probe columns
+    // (resolved source attrs pass through — they bind by exprId).
+    def twoSided(e: Expression): Column = Exprs.column(e.transform {
+      case a: Attribute if tOut.contains(a) => UnresolvedAttribute(Seq(TPref + a.name))
+    })
+
+    // Does ANY split-path evaluation need the target row joined in?
+    val needTargetRows =
+      matched.exists { case (c, act) =>
+        c.exists(refsTarget) ||
+          act.exists(_.exists(a => refsTarget(a.value)))
+      } ||
+        updMaps.exists(rmwNeeded) ||
+        // partitioned: deletes route by — and partition-move guards
+        // compare against — the TARGET row's partition value
+        (partitionCol.isDefined && matched.nonEmpty)
+
+    def equivalent(a: Map[String, Expression], b: Map[String, Expression]): Boolean =
+      a.keySet == b.keySet &&
+        a.forall { case (k, v) => v.canonicalized == b(k).canonicalized }
+
+    // ---- probe-free fast paths (no WHEN MATCHED split needed) ----------
+    (matched, inserts) match {
+      // Canonical CDC shape: one unconditional full-coverage UPDATE + the
+      // equivalent unconditional INSERT — matched and unmatched rows take
+      // the same row, so the whole source LWW-upserts in one commit with
+      // NO membership probe at all.
+      case (Seq((None, Right(_))), Seq((None, _)))
+          if equivalent(updMaps.head, insMaps.head) && !rmwNeeded(updMaps.head) =>
+        rel.mergeWrite(
+          Some(frame(srcDf, updMaps.head, keyCol, targetCols, partitionCol, None)), None)
+        return finish(session, rel)
+      // Delete-only with a source-only condition: absent keys are a
+      // bloom-pruned no-op and nothing else is written, so "matched"
+      // needs no probe (global fan-out on partitioned tables, same as
+      // the key-only DataFrame delete).
+      case (Seq((c, Left(()))), Seq()) if c.forall(sourceOnly) =>
+        val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
+        rel.mergeWrite(None, Some(rows.select(keyCol.as(LakeTable.KeyCol))))
+        return finish(session, rel)
+      case _ => ()
     }
 
-    // SQL-faithful matched-ness (code-review r16 #1/#3): WHEN MATCHED /
-    // NOT MATCHED branch membership is decided by the EXACT distributed
-    // key probe ([[LakeTable.probeKeys]] — bloom-pruned, verified). The
-    // only probe-free path is the canonical SET */INSERT * merge WITHOUT
-    // a delete branch, where matched and unmatched rows take the same
-    // assignments and LWW upsert needs no split. Everything else —
-    // delete branches (a delete-condition row that is NOT matched must
-    // fall through to INSERT, and an unconditional matched DELETE must
-    // not swallow the same commit's inserts) and single-action merges —
-    // splits the source first; partitioned tables don't expose the probe
-    // and fail loudly.
-    lazy val (matchedSrc, unmatchedSrc): (DataFrame, DataFrame) = {
-      val table = rel.plainTableForProbe.getOrElse(fail(
-        "this merge shape needs the exact key-membership probe (WHEN MATCHED " +
-          "semantics), which partitioned tables do not expose — use the " +
-          "canonical SET * / INSERT * shape without a DELETE branch, or the " +
-          "DataFrame API"))
-      // Materialize the source ONCE: the probe path evaluates it across
-      // several jobs (probeKeys' documented double-eval, the semi/anti
-      // splits, the delete and upsert frames) — a nondeterministic SQL
-      // source (rand(), a view over mutating data) would otherwise split
-      // inconsistently. Also the legitimate reuse-across-different-plan-
-      // shapes case for materialization (the r6 rule).
-      val stable = srcDf.localCheckpoint()
-      val keyColS = Exprs.column(srcKeyExpr)
-      val existing = table.probeKeys(stable.select(keyColS.as(LakeTable.KeyCol)))
-      (stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_semi"),
-        stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_anti"))
-    }
-    // matched rows routed to DELETE, and the matched remainder for UPDATE
-    lazy val delRows: DataFrame = deleteCond.get match {
-      case Some(c) => matchedSrc.filter(Exprs.column(c))
-      case None => matchedSrc
-    }
-    lazy val updSrc: DataFrame = deleteCond match {
-      case Some(Some(c)) => matchedSrc.filter(!Exprs.column(c))
-      case Some(None) => matchedSrc.limit(0) // everything matched deletes
-      case None => matchedSrc
-    }
-    val delKeys: Option[DataFrame] =
-      deleteCond.map(_ => delRows.select(keyCol.as(LakeTable.KeyCol)))
+    // ---- probe-split path ----------------------------------------------
+    // Materialize the source ONCE: the probe path evaluates it across
+    // several jobs (probeKeys' documented double-eval, the semi/anti
+    // splits, per-action frames) — a nondeterministic SQL source (rand(),
+    // a view over mutating data) would otherwise split inconsistently.
+    // Also the legitimate reuse-across-different-plan-shapes case for
+    // materialization (the r6 rule).
+    val stable = srcDf.localCheckpoint()
+    val keyColS = Exprs.column(srcKeyExpr)
+    val keysDf = stable.select(keyColS.as(LakeTable.KeyCol))
 
-    (update, insert) match {
-      case (Some(u), Some(i)) =>
-        if (!equivalent(u, i)) fail(
-          "UPDATE and INSERT assignments must be equivalent (the SET * / INSERT * " +
-            "shape) — per-branch differing assignments are not supported")
-        if (deleteCond.isEmpty)
-          rel.mergeWrite(Some(frameFor(i, srcDf)), None) // probe-free LWW fast path
-        else
-          rel.mergeWrite(Some(frameFor(i, updSrc.unionByName(unmatchedSrc))), delKeys)
-      case (Some(u), None) =>
-        rel.mergeWrite(Some(frameFor(u, updSrc)), delKeys)
-      case (None, Some(i)) =>
-        rel.mergeWrite(Some(frameFor(i, unmatchedSrc)), delKeys)
-      case (None, None) =>
-        // delete-only: no probe needed — absent keys are a bloom-pruned
-        // no-op and nothing is inserted in the same commit
-        rel.mergeWrite(None,
-          deleteCond.map { c =>
-            val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
-            rows.select(keyCol.as(LakeTable.KeyCol))
-          })
+    val (matchedBase, unmatchedSrc): (DataFrame, DataFrame) =
+      if (needTargetRows) {
+        val tgt = rel.targetRowsForKeys(keysDf)
+        val clash = stable.columns.toSet & tgt.columns.map(TPref + _).toSet
+        if (clash.nonEmpty) fail(
+          s"source columns collide with the reserved '$TPref' prefix: ${clash.mkString(",")}")
+        val tgtRenamed = tgt.select(tgt.columns.map(c => tgt(c).as(TPref + c)).toSeq: _*)
+        (stable.join(tgtRenamed,
+          keyColS === tgtRenamed(TPref + LakeTable.KeyCol), "inner"),
+          stable.join(tgt.select(LakeTable.KeyCol),
+            keyColS === tgt(LakeTable.KeyCol), "left_anti"))
+      } else {
+        val existing = rel.probeExistingKeys(keysDf)
+        (stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_semi"),
+          stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_anti"))
+      }
+
+    // First-match routing: action i sees rows where its condition holds
+    // and NO earlier condition did; a null condition value is a
+    // non-match (SQL), hence the coalesce-to-false.
+    def route[A](
+        base: DataFrame,
+        actions: Seq[(Option[Expression], A)],
+        toCol: Expression => Column): Seq[(DataFrame, A)] = {
+      var remaining: Column = lit(true)
+      actions.map { case (c, a) =>
+        val cc = c.map(e => coalesce(toCol(e), lit(false))).getOrElse(lit(true))
+        val rows = base.filter(remaining && cc)
+        remaining = remaining && !cc
+        (rows, a)
+      }
     }
+
+    val upFrames = ArrayBuffer.empty[DataFrame]
+    val delFrames = ArrayBuffer.empty[DataFrame]
+    route(matchedBase, matched, twoSided).foreach {
+      case (rows, Left(())) =>
+        delFrames += (partitionCol match {
+          case Some(p) => rows.select(
+            keyColS.as(LakeTable.KeyCol),
+            rows(TPref + p).as(p)) // route by the TARGET row's partition
+          case None => rows.select(keyColS.as(LakeTable.KeyCol))
+        })
+      case (rows, Right(as)) =>
+        upFrames += frame(rows, assignMap(as, insert = false), keyColS, targetCols,
+          partitionCol, rmwFrom = Some(TPref), twoSidedCol = Some(twoSided))
+    }
+    route(unmatchedSrc, inserts, (e: Expression) => Exprs.column(e)).foreach {
+      case (rows, as) =>
+        upFrames += frame(rows, assignMap(as, insert = true), keyColS, targetCols,
+          partitionCol, None)
+    }
+
+    val ups =
+      if (upFrames.isEmpty) None
+      else Some(upFrames.reduce(_.unionByName(_)))
+    val dels =
+      if (delFrames.isEmpty) None
+      else Some(delFrames.reduce(_.unionByName(_)))
+    rel.mergeWrite(ups, dels)
+    finish(session, rel)
+  }
+
+  /** Post-write catalog re-registration on widening: the catalog stores
+    * the schema captured at CREATE TABLE time, and a widening commit
+    * (int→long / float→double, new columns) would make every later read
+    * of the catalog entry fail on the user-specified-vs-actual schema
+    * mismatch — the same reason the CDC catalog sync re-registers. One
+    * manifest read when schemas already agree.
+    */
+  private def finish(session: SparkSession, rel: LakeSnapshotRelation): Seq[Row] = {
+    LakeMergeInto.syncCatalogSchema(session, rel, m.targetTable)
     Seq.empty
+  }
+
+  /** One action's output rows over `from`, aligned to the FULL target
+    * column set: assigned columns evaluate their expressions (two-sided
+    * on the matched branch), `_key` derives from the ON expression when
+    * unassigned, and unassigned columns read-modify-write from the
+    * prefixed target row (`rmwFrom` — matched branch) or take SQL
+    * INSERT's null (unmatched branch; `_ts` was already required).
+    * Assignment types are NOT cast to the stored column types — the
+    * union + upsert coerce exactly like the DataFrame path, so a wider
+    * source widens the table (int→long / float→double), the r16 SQL
+    * routes inheriting the lake's schema-evolution contract.
+    * On partitioned tables a matched UPDATE assigning a partition value
+    * different from the stored row's raises at runtime: the row's
+    * placement is part of its identity here, and a silent upsert into
+    * the new partition would leave the old row behind.
+    */
+  private def frame(
+      from: DataFrame,
+      mkv: Map[String, Expression],
+      keyCol: Column,
+      targetCols: Seq[Attribute],
+      partitionCol: Option[String],
+      rmwFrom: Option[String],
+      twoSidedCol: Option[Expression => Column] = None): DataFrame = {
+    def valueOf(e: Expression): Column =
+      twoSidedCol.map(f => f(e)).getOrElse(Exprs.column(e))
+    val cols = targetCols.map { a =>
+      mkv.get(a.name) match {
+        case Some(v) if partitionCol.contains(a.name) && rmwFrom.isDefined =>
+          val stored = from(rmwFrom.get + a.name)
+          when(!(valueOf(v) <=> stored), raise_error(lit(
+            s"cdc-lake MERGE INTO: UPDATE must not move a row across " +
+              s"partitions (assigned '${a.name}' differs from the stored " +
+              "partition value) — delete + insert explicitly")))
+            .otherwise(stored)
+            .as(a.name)
+        case Some(v) => valueOf(v).as(a.name)
+        case None if a.name == LakeTable.KeyCol => keyCol.as(a.name)
+        case None => rmwFrom match {
+          case Some(pref) => from(pref + a.name).as(a.name)
+          case None => lit(null).cast(a.dataType).as(a.name) // SQL INSERT null
+        }
+      }
+    }
+    from.select(cols: _*)
   }
 }

@@ -144,21 +144,149 @@ class LakeMergeIntoSpec extends SparkSpec {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
       "NOT MATCHED BY SOURCE")
+    // rekeying: an explicit _key assignment differing from ON
     mustFail(
       s"""MERGE INTO $t t USING src5 s ON t._key = s._key
-         |WHEN MATCHED THEN UPDATE SET amount = s.amount + 1, _ts = s._ts, _key = s._key
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "equivalent")
-    // (an unconditional DELETE before an UPDATE is already a parse error —
-    // non-last MATCHED clauses must carry a condition — so the command's
-    // ambiguity guard is defense-in-depth; the reachable rejection is the
-    // conditional UPDATE:)
+         |WHEN MATCHED THEN UPDATE SET _key = concat(s._key, 'x'), _ts = s._ts, amount = s.amount"""
+        .stripMargin,
+      "_key")
+    // INSERT must assign the precombine column
     mustFail(
       s"""MERGE INTO $t t USING src5 s ON t._key = s._key
-         |WHEN MATCHED AND s.amount > 0 THEN UPDATE SET *
-         |WHEN MATCHED THEN DELETE""".stripMargin,
-      "conditional WHEN MATCHED")
+         |WHEN NOT MATCHED THEN INSERT (_key, amount) VALUES (s._key, s.amount)""".stripMargin,
+      "_ts")
     // untouched by all the failures
     assert(state(t) === Map("a" -> (1L, 10L)))
+  }
+
+  test("conditional branches route first-match; unrouted matched rows stay untouched (r17)") {
+    val t = freshTable(Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 30L), ("d", 1L, 40L)))
+    Seq(
+      ("a", 5L, 100L), // amount>=100 -> first UPDATE branch (amount doubles)
+      ("b", 5L, 50L),  // 10<=amount<100 -> second UPDATE branch (amount as-is)
+      ("c", 5L, 5L),   // matches NO action -> untouched
+      ("n1", 5L, 200L), // unmatched, amt>=100 -> INSERT branch 1
+      ("n2", 5L, 7L)    // unmatched, amt<100 -> no insert action matches -> dropped
+    ).toDF("id", "ts", "amt").createOrReplaceTempView("srccond")
+    spark.sql(
+      s"""MERGE INTO $t t USING srccond s ON t._key = s.id
+         |WHEN MATCHED AND s.amt >= 100 THEN UPDATE SET _ts = s.ts, amount = s.amt * 2
+         |WHEN MATCHED AND s.amt >= 10 THEN UPDATE SET _ts = s.ts, amount = s.amt
+         |WHEN NOT MATCHED AND s.amt >= 100 THEN INSERT (_key, _ts, amount) VALUES (s.id, s.ts, s.amt)"""
+        .stripMargin)
+    assert(state(t) === Map(
+      "a" -> (5L, 200L), "b" -> (5L, 50L), "c" -> (1L, 30L), "d" -> (1L, 40L),
+      "n1" -> (5L, 200L)))
+  }
+
+  test("partial UPDATE SET is read-modify-write — unassigned columns keep stored values (ADVICE r16)") {
+    n += 1
+    val name = s"mrg_t$n"
+    val dir = tempDir("merge-rmw-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10L, "keep-a"), ("b", 1L, 20L, "keep-b"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "note"))
+    spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    Seq(("a", 9L, 11L)).toDF("id", "ts", "amt").createOrReplaceTempView("srcrmw")
+    // assigns amount + _ts only: note must SURVIVE, not null out
+    spark.sql(
+      s"""MERGE INTO $name t USING srcrmw s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amt, _ts = s.ts""".stripMargin)
+    spark.catalog.refreshTable(name)
+    val got = spark.sql(s"SELECT _key, _ts, amount, note FROM $name")
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map("a" -> ((9L, 11L, "keep-a")), "b" -> ((1L, 20L, "keep-b"))))
+    // and _ts may be OMITTED too: stored _ts carries, update still wins
+    Seq(("b", 21L)).toDF("id", "amt").createOrReplaceTempView("srcrmw2")
+    spark.sql(
+      s"""MERGE INTO $name t USING srcrmw2 s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amt""".stripMargin)
+    spark.catalog.refreshTable(name)
+    val got2 = spark.sql(s"SELECT _key, _ts, amount, note FROM $name")
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 === Map("a" -> ((9L, 11L, "keep-a")), "b" -> ((1L, 21L, "keep-b"))))
+  }
+
+  test("differing UPDATE vs INSERT assignments and two-sided UPDATE values (r17)") {
+    val t = freshTable(Seq(("a", 1L, 10L)))
+    Seq(("a", 5L, 3L), ("z", 5L, 7L)).toDF("id", "ts", "delta")
+      .createOrReplaceTempView("srcdiff")
+    // UPDATE accumulates into the TARGET's amount; INSERT starts fresh
+    spark.sql(
+      s"""MERGE INTO $t t USING srcdiff s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = t.amount + s.delta
+         |WHEN NOT MATCHED THEN INSERT (_key, _ts, amount) VALUES (s.id, s.ts, s.delta)"""
+        .stripMargin)
+    assert(state(t) === Map("a" -> (5L, 13L), "z" -> (5L, 7L)))
+  }
+
+  test("probe-split MERGE works on a PARTITIONED table; deletes route by the target partition (r17)") {
+    import graft.lake.PartitionedLakeTable
+    n += 1
+    val name = s"mrg_t$n"
+    val dir = tempDir("merge-part-").resolve("t").toString
+    val pt = new PartitionedLakeTable(spark, dir, "region", numBuckets = 2)
+    pt.upsert(Seq(
+      ("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"), ("c", 1L, 30L, "eu"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region"))
+    spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    Seq(("a", 5L, 11L, "u"), ("b", 5L, 0L, "d"), ("x", 5L, 99L, "i"))
+      .toDF("id", "ts", "amt", "op").createOrReplaceTempView("srcpart")
+    // partial UPDATE (region unassigned -> RMW keeps it), DELETE routes by
+    // the TARGET row's partition, INSERT names its partition explicitly
+    spark.sql(
+      s"""MERGE INTO $name t USING srcpart s ON t._key = s.id
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt
+         |WHEN NOT MATCHED THEN INSERT (_key, _ts, amount, region) VALUES (s.id, s.ts, s.amt, 'ap')"""
+        .stripMargin)
+    spark.catalog.refreshTable(name)
+    val got = spark.sql(s"SELECT _key, _ts, amount, region FROM $name")
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "a" -> ((5L, 11L, "eu")), "c" -> ((1L, 30L, "eu")), "x" -> ((5L, 99L, "ap"))))
+    // partition-move UPDATE raises instead of silently duplicating
+    Seq(("a", 9L, 12L, "us")).toDF("id", "ts", "amt", "region")
+      .createOrReplaceTempView("srcmove")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t USING srcmove s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt, region = s.region"""
+        .stripMargin))
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("move a row across partitions"), msgs(e))
+  }
+
+  test("SQL MERGE widens int->long like the DataFrame path (r17)") {
+    n += 1
+    val name = s"mrg_t$n"
+    val dir = tempDir("merge-widen-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10), ("b", 1L, 20))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "qty")) // qty: int
+    spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    Seq(("a", 5L, 7000000000L), ("c", 5L, 8000000000L)) // beyond int range
+      .toDF("id", "ts", "q").createOrReplaceTempView("srcwide")
+    spark.sql(
+      s"""MERGE INTO $name t USING srcwide s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, qty = s.q
+         |WHEN NOT MATCHED THEN INSERT (_key, _ts, qty) VALUES (s.id, s.ts, s.q)"""
+        .stripMargin)
+    // DataFrame-path equivalent on a second table
+    val dir2 = tempDir("merge-widen-df-").resolve("t").toString
+    val lt2 = new LakeTable(spark, dir2, numBuckets = 2)
+    lt2.upsert(Seq(("a", 1L, 10), ("b", 1L, 20))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "qty"))
+    lt2.upsert(Seq(("a", 5L, 7000000000L), ("c", 5L, 8000000000L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "qty"))
+    spark.catalog.refreshTable(name)
+    val sqlState = spark.sql(s"SELECT _key, _ts, qty FROM $name")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val dfState = lt2.snapshot.select("_key", "_ts", "qty")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(sqlState === dfState)
+    assert(sqlState === Seq(
+      ("a", 5L, 7000000000L), ("b", 1L, 20L), ("c", 5L, 8000000000L)))
   }
 }
