@@ -1091,7 +1091,8 @@ object DedupDocs {
       pairs: DataFrame,
       rankBy: Seq[org.apache.spark.sql.Column],
       idCol: String = "doc_id",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      allColumns: Boolean = false): DataFrame = {
     val groups = dupGroups(docs, pairs, idCol, maxIters)
     val joined = docs.withColumn(idCol, col(idCol).cast("long"))
       .join(groups, Seq(idCol))
@@ -1103,8 +1104,13 @@ object DedupDocs {
       .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
     val singles = joined.join(multi, Seq("group_id"), "left_anti")
       .withColumn("keep", lit(1L))
-    ranked.unionByName(singles)
-      .select(col(idCol), col("group_id"), col("keep"))
+    val out = ranked.unionByName(singles)
+    // allColumns (r17): downstream pipeline stages (scrub, filter, split,
+    // pack — q105) consume the survivor PAYLOAD; re-joining docs on the
+    // id to recover it would add a whole extra exchange the union
+    // already carries for free.
+    if (allColumns) out
+    else out.select(col(idCol), col("group_id"), col("keep"))
   }
 
   /** C4-style exact BLOCK dedup with document RECONSTRUCTION: the corpus

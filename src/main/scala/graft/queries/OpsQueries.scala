@@ -2091,6 +2091,88 @@ object OpsQueries {
           |      regexp_replace(text, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
           |      '\+\d{1,3} \d{3}-\d+', '<PHONE>', 'g'),
           |    '\b\d{13,16}\b', '<CARD>', 'g') AS pii_scrubbed
-          |FROM planted ORDER BY doc_id""".stripMargin))
+          |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // ---- end-to-end pipeline composition (r17, VERDICT r16 #5) --------
+    // The LLM-data path a real user runs, as ONE composed plan: near-dup
+    // groups -> canonical survivor (longest per component; allColumns
+    // carries the payload through, no re-join) -> URL/email scrub ->
+    // quality filter (scrubbed length >= 100 chars AND >= 20 tokens) ->
+    // deterministic 90/5/5 hash split -> per-shard token packing of the
+    // TRAIN split at budget 2048. Every stage is individually oracled
+    // (q52/q62, q55, q54, q57); this entry oracles the COMPOSITION — the
+    // DuckDB side chains the same six stages over raw rows, so a
+    // survivor leaking through, a filter running pre-scrub, or a packing
+    // bin shifted by one doc all hash-fail. Plan audit in PLANS.md: the
+    // composition adds no exchange beyond the operators' own (scrub/
+    // filter/split are narrow over the canonical union; packing's window
+    // repartitions on shard; the final (shard, bin) rollup is the
+    // query's own output agg, same as q57's).
+    "q105_pipeline_dedup_pack" -> QueryDef(
+      (spark, dir) => {
+        val d = docs(spark, dir)
+        val surv = DedupDocs.canonicalDocs(
+            d, DedupDocs.jaccardPairs(d, maxDf = JaccardMaxDf),
+            rankBy = Seq(col("n_chars").desc), allColumns = true)
+          .filter(col("keep") === 1)
+        val scrubbed = TextStats.withScrubbed(surv)
+          .withColumn("n_tok", size(split(col("scrubbed"), " ")).cast("long"))
+          .filter(length(col("scrubbed")) >= 100 && col("n_tok") >= 20)
+        val train = Sampling.hashSplit(
+            scrubbed, "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .filter(col("split") === "train")
+        Sampling.packBins(train, "doc_id", col("n_tok"), budget = 2048, shards = 16)
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(col("shard").cast("long").as("shard"), col("bin"),
+            col("n_docs"), col("n_tokens"))
+          .orderBy("shard", "bin")
+      },
+      Some(
+        raw"""WITH RECURSIVE $duckShingles,
+           |co AS (SELECT a.doc_id d1, b.doc_id d2, CAST(count(*) AS BIGINT) c
+           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT d1, d2
+           |       FROM co JOIN cnt ca ON co.d1 = ca.doc_id
+           |               JOIN cnt cb ON co.d2 = cb.doc_id
+           |       WHERE c * 2 >= (ca.n + cb.n - c)),
+           |edges AS (SELECT d1 u, d2 v FROM pr UNION SELECT d2 u, d1 v FROM pr),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |mn AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+           |g AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |             CAST(CASE WHEN mn.mv IS NULL OR d.doc_id < mn.mv
+           |                       THEN d.doc_id ELSE mn.mv END AS BIGINT) AS group_id,
+           |             d.n_chars, d.text
+           |      FROM documents d LEFT JOIN mn ON d.doc_id = mn.u),
+           |surv AS (SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |             PARTITION BY group_id ORDER BY n_chars DESC, doc_id) rn
+           |    FROM g) WHERE rn = 1),
+           |sc AS (SELECT doc_id,
+           |         regexp_replace(
+           |           regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+           |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |           '<EMAIL>', 'g') AS scrubbed
+           |       FROM surv),
+           |fl AS (SELECT doc_id,
+           |              CAST(len(string_split(scrubbed,' ')) AS BIGINT) AS n_tok
+           |       FROM sc
+           |       WHERE length(scrubbed) >= 100
+           |         AND len(string_split(scrubbed,' ')) >= 20),
+           |tr AS (SELECT doc_id, n_tok FROM fl
+           |       WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 90),
+           |c AS (SELECT doc_id, doc_id % 16 AS shard, n_tok,
+           |             sum(n_tok) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+           |                              ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM tr),
+           |b AS (SELECT shard, (cum - n_tok) // 2048 AS bin, n_tok FROM c)
+           |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
   )
 }

@@ -90,9 +90,18 @@ object LakeMergeInto {
         lr.relation.asInstanceOf[LakeSnapshotRelation]
     }
 
-  /** Re-register a catalog-backed lake target whose stored schema widened
-    * past the catalog entry (shared by MERGE INTO and the DML commands).
-    * No-op for path-only relations or when schemas already agree.
+  /** Post-write catalog upkeep for a catalog-backed lake target (shared
+    * by MERGE INTO and the DML commands); no-op for path-only relations.
+    *
+    *  - A stored schema widened past the catalog entry re-registers it
+    *    (`alterTableDataSchema`) — otherwise every later read fails on
+    *    the user-specified-vs-actual mismatch.
+    *  - The cached relation ALWAYS drops: the session catalog caches the
+    *    resolved LogicalRelation per table and lake relations PIN their
+    *    version at creation, so without the refresh the statement AFTER
+    *    a SQL write keeps reading — and a later UPDATE keeps scanning —
+    *    the pre-write snapshot (a deleted row matching its predicate
+    *    would silently resurrect).
     */
   def syncCatalogSchema(
       session: SparkSession, rel: LakeSnapshotRelation, target: LogicalPlan): Unit = {
@@ -102,10 +111,9 @@ object LakeMergeInto {
     }
     ctable.foreach { ct =>
       val latest = rel.latestUserSchema
-      if (latest.nonEmpty && latest != ct.dataSchema) {
+      if (latest.nonEmpty && latest != ct.dataSchema)
         session.sessionState.catalog.alterTableDataSchema(ct.identifier, latest)
-        session.catalog.refreshTable(ct.identifier.quotedString)
-      }
+      session.catalog.refreshTable(ct.identifier.quotedString)
     }
   }
 }
