@@ -949,6 +949,64 @@ object LakeQueries {
           |  SELECT o_orderkey, CAST(1 AS BIGINT), o_totalprice
           |  FROM orders
           |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+          |) t ORDER BY okey""".stripMargin)),
+
+    // ---- SQL MERGE with WHEN NOT MATCHED BY SOURCE (r17) -------------
+    // The full three-population sync shape: matched rows update from the
+    // source, unmatched source rows insert, and target rows the batch
+    // does NOT name either sync-delete (okey%5==0) or update in place
+    // (amount doubles at _ts=3, okey read-modify-writes through).
+    // Exercises the snapshot anti-join population + the target-side
+    // first-match routing alongside the probe split, in ONE commit.
+    "q106_lake_sql_merge_sync" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqlsync")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"))
+        new LakeTable(spark, lakeDir, numBuckets = 4, bloomOnWrite = false)
+          .bulkInsert(seed)
+        val tbl = s"gq106_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+        try {
+          orders.filter(col("o_orderkey") % 2 === 0).select(
+            concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+            lit(2L).as(LakeTable.TsCol),
+            col("o_orderkey").as("okey"),
+            (col("o_totalprice") + lit(10.0)).as("amount"))
+            .createOrReplaceTempView(s"src_$tag")
+          spark.sql(
+            s"""MERGE INTO $tbl t USING src_$tag s ON t._key = s._key
+               |WHEN MATCHED THEN UPDATE SET _ts = s._ts, amount = s.amount
+               |WHEN NOT MATCHED THEN INSERT (_key, _ts, okey, amount)
+               |  VALUES (s._key, s._ts, s.okey, s.amount)
+               |WHEN NOT MATCHED BY SOURCE AND t.okey % 5 = 0 THEN DELETE
+               |WHEN NOT MATCHED BY SOURCE THEN
+               |  UPDATE SET amount = t.amount * 2, _ts = 3""".stripMargin)
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"src_$tag")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"), col("amount"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount FROM (
+          |  SELECT o_orderkey AS okey, CAST(2 AS BIGINT) AS ts,
+          |         o_totalprice + 10 AS amount
+          |  FROM orders WHERE o_orderkey % 2 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(3 AS BIGINT), o_totalprice * 2
+          |  FROM orders
+          |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+          |    AND o_orderkey % 5 <> 0
           |) t ORDER BY okey""".stripMargin))
   )
 }

@@ -66,9 +66,15 @@ import graft.lake.LakeTable
   *    matched UPDATE that would MOVE a row across partitions fails at
   *    runtime (partition value is part of row placement; move = delete +
   *    insert explicitly).
-  *  - `WHEN NOT MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`, non-`_key`
-  *    or non-equality ON conditions, nested-field assignment keys, and
-  *    `_key` reassignment differing from ON are rejected loudly.
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` (r17 —
+  *    the sync-delete/sync-update shape) acts on target rows no source
+  *    key names: target-only conditions/values, first-match routing,
+  *    free read-modify-write (the population is the pinned snapshot
+  *    anti-joined with the source keys — inherently a full-table scan,
+  *    documented).
+  *  - `WITH SCHEMA EVOLUTION`, non-`_key` or non-equality ON
+  *    conditions, nested-field assignment keys, and `_key` reassignment
+  *    differing from ON are rejected loudly.
   */
 class LakeMergeIntoRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -133,8 +139,6 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val rel = LakeMergeInto.targetRelation(m.targetTable).get
     if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION is not supported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
 
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
@@ -182,7 +186,28 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           (i.condition, i.assignments)
         case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
       }
-    if (matched.isEmpty && inserts.isEmpty) fail("no supported actions")
+    // WHEN NOT MATCHED BY SOURCE (r17 — the sync-delete/sync-update
+    // shape): acts on TARGET rows whose key no source row names, so
+    // conditions and values are target-only; the population is
+    // inherently a full-table anti-join (documented — no probe can
+    // shrink "every stored row the batch does not mention").
+    def targetOnly(e: Expression, what: String): Unit =
+      if (!e.references.subsetOf(tOut)) fail(
+        s"WHEN NOT MATCHED BY SOURCE $what may reference only target columns " +
+          s"(there is no source row): ${e.sql}")
+    val bySource: Seq[(Option[Expression], Either[Unit, Seq[Assignment]])] =
+      m.notMatchedBySourceActions.map {
+        case u: UpdateAction =>
+          u.condition.foreach(targetOnly(_, "conditions"))
+          u.assignments.foreach(a => targetOnly(a.value, "values"))
+          (u.condition, Right(u.assignments))
+        case d: DeleteAction =>
+          d.condition.foreach(targetOnly(_, "conditions"))
+          (d.condition, Left(()))
+        case other => fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+    if (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)
+      fail("no supported actions")
 
     val srcDf = Plans.ofRows(session, m.sourceTable)
     val keyCol = Exprs.column(srcKeyExpr)
@@ -266,7 +291,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         a.forall { case (k, v) => v.canonicalized == b(k).canonicalized }
 
     // ---- probe-free fast paths (no WHEN MATCHED split needed) ----------
-    (matched, inserts) match {
+    if (bySource.isEmpty) (matched, inserts) match {
       // Canonical CDC shape: one unconditional full-coverage UPDATE + the
       // equivalent unconditional INSERT — matched and unmatched rows take
       // the same row, so the whole source LWW-upserts in one commit with
@@ -298,7 +323,9 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     val keyColS = Exprs.column(srcKeyExpr)
     val keysDf = stable.select(keyColS.as(LakeTable.KeyCol))
 
-    val (matchedBase, unmatchedSrc): (DataFrame, DataFrame) =
+    // Lazy: a by-source-only merge must not pay the membership probe
+    // (probeKeys runs an eager candidate-bucket job when forced).
+    lazy val (matchedBase, unmatchedSrc): (DataFrame, DataFrame) =
       if (needTargetRows) {
         val tgt = rel.targetRowsForKeys(keysDf)
         val clash = stable.columns.toSet & tgt.columns.map(TPref + _).toSet
@@ -333,7 +360,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
 
     val upFrames = ArrayBuffer.empty[DataFrame]
     val delFrames = ArrayBuffer.empty[DataFrame]
-    route(matchedBase, matched, twoSided).foreach {
+    if (matched.nonEmpty) route(matchedBase, matched, twoSided).foreach {
       case (rows, Left(())) =>
         delFrames += (partitionCol match {
           case Some(p) => rows.select(
@@ -345,10 +372,46 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         upFrames += frame(rows, assignMap(as, insert = false), keyColS, targetCols,
           partitionCol, rmwFrom = Some(TPref), twoSidedCol = Some(twoSided))
     }
-    route(unmatchedSrc, inserts, (e: Expression) => Exprs.column(e)).foreach {
-      case (rows, as) =>
-        upFrames += frame(rows, assignMap(as, insert = true), keyColS, targetCols,
-          partitionCol, None)
+    if (inserts.nonEmpty) route(unmatchedSrc, inserts, (e: Expression) => Exprs.column(e))
+      .foreach {
+        case (rows, as) =>
+          upFrames += frame(rows, assignMap(as, insert = true), keyColS, targetCols,
+            partitionCol, None)
+      }
+    // NOT MATCHED BY SOURCE: target rows no source key names — the
+    // pinned snapshot anti-joined with the (materialized) source keys.
+    // Assignments project over the target scan itself, so unassigned
+    // columns are a FREE read-modify-write (the scan IS the stored row),
+    // exactly the LakeUpdateCommand shape; `_ts` unassigned keeps the
+    // stored value and the update still wins the equal-`_ts` tie.
+    if (bySource.nonEmpty) {
+      val tgtAll = Plans.ofRows(session, m.targetTable)
+      val srcKeys = stable.select(keyColS.as("__graft_src_key"))
+      val notBySource = tgtAll.join(
+        srcKeys, tgtAll(LakeTable.KeyCol) === srcKeys("__graft_src_key"), "left_anti")
+      route(notBySource, bySource, (e: Expression) => Exprs.column(e)).foreach {
+        case (rows, Left(())) =>
+          delFrames += (partitionCol match {
+            case Some(p) => rows.select(
+              org.apache.spark.sql.functions.col(LakeTable.KeyCol),
+              org.apache.spark.sql.functions.col(p))
+            case None => rows.select(LakeTable.KeyCol)
+          })
+        case (rows, Right(as)) =>
+          val mkv = as.map(a => nameOf(a.key) -> unwiden(nameOf(a.key), a.value)).toMap
+          if (mkv.size != as.size) fail("duplicate assignment targets")
+          if (mkv.contains(LakeTable.KeyCol)) fail(
+            s"'${LakeTable.KeyCol}' cannot be reassigned (rekeying)")
+          partitionCol.foreach(p => if (mkv.contains(p)) fail(
+            s"the partition column '$p' cannot be reassigned (a row's partition " +
+              "is its placement) — delete + insert explicitly"))
+          upFrames += rows.select(targetCols.map { a =>
+            mkv.get(a.name) match {
+              case Some(v) => Exprs.column(v).as(a.name)
+              case None => Exprs.column(a).as(a.name)
+            }
+          }: _*)
+      }
     }
 
     val ups =

@@ -139,11 +139,6 @@ class LakeMergeIntoSpec extends SparkSpec {
       s"""MERGE INTO $t t USING src5 s ON t.amount = s.amount
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
       "_key")
-    mustFail(
-      s"""MERGE INTO $t t USING src5 s ON t._key = s._key
-         |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
     // rekeying: an explicit _key assignment differing from ON
     mustFail(
       s"""MERGE INTO $t t USING src5 s ON t._key = s._key
@@ -157,6 +152,27 @@ class LakeMergeIntoSpec extends SparkSpec {
       "_ts")
     // untouched by all the failures
     assert(state(t) === Map("a" -> (1L, 10L)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE routes sync-deletes and target-side updates (r17)") {
+    val t = freshTable(Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 30L), ("d", 1L, 40L)))
+    Seq(("a", 5L, 11L)).toDF("id", "ts", "amt").createOrReplaceTempView("srcbys")
+    // 'a' matched -> updated from source; 'c','d' (amount >= 30) not
+    // named by the source -> sync-deleted; 'b' not named, amount < 30 ->
+    // target-side update (amount doubles, _ts unassigned keeps stored)
+    spark.sql(
+      s"""MERGE INTO $t t USING srcbys s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt
+         |WHEN NOT MATCHED BY SOURCE AND t.amount >= 30 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET amount = t.amount * 2"""
+        .stripMargin)
+    assert(state(t) === Map("a" -> (5L, 11L), "b" -> (1L, 40L)))
+    // by-source-only merge (pure sync-delete): no probe path needed
+    Seq(("b", 9L, 0L)).toDF("id", "ts", "amt").createOrReplaceTempView("srcbys2")
+    spark.sql(
+      s"""MERGE INTO $t t USING srcbys2 s ON t._key = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state(t).keySet === Set("b"))
   }
 
   test("conditional branches route first-match; unrouted matched rows stay untouched (r17)") {
