@@ -49,6 +49,32 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable
         if u.resolved && LakeMergeInto.targetRelation(u.table).isDefined =>
       LakeUpdateCommand(u)
+    // INSERT INTO: the built-in DataSourceAnalysis (earlier in this same
+    // post-hoc batch) already routed the v1 InsertableRelation — wrap its
+    // command so the write gets the shared post-write catalog sync (the
+    // cached relation pins its version; without the refresh the statement
+    // after an INSERT reads the pre-insert snapshot — LakeDmlSpec).
+    case c: org.apache.spark.sql.execution.datasources.InsertIntoDataSourceCommand
+        if c.logicalRelation.relation.isInstanceOf[LakeSnapshotRelation] =>
+      LakeInsertSyncCommand(c)
+  }
+}
+
+/** [[org.apache.spark.sql.execution.datasources.InsertIntoDataSourceCommand]]
+  * + the lake's post-write catalog sync (widen re-registration + cached
+  * relation refresh) — see [[LakeMergeInto.syncCatalogSchema]].
+  */
+case class LakeInsertSyncCommand(
+    inner: org.apache.spark.sql.execution.datasources.InsertIntoDataSourceCommand)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(inner)
+  override def run(session: SparkSession): Seq[Row] = {
+    val out = inner.run(session)
+    LakeMergeInto.syncCatalogSchema(
+      session,
+      inner.logicalRelation.relation.asInstanceOf[LakeSnapshotRelation],
+      inner.logicalRelation)
+    out
   }
 }
 

@@ -424,12 +424,9 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     finish(session, rel)
   }
 
-  /** Post-write catalog re-registration on widening: the catalog stores
-    * the schema captured at CREATE TABLE time, and a widening commit
-    * (int→long / float→double, new columns) would make every later read
-    * of the catalog entry fail on the user-specified-vs-actual schema
-    * mismatch — the same reason the CDC catalog sync re-registers. One
-    * manifest read when schemas already agree.
+  /** Shared post-write exit: widen re-registration + cached-relation
+    * refresh — see [[LakeMergeInto.syncCatalogSchema]]. One manifest
+    * read when schemas already agree.
     */
   private def finish(session: SparkSession, rel: LakeSnapshotRelation): Seq[Row] = {
     LakeMergeInto.syncCatalogSchema(session, rel, m.targetTable)

@@ -70,6 +70,20 @@ class LakeDmlSpec extends SparkSpec {
     assert(state(t)("a") === ((5L, 110L, "x")))
   }
 
+  test("the statement AFTER a SQL write sees it — INSERT INTO included (relation-cache refresh)") {
+    val t = freshTable(seed)
+    // pin the cached relation with a read FIRST
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 4L)
+    spark.sql(s"INSERT INTO $t VALUES ('e', 1, 50, 'x')")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 5L,
+      "SELECT after INSERT INTO must see the inserted row without a manual REFRESH")
+    spark.sql(s"DELETE FROM $t WHERE _key = 'e'")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 4L,
+      "SELECT after DELETE must see the deletion")
+    spark.sql(s"UPDATE $t SET amount = 99, _ts = 7 WHERE _key = 'a'")
+    assert(spark.sql(s"SELECT amount FROM $t WHERE _key = 'a'").head().getLong(0) === 99L)
+  }
+
   test("UPDATE equals the DataFrame-path state and widens int->long (r17)") {
     n += 1
     val name = s"dml_t$n"
