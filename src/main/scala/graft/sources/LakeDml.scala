@@ -84,7 +84,7 @@ case class LakeDeleteFromCommand(d: DeleteFromTable) extends LeafRunnableCommand
   /** Literal string keys when the WHERE is exactly a `_key` equality/IN
     * over literals — the scan-free fast path. None = general predicate.
     */
-  private def literalKeys(c: Expression, tOut: Set[String]): Option[Seq[String]] = {
+  private def literalKeys(c: Expression): Option[Seq[String]] = {
     def str(l: Literal): Option[String] = l.value match {
       case s: UTF8String => Some(s.toString)
       case s: String => Some(s)
@@ -109,7 +109,7 @@ case class LakeDeleteFromCommand(d: DeleteFromTable) extends LeafRunnableCommand
   override def run(session: SparkSession): Seq[Row] = {
     val rel = LakeMergeInto.targetRelation(d.table).get
     import session.implicits._
-    literalKeys(d.condition, Set.empty) match {
+    literalKeys(d.condition) match {
       case Some(keys) =>
         // scan-free: literal keys -> bloom-pruned native delete (global
         // fan-out on partitioned tables, each partition bloom-pruned)

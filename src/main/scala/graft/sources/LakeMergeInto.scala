@@ -325,9 +325,16 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
 
     // Lazy: a by-source-only merge must not pay the membership probe
     // (probeKeys runs an eager candidate-bucket job when forced).
+    // The probe RESULT is materialized (localCheckpoint — the r6
+    // reuse-across-different-plan-shapes case): every action frame and
+    // the matched/unmatched splits re-evaluate their base, so without it
+    // K branches re-run the bloom pass + candidate-bucket scan K times
+    // against the table. The probe output is BATCH-bounded either way
+    // (matched target rows / present keys ≤ the source key count), so
+    // the materialization never scales with the table.
     lazy val (matchedBase, unmatchedSrc): (DataFrame, DataFrame) =
       if (needTargetRows) {
-        val tgt = rel.targetRowsForKeys(keysDf)
+        val tgt = rel.targetRowsForKeys(keysDf).localCheckpoint()
         val clash = stable.columns.toSet & tgt.columns.map(TPref + _).toSet
         if (clash.nonEmpty) fail(
           s"source columns collide with the reserved '$TPref' prefix: ${clash.mkString(",")}")
@@ -337,7 +344,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           stable.join(tgt.select(LakeTable.KeyCol),
             keyColS === tgt(LakeTable.KeyCol), "left_anti"))
       } else {
-        val existing = rel.probeExistingKeys(keysDf)
+        val existing = rel.probeExistingKeys(keysDf).localCheckpoint()
         (stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_semi"),
           stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_anti"))
       }
@@ -384,6 +391,10 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     // columns are a FREE read-modify-write (the scan IS the stored row),
     // exactly the LakeUpdateCommand shape; `_ts` unassigned keeps the
     // stored value and the update still wins the equal-`_ts` tie.
+    // The population is TABLE-sized, so unlike the probe bases above it
+    // is NOT checkpointed — each by-source action frame re-scans the
+    // snapshot once (K scans for K actions; K is 1-2 in practice, and
+    // the semantics are a full-table reconciliation anyway).
     if (bySource.nonEmpty) {
       val tgtAll = Plans.ofRows(session, m.targetTable)
       val srcKeys = stable.select(keyColS.as("__graft_src_key"))

@@ -481,15 +481,23 @@ class CdcEndToEndSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(got == Seq((1L, "ann", 30L), (2L, "bob", 40L)))
 
-    // Per-table synonym without the global key also syncs.
+    // Per-table synonym without the global key also syncs — and a
+    // bloom-disabled table's registration carries bloomOnWrite=false so
+    // SQL writes through the entry don't grow sidecars (ADVICE r16).
     CdcSyncCommand.run(
       Seq(env("db", "city", citySchema, 1L, "upsert",
         Seq("""{"code":"ber","pop":3600000}"""))).toDF("value"),
-      options(root) + ("db.city.hoodie.datasource.hive_sync.enable" -> "true"),
+      options(root) ++ Map(
+        "db.city.hoodie.datasource.hive_sync.enable" -> "true",
+        "db.city.bloom.enable" -> "false"),
       batchId = 0L)
     assert(spark.catalog.tableExists("db", "city"))
     assert(spark.sql("SELECT pop FROM db.city").as[Long].collect().toSeq
       == Seq(3600000L))
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("city", Some("db")))
+      .storage.properties
+    assert(props.get("bloomOnWrite").contains("false"), props.toString)
   }
 
   test("SQL INSERT INTO a catalog-synced lake table runs the native upsert (r16)") {

@@ -433,6 +433,46 @@ class LakeTableSpec extends SparkSpec {
       "a pinned probe must not see keys committed after its version")
   }
 
+  test("rowsForKeys returns FULL stored rows for present keys; MOR stacks collapse (r17)") {
+    // plain table: full rows, duplicates in the probe are harmless,
+    // absent keys contribute nothing; empty table = zero-column empty
+    val lt = new LakeTable(spark, tempDir("lake-rfk-").toString, numBuckets = 4)
+    assert(lt.rowsForKeys(Seq("x").toDF(LakeTable.KeyCol)).count() == 0)
+    lt.upsert((0 until 50).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val got = lt.rowsForKeys(Seq("k7", "k42", "absent", "k7").toDF(LakeTable.KeyCol))
+      .select("_key", "_ts", "payload").as[(String, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("k42", 1L, "v42"), ("k7", 1L, "v7")))
+    // MOR: the probed rows must be the COLLAPSED stack state, not raw deltas
+    val m = new LakeTable(spark, tempDir("lake-rfk-mor-").toString,
+      numBuckets = 2, tableType = LakeTable.MorType, compactAfter = 8)
+    m.upsert(rows(("a", 1L, "a1"), ("b", 1L, "b1")), "c0")
+    m.upsert(rows(("a", 3L, "a3")), "c1") // delta layer
+    assert(m.latestManifest().get.deltas.values.flatten.nonEmpty)
+    val mg = m.rowsForKeys(Seq("a", "b").toDF(LakeTable.KeyCol))
+      .select("_key", "_ts", "payload").as[(String, Long, String)].collect().toSet
+    assert(mg == Set(("a", 3L, "a3"), ("b", 1L, "b1")))
+  }
+
+  test("partitioned probeKeys/rowsForKeys union partitions; mixed merge modes fail loudly (r17)") {
+    val pt = new PartitionedLakeTable(
+      spark, tempDir("lake-pprobe-").toString, "region", numBuckets = 2)
+    // empty table: schema-stable empty key frame
+    assert(pt.probeKeys(Seq("x").toDF(LakeTable.KeyCol)).count() == 0)
+    pt.upsert(Seq(("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"), ("c", 1L, 30L, "eu"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region"))
+    val probe = Seq("a", "b", "ghost").toDF(LakeTable.KeyCol)
+    assert(pt.probeKeys(probe).as[String].collect().sorted.toSeq == Seq("a", "b"))
+    val rfk = pt.rowsForKeys(probe)
+      .select("_key", "amount", "region").as[(String, Long, String)].collect().toSet
+    assert(rfk == Set(("a", 10L, "eu"), ("b", 20L, "us")),
+      "rowsForKeys must re-attach the partition value")
+    // mixed per-partition merge modes: loud, never an arbitrary first pick
+    pt.partitionTable("eu").latchPartial(commitId = "latch-eu")
+    val e = intercept[IllegalStateException](pt.isPartialTable)
+    assert(e.getMessage.contains("mixed merge modes"), e.getMessage)
+  }
+
   test("bloomOnWrite=false skips sidecars; lookup still correct via bucket pruning") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 8, bloomOnWrite = false)
     val many = (0 until 50).map(i => (s"k$i", 1L, s"v$i"))
