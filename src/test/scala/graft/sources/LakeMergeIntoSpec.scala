@@ -274,6 +274,68 @@ class LakeMergeIntoSpec extends SparkSpec {
     assert(msgs(e).contains("move a row across partitions"), msgs(e))
   }
 
+  test("randomized: SQL MERGE state == an independent first-match interpreter (r17)") {
+    // Property pin for the full routing surface: conditional matched
+    // UPDATE/DELETE branches + conditional INSERT + by-source
+    // UPDATE/DELETE, with a partial (RMW) update branch — against a
+    // plain Scala interpreter of standard SQL MERGE semantics. Catches
+    // interaction bugs the hand-written cases can't (ordering between
+    // branches, untouched-row classes, delete-vs-insert populations).
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 4) {
+      n += 1
+      val name = s"mrg_prop$n"
+      val dir = tempDir("merge-prop-").resolve("t").toString
+      val lt = new LakeTable(spark, dir, numBuckets = 2)
+      // target: keys k0..k9 (subset), amounts random, note payload
+      val tgtRows = (0 until 10).filter(_ => rnd.nextBoolean())
+        .map(i => (s"k$i", 1L, rnd.nextInt(100).toLong, s"note$i"))
+      val seeded = if (tgtRows.nonEmpty) tgtRows else Seq(("k0", 1L, 5L, "note0"))
+      lt.upsert(seeded.toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "note"))
+      spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+      // source: keys k5..k14 (subset), amt random
+      val srcRows = (5 until 15).filter(_ => rnd.nextBoolean())
+        .map(i => (s"k$i", rnd.nextInt(100).toLong))
+      val src = if (srcRows.nonEmpty) srcRows else Seq(("k7", 50L))
+      src.toDF("id", "amt").createOrReplaceTempView(s"srcprop$n")
+      val (c1, c2, c3, c4) = (rnd.nextInt(100), rnd.nextInt(100), rnd.nextInt(100), rnd.nextInt(100))
+      spark.sql(
+        s"""MERGE INTO $name t USING srcprop$n s ON t._key = s.id
+           |WHEN MATCHED AND s.amt >= $c1 THEN DELETE
+           |WHEN MATCHED AND s.amt >= $c2 THEN UPDATE SET _ts = 2, amount = t.amount + s.amt
+           |WHEN NOT MATCHED AND s.amt >= $c3 THEN
+           |  INSERT (_key, _ts, amount, note) VALUES (s.id, 2, s.amt, 'new')
+           |WHEN NOT MATCHED BY SOURCE AND t.amount >= $c4 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET amount = t.amount + 1000"""
+          .stripMargin)
+      // independent interpreter over the same inputs
+      val tgtMap = seeded.map(r => r._1 -> r).toMap
+      val srcMap = src.toMap
+      val expected = scala.collection.mutable.Map.empty[String, (Long, Long, String)]
+      tgtMap.foreach { case (k, (_, ts, amount, note)) =>
+        srcMap.get(k) match {
+          case Some(amt) => // matched: first-match over the two branches
+            if (amt >= c1) () // deleted
+            else if (amt >= c2) expected(k) = (2L, amount + amt, note) // RMW keeps note
+            else expected(k) = (ts, amount, note) // no action: untouched
+          case None => // not matched by source
+            if (amount >= c4) () // sync-deleted
+            else expected(k) = (ts, amount + 1000L, note)
+        }
+      }
+      srcMap.foreach { case (k, amt) =>
+        if (!tgtMap.contains(k) && amt >= c3) expected(k) = (2L, amt, "new")
+      }
+      spark.catalog.refreshTable(name)
+      val got = spark.sql(s"SELECT _key, _ts, amount, note FROM $name")
+        .as[(String, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expected.toMap,
+        s"trial $trial: thresholds ($c1,$c2,$c3,$c4) target=$seeded source=$src")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("SQL MERGE widens int->long like the DataFrame path (r17)") {
     n += 1
     val name = s"mrg_t$n"
