@@ -136,8 +136,28 @@ final class LakeTable(
     try Some(readManifest(version).commitId)
     catch { case _: java.io.FileNotFoundException => None }
 
-  private def readManifest(version: Long): Manifest =
-    Manifest.fromJson(io.readString(new HPath(commitsDir, versionFileName(version))))
+  /** Published manifests are create-if-absent immutable ([[publish]]), so
+    * each version's parsed manifest caches on first read (r18, ADVICE r17:
+    * `isPartialTable` and the partitioned probe/stat paths re-read the
+    * same small file per statement, multiplied by partition count).
+    * Vacuum deletes old manifests but every vacuumed-state read is
+    * guarded by its own `vacuumedIds`/`versions()` pre-check, never by
+    * expecting this read to fail. Bounded so a long-history handle can't
+    * pin the whole log in driver memory.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+
+  private[lake] def readManifest(version: Long): Manifest = {
+    val cached = manifestCache.get(version)
+    if (cached != null) cached
+    else {
+      val m = Manifest.fromJson(
+        io.readString(new HPath(commitsDir, versionFileName(version))))
+      if (manifestCache.size < 256) manifestCache.put(version, m)
+      m
+    }
+  }
 
   private[lake] def latestManifest(): Option[Manifest] = latestVersion.map(readManifest)
 
@@ -493,7 +513,7 @@ final class LakeTable(
     * write path's own reads need it to stay associative); every
     * user-facing route strips it.
     */
-  private def readBuckets(
+  private[lake] def readBuckets(
       m: Manifest, buckets: Set[Int], internal: Boolean = false,
       pruneFiles: Map[Int, Seq[String]] = Map.empty): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -1050,7 +1070,7 @@ final class LakeTable(
     * hint would hit the broadcast size limit / driver OOM instead of
     * degrading to a shuffle join; with no hint AQE picks the strategy.
     */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+  private[lake] def broadcastIfSmall(df: DataFrame): DataFrame = {
     val threshold =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -119,29 +119,111 @@ final class PartitionedLakeTable(
     }
   }
 
-  /** Exact key-membership probe across the whole table — the union of
-    * per-partition [[LakeTable.probeKeys]] probes (r17, for SQL MERGE's
-    * branch split on partitioned targets). `_key` identity is GLOBAL
-    * (same contract as the key-only [[delete]] fan-out): every committed
-    * partition is probed, but each probe bloom-prunes the key set first,
-    * so partitions provably holding none of the keys scan nothing.
-    * Same determinism contract on `keys` as the plain probe.
+  /** Partitions a probe addresses, with the manifest each one reads:
+    * the pinned version vector's when given (no directory listing — the
+    * vector is the authority, and every probe of one statement sees ONE
+    * committed state; ADVICE r17), else the committed listing at latest;
+    * optionally restricted to in-band named values (`inPartitions` — the
+    * [[deleteRouted]] routing contract, r18). Unknown named values are
+    * cheap no-ops, same as deleteRouted.
     */
-  def probeKeys(keys: DataFrame): DataFrame =
-    partitions.map(v => partitionTable(v).probeKeys(keys)) match {
-      case Seq() => keys.select(LakeTable.KeyCol).limit(0)
-      case head +: tail => tail.foldLeft(head)(_.unionByName(_)).distinct()
+  private def probeTargets(
+      inPartitions: Option[Seq[String]],
+      atVersions: Option[Map[String, Long]]): Seq[(String, LakeTable, LakeTable.Manifest)] = {
+    val base: Seq[String] = atVersions match {
+      case Some(vec) => vec.keys.toSeq.sorted
+      case None => partitions
     }
+    val named = inPartitions match {
+      case Some(vs) => val s = vs.toSet; base.filter(s.contains)
+      case None => base
+    }
+    named.flatMap { v =>
+      val t = partitionTable(v)
+      (atVersions match {
+        case Some(vec) => Some(t.readManifest(vec(v)))
+        case None => t.latestManifest()
+      }).map(m => (v, t, m))
+    }
+  }
+
+  /** Candidate (partition, bucket) pairs for a key set, resolved in ONE
+    * driver job across every probed partition (ADVICE r17: the
+    * per-partition probes each ran their own eager candidate collect —
+    * O(partitions) sequential driver round-trips per SQL MERGE). Each
+    * partition's key set is bloom-pruned against ITS sidecars first, so
+    * partitions provably holding none of the keys contribute nothing;
+    * the collected result is tiny (≤ partitions × numBuckets ints).
+    */
+  private def candidateBuckets(
+      ks: DataFrame,
+      targets: Seq[(String, LakeTable, LakeTable.Manifest)]): Map[String, Set[Int]] =
+    targets.map { case (v, t, m) =>
+      t.bloomPrune(ks, m)
+        .select(lit(v).as("_p"), t.bucketOf(col(LakeTable.KeyCol)).as("_b"))
+    }.reduce(_.union(_)).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getInt(1)).toSet }
+
+  /** Exact key-membership probe (r17, for SQL MERGE's branch split on
+    * partitioned targets; batched + routable + pinnable r18). `_key`
+    * identity is GLOBAL by default (same contract as the key-only
+    * [[delete]] fan-out): every committed partition is probed — but ONE
+    * candidate job decides all surviving (partition, bucket) scans, and
+    * per-partition bloom pruning means partitions provably holding none
+    * of the keys scan nothing. `inPartitions` restricts the probe to
+    * named partitions (the caller asserts the keys can only live there —
+    * [[deleteRouted]]'s in-band trust contract); `atVersions` pins each
+    * partition's manifest (snapshot-consistent probes). Same determinism
+    * contract on `keys` as the plain probe.
+    */
+  def probeKeys(
+      keys: DataFrame,
+      inPartitions: Option[Seq[String]] = None,
+      atVersions: Option[Map[String, Long]] = None): DataFrame = {
+    val targets = probeTargets(inPartitions, atVersions)
+    if (targets.isEmpty) return keys.select(LakeTable.KeyCol).limit(0)
+    val ks = keys.select(LakeTable.KeyCol).distinct()
+    val byPart = candidateBuckets(ks, targets)
+    val scans = targets.flatMap { case (v, t, m) =>
+      byPart.get(v).map(bs => t.readBuckets(m, bs).select(LakeTable.KeyCol))
+    }
+    scans match {
+      case Seq() => keys.select(LakeTable.KeyCol).limit(0)
+      case ss =>
+        // one semi-join over the unioned surviving buckets (the key set
+        // broadcasts when small), then distinct: the same key may exist
+        // in several partitions
+        ss.reduce(_.union(_))
+          .join(targets.head._2.broadcastIfSmall(ks), Seq(LakeTable.KeyCol), "left_semi")
+          .distinct()
+    }
+  }
 
   /** [[probeKeys]]'s row-returning sibling (see
     * [[LakeTable.rowsForKeys]]): full stored rows for the key set, the
     * partition value re-attached — so a read-modify-write caller (SQL
     * MERGE partial UPDATE) sees exactly what a snapshot read would, and
-    * delete routing can take the TARGET row's partition value.
+    * delete routing can take the TARGET row's partition value. Shares
+    * [[probeKeys]]'s single candidate job, routing, and pinning.
     */
-  def rowsForKeys(keys: DataFrame): DataFrame = {
-    val ps = partitions
-    assemble(ps.map(v => v -> partitionTable(v).rowsForKeys(keys)), ps, None)
+  def rowsForKeys(
+      keys: DataFrame,
+      inPartitions: Option[Seq[String]] = None,
+      atVersions: Option[Map[String, Long]] = None): DataFrame = {
+    val targets = probeTargets(inPartitions, atVersions)
+    val all = targets.map(_._1)
+    val ks = keys.select(LakeTable.KeyCol).distinct()
+    val byPart =
+      if (targets.isEmpty) Map.empty[String, Set[Int]]
+      else candidateBuckets(ks, targets)
+    val parts = targets.flatMap { case (v, t, m) =>
+      byPart.get(v).map(bs => v -> t.readBuckets(m, bs))
+    }
+    val assembled = assemble(parts, all, atVersions)
+    if (parts.isEmpty) assembled // schema-stable empty
+    else assembled.join(
+      targets.head._2.broadcastIfSmall(ks), Seq(LakeTable.KeyCol), "left_semi")
   }
 
   /** Existing partition values (committed only). */

@@ -1007,6 +1007,77 @@ object LakeQueries {
           |  FROM orders
           |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
           |    AND o_orderkey % 5 <> 0
+          |) t ORDER BY okey""".stripMargin)),
+
+    // ---- SQL MERGE INTO over a PARTITIONED lake table (r18) ----------
+    // q102's routing surface on the partition-path layout: the target is
+    // a PartitionedLakeTable on `prio` (5 order-priority partitions).
+    // The source carries the partition column IN-BAND with the TRUE
+    // placement (both sides derive from the same orders rows), so the
+    // membership probe routes to only the partitions the source names
+    // (the r18 deleteRouted-contract path), deletes route by the TARGET
+    // row's partition, the UPDATE is a partial assignment list (okey +
+    // prio read-modify-write through the probe join — assigning prio
+    // would disable routing AND trip the move guard), and inserts name
+    // their partition explicitly. Final read re-attaches the partition
+    // value from the directory layout.
+    "q107_lake_sql_merge_part" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqlmergep")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"),
+          col("o_orderpriority").as("prio"))
+        new graft.lake.PartitionedLakeTable(
+          spark, lakeDir, "prio", numBuckets = 4, bloomOnWrite = false)
+          .bulkInsert(seed)
+        val tbl = s"gq107_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+        try {
+          orders.filter(col("o_orderkey") % 2 === 0).select(
+            concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+            lit(2L).as(LakeTable.TsCol),
+            col("o_orderkey").as("okey"),
+            (col("o_totalprice") + lit(10.0)).as("amount"),
+            col("o_orderpriority").as("prio"),
+            (col("o_orderkey") % 4 === 0).as("del"))
+            .createOrReplaceTempView(s"src_$tag")
+          spark.sql(
+            s"""MERGE INTO $tbl t USING src_$tag s ON t._key = s._key
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET _ts = s._ts, amount = s.amount
+               |WHEN NOT MATCHED THEN
+               |  INSERT (_key, _ts, okey, amount, prio)
+               |  VALUES (s._key, s._ts, s.okey, s.amount, s.prio)""".stripMargin)
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"src_$tag")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"),
+            col("amount"), col("prio"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount, prio FROM (
+          |  SELECT o_orderkey AS okey, CAST(1 AS BIGINT) AS ts,
+          |         o_totalprice AS amount, o_orderpriority AS prio
+          |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10,
+          |         o_orderpriority
+          |  FROM orders
+          |  WHERE o_orderkey % 6 = 0 AND o_orderkey % 4 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10,
+          |         o_orderpriority
+          |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
           |) t ORDER BY okey""".stripMargin))
   )
 }

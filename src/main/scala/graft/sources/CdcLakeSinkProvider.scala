@@ -409,10 +409,19 @@ class LakeSnapshotRelation(
   /** Exact key-membership probe for MERGE INTO's branch split — both
     * layouts (r17: partitioned = bloom-pruned union over partitions,
     * global `_key` identity like the key-only delete fan-out). Probes
-    * LATEST state, like the write it gates.
+    * the relation's PINNED version(s) (ADVICE r17): matched-ness, the
+    * read-modify-write rows, and the NOT MATCHED BY SOURCE anti-join all
+    * address ONE committed state — an out-of-band commit between relation
+    * caching and execution can no longer split one MERGE across two
+    * versions. `inPartitions` restricts a partitioned probe to the
+    * partitions the source names in-band (the deleteRouted contract).
     */
-  private[sources] def probeExistingKeys(keys: DataFrame): DataFrame =
-    opened.fold(_.probeKeys(keys), _.probeKeys(keys))
+  private[sources] def probeExistingKeys(
+      keys: DataFrame, inPartitions: Option[Seq[String]] = None): DataFrame =
+    if (pinnedEmpty) keys.select(LakeTable.KeyCol).limit(0)
+    else opened.fold(
+      _.probeKeys(keys, inPartitions, Some(pinnedVector)),
+      _.probeKeys(keys, pinnedVersion))
 
   /** Full target rows for a key set, conformed to the relation schema —
     * the read side of MERGE's read-modify-write (partial `UPDATE SET`
@@ -420,10 +429,18 @@ class LakeSnapshotRelation(
     * partition column on partitioned layouts (delete routing takes the
     * TARGET row's partition). Conforming matters on the empty-table edge
     * (zero-column probe result) and pins the column set to the schema
-    * the merge resolved against.
+    * the merge resolved against. Same version pinning and partition
+    * routing as [[probeExistingKeys]].
     */
-  private[sources] def targetRowsForKeys(keys: DataFrame): DataFrame =
-    conformed(opened.fold(_.rowsForKeys(keys), _.rowsForKeys(keys)))
+  private[sources] def targetRowsForKeys(
+      keys: DataFrame, inPartitions: Option[Seq[String]] = None): DataFrame =
+    conformed(
+      if (pinnedEmpty)
+        ctx.sparkSession.createDataFrame(
+          ctx.sparkSession.sparkContext.emptyRDD[Row], new StructType())
+      else opened.fold(
+        _.rowsForKeys(keys, inPartitions, Some(pinnedVector)),
+        _.rowsForKeys(keys, pinnedVersion)))
 
   /** The partition column when this relation is a partitioned layout. */
   private[sources] def partitionColumn: Option[String] =

@@ -143,17 +143,10 @@ case class LakeUpdateCommand(u: UpdateTable) extends LeafRunnableCommand {
       case a: Attribute => a.name
       case other => fail(s"only top-level column assignment keys are supported: ${other.sql}")
     }
-    // Same widening unwrap as MERGE (see LakeMergeIntoCommand): Spark's
-    // resolveAssignments pre-narrows wider values to the stored type.
-    def unwiden(key: String, v: Expression): Expression = v match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if targetType.get(key).contains(c.dataType) &&
-            ((c.child.dataType == org.apache.spark.sql.types.LongType &&
-              c.dataType == org.apache.spark.sql.types.IntegerType) ||
-              (c.child.dataType == org.apache.spark.sql.types.DoubleType &&
-                c.dataType == org.apache.spark.sql.types.FloatType)) => c.child
-      case _ => v
-    }
+    // Same widening unwrap as MERGE — one shared helper so the two
+    // routes cannot drift (ADVICE r17): see [[LakeMergeInto.unwiden]].
+    def unwiden(key: String, v: Expression): Expression =
+      LakeMergeInto.unwiden(targetType, key, v)
     val mkv: Map[String, Expression] =
       u.assignments.map(a => nameOf(a.key) -> unwiden(nameOf(a.key), a.value)).toMap
     if (mkv.size != u.assignments.size) fail("duplicate assignment targets")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, In
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
 import org.apache.spark.sql.graft.{Exprs, Plans}
 
 import graft.lake.LakeTable
@@ -65,7 +65,14 @@ import graft.lake.LakeTable
   *    globally, deletes route by the TARGET row's partition value, and a
   *    matched UPDATE that would MOVE a row across partitions fails at
   *    runtime (partition value is part of row placement; move = delete +
-  *    insert explicitly).
+  *    insert explicitly). When the SOURCE carries the partition column
+  *    in-band, the probe visits ONLY the partitions the source names
+  *    (r18 — the `deleteRouted` trust contract: the in-band value is
+  *    the row's placement; a source naming the wrong partition for an
+  *    existing key routes it to INSERT). Routing disables itself when a
+  *    matched UPDATE assigns the partition column (the move guard needs
+  *    the stored row wherever it lives) or any value is null; omit the
+  *    column for the global (still bloom-pruned) probe.
   *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` (r17 —
   *    the sync-delete/sync-update shape) acts on target rows no source
   *    key names: target-only conditions/values, first-match routing,
@@ -122,6 +129,33 @@ object LakeMergeInto {
       session.catalog.refreshTable(ct.identifier.quotedString)
     }
   }
+
+  /** Undo Spark's store-assignment pre-narrowing so SQL writes keep the
+    * lake's widening contract (shared by MERGE and UPDATE — ADVICE r17:
+    * the two copies must not drift): `resolveAssignments` wraps every
+    * assignment value in a cast to the STORED column type for
+    * non-rewritable targets, so a wider source arrives as
+    * `cast(longVal as int)` and would ANSI-overflow instead of widening
+    * the table. Unwrap exactly that inserted shape (top-level cast to
+    * the stored type over a lake-widenable wider child: long→int,
+    * double→float); the union + upsert then widen like the DataFrame
+    * path. Known limit (documented in README): a USER-written identical
+    * cast is indistinguishable post-resolution, so a deliberate
+    * value-narrowing `CAST(bigintVal AS INT)` assignment also widens —
+    * the lake's evolution contract takes precedence (values are
+    * unchanged either way; only the stored type grows).
+    */
+  def unwiden(
+      targetType: Map[String, org.apache.spark.sql.types.DataType],
+      key: String, v: Expression): Expression = v match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if targetType.get(key).contains(c.dataType) &&
+          ((c.child.dataType == org.apache.spark.sql.types.LongType &&
+            c.dataType == org.apache.spark.sql.types.IntegerType) ||
+            (c.child.dataType == org.apache.spark.sql.types.DoubleType &&
+              c.dataType == org.apache.spark.sql.types.FloatType)) => c.child
+    case _ => v
+  }
 }
 
 case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
@@ -162,6 +196,16 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           s"supported in ON, got: ${other.sql}")
     }
 
+    // First-match routing evaluates each WHEN condition in an
+    // independent frame over the (materialized) base, so a
+    // NONDETERMINISTIC condition (rand(), ...) could route one row into
+    // several branches or none — rejected loudly, same determinism
+    // rationale as the source materialization below (ADVICE r17).
+    def deterministicOnly(c: Option[Expression], where: String): Unit =
+      c.foreach(e => if (!e.deterministic) fail(
+        s"nondeterministic $where condition: ${e.sql} — branch routing " +
+          "evaluates each condition in an independent frame"))
+
     // Matched actions in DECLARATION order (first matching condition
     // wins, standard SQL; the parser already forces unconditional
     // clauses last). Right = update assignments, Left = delete.
@@ -170,10 +214,12 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         case u: UpdateAction =>
           u.condition.foreach(c => if (!c.references.subsetOf(sOut ++ tOut)) fail(
             s"unresolvable WHEN MATCHED condition: ${c.sql}"))
+          deterministicOnly(u.condition, "WHEN MATCHED")
           (u.condition, Right(u.assignments))
         case d: DeleteAction =>
           d.condition.foreach(c => if (!c.references.subsetOf(sOut ++ tOut)) fail(
             s"unresolvable WHEN MATCHED condition: ${c.sql}"))
+          deterministicOnly(d.condition, "WHEN MATCHED")
           (d.condition, Left(()))
         case other => fail(s"unsupported WHEN MATCHED action: $other")
       }
@@ -183,6 +229,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           i.condition.foreach(c => if (!sourceOnly(c)) fail(
             s"a WHEN NOT MATCHED condition may reference only source columns " +
               s"(there is no target row): ${c.sql}"))
+          deterministicOnly(i.condition, "WHEN NOT MATCHED")
           (i.condition, i.assignments)
         case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
       }
@@ -200,9 +247,11 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         case u: UpdateAction =>
           u.condition.foreach(targetOnly(_, "conditions"))
           u.assignments.foreach(a => targetOnly(a.value, "values"))
+          deterministicOnly(u.condition, "WHEN NOT MATCHED BY SOURCE")
           (u.condition, Right(u.assignments))
         case d: DeleteAction =>
           d.condition.foreach(targetOnly(_, "conditions"))
+          deterministicOnly(d.condition, "WHEN NOT MATCHED BY SOURCE")
           (d.condition, Left(()))
         case other => fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
       }
@@ -219,28 +268,11 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
       case a: Attribute => a.name
       case other => fail(s"only top-level column assignment keys are supported: ${other.sql}")
     }
-    // Schema widening through the SQL route (r17): Spark's assignment
-    // resolution wraps every value in a store-assignment cast to the
-    // STORED column type (non-rewritable targets take the
-    // resolveAssignments branch), so a wider source would arrive
-    // pre-narrowed — cast(longVal as int) — and ANSI-overflow instead of
-    // widening. Unwrap exactly that inserted shape (top-level cast to
-    // the stored type over a lake-widenable wider child: long→int,
-    // double→float); the union + upsert then widen the table like the
-    // DataFrame path. A user-written identical cast widens too — the
-    // lake's evolution contract takes precedence over a value-preserving
-    // narrowing (values are unchanged either way; only the stored type
-    // grows).
+    // Schema widening through the SQL route (r17, shared helper r18):
+    // see [[LakeMergeInto.unwiden]].
     val targetType = m.targetTable.output.map(a => a.name -> a.dataType).toMap
-    def unwiden(key: String, v: Expression): Expression = v match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if targetType.get(key).contains(c.dataType) &&
-            ((c.child.dataType == org.apache.spark.sql.types.LongType &&
-              c.dataType == org.apache.spark.sql.types.IntegerType) ||
-              (c.child.dataType == org.apache.spark.sql.types.DoubleType &&
-                c.dataType == org.apache.spark.sql.types.FloatType)) => c.child
-      case _ => v
-    }
+    def unwiden(key: String, v: Expression): Expression =
+      LakeMergeInto.unwiden(targetType, key, v)
     def assignMap(as: Seq[Assignment], insert: Boolean): Map[String, Expression] = {
       as.foreach(a =>
         if (insert && !sourceOnly(a.value)) fail(
@@ -303,11 +335,16 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         return finish(session, rel)
       // Delete-only with a source-only condition: absent keys are a
       // bloom-pruned no-op and nothing else is written, so "matched"
-      // needs no probe (global fan-out on partitioned tables, same as
-      // the key-only DataFrame delete).
+      // needs no probe. On partitioned tables the source's in-band
+      // partition column rides along when present, so the dispatch
+      // routes (deleteRouted) instead of fanning out globally (r18).
       case (Seq((c, Left(()))), Seq()) if c.forall(sourceOnly) =>
         val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
-        rel.mergeWrite(None, Some(rows.select(keyCol.as(LakeTable.KeyCol))))
+        val delCols = keyCol.as(LakeTable.KeyCol) +:
+          partitionCol.filter(p =>
+            srcDf.columns.contains(p) && p != LakeTable.KeyCol)
+            .map(p => rows(p)).toSeq
+        rel.mergeWrite(None, Some(rows.select(delCols: _*)))
         return finish(session, rel)
       case _ => ()
     }
@@ -323,6 +360,31 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     val keyColS = Exprs.column(srcKeyExpr)
     val keysDf = stable.select(keyColS.as(LakeTable.KeyCol))
 
+    // In-band partition routing (r18, VERDICT r17 #1): when the
+    // materialized source carries the target's partition column, the
+    // membership probe visits ONLY the partitions the source names —
+    // deleteRouted's trust contract: the in-band value IS the row's
+    // placement (CDC envelopes carry the stored row's payload). A source
+    // that names the WRONG partition for an existing key routes that row
+    // to INSERT, exactly as its delete would miss under deleteRouted —
+    // sources without the placement guarantee should omit the column and
+    // pay the global (still bloom-pruned) probe. Two escapes keep the
+    // trust bounded: null values are unroutable → global probe; and a
+    // matched UPDATE that ASSIGNS the partition column disables routing
+    // entirely — the partition-move guard must compare against the
+    // stored row wherever it lives, and a routed probe would silently
+    // re-route the move to INSERT instead of raising. Cost: one bounded
+    // driver collect (distinct partition values — the same job the
+    // routed write pays again later, both over the checkpointed source).
+    val routedParts: Option[Seq[String]] = partitionCol
+      .filter(p => stable.columns.contains(p) && p != LakeTable.KeyCol &&
+        !updMaps.exists(_.contains(p)))
+      .flatMap { p =>
+        val vs = stable.select(col(p).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (vs.contains(null)) None else Some(vs)
+      }
+
     // Lazy: a by-source-only merge must not pay the membership probe
     // (probeKeys runs an eager candidate-bucket job when forced).
     // The probe RESULT is materialized (localCheckpoint — the r6
@@ -334,7 +396,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     // the materialization never scales with the table.
     lazy val (matchedBase, unmatchedSrc): (DataFrame, DataFrame) =
       if (needTargetRows) {
-        val tgt = rel.targetRowsForKeys(keysDf).localCheckpoint()
+        val tgt = rel.targetRowsForKeys(keysDf, routedParts).localCheckpoint()
         val clash = stable.columns.toSet & tgt.columns.map(TPref + _).toSet
         if (clash.nonEmpty) fail(
           s"source columns collide with the reserved '$TPref' prefix: ${clash.mkString(",")}")
@@ -344,7 +406,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           stable.join(tgt.select(LakeTable.KeyCol),
             keyColS === tgt(LakeTable.KeyCol), "left_anti"))
       } else {
-        val existing = rel.probeExistingKeys(keysDf).localCheckpoint()
+        val existing = rel.probeExistingKeys(keysDf, routedParts).localCheckpoint()
         (stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_semi"),
           stable.join(existing, keyColS === existing(LakeTable.KeyCol), "left_anti"))
       }
@@ -387,28 +449,40 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
       }
     // NOT MATCHED BY SOURCE: target rows no source key names — the
     // pinned snapshot anti-joined with the (materialized) source keys.
-    // Assignments project over the target scan itself, so unassigned
-    // columns are a FREE read-modify-write (the scan IS the stored row),
-    // exactly the LakeUpdateCommand shape; `_ts` unassigned keeps the
-    // stored value and the update still wins the equal-`_ts` tie.
-    // The population is TABLE-sized, so unlike the probe bases above it
-    // is NOT checkpointed — each by-source action frame re-scans the
-    // snapshot once (K scans for K actions; K is 1-2 in practice, and
-    // the semantics are a full-table reconciliation anyway).
+    // The population is TABLE-sized by semantics (a full
+    // reconciliation), so it routes in ONE pass (r18, VERDICT r17 #3):
+    // a single case chain evaluates the first-match action id over the
+    // anti-joined scan, rows matching no action drop right there (they
+    // carry through by not being written), and K same-kind actions fuse
+    // into ONE output frame — so the snapshot scans at most twice
+    // (updates + deletes), not K times. When BOTH kinds consume it the
+    // ACTED-ON rows materialize once: that set is bounded by the rows
+    // this commit writes or deletes — the write amplification already
+    // being paid — unlike the raw table-sized anti-join, so the
+    // checkpoint scales with the statement's own work and the snapshot
+    // is scanned exactly ONCE for a DELETE+UPDATE sync. Assignments
+    // project over the scan itself, so unassigned columns are a FREE
+    // read-modify-write; `_ts` unassigned keeps the stored value and
+    // the update still wins the equal-`_ts` tie.
     if (bySource.nonEmpty) {
+      val ActCol = "__graft_bys_action"
+      if (targetNames.contains(ActCol)) fail(
+        s"target columns collide with the reserved '$ActCol' name")
       val tgtAll = Plans.ofRows(session, m.targetTable)
       val srcKeys = stable.select(keyColS.as("__graft_src_key"))
       val notBySource = tgtAll.join(
         srcKeys, tgtAll(LakeTable.KeyCol) === srcKeys("__graft_src_key"), "left_anti")
-      route(notBySource, bySource, (e: Expression) => Exprs.column(e)).foreach {
-        case (rows, Left(())) =>
-          delFrames += (partitionCol match {
-            case Some(p) => rows.select(
-              org.apache.spark.sql.functions.col(LakeTable.KeyCol),
-              org.apache.spark.sql.functions.col(p))
-            case None => rows.select(LakeTable.KeyCol)
-          })
-        case (rows, Right(as)) =>
+      // first-match action id: a null condition value is a non-match (SQL)
+      val actionId = bySource.zipWithIndex.foldRight(lit(-1): Column) {
+        case (((c, _), i), els) =>
+          val cc = c.map(e => coalesce(Exprs.column(e), lit(false))).getOrElse(lit(true))
+          when(cc, lit(i)).otherwise(els)
+      }
+      val acted0 = notBySource.withColumn(ActCol, actionId).filter(col(ActCol) >= 0)
+      val delIds: Seq[Int] =
+        bySource.zipWithIndex.collect { case ((_, Left(())), i) => i }
+      val updActs: Seq[(Int, Map[String, Expression])] =
+        bySource.zipWithIndex.collect { case ((_, Right(as)), i) =>
           val mkv = as.map(a => nameOf(a.key) -> unwiden(nameOf(a.key), a.value)).toMap
           if (mkv.size != as.size) fail("duplicate assignment targets")
           if (mkv.contains(LakeTable.KeyCol)) fail(
@@ -416,12 +490,30 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           partitionCol.foreach(p => if (mkv.contains(p)) fail(
             s"the partition column '$p' cannot be reassigned (a row's partition " +
               "is its placement) — delete + insert explicitly"))
-          upFrames += rows.select(targetCols.map { a =>
+          i -> mkv
+        }
+      val acted =
+        if (delIds.nonEmpty && updActs.nonEmpty) acted0.localCheckpoint()
+        else acted0
+      if (delIds.nonEmpty) {
+        val rows = acted.filter(col(ActCol).isin(delIds: _*))
+        delFrames += (partitionCol match {
+          case Some(p) => rows.select(col(LakeTable.KeyCol), col(p))
+          case None => rows.select(LakeTable.KeyCol)
+        })
+      }
+      if (updActs.nonEmpty) {
+        val rows = acted.filter(col(ActCol).isin(updActs.map(_._1): _*))
+        // every UPDATE action fuses into ONE projection: per column, a
+        // when-chain over the action id, the stored value the default
+        upFrames += rows.select(targetCols.map { a =>
+          updActs.foldRight(Exprs.column(a)) { case ((i, mkv), els) =>
             mkv.get(a.name) match {
-              case Some(v) => Exprs.column(v).as(a.name)
-              case None => Exprs.column(a).as(a.name)
+              case Some(v) => when(col(ActCol) === i, Exprs.column(v)).otherwise(els)
+              case None => els
             }
-          }: _*)
+          }.as(a.name)
+        }: _*)
       }
     }
 

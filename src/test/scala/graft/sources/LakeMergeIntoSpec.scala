@@ -274,6 +274,79 @@ class LakeMergeIntoSpec extends SparkSpec {
     assert(msgs(e).contains("move a row across partitions"), msgs(e))
   }
 
+  test("in-band source partition routing probes ONLY the named partitions (r18)") {
+    import graft.lake.PartitionedLakeTable
+    def seeded(tag: String): (String, String) = {
+      n += 1
+      val name = s"mrg_t$n"
+      val dir = tempDir(s"merge-$tag-").resolve("t").toString
+      val pt = new PartitionedLakeTable(spark, dir, "region", numBuckets = 2)
+      pt.upsert(Seq(("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"), ("c", 1L, 30L, "eu"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region"))
+      spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+      (name, dir)
+    }
+    def stateOf(name: String): Map[String, (Long, Long, String)] = {
+      spark.catalog.refreshTable(name)
+      spark.sql(s"SELECT _key, _ts, amount, region FROM $name")
+        .as[(String, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    val (routedT, routedDir) = seeded("route")
+    // source carries the partition column and names ONLY 'eu'
+    Seq(("a", 5L, 11L, "eu"), ("y", 5L, 44L, "eu"))
+      .toDF("id", "ts", "amt", "region").createOrReplaceTempView("srcroute")
+    // FS-level evidence: corrupt every 'us' data file — a probe or scan
+    // of the un-named partition would throw, so the merge succeeds only
+    // if routing truly never touches it (manifest reads stay allowed).
+    val saved = scala.collection.mutable.Map.empty[java.nio.file.Path, Array[Byte]]
+    java.nio.file.Files.walk(java.nio.file.Paths.get(routedDir, "p=us")).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        saved(p) = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "not parquet".getBytes)
+      }
+    }
+    assert(saved.nonEmpty, "expected data files under the un-named partition")
+    try {
+      spark.sql(
+        s"""MERGE INTO $routedT t USING srcroute s ON t._key = s.id
+           |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt
+           |WHEN NOT MATCHED THEN
+           |  INSERT (_key, _ts, amount, region) VALUES (s.id, s.ts, s.amt, s.region)"""
+          .stripMargin)
+    } finally saved.foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    // identical state to the GLOBAL-probe path: twin table, source WITHOUT
+    // the partition column (INSERT names the partition explicitly)
+    val (globalT, _) = seeded("global")
+    Seq(("a", 5L, 11L), ("y", 5L, 44L))
+      .toDF("id", "ts", "amt").createOrReplaceTempView("srcglobal")
+    spark.sql(
+      s"""MERGE INTO $globalT t USING srcglobal s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt
+         |WHEN NOT MATCHED THEN
+         |  INSERT (_key, _ts, amount, region) VALUES (s.id, s.ts, s.amt, 'eu')"""
+        .stripMargin)
+    val expected = Map(
+      "a" -> ((5L, 11L, "eu")), "b" -> ((1L, 20L, "us")),
+      "c" -> ((1L, 30L, "eu")), "y" -> ((5L, 44L, "eu")))
+    assert(stateOf(routedT) === expected)
+    assert(stateOf(globalT) === expected)
+  }
+
+  test("nondeterministic WHEN conditions are rejected loudly (ADVICE r17)") {
+    val t = freshTable(Seq(("a", 1L, 10L)))
+    Seq(("a", 5L, 11L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+      .createOrReplaceTempView("srcnd")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $t t USING srcnd s ON t._key = s._key
+         |WHEN MATCHED AND rand() > 0.5 THEN UPDATE SET *""".stripMargin))
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("nondeterministic"), msgs(e))
+    assert(state(t) === Map("a" -> (1L, 10L)))
+  }
+
   test("randomized: SQL MERGE state == an independent first-match interpreter (r17)") {
     // Property pin for the full routing surface: conditional matched
     // UPDATE/DELETE branches + conditional INSERT + by-source
