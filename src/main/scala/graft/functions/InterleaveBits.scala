@@ -82,5 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE FROM / UPDATE over the same v1 lake targets (r17; see
     // graft.sources.LakeDmlRule for the supported shapes)
     ext.injectPostHocResolutionRule(s => new graft.sources.LakeDmlRule(s))
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) + CALL
+    // maintenance procedures over lake tables (r18): both must rewrite
+    // BEFORE analysis — Spark's own resolution throws for v1 targets —
+    // so they live in a parser wrapper (see graft.sources.GraftSqlParser)
+    ext.injectParser((s, delegate) => new graft.sources.GraftSqlParser(s, delegate))
   }
 }

@@ -131,7 +131,11 @@ final class LakeTable(
 
   /** commitId of `version`, or None if its manifest vanished (vacuumed
     * between a listing and the read — callers fall back to vacuumedIds).
+    * Public alias [[commitIdOf]] backs `CALL show_commits` (r18).
     */
+  def commitIdOf(version: Long): Option[String] =
+    manifestCommitId(version).filter(_.nonEmpty)
+
   private def manifestCommitId(version: Long): Option[String] =
     try Some(readManifest(version).commitId)
     catch { case _: java.io.FileNotFoundException => None }

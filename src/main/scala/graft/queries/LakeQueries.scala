@@ -1078,6 +1078,56 @@ object LakeQueries {
           |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10,
           |         o_orderpriority
           |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
-          |) t ORDER BY okey""".stripMargin))
+          |) t ORDER BY okey""".stripMargin)),
+
+    // ---- SQL time travel + CALL maintenance procedures (r18) ---------
+    // q79's three commits (upsert evens → delete %10 users → upsert
+    // odds) through the SQL surface: `VERSION AS OF 2` must read the
+    // state BETWEEN the delete and the second upsert (the parser rewrite
+    // → pinned relation route), then `CALL rollback_to_instant` restores
+    // that same state as LATEST and `CALL run_compaction` folds the file
+    // groups — the post-procedure catalog read can only match if the
+    // rollback republished the right manifest AND the procedure
+    // refreshed the cached relation. Both populations share one derived
+    // oracle state, tagged.
+    "q108_lake_sql_timetravel" -> QueryDef(
+      (spark, dir) => {
+        val path = scratchDir("sqltt")
+        val tag = path.split('/').last
+        val lake = new LakeTable(spark, path, numBuckets = 16, bloomOnWrite = false)
+        val ev = keyedEvents(spark, dir)
+        lake.upsert(ev.filter(col("event_id") % 2 === 0), commitId = "b1:upsert")
+        lake.delete(
+          ev.filter(col("user_id") % 10 === 0).select(LakeTable.KeyCol).distinct(),
+          commitId = "b2:delete")
+        lake.upsert(ev.filter(col("event_id") % 2 === 1), commitId = "b3:upsert")
+        val tbl = s"gq108_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |OPTIONS (path '$path', buckets '16')""".stripMargin)
+        try {
+          val asof = spark.sql(
+            s"SELECT user_id, event_id, event_type, value FROM $tbl VERSION AS OF 2")
+            .withColumn("src", lit("asof"))
+          spark.sql(s"CALL rollback_to_instant(table => '$tbl', version => 2)")
+          spark.sql(s"CALL run_compaction(table => '$tbl')")
+          val rolled = spark.sql(
+            s"SELECT user_id, event_id, event_type, value FROM $tbl")
+            .withColumn("src", lit("rolled"))
+          asof.unionByName(rolled).orderBy("src", "user_id")
+        } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, event_id, event_type, value FROM (
+          |    SELECT user_id, event_id, event_type, value,
+          |           row_number() OVER (PARTITION BY user_id
+          |                              ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) t
+          |  WHERE rn = 1 AND user_id % 10 <> 0)
+          |SELECT user_id, event_id, event_type, value, 'asof' AS src FROM s
+          |UNION ALL
+          |SELECT user_id, event_id, event_type, value, 'rolled' AS src FROM s
+          |ORDER BY src, user_id""".stripMargin))
   )
 }

@@ -381,30 +381,8 @@ class LakeSnapshotRelation(
     * `CREATE TABLE ... USING cdc-lake` can set them directly);
     * mergeMode is inferred from the stored manifest like every reader.
     */
-  private def writeHandle: Either[PartitionedLakeTable, LakeTable] = {
-    def csv(k: String): Seq[String] = parameters.get(k)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val fpb = parameters.get("filesPerBucket").map(_.toInt).getOrElse(1)
-    val zo = csv("zorderBy")
-    val blm = parameters.get("bloomOnWrite").forall(_.toBoolean)
-    val tt = parameters.getOrElse("tableType", LakeTable.CowType)
-    val ca = parameters.get("compactAfter").map(_.toInt).getOrElse(8)
-    val sc = csv("statsColumns")
-    def mm(partial: Boolean): String =
-      if (partial) LakeTable.PartialMode else LakeTable.OverwriteMode
-    opened match {
-      case Left(pt) =>
-        Left(new PartitionedLakeTable(ctx.sparkSession, path, pt.partitionCol,
-          buckets, filesPerBucket = fpb, bloomOnWrite = blm, zorderBy = zo,
-          tableType = tt, compactAfter = ca, mergeMode = mm(pt.isPartialTable),
-          statsColumns = sc))
-      case Right(t) =>
-        Right(new LakeTable(ctx.sparkSession, path, buckets,
-          filesPerBucket = fpb, zorderBy = zo, bloomOnWrite = blm,
-          tableType = tt, compactAfter = ca, mergeMode = mm(t.isPartialTable),
-          statsColumns = sc))
-    }
-  }
+  private def writeHandle: Either[PartitionedLakeTable, LakeTable] =
+    LakeHandles.fromOptions(ctx.sparkSession, parameters + ("path" -> path))
 
   /** Exact key-membership probe for MERGE INTO's branch split — both
     * layouts (r17: partitioned = bloom-pruned union over partitions,

@@ -1,0 +1,374 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedProcedure, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Call, LogicalPlan}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampNTZType, TimestampType}
+
+import graft.lake.{LakeTable, PartitionedLakeTable}
+
+/** Shared construction of a config-matched lake handle from a cdc-lake
+  * options map (the relation's `writeHandle` and the SQL `CALL`
+  * procedures route through the SAME parsing so they cannot drift —
+  * the unwiden lesson, ADVICE r17). The handle carries the table's
+  * writer configuration: a default handle would drop statsColumns (a
+  * COW commit DELETES a touched bucket's stats entry when its handle
+  * records none), Z-clustering, the MOR delta path, and bloom sidecars.
+  * mergeMode is inferred from the stored manifest like every reader.
+  */
+object LakeHandles {
+  def fromOptions(
+      spark: SparkSession,
+      parameters: Map[String, String]): Either[PartitionedLakeTable, LakeTable] = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("cdc-lake table requires a path option"))
+    val buckets =
+      parameters.get("buckets").map(_.toInt).getOrElse(LakeTable.DefaultNumBuckets)
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val fpb = parameters.get("filesPerBucket").map(_.toInt).getOrElse(1)
+    val zo = csv("zorderBy")
+    val blm = parameters.get("bloomOnWrite").forall(_.toBoolean)
+    val tt = parameters.getOrElse("tableType", LakeTable.CowType)
+    val ca = parameters.get("compactAfter").map(_.toInt).getOrElse(8)
+    val sc = csv("statsColumns")
+    def mm(partial: Boolean): String =
+      if (partial) LakeTable.PartialMode else LakeTable.OverwriteMode
+    PartitionedLakeTable.open(spark, path, buckets) match {
+      case Some(pt0) =>
+        Left(new PartitionedLakeTable(spark, path, pt0.partitionCol,
+          buckets, filesPerBucket = fpb, bloomOnWrite = blm, zorderBy = zo,
+          tableType = tt, compactAfter = ca, mergeMode = mm(pt0.isPartialTable),
+          statsColumns = sc))
+      case None =>
+        val t0 = new LakeTable(spark, path, buckets)
+        Right(new LakeTable(spark, path, buckets,
+          filesPerBucket = fpb, zorderBy = zo, bloomOnWrite = blm,
+          tableType = tt, compactAfter = ca, mergeMode = mm(t0.isPartialTable),
+          statsColumns = sc))
+    }
+  }
+}
+
+/** Parser extension (r18): the two SQL surfaces Spark's analyzer cannot
+  * hand to an extension rule because its own resolution THROWS first —
+  * both rewritten right after parsing, before any analysis runs.
+  *
+  *  1. **Time travel**: `SELECT ... FROM t VERSION AS OF n` /
+  *     `TIMESTAMP AS OF <instant>` over a catalog-synced cdc-lake table
+  *     becomes the pinned relation the `versionAsOf`/`timestampAsOf`
+  *     read options already produce (ResolveRelations raises
+  *     UNSUPPORTED_FEATURE.TIME_TRAVEL for any v1 relation before an
+  *     injected resolution rule ever sees the plan). Partitioned tables
+  *     take a JSON vector: `VERSION AS OF '{"eu": 2, "us": 1}'`. Other
+  *     providers / unknown tables pass through to Spark's own (loud)
+  *     error. Because view bodies re-parse through the SESSION parser,
+  *     views over time-travel reads work too.
+  *  2. **Maintenance procedures**: `CALL [graft.]run_compaction(table =>
+  *     't')` and friends (Hudi's spark-sql procedure parity) — the
+  *     session catalog is not a DSv2 ProcedureCatalog, so vanilla
+  *     resolution can only fail. Known names route to
+  *     [[LakeCallCommand]]; `CALL graft.<unknown>` fails loudly here,
+  *     anything else passes through untouched.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeSqlRewrites.rewrite(session, delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    LakeSqlRewrites.rewrite(session, delegate.parseQuery(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object LakeSqlRewrites {
+  private val Procedures = Set(
+    "run_compaction", "run_vacuum", "rollback_to_instant", "create_savepoint",
+    "show_commits", "drop_partitions")
+
+  def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      // CALL is always top-level
+      case c: Call => c.procedure match {
+        case up: UnresolvedProcedure if up.nameParts.length == 1 &&
+            Procedures.contains(up.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          LakeCallCommand(
+            up.nameParts.head.toLowerCase(java.util.Locale.ROOT), c.args)
+        case up: UnresolvedProcedure if up.nameParts.length == 2 &&
+            up.nameParts.head.equalsIgnoreCase("graft") =>
+          val name = up.nameParts(1).toLowerCase(java.util.Locale.ROOT)
+          if (!Procedures.contains(name)) throw new UnsupportedOperationException(
+            s"cdc-lake CALL: unknown procedure 'graft.$name' — known: " +
+              Procedures.toSeq.sorted.mkString(", "))
+          LakeCallCommand(name, c.args)
+        case _ => c
+      }
+      case p => p.transformDownWithSubqueries {
+        case rtt @ RelationTimeTravel(u: UnresolvedRelation, tsOpt, vOpt) =>
+          lakeCatalogTable(session, u.multipartIdentifier) match {
+            case Some(ct) =>
+              val asOf: Option[(String, String)] = (vOpt, tsOpt) match {
+                case (Some(v), _) => Some("versionAsOf" -> v)
+                case (_, Some(ts)) => Some("timestampAsOf" -> instantParam(ts))
+                case _ => None // parser guarantees one is present
+              }
+              asOf match {
+                case Some(kv) =>
+                  val rel = new LakeSnapshotRelation(
+                    session.sqlContext, lakeParams(ct) + kv)
+                  LogicalRelation(rel, ct)
+                case None => rtt
+              }
+            case None => rtt
+          }
+      }
+    }
+
+  /** The catalog entry when `nameParts` names a cdc-lake table in the
+    * session catalog; None (pass through) otherwise.
+    */
+  private[sources] def lakeCatalogTable(
+      session: SparkSession, nameParts: Seq[String]): Option[CatalogTable] = {
+    val ident = nameParts match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    ident.flatMap { id =>
+      try {
+        val ct = session.sessionState.catalog.getTableMetadata(id)
+        if (ct.provider.exists(_.equalsIgnoreCase(CdcLakeSinkProvider.ShortName)))
+          Some(ct)
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** The relation options a catalog-synced cdc-lake table was registered
+    * with (`path` falls back to the storage location for entries whose
+    * option map lost it).
+    */
+  private[sources] def lakeParams(ct: CatalogTable): Map[String, String] = {
+    val props = ct.storage.properties
+    if (props.contains("path")) props
+    else props ++ ct.storage.locationUri.map(u => "path" -> u.toString)
+  }
+
+  /** A parse-time `TIMESTAMP AS OF` operand, rendered for the
+    * `timestampAsOf` read option: a string literal passes through
+    * (epoch millis or 'yyyy-MM-dd HH:mm:ss[.SSS]', see
+    * [[graft.lake.LakeTable.parseInstantMillis]]); a typed timestamp
+    * literal converts its micros. Anything non-literal is rejected
+    * loudly — time travel must pin a state the user can name.
+    */
+  private def instantParam(e: Expression): String = e match {
+    case l: Literal => l.dataType match {
+      case StringType => String.valueOf(l.value)
+      case TimestampType | TimestampNTZType =>
+        (l.value.asInstanceOf[Long] / 1000L).toString
+      case other => throw new UnsupportedOperationException(
+        s"cdc-lake TIMESTAMP AS OF takes a string or timestamp literal, got " +
+          s"${other.simpleString(10)}: ${e.sql}")
+    }
+    case other => throw new UnsupportedOperationException(
+      s"cdc-lake TIMESTAMP AS OF takes a literal instant, got: ${other.sql}")
+  }
+}
+
+/** SQL maintenance procedures over catalog-synced cdc-lake tables —
+  * Hudi's spark-sql `CALL` parity (r18, VERDICT r17 #4). Every
+  * procedure takes `table => '<name>'` (or the table name as the one
+  * positional argument) and runs the SAME Scala APIs the operational
+  * docs describe, then re-syncs the catalog entry (a rollback can move
+  * the stored schema BACKWARD; every mutation invalidates the cached
+  * version-pinned relation):
+  *
+  *  - `run_compaction(table)` — fold MOR delta stacks / multi-file
+  *    groups ([[LakeTable.compact]]); both layouts.
+  *  - `run_vacuum(table[, keep_versions => n][, older_than =>
+  *    '<instant>'])` — snapshot retention ([[LakeTable.vacuum]] /
+  *    `vacuumBefore`); returns the number of data dirs removed.
+  *  - `rollback_to_instant(table, version => n)` — restore; partitioned
+  *    tables take a JSON vector `version => '{"eu": 2}'` and restore
+  *    each named partition.
+  *  - `create_savepoint(table, version => n)` — pin a version against
+  *    vacuum; plain tables.
+  *  - `show_commits(table)` — (partition, version, commit_id,
+  *    commit_time_ms) rows, newest first.
+  *  - `drop_partitions(table, partitions => 'a,b')` — partition-level
+  *    retention; partitioned tables.
+  */
+case class LakeCallCommand(proc: String, args: Seq[Expression])
+    extends LeafRunnableCommand {
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"cdc-lake CALL $proc: $msg")
+
+  override def output: Seq[Attribute] = proc match {
+    case "show_commits" => Seq(
+      AttributeReference("partition", StringType)(),
+      AttributeReference("version", LongType)(),
+      AttributeReference("commit_id", StringType)(),
+      AttributeReference("commit_time_ms", LongType)())
+    case "run_vacuum" | "drop_partitions" =>
+      Seq(AttributeReference("removed", LongType)())
+    case "rollback_to_instant" =>
+      Seq(AttributeReference("restored_version", StringType)())
+    case _ => Seq(AttributeReference("result", StringType)())
+  }
+
+  /** Literal argument map: named args keep their (lowercased) names,
+    * a single leading positional argument is the table name.
+    */
+  private def argMap: Map[String, Any] = {
+    def valueOf(e: Expression): Any = e match {
+      case l: Literal => l.value match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case i: java.lang.Integer => i.longValue()
+        case other => other
+      }
+      case other => fail(s"arguments must be literals, got: ${other.sql}")
+    }
+    val named = args.collect {
+      case n: NamedArgumentExpression =>
+        n.key.toLowerCase(java.util.Locale.ROOT) -> valueOf(n.value)
+    }
+    val positional = args.filterNot(_.isInstanceOf[NamedArgumentExpression])
+    val posTable = positional match {
+      case Seq() => Nil
+      case Seq(one) if !named.exists(_._1 == "table") => Seq("table" -> valueOf(one))
+      case _ => fail("only `table` may be positional — name the rest (k => v)")
+    }
+    val all = named ++ posTable
+    if (all.map(_._1).distinct.size != all.size) fail("duplicate arguments")
+    all.toMap
+  }
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).map {
+      case s: String => s
+      case other => fail(s"'$k' must be a string, got: $other")
+    }
+  private def num(m: Map[String, Any], k: String): Option[Long] =
+    m.get(k).map {
+      case l: Long => l
+      case other => fail(s"'$k' must be an integer, got: $other")
+    }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val m = argMap
+    val tableName = str(m, "table").getOrElse(fail("missing `table` argument"))
+    val ident = session.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val ct = session.sessionState.catalog.getTableMetadata(ident)
+    if (!ct.provider.exists(_.equalsIgnoreCase(CdcLakeSinkProvider.ShortName)))
+      fail(s"$tableName is not a cdc-lake table (provider: ${ct.provider})")
+    val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
+
+    def unknownArgs(known: String*): Unit = {
+      val extra = m.keySet - "table" -- known
+      if (extra.nonEmpty) fail(s"unknown arguments: ${extra.toSeq.sorted.mkString(", ")}")
+    }
+
+    val out: Seq[Row] = proc match {
+      case "run_compaction" =>
+        unknownArgs()
+        handle.fold(_.compact(), _.compact())
+        Seq(Row("compacted"))
+      case "run_vacuum" =>
+        unknownArgs("keep_versions", "older_than")
+        val removed = (num(m, "keep_versions"), str(m, "older_than")) match {
+          case (Some(_), Some(_)) =>
+            fail("pass keep_versions OR older_than, not both")
+          case (_, Some(instant)) =>
+            val cutoff = LakeTable.parseInstantMillis(instant)
+            handle.fold(_.vacuumBefore(cutoff), _.vacuumBefore(cutoff))
+          case (keep, None) =>
+            val k = keep.getOrElse(1L).toInt
+            handle.fold(_.vacuum(k), _.vacuum(k))
+        }
+        Seq(Row(removed.toLong))
+      case "rollback_to_instant" =>
+        unknownArgs("version")
+        val restored = (m.get("version"), handle) match {
+          case (Some(v: Long), Right(t)) => t.restoreTo(v).toString
+          case (Some(v: String), Right(t)) if v.forall(_.isDigit) && v.nonEmpty =>
+            t.restoreTo(v.toLong).toString
+          case (Some(v: String), Left(pt)) if v.trim.startsWith("{") =>
+            val vec = VectorOffset.parse(v)
+            if (vec.isEmpty) fail("empty version vector")
+            val existing = pt.partitions.toSet
+            val missing = vec.keySet -- existing
+            if (missing.nonEmpty) fail(
+              s"unknown partitions: ${missing.toSeq.sorted.mkString(", ")}")
+            VectorOffset(
+              vec.map { case (p, ver) => p -> pt.partitionTable(p).restoreTo(ver) })
+              .json()
+          case (Some(_), Left(_)) => fail(
+            "a partitioned table takes a JSON vector: version => '{\"<partition>\": <n>}'")
+          case (Some(v), Right(_)) => fail(s"version must be an integer, got: $v")
+          case (None, _) => fail("missing `version` argument")
+        }
+        Seq(Row(restored))
+      case "create_savepoint" =>
+        unknownArgs("version")
+        val v = num(m, "version").getOrElse(fail("missing `version` argument"))
+        handle.fold(
+          _ => fail("savepoints are per plain lake table — partition them individually"),
+          t => { t.savepoint(v); () })
+        Seq(Row(s"savepoint at $v"))
+      case "show_commits" =>
+        unknownArgs()
+        val rows = handle.fold(
+          pt => pt.partitions.flatMap(p =>
+            pt.partitionTable(p).commitTimes().map { case (v, t) =>
+              Row(p, v, pt.partitionTable(p).commitIdOf(v).orNull, t)
+            }),
+          t => t.commitTimes().map { case (v, tm) =>
+            Row(null, v, t.commitIdOf(v).orNull, tm)
+          })
+        rows.sortBy(r => (Option(r.getString(0)).getOrElse(""), -r.getLong(1)))
+      case "drop_partitions" =>
+        unknownArgs("partitions")
+        val parts = str(m, "partitions")
+          .getOrElse(fail("missing `partitions` argument"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val dropped = handle.fold(
+          pt => pt.dropPartitions(parts),
+          _ => fail("drop_partitions needs a partitioned table"))
+        Seq(Row(dropped.toLong))
+      case other => fail(s"unknown procedure '$other'") // unreachable (parser gate)
+    }
+
+    // Post-mutation catalog upkeep (read-only show_commits included is
+    // harmless): a rollback can move the stored schema BACKWARD, and
+    // every new version invalidates the cached version-pinned relation —
+    // same contract as the SQL write commands (LakeMergeInto.
+    // syncCatalogSchema, which needs a live relation; here the schema
+    // comes from the handle directly).
+    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    if (latest.nonEmpty && latest != ct.dataSchema)
+      session.sessionState.catalog.alterTableDataSchema(ident, latest)
+    session.catalog.refreshTable(ident.quotedString)
+    out
+  }
+}
