@@ -350,6 +350,45 @@ final class LakeTable(
       s"latchPartial lost the publish race ${MaxCommitRetries + 1} times at $basePath")
   }
 
+  /** Manifest-only additive column evolution (r18): publish a new
+    * version whose schema appends the ABSENT names of `cols` (nullable)
+    * — zero data IO, exactly the state the DataFrame path reaches when
+    * an upsert carries new columns (readers null-fill files written
+    * before the widening). Backs SQL `MERGE ... WITH SCHEMA EVOLUTION`,
+    * which must evolve BEFORE resolution so new-column assignments
+    * bind. Same publish-if-absent + commitId idempotency as every
+    * commit; the reserved `_pts` map stays LAST (partial-table readers
+    * strip it — new payload columns belong to the user-facing prefix).
+    * Names already present are skipped here whatever their type — a
+    * same-name/different-type source is a TYPE change, which stays with
+    * the write path's widen() (int→long / float→double or loud).
+    */
+  def addColumns(cols: StructType, commitId: String = ""): Long = synchronized {
+    require(latestVersion.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
+    if (isCommitted(commitId)) return latestVersion.get
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val cur = latestManifest().get
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val fresh = cols.fields.filterNot(f => schema.fieldNames.contains(f.name))
+      if (fresh.isEmpty) return cur.version
+      val (pts, user) = schema.fields.partition(_.name == PtsCol)
+      val next = StructType(user ++ fresh.map(_.copy(nullable = true)) ++ pts)
+      try {
+        publish(cur.version + 1, cur.copy(
+          version = cur.version + 1, commitId = commitId, schemaJson = next.json))
+        return cur.version + 1
+      } catch {
+        case _: IllegalStateException =>
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1 // concurrent writer won; re-read and re-check
+      }
+    }
+    throw new IllegalStateException(
+      s"addColumns lost the publish race ${MaxCommitRetries + 1} times at $basePath")
+  }
+
   /** Incremental read: rows whose (`_key`, `_ts`) state changed after
     * `sinceVersion` — inserts and updates since that commit (deletes are
     * absent; diff keys via a left-anti the other way for tombstones).

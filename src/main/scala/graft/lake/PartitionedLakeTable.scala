@@ -488,6 +488,16 @@ final class PartitionedLakeTable(
     if (reborn.nonEmpty) writeDropped(dropped -- reborn)
   }
 
+  /** Additive column evolution across every committed partition — see
+    * [[LakeTable.addColumns]] (r18). Partitions born later inherit the
+    * columns from the writes that create them.
+    */
+  def addColumns(cols: org.apache.spark.sql.types.StructType, commitId: String = ""): Unit =
+    partitions.foreach { v =>
+      partitionTable(v).addColumns(
+        cols, if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+
   /** Compact every partition's bucket file groups (commitId scoped per
     * partition, so a replayed compaction skips exactly the partitions
     * that already ran).

@@ -79,8 +79,13 @@ import graft.lake.LakeTable
   *    free read-modify-write (the population is the pinned snapshot
   *    anti-joined with the source keys — inherently a full-table scan,
   *    documented).
-  *  - `WITH SCHEMA EVOLUTION`, non-`_key` or non-equality ON
-  *    conditions, nested-field assignment keys, and `_key` reassignment
+  *  - `WITH SCHEMA EVOLUTION` (r18): ADDITIVE source columns append to
+  *    the lake schema before resolution (parse-time manifest-only
+  *    commit, [[LakeSqlRewrites]]) — star actions carry every new
+  *    column, explicit lists the ones they name; type CHANGES stay with
+  *    the write path's widen() (int→long / float→double, loud beyond).
+  *  - Non-`_key` or non-equality ON conditions, nested-field assignment
+  *    keys, nondeterministic WHEN conditions, and `_key` reassignment
   *    differing from ON are rejected loudly.
   */
 class LakeMergeIntoRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -172,7 +177,11 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val rel = LakeMergeInto.targetRelation(m.targetTable).get
-    if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION (r18): additive source columns were already
+    // appended at parse time (LakeSqlRewrites.evolveForMerge — Spark's
+    // own resolution would otherwise drop or reject them), so by the
+    // time this command exists the merge is a plain one over the
+    // widened schema; nothing evolution-specific remains to do here.
 
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet

@@ -2,11 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedProcedure, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedProcedure, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Call, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Call, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampNTZType, TimestampType}
@@ -121,7 +121,18 @@ object LakeSqlRewrites {
           LakeCallCommand(name, c.args)
         case _ => c
       }
-      case p => p.transformDownWithSubqueries {
+      case p =>
+        p match {
+          // MERGE WITH SCHEMA EVOLUTION (r18, VERDICT r17 #6): additive
+          // source columns must join the table schema BEFORE resolution —
+          // Spark's star expansion silently drops them and its assignment
+          // resolution throws UNRESOLVED_COLUMN, both inside the built-in
+          // Resolution rules, so no injected analyzer rule runs in time.
+          case m: MergeIntoTable if m.withSchemaEvolution =>
+            evolveForMerge(session, m)
+          case _ => ()
+        }
+        p.transformDownWithSubqueries {
         case rtt @ RelationTimeTravel(u: UnresolvedRelation, tsOpt, vOpt) =>
           lakeCatalogTable(session, u.multipartIdentifier) match {
             case Some(ct) =>
@@ -141,6 +152,65 @@ object LakeSqlRewrites {
           }
       }
     }
+
+  /** Parse-time additive schema evolution for `MERGE WITH SCHEMA
+    * EVOLUTION` over a catalog-synced lake target: analyze the SOURCE
+    * subplan (independent of the merge), find the source columns the
+    * statement can evolve — every extra column when a star action is
+    * present (star expansion maps target columns from the source by
+    * name, so widening the target first makes `SET * / INSERT *` carry
+    * them), else exactly the new names the assignment lists reference —
+    * and append them via the manifest-only [[LakeTable.addColumns]]
+    * commit, re-registering the catalog entry so this statement's own
+    * resolution (and every later read) binds against the widened
+    * schema. Same-name/different-type columns are NOT new — they stay
+    * with the write path's widen() (int→long / float→double, loud
+    * beyond). Like DSv2's analysis-time ALTER, the widening happens
+    * whether or not the statement goes on to execute (EXPLAIN included)
+    * — additive and idempotent, so a replay is a no-op. Non-catalog /
+    * non-lake targets and unanalyzable sources pass through to Spark's
+    * own errors.
+    */
+  private def evolveForMerge(session: SparkSession, m: MergeIntoTable): Unit = {
+    val ident = m.targetTable.collectFirst {
+      case u: UnresolvedRelation => u.multipartIdentifier
+    }
+    val ct = ident.flatMap(lakeCatalogTable(session, _)).getOrElse(return)
+    val sourceSchema =
+      try session.sessionState.analyzer.execute(m.sourceTable).schema
+      catch { case _: Exception => return }
+    val resolver = session.sessionState.conf.resolver
+    val existing = ct.dataSchema.fields.map(_.name)
+    def isNew(name: String): Boolean = !existing.exists(resolver(_, name))
+    val actions = m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions
+    val hasStar = actions.exists {
+      case _: UpdateStarAction | _: InsertStarAction => true
+      case _ => false
+    }
+    val assignedNames: Set[String] = actions.flatMap {
+      case u: UpdateAction => u.assignments.map(_.key)
+      case i: InsertAction => i.assignments.map(_.key)
+      case _ => Nil
+    }.collect {
+      case ua: UnresolvedAttribute if ua.nameParts.nonEmpty => ua.nameParts.last
+    }.toSet
+    val wanted = sourceSchema.fields.filter { f =>
+      isNew(f.name) && (hasStar || assignedNames.exists(resolver(_, f.name)))
+    }
+    if (wanted.isEmpty) return
+    val reserved = wanted.map(_.name)
+      .filter(n => n == LakeTable.BucketCol || n == LakeTable.PtsCol)
+    if (reserved.nonEmpty) throw new UnsupportedOperationException(
+      s"cdc-lake MERGE WITH SCHEMA EVOLUTION: reserved column name(s) " +
+        s"${reserved.mkString(", ")} cannot be added")
+    val handle = LakeHandles.fromOptions(session, lakeParams(ct))
+    val cols = StructType(wanted.toSeq)
+    handle.fold(_.addColumns(cols), _.addColumns(cols))
+    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    if (latest.nonEmpty && latest != ct.dataSchema)
+      session.sessionState.catalog.alterTableDataSchema(ct.identifier, latest)
+    session.catalog.refreshTable(ct.identifier.quotedString)
+  }
 
   /** The catalog entry when `nameParts` names a cdc-lake table in the
     * session catalog; None (pass through) otherwise.
