@@ -1140,6 +1140,52 @@ object OpsQueries {
           .select(col("id1"), col("id2")).orderBy("id1", "id2"),
       Some(duckNearDup)),
 
+    // ---- semantic dedup: embedding near-dup pairs -> connected
+    // components -> canonical survivor (r18) -----------------------------
+    // The SemDeDup pipeline shape (Abbas et al. 2023) as ONE plan: LSH-
+    // banded candidate pairs at quantized-cosine >= 0.95 (q37's exact
+    // verify — bit-identical to the oracle's integer arithmetic), min-
+    // label connected components over the pair graph (q52's core, edge-
+    // touched nodes only), survivor = the component's min vec_id. Emits
+    // every vector with its semantic group and a kept flag, so the caller
+    // filters the corpus or audits the drops. Scale shape: candidates
+    // come banded (never all-pairs), the label iteration touches only
+    // edge-touched nodes, singletons attach with one left join.
+    "q109_semantic_dedup" -> QueryDef(
+      (spark, dir) => {
+        val e = embs(spark, dir)
+        val pairs = Similarity.nearDupPairs(
+            e, 0.95, Similarity.planes(32, 64), bandBits = 8, quantized = true)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+        DedupDocs.dupGroups(e.select(col("vec_id")), pairs, idCol = "vec_id")
+          .select(
+            col("vec_id"), col("group_id"),
+            (col("vec_id") === col("group_id")).cast("int").as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH RECURSIVE u AS (SELECT a.vec_id i1, b.vec_id i2,
+          |       CAST(floor(CAST(a.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) x,
+          |       CAST(floor(CAST(b.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) y
+          |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+          |            generate_series(1, 64) g),
+          |s AS (SELECT i1, i2, sum(x*y) dot, sum(x*x) na, sum(y*y) nb FROM u GROUP BY i1, i2),
+          |pr AS (SELECT i1 d1, i2 d2 FROM s
+          |       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.95),
+          |edges AS (SELECT d1 AS eu, d2 AS ev FROM pr UNION SELECT d2, d1 FROM pr),
+          |reach(eu, ev) AS (
+          |  SELECT eu, ev FROM edges
+          |  UNION
+          |  SELECT r.eu, e.ev FROM reach r JOIN edges e ON r.ev = e.eu),
+          |mn AS (SELECT eu, min(ev) AS mv FROM reach GROUP BY eu)
+          |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+          |       CAST(CASE WHEN mn.mv IS NULL OR e.vec_id < mn.mv
+          |                 THEN e.vec_id ELSE mn.mv END AS BIGINT) AS group_id,
+          |       CAST(CASE WHEN mn.mv IS NULL OR e.vec_id < mn.mv
+          |                 THEN 1 ELSE 0 END AS INT) AS kept
+          |FROM embeddings e LEFT JOIN mn ON e.vec_id = mn.eu
+          |ORDER BY vec_id""".stripMargin)),
+
     // ---- embedding near-dups: INCREMENTAL batch-vs-indexed-corpus ------
     // Same incremental shape as q46 for embeddings: the corpus signature
     // index is a stored artifact; the batch (every 11th vector re-keyed

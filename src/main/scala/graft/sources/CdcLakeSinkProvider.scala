@@ -224,6 +224,32 @@ class LakeSnapshotRelation(
         s"queryType must be snapshot|read_optimized, got '$bad'")
     }
 
+  // `snapshotMode=refresh` (r18): re-resolve the LATEST committed
+  // version on EVERY buildScan instead of pinning at relation creation —
+  // the stream-static enrichment contract. A streaming query analyzes
+  // its plan ONCE, so a pinned dim-side relation would join every
+  // micro-batch against the table as of query start, silently ignoring
+  // upserts for the stream's whole lifetime; refresh mode re-pins per
+  // SCAN (each micro-batch still reads ONE consistent version — the
+  // per-call relation pins exactly like this one does). Loud on
+  // mid-stream schema widening (the LakeIncrementalSource contract: a
+  // widened Row under a fixed analyzed schema would corrupt, so
+  // restart the query) and incompatible with time travel /
+  // read-optimized (those ARE pins).
+  private lazy val refreshPerScan: Boolean =
+    parameters.get("snapshotMode")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("pinned") => false
+      case Some("refresh") =>
+        require(
+          requestedVersion.isEmpty && requestedTimestamp.isEmpty && !readOptimized,
+          "snapshotMode=refresh re-resolves latest per scan — drop " +
+            "versionAsOf/timestampAsOf/read_optimized (those pin a state)")
+        true
+      case Some(bad) => throw new IllegalArgumentException(
+        s"snapshotMode must be pinned|refresh, got '$bad'")
+    }
+
   private lazy val snapshot: DataFrame =
     if (pinnedEmpty)
       ctx.sparkSession.createDataFrame(
@@ -343,7 +369,17 @@ class LakeSnapshotRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
-    scanPlan(requiredColumns, filters).rdd
+    if (!refreshPerScan) scanPlan(requiredColumns, filters).rdd
+    else {
+      // fresh per-call relation = fresh pin at latest; all routes of THIS
+      // scan stay version-consistent through its own pinning
+      val fresh = new LakeSnapshotRelation(ctx, parameters - "snapshotMode")
+      require(fresh.schema == schema,
+        s"cdc-lake snapshotMode=refresh: the stored schema changed under a " +
+          s"running query (was $schema, now ${fresh.schema}) — a widened row " +
+          "under the fixed analyzed schema would corrupt; restart the query")
+      fresh.scanPlan(requiredColumns, filters).rdd
+    }
 
   /** SQL write surface (r16, a v1-expressible slice of the deferred DSv2
     * item): `INSERT INTO <catalog-synced cdc-lake table> ...` resolves to

@@ -485,4 +485,49 @@ class LakeStreamSourceSpec extends SparkSpec {
         == Seq("ann"))
     } finally q.stop()
   }
+
+  test("snapshotMode=refresh: a stream-static join sees dim upserts per micro-batch (r18)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val dimDir = tempDir("dim-refresh-").resolve("t").toString
+    val dim = new LakeTable(spark, dimDir, numBuckets = 2)
+    dim.upsert(Seq(("k1", 1L, "v1")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    // refresh mode: re-pins latest per scan; default pins at relation
+    // creation — the stream's analyzed plan holds BOTH, so one query
+    // demonstrates the difference
+    val refreshed = spark.read.format("cdc-lake")
+      .option("path", dimDir).option("buckets", "2")
+      .option("snapshotMode", "refresh").load()
+      .select(col(LakeTable.KeyCol).as("k"), col("payload").as("live"))
+    val pinned = spark.read.format("cdc-lake")
+      .option("path", dimDir).option("buckets", "2").load()
+      .select(col(LakeTable.KeyCol).as("k"), col("payload").as("frozen"))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val joined = input.toDF().withColumnRenamed("value", "k")
+      .join(refreshed, "k").join(pinned, "k")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out.synchronized { out ++= df.as[(String, String, String)].collect() }
+        ()
+      }.start()
+    try {
+      input.addData("k1")
+      q.processAllAvailable()
+      dim.upsert(Seq(("k1", 2L, "v2")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+      input.addData("k1")
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 joined v1 on both sides; batch 2: refresh side sees the
+    // upsert, the pinned side still reads query-start state
+    assert(out.toList === List(("k1", "v1", "v1"), ("k1", "v2", "v1")))
+    // loud on wrong mode values; refresh + time travel is contradictory
+    intercept[Exception](spark.read.format("cdc-lake")
+      .option("path", dimDir).option("snapshotMode", "bogus").load().collect())
+    intercept[Exception](spark.read.format("cdc-lake")
+      .option("path", dimDir).option("snapshotMode", "refresh")
+      .option("versionAsOf", "1").load().collect())
+  }
 }
