@@ -102,7 +102,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object LakeSqlRewrites {
   private val Procedures = Set(
     "run_compaction", "run_vacuum", "rollback_to_instant", "create_savepoint",
-    "show_commits", "drop_partitions")
+    "delete_savepoint", "show_savepoints", "show_commits", "show_partitions",
+    "drop_partitions")
 
   def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan match {
@@ -281,10 +282,12 @@ object LakeSqlRewrites {
   *  - `rollback_to_instant(table, version => n)` — restore; partitioned
   *    tables take a JSON vector `version => '{"eu": 2}'` and restore
   *    each named partition.
-  *  - `create_savepoint(table, version => n)` — pin a version against
-  *    vacuum; plain tables.
+  *  - `create_savepoint(table, version => n)` /
+  *    `delete_savepoint(table, version => n)` / `show_savepoints(table)`
+  *    — pin versions against vacuum; plain tables.
   *  - `show_commits(table)` — (partition, version, commit_id,
   *    commit_time_ms) rows, newest first.
+  *  - `show_partitions(table)` — committed partition values.
   *  - `drop_partitions(table, partitions => 'a,b')` — partition-level
   *    retention; partitioned tables.
   */
@@ -300,6 +303,10 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
       AttributeReference("version", LongType)(),
       AttributeReference("commit_id", StringType)(),
       AttributeReference("commit_time_ms", LongType)())
+    case "show_savepoints" =>
+      Seq(AttributeReference("version", LongType)())
+    case "show_partitions" =>
+      Seq(AttributeReference("partition", StringType)())
     case "run_vacuum" | "drop_partitions" =>
       Seq(AttributeReference("removed", LongType)())
     case "rollback_to_instant" =>
@@ -406,6 +413,23 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
           _ => fail("savepoints are per plain lake table — partition them individually"),
           t => { t.savepoint(v); () })
         Seq(Row(s"savepoint at $v"))
+      case "delete_savepoint" =>
+        unknownArgs("version")
+        val v = num(m, "version").getOrElse(fail("missing `version` argument"))
+        handle.fold(
+          _ => fail("savepoints are per plain lake table — partition them individually"),
+          t => { t.releaseSavepoint(v); () })
+        Seq(Row(s"released savepoint at $v"))
+      case "show_savepoints" =>
+        unknownArgs()
+        handle.fold(
+          _ => fail("savepoints are per plain lake table — partition them individually"),
+          t => t.savepoints.sorted.map(v => Row(v)))
+      case "show_partitions" =>
+        unknownArgs()
+        handle.fold(
+          pt => pt.partitions.map(Row(_)),
+          _ => fail("show_partitions needs a partitioned table"))
       case "show_commits" =>
         unknownArgs()
         val rows = handle.fold(

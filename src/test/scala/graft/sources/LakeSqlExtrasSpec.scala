@@ -184,11 +184,31 @@ class LakeSqlExtrasSpec extends SparkSpec {
     pt.upsert(Seq(("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"), ("c", 1L, 30L, "ap"))
       .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region"))
     register(pname, pdir)
+    assert(spark.sql(s"CALL show_partitions(table => '$pname')")
+      .as[String].collect().toSeq === Seq("ap", "eu", "us"))
     val dropped = spark.sql(s"CALL drop_partitions(table => '$pname', partitions => 'us,ap,nope')")
       .as[Long].collect().head
     assert(dropped === 2L)
     assert(pt.partitions === Seq("eu"))
     assert(spark.sql(s"SELECT _key FROM $pname").as[String].collect().toSet === Set("a"))
     spark.sql(s"DROP TABLE $pname")
+  }
+
+  test("CALL savepoint lifecycle == Scala savepoint/releaseSavepoint") {
+    val (name, dir, lt) = fresh("call-sp")
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    lt.upsert(Seq(("b", 2L, 20L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    register(name, dir)
+    spark.sql(s"CALL create_savepoint(table => '$name', version => 1)")
+    assert(lt.savepoints === Seq(1L), "SQL savepoint must be the Scala-visible pin")
+    assert(spark.sql(s"CALL show_savepoints(table => '$name')")
+      .as[Long].collect().toSeq === Seq(1L))
+    // the pin holds: vacuum keeps version 1 readable
+    spark.sql(s"CALL run_vacuum(table => '$name', keep_versions => 1)")
+    assert(spark.sql(s"SELECT _key FROM $name VERSION AS OF 1")
+      .as[String].collect().toSet === Set("a"))
+    spark.sql(s"CALL delete_savepoint(table => '$name', version => 1)")
+    assert(lt.savepoints.isEmpty)
+    spark.sql(s"DROP TABLE $name")
   }
 }
