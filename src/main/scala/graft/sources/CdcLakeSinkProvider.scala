@@ -71,19 +71,52 @@ class CdcLakeSinkProvider extends StreamSinkProvider
     new CdcLakeSink(parameters)
   }
 
-  /** Batch write parity (reference E2,
-    * `BinlogSyncHoodieCommand.scala:231-234` re-entering its own source
-    * class for batch writes): `envelopes.write.format("cdc-lake")
-    * .options(cfg).save()` runs one CDC merge batch. SaveMode is accepted
-    * and ignored — the sink always merges, like the streaming path.
+  /** Batch write parity — TWO shapes share the format (r18):
+    *
+    *  - **CDC envelope batches** (reference E2,
+    *    `BinlogSyncHoodieCommand.scala:231-234`): a single string
+    *    envelope column — `envelopes.write.format("cdc-lake")
+    *    .options(cfg).save()` runs one CDC merge batch (SaveMode
+    *    ignored; the sink always merges, like the streaming path).
+    *  - **Direct lake rows** (what SQL `CREATE TABLE ... AS SELECT` and
+    *    plain `df.write` produce): the lake contract columns present →
+    *    the native LWW upsert through a config-matched handle, exactly
+    *    `INSERT INTO` semantics (null-contract guard included).
+    *    `SaveMode.Overwrite` is rejected like `INSERT OVERWRITE`.
+    *
+    * Anything else fails LOUDLY: the pre-r18 path parsed the FIRST
+    * column of any batch as envelope JSON, so a CTAS of plain rows
+    * dropped every "malformed" row and committed NOTHING — a
+    * successful-looking statement leaving an empty table.
     */
   override def createRelation(
       sqlContext: SQLContext,
       mode: SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
-    CdcSyncCommand.run(data, parameters,
-      batchId = parameters.get("batchId").map(_.toLong).getOrElse(-1L))
+    val cols = data.columns
+    if (cols.contains(LakeTable.KeyCol) && cols.contains(LakeTable.TsCol)) {
+      val rel = new LakeSnapshotRelation(sqlContext, parameters)
+      // CTAS hands SaveMode.Overwrite even for a brand-new table — with
+      // nothing committed there is nothing to overwrite, so it degrades
+      // to the plain first write; Overwrite of EXISTING state stays
+      // rejected (the INSERT OVERWRITE contract).
+      require(mode != SaveMode.Overwrite || rel.neverWritten,
+        "cdc-lake batch write: SaveMode.Overwrite over existing data is " +
+          "not supported — the write runs the native LWW upsert (for " +
+          "truncate-and-load use delete + upsert or restoreTo)")
+      rel.mergeWrite(Some(data), None)
+    } else if (cols.length == 1 &&
+        data.schema.head.dataType == org.apache.spark.sql.types.StringType) {
+      CdcSyncCommand.run(data, parameters,
+        batchId = parameters.get("batchId").map(_.toLong).getOrElse(-1L))
+    } else {
+      throw new IllegalArgumentException(
+        s"cdc-lake batch write takes a single-string-column CDC envelope " +
+          s"batch or rows carrying the lake contract columns " +
+          s"('${LakeTable.KeyCol}', '${LakeTable.TsCol}') — got " +
+          s"(${cols.mkString(", ")})")
+    }
     new LakeSnapshotRelation(sqlContext, parameters)
   }
 
@@ -459,6 +492,9 @@ class LakeSnapshotRelation(
   /** The partition column when this relation is a partitioned layout. */
   private[sources] def partitionColumn: Option[String] =
     opened.left.toOption.map(_.partitionCol)
+
+  /** True iff no version has ever committed (the CTAS Overwrite gate). */
+  private[sources] def neverWritten: Boolean = pinnedEmpty
 
   /** The LATEST stored user-facing schema (fresh manifest read, not the
     * relation's pinned one) — SQL write commands compare it with the

@@ -57,6 +57,52 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case c: org.apache.spark.sql.execution.datasources.InsertIntoDataSourceCommand
         if c.logicalRelation.relation.isInstanceOf[LakeSnapshotRelation] =>
       LakeInsertSyncCommand(c)
+    // ALTER TABLE ADD COLUMNS (r18): the built-in command only supports
+    // HadoopFsRelation providers (it would alter the CATALOG schema
+    // alone, which the lake's manifest-driven reads would then reject as
+    // a user-specified-vs-actual mismatch) — route to the manifest-only
+    // addColumns commit the MERGE evolution path already uses.
+    case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
+        if LakeSqlRewrites.lakeCatalogTable(
+          session, a.table.database.toSeq :+ a.table.table).isDefined =>
+      LakeAddColumnsCommand(a.table, a.colsToAdd)
+  }
+}
+
+/** `ALTER TABLE <lake> ADD COLUMNS (...)` — additive schema evolution
+  * through the same manifest-only commit as `MERGE WITH SCHEMA
+  * EVOLUTION` ([[graft.lake.LakeTable.addColumns]]): zero data IO,
+  * readers null-fill older files, catalog re-registered. Duplicate and
+  * reserved names fail loudly (SQL contract — the silent skip inside
+  * addColumns is for the evolution path's idempotency, not DDL).
+  */
+case class LakeAddColumnsCommand(
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    colsToAdd: Seq[org.apache.spark.sql.types.StructField])
+  extends LeafRunnableCommand {
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"cdc-lake ALTER TABLE ADD COLUMNS: $msg")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ct = session.sessionState.catalog.getTableMetadata(table)
+    val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
+    val existing = ct.dataSchema.fieldNames.toSet
+    val dup = colsToAdd.map(_.name).filter(existing.contains)
+    if (dup.nonEmpty) fail(s"column(s) already exist: ${dup.mkString(", ")}")
+    val reserved = colsToAdd.map(_.name)
+      .filter(n => n == graft.lake.LakeTable.BucketCol || n == graft.lake.LakeTable.PtsCol)
+    if (reserved.nonEmpty) fail(
+      s"reserved column name(s): ${reserved.mkString(", ")}")
+    if (colsToAdd.map(_.name).distinct.size != colsToAdd.size)
+      fail("duplicate column names in the ADD list")
+    val cols = org.apache.spark.sql.types.StructType(colsToAdd)
+    handle.fold(_.addColumns(cols), _.addColumns(cols))
+    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    if (latest.nonEmpty && latest != ct.dataSchema)
+      session.sessionState.catalog.alterTableDataSchema(table, latest)
+    session.catalog.refreshTable(table.quotedString)
+    Seq.empty
   }
 }
 

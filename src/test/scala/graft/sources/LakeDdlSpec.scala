@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+/** SQL DDL over lake tables (r18): `CREATE TABLE ... AS SELECT` /
+  * direct `df.write.format("cdc-lake")` rows, and
+  * `ALTER TABLE ADD COLUMNS` routing to the manifest-only evolution
+  * commit. Pins the r18 bug fix: the batch-write path used to parse the
+  * FIRST column of ANY batch as envelope JSON, so a CTAS of plain rows
+  * silently committed NOTHING.
+  */
+class LakeDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs(x: Throwable): String =
+    Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+
+  test("CTAS writes the selected rows through the native upsert (r18 bug fix)") {
+    val dir = tempDir("ctas-").resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE ddl_ctas USING `cdc-lake` OPTIONS (path '$dir', buckets '2')
+         |AS SELECT concat('k', id) AS _key, CAST(1 AS BIGINT) AS _ts,
+         |          id * 10 AS amount
+         |FROM range(5)""".stripMargin)
+    try {
+      val got = spark.sql("SELECT _key, amount FROM ddl_ctas")
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("k0" -> 0L, "k1" -> 10L, "k2" -> 20L, "k3" -> 30L, "k4" -> 40L))
+      // the path is a REAL lake table (manifest-committed, not bare files)
+      assert(new LakeTable(spark, dir, numBuckets = 2).latestVersion === Some(1L))
+    } finally spark.sql("DROP TABLE ddl_ctas")
+  }
+
+  test("direct df.write rows run the LWW upsert; overwrite and shapeless batches are loud") {
+    val dir = tempDir("dfw-").resolve("t").toString
+    Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+      .write.format("cdc-lake").option("path", dir).option("buckets", "2").save()
+    Seq(("a", 2L, 11L), ("b", 2L, 20L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+      .write.format("cdc-lake").option("path", dir).option("buckets", "2").save()
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    assert(lt.snapshot.select("_key", "amount").as[(String, Long)].collect().toMap
+      === Map("a" -> 11L, "b" -> 20L))
+    val e = intercept[Exception](
+      Seq(("c", 3L, 30L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+        .write.format("cdc-lake").option("path", dir).mode("overwrite").save())
+    assert(msgs(e).contains("Overwrite"), msgs(e))
+    // neither an envelope batch nor contract rows: loud, nothing written
+    val e2 = intercept[Exception](
+      Seq((1, "x")).toDF("id", "name")
+        .write.format("cdc-lake").option("path", dir).save())
+    assert(msgs(e2).contains("contract"), msgs(e2))
+    assert(lt.latestVersion === Some(2L), "failed writes must not commit")
+  }
+
+  test("ALTER TABLE ADD COLUMNS == the manifest-only evolution commit") {
+    val dir = tempDir("alter-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    spark.sql(s"CREATE TABLE ddl_alter USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    try {
+      spark.sql("ALTER TABLE ddl_alter ADD COLUMNS (note STRING, score BIGINT)")
+      // old rows null-fill; the catalog entry re-registered (read works
+      // without a manual refresh)
+      val got = spark.sql("SELECT _key, note, score FROM ddl_alter")
+        .as[(String, Option[String], Option[Long])].collect().toSeq
+      assert(got === Seq(("a", None, None)))
+      // the new columns are writable through SQL right away
+      spark.sql(
+        "INSERT INTO ddl_alter VALUES ('b', CAST(2 AS BIGINT), CAST(20 AS BIGINT), 'hi', CAST(7 AS BIGINT))")
+      val got2 = spark.sql("SELECT _key, note, score FROM ddl_alter WHERE _key = 'b'")
+        .as[(String, Option[String], Option[Long])].collect().toSeq
+      assert(got2 === Seq(("b", Some("hi"), Some(7L))))
+      // duplicates and reserved names are loud
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE ddl_alter ADD COLUMNS (note STRING)"))
+      assert(msgs(e).contains("already exist"), msgs(e))
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE ddl_alter ADD COLUMNS (b STRING)"))
+      assert(msgs(e2).contains("reserved"), msgs(e2))
+    } finally spark.sql("DROP TABLE ddl_alter")
+  }
+}
