@@ -389,6 +389,51 @@ final class LakeTable(
       s"addColumns lost the publish race ${MaxCommitRetries + 1} times at $basePath")
   }
 
+  /** Manifest-only type widening (r18, `ALTER TABLE ... ALTER COLUMN ...
+    * TYPE ...`): publish a new version whose schema carries `name` at
+    * the WIDER type — legal for exactly the pairs the write path widens
+    * (int→long, float→double): reads run under the manifest schema, so
+    * files written at the narrow type upcast in the vectorized reader
+    * (the same mechanism a widening upsert relies on). Anything else —
+    * unknown column, narrowing, cross-kind — fails loudly. Same-type is
+    * an idempotent no-op.
+    */
+  def widenColumn(name: String, to: DataType, commitId: String = ""): Long = synchronized {
+    require(latestVersion.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
+    if (isCommitted(commitId)) return latestVersion.get
+    def widens(from: DataType): Boolean = (from, to) match {
+      case (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val cur = latestManifest().get
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val idx = schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"no column '$name' at $basePath")
+      val from = schema.fields(idx).dataType
+      if (from == to) return cur.version // idempotent
+      require(widens(from),
+        s"cannot change column '$name' from ${from.simpleString} to " +
+          s"${to.simpleString} — only the lake's widening pairs " +
+          "(int->bigint, float->double) are manifest-safe")
+      val next = StructType(schema.fields.updated(idx, schema.fields(idx).copy(dataType = to)))
+      try {
+        publish(cur.version + 1, cur.copy(
+          version = cur.version + 1, commitId = commitId, schemaJson = next.json))
+        return cur.version + 1
+      } catch {
+        case _: IllegalStateException =>
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"widenColumn lost the publish race ${MaxCommitRetries + 1} times at $basePath")
+  }
+
   /** Incremental read: rows whose (`_key`, `_ts`) state changed after
     * `sinceVersion` — inserts and updates since that commit (deletes are
     * absent; diff keys via a left-anti the other way for tombstones).

@@ -498,6 +498,21 @@ final class PartitionedLakeTable(
         cols, if (commitId.isEmpty) "" else s"$commitId:p=$v")
     }
 
+  /** Manifest-only type widening across every committed partition — see
+    * [[LakeTable.widenColumn]] (r18). The partition column itself cannot
+    * change type (its values are directory names under the recorded
+    * type).
+    */
+  def widenColumn(name: String, to: DataType, commitId: String = ""): Unit = {
+    require(name != partitionCol,
+      s"cannot change the partition column '$partitionCol' — its values are " +
+        "directory names under the recorded partition type")
+    partitions.foreach { v =>
+      partitionTable(v).widenColumn(
+        name, to, if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+  }
+
   /** Compact every partition's bucket file groups (commitId scoped per
     * partition, so a replayed compaction skips exactly the partitions
     * that already ran).

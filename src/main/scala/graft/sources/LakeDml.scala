@@ -66,6 +66,43 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         if LakeSqlRewrites.lakeCatalogTable(
           session, a.table.database.toSeq :+ a.table.table).isDefined =>
       LakeAddColumnsCommand(a.table, a.colsToAdd)
+    // ALTER COLUMN ... TYPE (r18): manifest-only widening for exactly the
+    // pairs the write path widens — the built-in v1 command would alter
+    // only the catalog schema and desync it from the manifest.
+    case c: org.apache.spark.sql.execution.command.AlterTableChangeColumnCommand
+        if LakeSqlRewrites.lakeCatalogTable(
+          session, c.tableName.database.toSeq :+ c.tableName.table).isDefined =>
+      LakeWidenColumnCommand(c.tableName, c.columnName, c.newColumn)
+  }
+}
+
+/** `ALTER TABLE <lake> ALTER COLUMN c TYPE t` — manifest-only widening
+  * ([[graft.lake.LakeTable.widenColumn]]): int→bigint / float→double
+  * only (files written at the narrow type upcast in the vectorized
+  * reader, the same mechanism a widening upsert relies on); everything
+  * else — renames, comments, narrowing, cross-kind — fails loudly.
+  */
+case class LakeWidenColumnCommand(
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    columnName: String,
+    newColumn: org.apache.spark.sql.types.StructField)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (newColumn.name != columnName)
+      throw new UnsupportedOperationException(
+        "cdc-lake ALTER COLUMN: renames are not supported — only type " +
+          "widening (int->bigint, float->double)")
+    val ct = session.sessionState.catalog.getTableMetadata(table)
+    val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
+    handle.fold(
+      _.widenColumn(columnName, newColumn.dataType),
+      t => { t.widenColumn(columnName, newColumn.dataType); () })
+    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    if (latest.nonEmpty && latest != ct.dataSchema)
+      session.sessionState.catalog.alterTableDataSchema(table, latest)
+    session.catalog.refreshTable(table.quotedString)
+    Seq.empty
   }
 }
 

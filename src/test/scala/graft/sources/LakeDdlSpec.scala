@@ -83,4 +83,25 @@ class LakeDdlSpec extends SparkSpec {
       assert(msgs(e2).contains("reserved"), msgs(e2))
     } finally spark.sql("DROP TABLE ddl_alter")
   }
+
+  test("ALTER COLUMN TYPE widens int->bigint manifest-only; narrowing is loud") {
+    val dir = tempDir("widen-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "qty")) // qty: int
+    spark.sql(s"CREATE TABLE ddl_widen USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    try {
+      spark.sql("ALTER TABLE ddl_widen ALTER COLUMN qty TYPE BIGINT")
+      // the OLD int-written file reads back under the widened schema, and
+      // a beyond-int value is writable right away
+      spark.sql("INSERT INTO ddl_widen VALUES ('b', CAST(2 AS BIGINT), CAST(7000000000 AS BIGINT))")
+      val got = spark.sql("SELECT _key, qty FROM ddl_widen")
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("a" -> 10L, "b" -> 7000000000L))
+      assert(lt.snapshot.schema("qty").dataType ===
+        org.apache.spark.sql.types.LongType)
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE ddl_widen ALTER COLUMN qty TYPE INT"))
+      assert(msgs(e).contains("widening"), msgs(e))
+    } finally spark.sql("DROP TABLE ddl_widen")
+  }
 }
