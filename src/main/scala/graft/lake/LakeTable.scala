@@ -1141,9 +1141,16 @@ final class LakeTable(
 
   /** Shared probe core: bloom-prune the key set, scan only the buckets
     * surviving candidates hash to, semi-join the (broadcast) candidates.
+    * The distinct key set is MATERIALIZED once (r18): the candidate
+    * collect and the semi-join are two separate ACTIONS, so AQE can
+    * never share the distinct's shuffle between them — without the
+    * checkpoint the key set shuffles twice per probe. Batch-bounded by
+    * contract; this also hardens the documented determinism seam (a
+    * nondeterministic keys plan can no longer split between the two
+    * passes).
     */
   private def matchingRows(keys: DataFrame, m: Manifest): DataFrame = {
-    val cand = bloomPrune(keys.select(KeyCol).distinct(), m)
+    val cand = bloomPrune(keys.select(KeyCol).distinct().localCheckpoint(), m)
     // Candidate buckets: tiny driver collect (≤ numBuckets ints).
     val wanted = cand.select(bucketOf(col(KeyCol)).as("_b")).distinct()
       .collect().map(_.getInt(0)).toSet

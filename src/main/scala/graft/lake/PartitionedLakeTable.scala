@@ -147,6 +147,22 @@ final class PartitionedLakeTable(
     }
   }
 
+  /** The distinct probe key set, MATERIALIZED once (r18, measured with
+    * MergeScaleProbe/JobProbe): every per-partition branch filters the
+    * key set through ITS bloom sidecars, and Catalyst pushes that
+    * deterministic filter BELOW the distinct aggregate — which makes
+    * each branch's exchange canonically DIFFERENT, defeats AQE stage
+    * reuse, and re-shuffles the whole key set once per partition
+    * (O(partitions × batch) shuffle + one AQE stage job per partition).
+    * A localCheckpoint leaf cannot absorb the filter, so the branches
+    * become narrow reads of cached blocks: O(batch) shuffle total,
+    * whatever the partition count. Batch-bounded by contract — the
+    * legitimate reuse-across-different-plan-shapes materialization case
+    * (candidate union, per-branch blooms, final semi-join).
+    */
+  private def materializedKeys(keys: DataFrame): DataFrame =
+    keys.select(LakeTable.KeyCol).distinct().localCheckpoint()
+
   /** Candidate (partition, bucket) pairs for a key set, resolved in ONE
     * driver job across every probed partition (ADVICE r17: the
     * per-partition probes each ran their own eager candidate collect —
@@ -183,7 +199,7 @@ final class PartitionedLakeTable(
       atVersions: Option[Map[String, Long]] = None): DataFrame = {
     val targets = probeTargets(inPartitions, atVersions)
     if (targets.isEmpty) return keys.select(LakeTable.KeyCol).limit(0)
-    val ks = keys.select(LakeTable.KeyCol).distinct()
+    val ks = materializedKeys(keys)
     val byPart = candidateBuckets(ks, targets)
     val scans = targets.flatMap { case (v, t, m) =>
       byPart.get(v).map(bs => t.readBuckets(m, bs).select(LakeTable.KeyCol))
@@ -213,7 +229,8 @@ final class PartitionedLakeTable(
       atVersions: Option[Map[String, Long]] = None): DataFrame = {
     val targets = probeTargets(inPartitions, atVersions)
     val all = targets.map(_._1)
-    val ks = keys.select(LakeTable.KeyCol).distinct()
+    val ks = if (targets.isEmpty) keys.select(LakeTable.KeyCol).distinct()
+      else materializedKeys(keys)
     val byPart =
       if (targets.isEmpty) Map.empty[String, Set[Int]]
       else candidateBuckets(ks, targets)
