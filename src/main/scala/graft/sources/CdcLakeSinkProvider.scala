@@ -108,7 +108,17 @@ class CdcLakeSinkProvider extends StreamSinkProvider
       rel.mergeWrite(Some(data), None)
     } else if (cols.length == 1 &&
         data.schema.head.dataType == org.apache.spark.sql.types.StringType) {
-      CdcSyncCommand.run(data, parameters,
+      // The BATCH envelope path defaults to STRICT parsing (ADVICE r18):
+      // the streaming sink's drop-malformed default protects a live CDC
+      // feed from one poison record, but here a `CTAS ... AS SELECT name
+      // FROM users` (one string column that merely LOOKS like the
+      // envelope shape) would silently drop every row and commit an
+      // empty table — the same bug class the r18 shape dispatch fixed.
+      // An explicit `option.onmalformed=drop` restores the lenient mode.
+      val params =
+        if (parameters.contains(CdcSyncCommand.OnMalformedKey)) parameters
+        else parameters + (CdcSyncCommand.OnMalformedKey -> "fail")
+      CdcSyncCommand.run(data, params,
         batchId = parameters.get("batchId").map(_.toLong).getOrElse(-1L))
     } else {
       throw new IllegalArgumentException(

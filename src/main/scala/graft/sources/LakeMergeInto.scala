@@ -385,7 +385,12 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     // re-route the move to INSERT instead of raising. Cost: one bounded
     // driver collect (distinct partition values — the same job the
     // routed write pays again later, both over the checkpointed source).
-    val routedParts: Option[Seq[String]] = partitionCol
+    // Lazy (ADVICE r18): only the matchedBase/unmatchedSrc block
+    // dereferences it, and that block is itself lazy so a
+    // by-source-only merge stays probe-free — an eager val here would
+    // pay the distinct-collect job for a statement that never consumes
+    // the membership probe.
+    lazy val routedParts: Option[Seq[String]] = partitionCol
       .filter(p => stable.columns.contains(p) && p != LakeTable.KeyCol &&
         !updMaps.exists(_.contains(p)))
       .flatMap { p =>

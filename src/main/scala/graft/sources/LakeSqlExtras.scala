@@ -107,6 +107,16 @@ object LakeSqlRewrites {
 
   def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan match {
+      // EXPLAIN parses into ExplainCommand — a LeafRunnableCommand that
+      // holds the explained plan as a FIELD, not a child (ADVICE r18) —
+      // so without this recursion neither the time-travel rewrite nor
+      // the schema-evolution pre-widening would fire and `EXPLAIN
+      // SELECT ... VERSION AS OF` would surface Spark's own
+      // UNSUPPORTED_FEATURE error. Note this makes `EXPLAIN MERGE ...
+      // WITH SCHEMA EVOLUTION` evolve the table (the documented
+      // DSv2-style analysis-time side effect — additive + idempotent).
+      case e: org.apache.spark.sql.execution.command.ExplainCommand =>
+        e.copy(logicalPlan = rewrite(session, e.logicalPlan))
       // CALL is always top-level
       case c: Call => c.procedure match {
         case up: UnresolvedProcedure if up.nameParts.length == 1 &&
@@ -218,6 +228,12 @@ object LakeSqlRewrites {
     */
   private[sources] def lakeCatalogTable(
       session: SparkSession, nameParts: Seq[String]): Option[CatalogTable] = {
+    // Temp-view precedence (ADVICE r18): a temp view shadowing a
+    // catalog-synced lake table must win for `t VERSION AS OF n` exactly
+    // as it does for plain `t` — resolving past it to the catalog table
+    // would read a DIFFERENT relation than the unversioned query. Pass
+    // through to Spark's own (loud) time-travel-over-view error.
+    if (session.sessionState.catalog.isTempView(nameParts)) return None
     val ident = nameParts match {
       case Seq(t) => Some(TableIdentifier(t))
       case Seq(db, t) => Some(TableIdentifier(t, Some(db)))

@@ -56,6 +56,23 @@ class LakeDdlSpec extends SparkSpec {
     assert(lt.latestVersion === Some(2L), "failed writes must not commit")
   }
 
+  test("single-string-column CTAS of non-envelope rows is loud, nothing committed (ADVICE r18)") {
+    // One string column routes to the CDC envelope path — which for a
+    // BATCH write must parse strictly: with the streaming drop default a
+    // `CTAS ... AS SELECT name FROM users` would silently drop every
+    // "malformed" row and commit an empty table.
+    val dir = tempDir("ctasenv-").resolve("t").toString
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE ddl_envguard USING `cdc-lake` OPTIONS (path '$dir')
+           |AS SELECT concat('name', id) AS name FROM range(3)""".stripMargin)
+    }
+    spark.sql("DROP TABLE IF EXISTS ddl_envguard")
+    assert(msgs(e).contains("malformed CDC envelope"), msgs(e))
+    assert(new LakeTable(spark, dir, numBuckets = 2).latestVersion.isEmpty,
+      "a failed CTAS must not commit")
+  }
+
   test("ALTER TABLE ADD COLUMNS == the manifest-only evolution commit") {
     val dir = tempDir("alter-").resolve("t").toString
     val lt = new LakeTable(spark, dir, numBuckets = 2)

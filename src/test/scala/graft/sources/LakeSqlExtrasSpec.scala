@@ -93,6 +93,41 @@ class LakeSqlExtrasSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("EXPLAIN fires the parse-time rewrites too (ADVICE r18)") {
+    // ExplainCommand holds the explained plan as a FIELD, not a child —
+    // the rewrite must recurse into it or EXPLAIN of a time-travel read
+    // dies on Spark's own UNSUPPORTED_FEATURE before our seam runs.
+    val (name, dir, lt) = fresh("tt-explain")
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    register(name, dir)
+    val planText = spark.sql(s"EXPLAIN SELECT _key FROM $name VERSION AS OF 1")
+      .as[String].collect().mkString("\n")
+    assert(planText.toLowerCase.contains("scan"), planText)
+    spark.sql(s"DROP TABLE $name")
+  }
+
+  test("a temp view shadowing a lake table wins VERSION AS OF resolution too (ADVICE r18)") {
+    val (name, dir, lt) = fresh("tt-shadow")
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    register(name, dir)
+    try {
+      Seq(("view-row", 9L, 99L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+        .createOrReplaceTempView(name)
+      // plain resolution reads the view — versioned resolution must not
+      // silently bypass it to the catalog table; Spark's own loud
+      // time-travel-over-view error is the consistent outcome
+      assert(spark.sql(s"SELECT _key FROM $name").as[String].collect().toSeq
+        === Seq("view-row"))
+      val e = intercept[Exception](
+        spark.sql(s"SELECT _key FROM $name VERSION AS OF 1").collect())
+      assert(msgs(e).toLowerCase.contains("time travel") ||
+        msgs(e).contains("TIME_TRAVEL"), msgs(e))
+    } finally {
+      spark.catalog.dropTempView(name)
+      spark.sql(s"DROP TABLE $name")
+    }
+  }
+
   test("non-lake tables keep Spark's own time-travel error") {
     spark.sql("CREATE TABLE plain_pq (id INT) USING parquet")
     try {
