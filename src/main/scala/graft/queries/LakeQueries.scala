@@ -1026,18 +1026,21 @@ object LakeQueries {
         val lakeDir = scratchDir("sqlmergep")
         val tag = lakeDir.split('/').last
         val orders = Tables.load(spark, dir, "orders")
-        val seed = orders.filter(col("o_orderkey") % 3 === 0).select(
-          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
-          lit(1L).as(LakeTable.TsCol),
-          col("o_orderkey").as("okey"), col("o_totalprice").as("amount"),
-          col("o_orderpriority").as("prio"))
-        new graft.lake.PartitionedLakeTable(
-          spark, lakeDir, "prio", numBuckets = 4, bloomOnWrite = false)
-          .bulkInsert(seed)
+        orders.createOrReplaceTempView(s"orders_$tag")
         val tbl = s"gq107_$tag"
+        // SQL-ONLY lifecycle (r19, VERDICT r18 #1): the partitioned
+        // layout is born from the CTAS itself — `partitionCol` in
+        // OPTIONS routes the seed through the partition-path write, no
+        // Scala bootstrap.
         spark.sql(
           s"""CREATE TABLE $tbl USING `cdc-lake`
-             |OPTIONS (path '$lakeDir', buckets '4')""".stripMargin)
+             |OPTIONS (path '$lakeDir', buckets '4', bloomOnWrite 'false',
+             |         partitionCol 'prio')
+             |AS SELECT concat('o#', o_orderkey) AS ${LakeTable.KeyCol},
+             |          CAST(1 AS BIGINT) AS ${LakeTable.TsCol},
+             |          o_orderkey AS okey, o_totalprice AS amount,
+             |          o_orderpriority AS prio
+             |FROM orders_$tag WHERE o_orderkey % 3 = 0""".stripMargin)
         try {
           orders.filter(col("o_orderkey") % 2 === 0).select(
             concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
@@ -1057,6 +1060,7 @@ object LakeQueries {
         } finally {
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
           spark.catalog.dropTempView(s"src_$tag")
+          spark.catalog.dropTempView(s"orders_$tag")
         }
         spark.read.format("cdc-lake")
           .option("path", lakeDir).option("buckets", "4").load()

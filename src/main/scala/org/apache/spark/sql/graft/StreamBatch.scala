@@ -46,6 +46,22 @@ object Plans {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
 
+/** DSv2 partition-transform accessor ([[org.apache.spark.sql.connector
+  * .expressions.IdentityTransform]] is `private[sql]`): the single
+  * identity partition column of a `PARTITIONED BY` clause, None for
+  * bucket/days/... transforms or nested field references.
+  */
+object Transforms {
+  def identityColumn(
+      t: org.apache.spark.sql.connector.expressions.Transform): Option[String] =
+    t match {
+      case org.apache.spark.sql.connector.expressions.IdentityTransform(ref)
+          if ref.fieldNames.length == 1 =>
+        Some(ref.fieldNames.head)
+      case _ => None
+    }
+}
+
 /** Column↔Expression bridge (`Column(expr)`/`col.expr` went internal in Spark 4). */
 object Exprs {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =

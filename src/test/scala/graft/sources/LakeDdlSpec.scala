@@ -56,6 +56,83 @@ class LakeDdlSpec extends SparkSpec {
     assert(lt.latestVersion === Some(2L), "failed writes must not commit")
   }
 
+  test("CTAS with a declared partitionCol creates the partition-path layout (r19)") {
+    val dir = tempDir("ctasp-").resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE ddl_ctasp USING `cdc-lake`
+         |OPTIONS (path '$dir', buckets '2', partitionCol 'region')
+         |AS SELECT concat('k', id) AS _key, CAST(1 AS BIGINT) AS _ts,
+         |          id * 10 AS amount,
+         |          CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region
+         |FROM range(6)""".stripMargin)
+    try {
+      val pt = graft.lake.PartitionedLakeTable.open(spark, dir, 2)
+      assert(pt.isDefined, "CTAS must create the partitioned layout, not a plain table")
+      assert(pt.get.partitionCol === "region")
+      assert(pt.get.partitions === Seq("eu", "us"))
+      // reads re-attach the partition value from the directory layout
+      val got = spark.sql("SELECT _key, region FROM ddl_ctasp")
+        .as[(String, String)].collect().toMap
+      assert(got === Map(
+        "k0" -> "eu", "k1" -> "us", "k2" -> "eu",
+        "k3" -> "us", "k4" -> "eu", "k5" -> "us"))
+      // INSERT INTO routes through the partitioned write (new partition born)
+      spark.sql(
+        "INSERT INTO ddl_ctasp VALUES ('k9', CAST(2 AS BIGINT), CAST(90 AS BIGINT), 'ap')")
+      assert(pt.get.partitions === Seq("ap", "eu", "us"))
+      // a conflicting partition declaration on the EXISTING table is loud
+      val e = intercept[Exception](
+        Seq(("x", 1L, 1L, "eu")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+          .write.format("cdc-lake")
+          .option("path", dir).option("buckets", "2")
+          .option("partitionCol", "amount").save())
+      assert(msgs(e).contains("partitioned on 'region'"), msgs(e))
+    } finally spark.sql("DROP TABLE ddl_ctasp")
+  }
+
+  test("CTAS with PARTITIONED BY maps to the partition-path layout (r19)") {
+    val dir = tempDir("pby-").resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE ddl_pby USING `cdc-lake`
+         |PARTITIONED BY (region)
+         |OPTIONS (path '$dir', buckets '2')
+         |AS SELECT concat('k', id) AS _key, CAST(1 AS BIGINT) AS _ts,
+         |          id * 10 AS amount,
+         |          CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region
+         |FROM range(4)""".stripMargin)
+    try {
+      val pt = graft.lake.PartitionedLakeTable.open(spark, dir, 2)
+      assert(pt.isDefined && pt.get.partitionCol === "region",
+        "PARTITIONED BY must create the partitioned layout, not a plain table")
+      assert(pt.get.partitions === Seq("eu", "us"))
+      assert(spark.sql("SELECT _key FROM ddl_pby WHERE region = 'eu'")
+        .as[String].collect().toSet === Set("k0", "k2"))
+    } finally spark.sql("DROP TABLE ddl_pby")
+    // multi-column partitioning is loud (one partition column layout)
+    val dir2 = tempDir("pby2-").resolve("t").toString
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE ddl_pby2 USING `cdc-lake`
+         |PARTITIONED BY (region, amount)
+         |OPTIONS (path '$dir2', buckets '2')
+         |AS SELECT 'k' AS _key, CAST(1 AS BIGINT) AS _ts,
+         |          CAST(1 AS BIGINT) AS amount, 'eu' AS region""".stripMargin))
+    assert(msgs(e).contains("one column"), msgs(e))
+    spark.sql("DROP TABLE IF EXISTS ddl_pby2")
+  }
+
+  test("partitionCol against an existing plain table is loud (r19)") {
+    val dir = tempDir("plainp-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val e = intercept[Exception](
+      Seq(("b", 1L, 20L, "eu")).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+        .write.format("cdc-lake")
+        .option("path", dir).option("buckets", "2")
+        .option("partitionCol", "region").save())
+    assert(msgs(e).contains("PLAIN"), msgs(e))
+    assert(lt.latestVersion === Some(1L), "the rejected write must not commit")
+  }
+
   test("single-string-column CTAS of non-envelope rows is loud, nothing committed (ADVICE r18)") {
     // One string column routes to the CDC envelope path — which for a
     // BATCH write must parse strictly: with the streaming drop default a
