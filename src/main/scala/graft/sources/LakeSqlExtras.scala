@@ -131,9 +131,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object LakeSqlRewrites {
   private val Procedures = Set(
-    "run_compaction", "run_vacuum", "rollback_to_instant", "create_savepoint",
-    "delete_savepoint", "show_savepoints", "show_commits", "show_partitions",
-    "drop_partitions")
+    "run_compaction", "run_clustering", "run_vacuum", "rollback_to_instant",
+    "create_savepoint", "delete_savepoint", "show_savepoints", "show_commits",
+    "show_partitions", "drop_partitions")
 
   def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan match {
@@ -369,6 +369,14 @@ object LakeSqlRewrites {
   *
   *  - `run_compaction(table)` — fold MOR delta stacks / multi-file
   *    groups ([[LakeTable.compact]]); both layouts.
+  *  - `run_clustering(table[, columns => 'a,b'])` — rewrite every live
+  *    file group Z-ordered on 2-4 numeric columns (Hudi's
+  *    `run_clustering` + sort.columns): the compaction rewrite through a
+  *    zorderBy-configured handle, so files tile the Morton curve and
+  *    file-level column stats prune range predicates AFTER the fact —
+  *    the write-time `zorderBy` option retrofitted to existing data.
+  *    `columns` defaults to the table's declared zorderBy; loud when
+  *    neither names any.
   *  - `run_vacuum(table[, keep_versions => n][, older_than =>
   *    '<instant>'])` — snapshot retention ([[LakeTable.vacuum]] /
   *    `vacuumBefore`); returns the number of data dirs removed.
@@ -377,7 +385,10 @@ object LakeSqlRewrites {
   *    each named partition.
   *  - `create_savepoint(table, version => n)` /
   *    `delete_savepoint(table, version => n)` / `show_savepoints(table)`
-  *    — pin versions against vacuum; plain tables.
+  *    — pin versions against vacuum; partitioned tables take the same
+  *    JSON vector shape as rollback (`version => '{"eu": 2}'`, each
+  *    named partition pinned independently — r19) and show_savepoints
+  *    returns (partition, version) rows, partition null on plain tables.
   *  - `show_commits(table)` — (partition, version, commit_id,
   *    commit_time_ms) rows, newest first.
   *  - `show_partitions(table)` — committed partition values.
@@ -396,8 +407,9 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
       AttributeReference("version", LongType)(),
       AttributeReference("commit_id", StringType)(),
       AttributeReference("commit_time_ms", LongType)())
-    case "show_savepoints" =>
-      Seq(AttributeReference("version", LongType)())
+    case "show_savepoints" => Seq(
+      AttributeReference("partition", StringType)(),
+      AttributeReference("version", LongType)())
     case "show_partitions" =>
       Seq(AttributeReference("partition", StringType)())
     case "run_vacuum" | "drop_partitions" =>
@@ -439,6 +451,37 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
       case s: String => s
       case other => fail(s"'$k' must be a string, got: $other")
     }
+
+  /** Savepoint create/release dispatch on the `version` shape — the
+    * SAME integer-vs-JSON-vector routing as rollback_to_instant (r19):
+    * plain tables take an integer, partitioned tables a vector pinning
+    * each named partition independently (each partition is its own
+    * versioned table — a scalar cannot address one). Unknown partitions
+    * are loud; returns the rendered version for the result row.
+    */
+  private def savepointOp(
+      m: Map[String, Any],
+      handle: Either[PartitionedLakeTable, LakeTable])(
+      op: (LakeTable, Long) => Unit): String =
+    (m.get("version"), handle) match {
+      case (Some(v: Long), Right(t)) => op(t, v); v.toString
+      case (Some(v: String), Right(t)) if v.nonEmpty && v.forall(_.isDigit) =>
+        op(t, v.toLong); v
+      case (Some(v: String), Left(pt)) if v.trim.startsWith("{") =>
+        val vec = VectorOffset.parse(v)
+        if (vec.isEmpty) fail("empty version vector")
+        val missing = vec.keySet -- pt.partitions.toSet
+        if (missing.nonEmpty) fail(
+          s"unknown partitions: ${missing.toSeq.sorted.mkString(", ")}")
+        vec.toSeq.sortBy(_._1).foreach { case (p, ver) =>
+          op(pt.partitionTable(p), ver)
+        }
+        v
+      case (Some(_), Left(_)) => fail(
+        "a partitioned table takes a JSON vector: version => '{\"<partition>\": <n>}'")
+      case (Some(v), Right(_)) => fail(s"version must be an integer, got: $v")
+      case (None, _) => fail("missing `version` argument")
+    }
   private def num(m: Map[String, Any], k: String): Option[Long] =
     m.get(k).map {
       case l: Long => l
@@ -464,6 +507,28 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
         unknownArgs()
         handle.fold(_.compact(), _.compact())
         Seq(Row("compacted"))
+      case "run_clustering" =>
+        unknownArgs("columns")
+        // The compaction rewrite through a zorderBy-override handle: the
+        // write path already range-partitions + sorts on the Morton code
+        // when the handle declares clustering, so "re-cluster existing
+        // data" is exactly compact() with the sort columns injected —
+        // ONE mechanism, no second rewrite path to drift.
+        val cols = str(m, "columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(handle.fold(_.zorderBy, _.zorderBy) match {
+            case Seq() => fail(
+              "missing `columns` argument (2-4 numeric columns, comma-" +
+                "separated) and the table declares no zorderBy")
+            case zs => zs
+          })
+        if (cols.size < 2 || cols.size > 4)
+          fail(s"clustering takes 2-4 columns, got: ${cols.mkString(",")}")
+        val clusterer = LakeHandles.fromOptions(
+          session,
+          LakeSqlRewrites.lakeParams(ct) + ("zorderBy" -> cols.mkString(",")))
+        clusterer.fold(_.compact(), _.compact())
+        Seq(Row(s"clustered on ${cols.mkString(",")}"))
       case "run_vacuum" =>
         unknownArgs("keep_versions", "older_than")
         val removed = (num(m, "keep_versions"), str(m, "older_than")) match {
@@ -501,23 +566,17 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(restored))
       case "create_savepoint" =>
         unknownArgs("version")
-        val v = num(m, "version").getOrElse(fail("missing `version` argument"))
-        handle.fold(
-          _ => fail("savepoints are per plain lake table — partition them individually"),
-          t => { t.savepoint(v); () })
-        Seq(Row(s"savepoint at $v"))
+        Seq(Row(s"savepoint at ${savepointOp(m, handle)(_.savepoint(_))}"))
       case "delete_savepoint" =>
         unknownArgs("version")
-        val v = num(m, "version").getOrElse(fail("missing `version` argument"))
-        handle.fold(
-          _ => fail("savepoints are per plain lake table — partition them individually"),
-          t => { t.releaseSavepoint(v); () })
-        Seq(Row(s"released savepoint at $v"))
+        Seq(Row(
+          s"released savepoint at ${savepointOp(m, handle)(_.releaseSavepoint(_))}"))
       case "show_savepoints" =>
         unknownArgs()
         handle.fold(
-          _ => fail("savepoints are per plain lake table — partition them individually"),
-          t => t.savepoints.sorted.map(v => Row(v)))
+          pt => pt.partitions.flatMap(p =>
+            pt.partitionTable(p).savepoints.map(v => Row(p, v))),
+          t => t.savepoints.sorted.map(v => Row(null, v)))
       case "show_partitions" =>
         unknownArgs()
         handle.fold(

@@ -237,13 +237,96 @@ class LakeSqlExtrasSpec extends SparkSpec {
     spark.sql(s"CALL create_savepoint(table => '$name', version => 1)")
     assert(lt.savepoints === Seq(1L), "SQL savepoint must be the Scala-visible pin")
     assert(spark.sql(s"CALL show_savepoints(table => '$name')")
-      .as[Long].collect().toSeq === Seq(1L))
+      .as[(Option[String], Long)].collect().toSeq === Seq((None, 1L)))
     // the pin holds: vacuum keeps version 1 readable
     spark.sql(s"CALL run_vacuum(table => '$name', keep_versions => 1)")
     assert(spark.sql(s"SELECT _key FROM $name VERSION AS OF 1")
       .as[String].collect().toSet === Set("a"))
     spark.sql(s"CALL delete_savepoint(table => '$name', version => 1)")
     assert(lt.savepoints.isEmpty)
+    spark.sql(s"DROP TABLE $name")
+  }
+
+  test("partitioned savepoints take a JSON version vector (r19)") {
+    n += 1
+    val name = s"sqlx_t$n"
+    val dir = tempDir("call-psp-").resolve("t").toString
+    val pt = new PartitionedLakeTable(spark, dir, "region", numBuckets = 2)
+    pt.upsert(Seq(("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")) // eu@1, us@1
+    // eu@2 REWRITES a's bucket (the only occupied one), so eu@1's data
+    // dir is referenced by no later manifest — held alive only by the pin
+    pt.upsert(Seq(("a", 2L, 12L, "eu"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")) // eu@2
+    register(name, dir)
+    spark.sql(s"""CALL create_savepoint(table => '$name', version => '{"eu": 1}')""")
+    assert(pt.partitionTable("eu").savepoints === Seq(1L),
+      "the SQL savepoint must be the Scala-visible per-partition pin")
+    assert(spark.sql(s"CALL show_savepoints(table => '$name')")
+      .as[(String, Long)].collect().toSeq === Seq(("eu", 1L)))
+    // the pin holds per partition: vacuum keeps eu@1 readable
+    spark.sql(s"CALL run_vacuum(table => '$name', keep_versions => 1)")
+    assert(spark.sql(s"""SELECT _key FROM $name VERSION AS OF '{"eu": 1, "us": 1}'""")
+      .as[String].collect().toSet === Set("a", "b"))
+    spark.sql(s"""CALL delete_savepoint(table => '$name', version => '{"eu": 1}')""")
+    assert(pt.partitionTable("eu").savepoints.isEmpty)
+    // released: the next vacuum reclaims eu@1 and its time travel is loud
+    spark.sql(s"CALL run_vacuum(table => '$name', keep_versions => 1)")
+    val e = intercept[Exception](
+      spark.sql(s"""SELECT _key FROM $name VERSION AS OF '{"eu": 1}'""").collect())
+    assert(msgs(e).contains("vacuum"), msgs(e))
+    // scalar versions on a partitioned table stay loud; unknown partitions too
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL create_savepoint(table => '$name', version => 2)"))
+    assert(msgs(e2).contains("vector"), msgs(e2))
+    val e3 = intercept[Exception](
+      spark.sql(s"""CALL create_savepoint(table => '$name', version => '{"nope": 1}')"""))
+    assert(msgs(e3).contains("unknown partitions"), msgs(e3))
+    spark.sql(s"DROP TABLE $name")
+  }
+
+  test("CALL run_clustering re-sorts existing file groups on the Z-curve (r19)") {
+    n += 1
+    val name = s"sqlx_t$n"
+    val dir = tempDir("call-clust-").resolve("t").toString
+    // One bucket, four files, per-file stats: before clustering the files
+    // are key-hash-random row subsets, so every file spans ~the full x
+    // range and a range predicate prunes nothing at file level.
+    val lt = new LakeTable(spark, dir, numBuckets = 1, filesPerBucket = 4,
+      bloomOnWrite = false, statsColumns = Seq("x", "y"))
+    val rows = (0 until 400).map(i => (s"k$i", 1L, i.toLong, i.toLong))
+    lt.upsert(rows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y"))
+    spark.sql(
+      s"""CREATE TABLE $name USING `cdc-lake`
+         |OPTIONS (path '$dir', buckets '1', filesPerBucket '4',
+         |         bloomOnWrite 'false', statsColumns 'x,y')""".stripMargin)
+    val filters = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("x", 300L))
+    def filesScanned(): Int = {
+      val t = new LakeTable(spark, dir, numBuckets = 1, statsColumns = Seq("x", "y"))
+      t.statsPrune(t.latestVersion.get, filters)
+        .map(_.inputFiles.length)
+        .getOrElse(t.snapshot.inputFiles.length)
+    }
+    def state(): Seq[(String, Long, Long)] = {
+      val t = new LakeTable(spark, dir, numBuckets = 1)
+      t.snapshot.select(LakeTable.KeyCol, "x", "y")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val (filesBefore, stateBefore) = (filesScanned(), state())
+    assert(filesBefore === 4, s"precondition: un-clustered files unprunable, got $filesBefore")
+    spark.sql(s"CALL run_clustering(table => '$name', columns => 'x,y')")
+    assert(state() === stateBefore, "clustering must not change table state")
+    val filesAfter = filesScanned()
+    assert(filesAfter < filesBefore,
+      s"file-level stats prune must improve: before=$filesBefore after=$filesAfter")
+    // wrong column counts are loud; so is omitting columns on an
+    // un-declared table
+    val e = intercept[Exception](
+      spark.sql(s"CALL run_clustering(table => '$name', columns => 'x')"))
+    assert(msgs(e).contains("2-4"), msgs(e))
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL run_clustering(table => '$name')"))
+    assert(msgs(e2).contains("zorderBy"), msgs(e2))
     spark.sql(s"DROP TABLE $name")
   }
 }
