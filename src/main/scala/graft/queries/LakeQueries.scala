@@ -1132,6 +1132,86 @@ object LakeQueries {
           |SELECT user_id, event_id, event_type, value, 'asof' AS src FROM s
           |UNION ALL
           |SELECT user_id, event_id, event_type, value, 'rolled' AS src FROM s
-          |ORDER BY src, user_id""".stripMargin))
+          |ORDER BY src, user_id""".stripMargin)),
+
+    // ---- stream-static enrichment with snapshotMode=refresh (r19) -----
+    // The r18 refresh mode under a DRIVER ORACLE (VERDICT r18 #5): a
+    // micro-batch stream of fact rows joins a lake dimension read with
+    // `snapshotMode=refresh`, and the dim is UPSERTED between the two
+    // micro-batches (inside batch 0's foreachBatch, after its output is
+    // written) — batch 1's join must see the new tier because refresh
+    // re-pins latest per SCAN, while a default pinned dim would
+    // silently serve query-start state for the stream's lifetime.
+    // Replay guard: the q98 marker pattern (stage overwrite is
+    // idempotent; the dim upsert is skipped once batch 0's marker
+    // exists, so a foreachBatch re-delivery can't double-bump the dim).
+    "q111_stream_static_refresh" -> QueryDef(
+      (spark, dir) => {
+        val root = scratchDir("refresh")
+        val ev = Tables.load(spark, dir, "events")
+          .select(col("event_id").cast("long").as("event_id"), col("user_id"))
+        val users = ev.select("user_id").distinct()
+        val dimDir = s"$root/dim"
+        val dim = new LakeTable(spark, dimDir, numBuckets = 4, bloomOnWrite = false)
+        def tiers(tag: String, ts: Long, rows: DataFrame): DataFrame = rows.select(
+          concat(lit("u#"), col("user_id")).as(LakeTable.KeyCol),
+          lit(ts).as(LakeTable.TsCol),
+          col("user_id"), lit(tag).as("tier"))
+        dim.upsert(tiers("old", 1L, users), commitId = "d1")
+        val factDir = s"$root/fact"
+        val fact = new LakeTable(spark, factDir, numBuckets = 8, bloomOnWrite = false)
+        def keyed(rows: DataFrame): DataFrame = rows.select(
+          concat(lit("e#"), col("event_id")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol), col("event_id"), col("user_id"))
+        fact.bulkInsert(keyed(ev.filter(col("event_id") % 2 === 0)), commitId = "w1")
+        fact.bulkInsert(keyed(ev.filter(col("event_id") % 2 === 1)), commitId = "w2")
+        val dimLive = spark.read.format("cdc-lake")
+          .option("path", dimDir).option("buckets", "4")
+          .option("snapshotMode", "refresh").load()
+          .select(col("user_id").as("d_user"), col("tier"))
+        val stage = s"$root/stage"
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = spark.readStream.format("cdc-lake")
+          .option("path", factDir).option("buckets", "8")
+          .option("maxVersionsPerBatch", "1").load()
+          .select(col("event_id"), col("user_id"))
+          .join(dimLive, col("user_id") === col("d_user"))
+          .select(col("event_id"), col("user_id"), col("tier"))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val marker = new java.io.File(s"$root/applied-$id")
+            if (!marker.exists()) {
+              batches.incrementAndGet()
+              df.write.mode("overwrite").parquet(s"$stage/batch=$id")
+              if (id == 0L)
+                // mid-stream dim change: every %3 user moves to 'new'
+                dim.upsert(
+                  tiers("new", 2L, users.filter(col("user_id") % 3 === 0)),
+                  commitId = "d2")
+              marker.createNewFile()
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // One micro-batch per fact wave, or the refresh-visibility claim
+        // degenerates to a single-batch join proving nothing.
+        require(batches.get() == 2, s"expected 2 micro-batches, got ${batches.get()}")
+        spark.read.parquet(stage)
+          .select(col("event_id"), col("user_id"), col("tier"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, user_id, tier FROM (
+          |  SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+          |         'old' AS tier
+          |  FROM events WHERE event_id % 2 = 0
+          |  UNION ALL
+          |  SELECT CAST(event_id AS BIGINT), user_id,
+          |         CASE WHEN user_id % 3 = 0 THEN 'new' ELSE 'old' END
+          |  FROM events WHERE event_id % 2 = 1) t
+          |ORDER BY event_id""".stripMargin))
   )
 }

@@ -1179,11 +1179,94 @@ object OpsQueries {
           |  SELECT r.eu, e.ev FROM reach r JOIN edges e ON r.ev = e.eu),
           |mn AS (SELECT eu, min(ev) AS mv FROM reach GROUP BY eu)
           |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-          |       CAST(CASE WHEN mn.mv IS NULL OR e.vec_id < mn.mv
-          |                 THEN e.vec_id ELSE mn.mv END AS BIGINT) AS group_id,
-          |       CAST(CASE WHEN mn.mv IS NULL OR e.vec_id < mn.mv
+          |       CAST(coalesce(least(e.vec_id, mn.mv), e.vec_id) AS BIGINT) AS group_id,
+          |       CAST(CASE WHEN mn.mv IS NULL OR e.vec_id <= mn.mv
           |                 THEN 1 ELSE 0 END AS INT) AS kept
           |FROM embeddings e LEFT JOIN mn ON e.vec_id = mn.eu
+          |ORDER BY vec_id""".stripMargin)),
+          // (r19 oracle fix, caught writing q110: `reach` includes each
+          // edge-touched node's round trip to itself, so the component-
+          // min node has mv = ITSELF and a strict `< mn.mv` would flag
+          // the survivor kept=0 — latent here because this corpus has no
+          // natural >= 0.95 pairs, but q110's planted copies exercise it.
+
+    // ---- INCREMENTAL semantic dedup: two-wave ingest, state in the
+    // index (r19, VERDICT r18 #4) ----------------------------------------
+    // q109's SemDeDup shape run the way a continuously ingesting pipeline
+    // runs it: wave 1 bootstraps a persisted ANN band index; wave 2
+    // (fresh odd vectors + exact copies of every 6th vector) is the ONLY
+    // thing signed — its near-dup edges come from probing the index
+    // (q50's candidate shape, quantized verify), and the wave then
+    // appends so the next batch would see it (the q98 ingest-loop
+    // contract: cross-batch dedup state lives in the INDEX; wave-2
+    // copies pair with wave-1 originals only because wave 1 was
+    // indexed). Components + canonical survivors over wave1 ∪ wave2
+    // close the loop. Scale shape: the corpus is never self-joined —
+    // only batch signatures shuffle, candidates come banded from the
+    // index, the label iteration touches edge-touched nodes only. The
+    // probe result materializes BEFORE the append (batch-bounded): the
+    // probe's lazy index scan must not observe the mutation behind it.
+    "q110_semantic_dedup_incr" -> QueryDef(
+      (spark, dir) => {
+        val e = embs(spark, dir)
+        val ps = Similarity.planes(32, 64)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-semincr-")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+              val s = java.nio.file.Files.list(p)
+              try s.forEach(rm(_)) finally s.close()
+            }
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          try rm(tmpRoot) catch { case _: java.io.IOException => () }
+        }
+        val idxPath = tmpRoot.toString + "/" + java.util.UUID.randomUUID().toString.take(8)
+        val wave1 = e.filter(col("vec_id") % 2 === 0)
+        val wave2 = e.filter(col("vec_id") % 2 === 1)
+          .unionByName(
+            e.filter(col("vec_id") % 6 === 0)
+              .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        // wave 1 bootstraps (join layout — this index is consumed whole)
+        Similarity.writeAnnIndex(wave1, idxPath, ps, bandBits = 8, probeLayout = false)
+        val pairs = Similarity.nearDupsAgainstIndex(
+            wave2, wave1, idxPath, 0.95, ps, bandBits = 8, quantized = true)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+          .localCheckpoint()
+        Similarity.appendToAnnIndex(wave2, idxPath, ps, bandBits = 8, probeLayout = false)
+        val ids = wave1.select("vec_id").unionByName(wave2.select("vec_id"))
+        DedupDocs.dupGroups(ids, pairs, idCol = "vec_id")
+          .select(
+            col("vec_id"), col("group_id"),
+            (col("vec_id") === col("group_id")).cast("int").as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH RECURSIVE w1 AS (
+          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+          |w2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+          |       UNION ALL
+          |       SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+          |       WHERE vec_id % 6 = 0),
+          |u AS (SELECT b.vec_id i1, c.vec_id i2,
+          |       CAST(floor(CAST(b.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) x,
+          |       CAST(floor(CAST(c.embedding[g.generate_series] AS DOUBLE) * 10000000.0) AS BIGINT) y
+          |      FROM w2 b JOIN w1 c ON true, generate_series(1, 64) g),
+          |s AS (SELECT i1, i2, sum(x*y) dot, sum(x*x) na, sum(y*y) nb FROM u GROUP BY i1, i2),
+          |pr AS (SELECT i1 d1, i2 d2 FROM s
+          |       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.95),
+          |edges AS (SELECT d1 AS eu, d2 AS ev FROM pr UNION SELECT d2, d1 FROM pr),
+          |reach(eu, ev) AS (
+          |  SELECT eu, ev FROM edges
+          |  UNION
+          |  SELECT r.eu, e.ev FROM reach r JOIN edges e ON r.ev = e.eu),
+          |mn AS (SELECT eu, min(ev) AS mv FROM reach GROUP BY eu),
+          |ids AS (SELECT vec_id FROM w1 UNION ALL SELECT vec_id FROM w2)
+          |SELECT CAST(i.vec_id AS BIGINT) AS vec_id,
+          |       CAST(coalesce(least(i.vec_id, mn.mv), i.vec_id) AS BIGINT) AS group_id,
+          |       CAST(CASE WHEN mn.mv IS NULL OR i.vec_id <= mn.mv
+          |                 THEN 1 ELSE 0 END AS INT) AS kept
+          |FROM ids i LEFT JOIN mn ON i.vec_id = mn.eu
           |ORDER BY vec_id""".stripMargin)),
 
     // ---- embedding near-dups: INCREMENTAL batch-vs-indexed-corpus ------
