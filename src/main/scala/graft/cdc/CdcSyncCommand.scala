@@ -456,9 +456,18 @@ object CdcSyncCommand {
       // batch's commit, and the drift check below would test the cache,
       // not the stored schema.
       spark.catalog.refreshTable(ident)
+      // Two drift signals (r19): Spark's own user-specified-vs-actual
+      // AnalysisException (the RelationProvider branch), and the
+      // relation's declared-vs-stored IllegalArgumentException — since
+      // the provider is a SchemaRelationProvider, catalog reads route
+      // the stored catalog schema through createRelation(schema) and
+      // the mismatch raises THERE.
       val resolvable =
         try { spark.table(ident).schema; true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => false
+          case _: IllegalArgumentException => false
+        }
       if (!resolvable) { // stored schema drifted from the lake's (widening)
         spark.sql(s"DROP TABLE IF EXISTS $ident")
         create()

@@ -27,7 +27,8 @@ import graft.lake.{LakeTable, PartitionedLakeTable}
   */
 class CdcLakeSinkProvider extends StreamSinkProvider
     with StreamSourceProvider
-    with CreatableRelationProvider with RelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with RelationProvider
+    with SchemaRelationProvider with DataSourceRegister {
 
   override def shortName(): String = CdcLakeSinkProvider.ShortName
 
@@ -137,6 +138,23 @@ class CdcLakeSinkProvider extends StreamSinkProvider
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     new LakeSnapshotRelation(sqlContext, parameters)
+
+  /** Schema-carrying read (r19) — what makes `CREATE TABLE t (cols...)
+    * USING cdc-lake` declare an EMPTY lake table that `INSERT INTO`
+    * then bootstraps: a never-written table has no stored schema to
+    * infer, so without this route the declared-first lifecycle was
+    * impossible (Spark's RelationProvider+schema branch demands the
+    * inferred schema equal the declared one — zero columns never
+    * match). On a COMMITTED table the stored schema is authoritative
+    * and a same-type declared schema passes through (nullability-only
+    * drift tolerated); a genuinely different declaration fails loudly
+    * rather than silently reading different columns than asked for.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    new LakeSnapshotRelation(sqlContext, parameters, Some(schema))
 }
 
 /** Current-snapshot relation over a LakeTable OR PartitionedLakeTable dir
@@ -162,7 +180,8 @@ class CdcLakeSinkProvider extends StreamSinkProvider
   */
 class LakeSnapshotRelation(
     ctx: SQLContext,
-    parameters: Map[String, String]) extends BaseRelation
+    parameters: Map[String, String],
+    declaredSchema: Option[StructType] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
   // Lazy: the batch-WRITE path returns this relation constructed from the
@@ -295,13 +314,35 @@ class LakeSnapshotRelation(
 
   private lazy val snapshot: DataFrame =
     if (pinnedEmpty)
+      // A DECLARED schema (r19, the SchemaRelationProvider route) gives
+      // a never-written table its read/INSERT shape — the declare-first
+      // `CREATE TABLE t (cols...)` lifecycle; undeclared empties stay
+      // zero-column as before.
       ctx.sparkSession.createDataFrame(
-        ctx.sparkSession.sparkContext.emptyRDD[Row], new StructType())
-    else if (readOptimized)
-      opened.fold(_.snapshotReadOptimized, _.snapshotReadOptimized)
-    else opened.fold(
-      pt => pt.snapshotAt(pinnedVector),
-      t => t.snapshotAt(pinnedVersion.get))
+        ctx.sparkSession.sparkContext.emptyRDD[Row],
+        declaredSchema.getOrElse(new StructType()))
+    else {
+      val stored =
+        if (readOptimized)
+          opened.fold(_.snapshotReadOptimized, _.snapshotReadOptimized)
+        else opened.fold(
+          pt => pt.snapshotAt(pinnedVector),
+          t => t.snapshotAt(pinnedVersion.get))
+      // The STORED schema is authoritative once anything committed; a
+      // same-type declaration passes (nullability-only drift tolerated —
+      // catalogs flip it routinely), a different one is loud: silently
+      // serving different columns than declared is the one thing a
+      // schema-carrying read must never do.
+      declaredSchema
+        .filterNot(d => org.apache.spark.sql.graft.Types.sameIgnoreNullability(stored.schema, d))
+        .foreach { d =>
+          throw new IllegalArgumentException(
+            s"cdc-lake: the declared schema (${d.simpleString}) does not match " +
+              s"the stored schema (${stored.schema.simpleString}) at $path — " +
+              "drop the explicit schema or migrate with ALTER TABLE")
+        }
+      stored
+    }
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = snapshot.schema
@@ -416,7 +457,7 @@ class LakeSnapshotRelation(
     else {
       // fresh per-call relation = fresh pin at latest; all routes of THIS
       // scan stay version-consistent through its own pinning
-      val fresh = new LakeSnapshotRelation(ctx, parameters - "snapshotMode")
+      val fresh = new LakeSnapshotRelation(ctx, parameters - "snapshotMode", declaredSchema)
       require(fresh.schema == schema,
         s"cdc-lake snapshotMode=refresh: the stored schema changed under a " +
           s"running query (was $schema, now ${fresh.schema}) — a widened row " +

@@ -62,6 +62,17 @@ object Transforms {
     }
 }
 
+/** Nullability-insensitive schema comparison (`DataType.sameType` is
+  * `private[spark]`): the declared-vs-stored schema check must not fail
+  * on nullability-only drift (catalogs and INSERT projections routinely
+  * flip it).
+  */
+object Types {
+  def sameIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+}
+
 /** Column↔Expression bridge (`Column(expr)`/`col.expr` went internal in Spark 4). */
 object Exprs {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =

@@ -90,6 +90,45 @@ class LakeDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE ddl_ctasp")
   }
 
+  test("CREATE TABLE with an explicit schema declares an empty table; INSERT bootstraps it (r19)") {
+    val dir = tempDir("declare-").resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE ddl_decl (_key STRING, _ts BIGINT, amount BIGINT)
+         |USING `cdc-lake` OPTIONS (path '$dir', buckets '2')""".stripMargin)
+    try {
+      // declared empty: readable with the declared shape before any write
+      assert(spark.sql("SELECT _key, amount FROM ddl_decl").count() === 0)
+      spark.sql(
+        "INSERT INTO ddl_decl VALUES ('a', CAST(1 AS BIGINT), CAST(10 AS BIGINT))")
+      assert(spark.sql("SELECT _key, amount FROM ddl_decl")
+        .as[(String, Long)].collect().toSeq === Seq(("a", 10L)))
+      assert(new LakeTable(spark, dir, numBuckets = 2).latestVersion === Some(1L))
+    } finally spark.sql("DROP TABLE ddl_decl")
+    // declared + PARTITIONED BY: the first INSERT creates the layout
+    val dir2 = tempDir("declarep-").resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE ddl_declp (_key STRING, _ts BIGINT, amount BIGINT, region STRING)
+         |USING `cdc-lake` PARTITIONED BY (region)
+         |OPTIONS (path '$dir2', buckets '2')""".stripMargin)
+    try {
+      spark.sql(
+        "INSERT INTO ddl_declp VALUES ('a', CAST(1 AS BIGINT), CAST(10 AS BIGINT), 'eu')")
+      val pt = graft.lake.PartitionedLakeTable.open(spark, dir2, 2)
+      assert(pt.isDefined && pt.get.partitionCol === "region",
+        "the declared-empty INSERT must create the partitioned layout")
+      assert(spark.sql("SELECT _key FROM ddl_declp WHERE region = 'eu'")
+        .as[String].collect().toSeq === Seq("a"))
+    } finally spark.sql("DROP TABLE ddl_declp")
+    // a mismatched explicit schema against a committed table is loud
+    val dir3 = tempDir("declarex-").resolve("t").toString
+    new LakeTable(spark, dir3, numBuckets = 2)
+      .upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount"))
+    val e = intercept[Exception](
+      spark.read.schema("_key STRING, _ts BIGINT, wrong DOUBLE").format("cdc-lake")
+        .option("path", dir3).option("buckets", "2").load().collect())
+    assert(msgs(e).contains("does not match"), msgs(e))
+  }
+
   test("CTAS with PARTITIONED BY maps to the partition-path layout (r19)") {
     val dir = tempDir("pby-").resolve("t").toString
     spark.sql(

@@ -328,5 +328,22 @@ class LakeSqlExtrasSpec extends SparkSpec {
       spark.sql(s"CALL run_clustering(table => '$name')"))
     assert(msgs(e2).contains("zorderBy"), msgs(e2))
     spark.sql(s"DROP TABLE $name")
+
+    // partitioned: run_clustering rewrites every partition, state equal
+    n += 1
+    val pname = s"sqlx_t$n"
+    val pdir = tempDir("call-clustp-").resolve("t").toString
+    val pt = new PartitionedLakeTable(spark, pdir, "region", numBuckets = 2)
+    val prows = (0 until 100).map(i =>
+      (s"k$i", 1L, i.toLong, i.toLong, if (i % 2 == 0) "eu" else "us"))
+    pt.upsert(prows.toDF(LakeTable.KeyCol, LakeTable.TsCol, "x", "y", "region"))
+    register(pname, pdir)
+    val before = pt.snapshot.select(LakeTable.KeyCol, "x", "region")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    spark.sql(s"CALL run_clustering(table => '$pname', columns => 'x,y')")
+    val after = pt.snapshot.select(LakeTable.KeyCol, "x", "region")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(after === before, "partitioned clustering must not change state")
+    spark.sql(s"DROP TABLE $pname")
   }
 }
