@@ -93,6 +93,16 @@ object ScaleProbe {
       .select(col("id"), col("sig"))
   }
 
+  /** Synthetic 64-dim embeddings, components uniform in [-1, 1] derived
+    * from `idExpr`: unrelated vectors sit near cosine 0 (sign-bit bands
+    * collide at exactly 2^-bandBits per band — the same collision law
+    * real embeddings obey), copies are exact.
+    */
+  private def synthEmb(idExpr: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(63)), j =>
+      ((pmod(xxhash64(idExpr, j, lit(seed)), lit(2001)).cast("double") / lit(1000.0))
+        - lit(1.0)).cast("float"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -150,10 +160,47 @@ object ScaleProbe {
         ops.DedupDocs.sharedSigPairs(setsDf, "id", "sig", minShared = 4, maxBucket = Some(512))
       }
       setsDf.unpersist()
+
+      // Incremental semantic dedup (the q110 ingest shape): a FIXED
+      // 2k-vector batch (half exact copies of corpus rows, half fresh)
+      // probed against a 1x/4x/16x ANN index. Two measurements split the
+      // cost story: `semincr_build` is the per-wave O(wave) index append
+      // (here a full build — the worst case), `semincr_probe` is the
+      // probe itself. Candidate mass follows batch × bands × n ×
+      // 2^-bandBits by the sign-bit collision law, so at FIXED bandBits
+      // the probe grows linearly with index occupancy per bucket — the
+      // production control is raising planes/bandBits ~log2 with corpus
+      // size (recall is per-band independent, so more, narrower bands
+      // trade nothing for exact copies). The measurement pins the law.
+      val corpusDf = spark.range(0, nSigs, 1, spark.sparkContext.defaultParallelism)
+        .toDF("id").withColumn("embedding", synthEmb(col("id"), 0xE3B))
+      val idxRoot = java.nio.file.Files.createTempDirectory(s"graft-scaleidx$s-")
+      val idxDir = idxRoot.toString + "/idx"
+      val ps = ops.Similarity.planes(32, 64)
+      results(("semincr_build", s)) = measure("semincr_build", s, nSigs) {
+        ops.Similarity.writeAnnIndex(
+          corpusDf, idxDir, ps, bandBits = 8, idCol = "id",
+          embCol = "embedding", probeLayout = false)
+        spark.range(1).toDF("done")
+      }
+      val batch = spark.range(0, 2000, 1, spark.sparkContext.defaultParallelism).toDF("k")
+        .select(
+          (col("k") + lit(2000000000L)).as("id"),
+          when(col("k") < 1000,
+            synthEmb(pmod(xxhash64(col("k"), lit(9)), lit(nSigs)), 0xE3B))
+            .otherwise(synthEmb(col("k") + lit(2000000000L), 0xE3B))
+            .as("embedding"))
+      results(("semincr_probe", s)) = measure("semincr_probe", s, nSigs) {
+        ops.Similarity.nearDupsAgainstIndex(
+          batch, corpusDf, idxDir, 0.95, ps, bandBits = 8,
+          idCol = "id", embCol = "embedding")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(idxRoot.toFile)
     }
     // growth factors: 16x rows should show ~16x shuffle bytes and wall
     // well under 16^2; print the per-op factor table for BASELINE.md
-    for (op <- Seq("jaccard", "minhash", "hamming", "dupgroups", "sharedsigs")) {
+    for (op <- Seq("jaccard", "minhash", "hamming", "dupgroups", "sharedsigs",
+        "semincr_build", "semincr_probe")) {
       val a = results((op, 1)); val b = results((op, 16))
       // Locale.ROOT (a comma-decimal default locale would break the JSON
       // line) and JSON null for an undefined ratio
