@@ -1212,6 +1212,48 @@ object LakeQueries {
           |  SELECT CAST(event_id AS BIGINT), user_id,
           |         CASE WHEN user_id % 3 = 0 THEN 'new' ELSE 'old' END
           |  FROM events WHERE event_id % 2 = 1) t
-          |ORDER BY event_id""".stripMargin))
+          |ORDER BY event_id""".stripMargin)),
+
+    // ---- declare-first SQL lifecycle (r19) ----------------------------
+    // The table is born and filled through SQL alone: CREATE TABLE with
+    // an explicit schema + PARTITIONED BY declares an EMPTY
+    // partition-path table (readable with its declared shape before any
+    // write — the in-query require), the first INSERT INTO ... SELECT
+    // creates the layout, and the final read re-attaches partition
+    // values from the directories.
+    "q112_lake_sql_declared_ddl" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("declddl")
+        val tag = lakeDir.split('/').last
+        Tables.load(spark, dir, "orders").createOrReplaceTempView(s"orders_$tag")
+        val tbl = s"gq112_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl (
+             |  ${LakeTable.KeyCol} STRING, ${LakeTable.TsCol} BIGINT,
+             |  okey BIGINT, amount DOUBLE, prio STRING)
+             |USING `cdc-lake` PARTITIONED BY (prio)
+             |OPTIONS (path '$lakeDir', buckets '4', bloomOnWrite 'false')""".stripMargin)
+        try {
+          val empty = spark.sql(s"SELECT okey FROM $tbl").count()
+          require(empty == 0, s"declared-empty table must read 0 rows, got $empty")
+          spark.sql(
+            s"""INSERT INTO $tbl
+               |SELECT concat('o#', o_orderkey), CAST(1 AS BIGINT),
+               |       o_orderkey, o_totalprice, o_orderpriority
+               |FROM orders_$tag WHERE o_orderkey % 5 = 0""".stripMargin)
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"orders_$tag")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col("amount"), col("prio"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+          |       o_totalprice AS amount, o_orderpriority AS prio
+          |FROM orders WHERE o_orderkey % 5 = 0
+          |ORDER BY okey""".stripMargin))
   )
 }
