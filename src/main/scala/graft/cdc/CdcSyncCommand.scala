@@ -458,15 +458,20 @@ object CdcSyncCommand {
       spark.catalog.refreshTable(ident)
       // Two drift signals (r19): Spark's own user-specified-vs-actual
       // AnalysisException (the RelationProvider branch), and the
-      // relation's declared-vs-stored IllegalArgumentException — since
-      // the provider is a SchemaRelationProvider, catalog reads route
-      // the stored catalog schema through createRelation(schema) and
-      // the mismatch raises THERE.
+      // relation's declared-vs-stored mismatch — since the provider is a
+      // SchemaRelationProvider, catalog reads route the stored catalog
+      // schema through createRelation(schema) and the mismatch raises
+      // THERE. The IAE catch is message-scoped (r19 review): a corrupt
+      // buckets/queryType option also raises IAE, and reading THAT as
+      // drift would silently drop-and-recreate the table every batch
+      // instead of surfacing the misconfiguration.
       val resolvable =
         try { spark.table(ident).schema; true }
         catch {
           case _: org.apache.spark.sql.AnalysisException => false
-          case _: IllegalArgumentException => false
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(
+                _.startsWith("cdc-lake: the declared schema")) => false
         }
       if (!resolvable) { // stored schema drifted from the lake's (widening)
         spark.sql(s"DROP TABLE IF EXISTS $ident")

@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE FROM / UPDATE over the same v1 lake targets (r17; see
     // graft.sources.LakeDmlRule for the supported shapes)
     ext.injectPostHocResolutionRule(s => new graft.sources.LakeDmlRule(s))
+    // PARTITIONED BY / DataFrameWriter.partitionBy on lake CREATE/CTAS
+    // (r19): maps the catalog partition declaration onto the partitionCol
+    // option the write path honors — both the SQL and programmatic routes
+    ext.injectPostHocResolutionRule(s => new graft.sources.LakeCreateTableRule(s))
     // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) + CALL
     // maintenance procedures over lake tables (r18): both must rewrite
     // BEFORE analysis — Spark's own resolution throws for v1 targets —

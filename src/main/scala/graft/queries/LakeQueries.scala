@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,26 +18,11 @@ import graft.lake.LakeTable
   */
 object LakeQueries {
 
-  /** Fresh table dir per invocation (results are deterministic; the dir is
-    * throwaway scratch, never an input). Deleted at JVM exit (ADVICE r16:
-    * Bench/Verify run each query at least twice and the warm run's lazy
-    * plan must outlive the timed run, so exit-time is the earliest safe
-    * point — the q98 hygiene pattern).
+  /** Fresh table dir per invocation (results are deterministic; the dir
+    * is throwaway scratch, never an input) — see [[Scratch]] for the
+    * shared-root + exit-time-cleanup contract.
     */
-  private def scratchDir(tag: String): String = {
-    val root = Files.createTempDirectory(s"graft-$tag-")
-    sys.addShutdownHook {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          val s = Files.list(p)
-          try s.forEach(rm(_)) finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      try rm(root) catch { case _: java.io.IOException => () }
-    }
-    root.toString + "/" + UUID.randomUUID().toString.take(8)
-  }
+  private def scratchDir(tag: String): String = Scratch.dir(tag)
 
   private val lwwOracle =
     """SELECT user_id, event_id, event_type, value

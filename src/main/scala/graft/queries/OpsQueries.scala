@@ -1210,18 +1210,7 @@ object OpsQueries {
       (spark, dir) => {
         val e = embs(spark, dir)
         val ps = Similarity.planes(32, 64)
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-semincr-")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-              val s = java.nio.file.Files.list(p)
-              try s.forEach(rm(_)) finally s.close()
-            }
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          try rm(tmpRoot) catch { case _: java.io.IOException => () }
-        }
-        val idxPath = tmpRoot.toString + "/" + java.util.UUID.randomUUID().toString.take(8)
+        val idxPath = Scratch.dir("semincr")
         val wave1 = e.filter(col("vec_id") % 2 === 0)
         val wave2 = e.filter(col("vec_id") % 2 === 1)
           .unionByName(
@@ -2074,23 +2063,12 @@ object OpsQueries {
     // content-preserving, so the pair set is invariant to when it fires).
     "q98_image_stream_ingest" -> QueryDef(
       (spark, dir) => {
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-imgstream-")
         // Tmp hygiene (advice r15): Bench runs every query at least twice,
         // so each invocation's image/parquet/checkpoint tree would
         // accumulate in tmpdir. The returned DF reads the stage parquet
         // LAZILY (and the warm run's tree must outlive the timed run's
-        // plan), so delete at JVM exit, not at query completion.
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-              val s = java.nio.file.Files.list(p)
-              try s.forEach(rm(_)) finally s.close()
-            }
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          try rm(tmpRoot) catch { case _: java.io.IOException => () }
-        }
-        val root = tmpRoot.toString + "/" + java.util.UUID.randomUUID().toString.take(8)
+        // plan), so cleanup is exit-time — the shared Scratch root.
+        val root = Scratch.dir("imgstream")
         // Bootstrap the loop's MUTABLE index from the persisted corpus
         // artifact (a plain local-fs copy: the stamped artifact must stay
         // read-only — Bench's warm-up and timed runs share it).

@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAtt
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Call, CreateTable, CreateTableAsSelect, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, OptionList, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.graft.Transforms
+import org.apache.spark.sql.catalyst.plans.logical.{Call, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, CreateDataSourceTableCommand}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampNTZType, TimestampType}
@@ -55,9 +55,23 @@ object LakeHandles {
       parameters.get("partitionCol")
         .orElse(parameters.get("hoodie.datasource.write.partitionpath.field"))
         .map(_.trim).filter(_.nonEmpty)
+        // DataFrameWriter.partitionBy(...).save() ships the columns as a
+        // JSON-encoded option (DataSourceUtils.PARTITIONING_COLUMNS_KEY);
+        // the catalog routes go through LakeCreateTableRule instead
+        .orElse(parameters.get("__partition_columns").map { json =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          (0 until node.size()).map(node.get(_).asText()) match {
+            case Seq(one) => one
+            case more => throw new IllegalArgumentException(
+              "cdc-lake supports one column in partitionBy, got: " +
+                more.mkString(", "))
+          }
+        })
     PartitionedLakeTable.open(spark, path, buckets) match {
       case Some(pt0) =>
-        declaredPartition.foreach(p => require(p == pt0.partitionCol,
+        // case-insensitive like Spark's own column resolution (r19
+        // review); the STORED name stays authoritative for the layout
+        declaredPartition.foreach(p => require(p.equalsIgnoreCase(pt0.partitionCol),
           s"cdc-lake table at $path is partitioned on '${pt0.partitionCol}' " +
             s"— conflicting partitionCol '$p'"))
         Left(new PartitionedLakeTable(spark, path, pt0.partitionCol,
@@ -162,8 +176,7 @@ object LakeSqlRewrites {
           LakeCallCommand(name, c.args)
         case _ => c
       }
-      case p0 =>
-        val p = honorPartitionedBy(p0)
+      case p =>
         p match {
           // MERGE WITH SCHEMA EVOLUTION (r18, VERDICT r17 #6): additive
           // source columns must join the table schema BEFORE resolution —
@@ -194,52 +207,6 @@ object LakeSqlRewrites {
           }
       }
     }
-
-  /** `PARTITIONED BY (p)` on a cdc-lake CREATE / CTAS (r19, VERDICT r18
-    * #1): Spark records the partitioning in the CATALOG but never hands
-    * it to a v1 CreatableRelationProvider — before r19 the data path
-    * silently made a PLAIN table under a catalog entry claiming
-    * partitions. Map the declaration at parse time to the `partitionCol`
-    * OPTION the write path honors ([[LakeHandles.fromOptions]]), keeping
-    * the catalog partitioning intact for DESCRIBE. Exactly one identity
-    * column is supported (the partition-path layout has one partition
-    * column); multi-column or transform partitioning is loud, as is a
-    * conflicting explicit option. Non-lake providers pass through.
-    */
-  private def honorPartitionedBy(plan: LogicalPlan): LogicalPlan = {
-    def inject(spec: TableSpecBase, partitioning: Seq[Transform]): TableSpecBase =
-      spec match {
-        case s: UnresolvedTableSpec
-            if s.provider.exists(_.equalsIgnoreCase(CdcLakeSinkProvider.ShortName)) =>
-          val colName = partitioning.map(Transforms.identityColumn) match {
-            case Seq(Some(name)) => name
-            case _ => throw new UnsupportedOperationException(
-              "cdc-lake supports PARTITIONED BY (<one column>), got: " +
-                partitioning.map(_.describe()).mkString(", "))
-          }
-          val existing = s.optionExpression.options.collectFirst {
-            case (k, v) if k.equalsIgnoreCase("partitionCol") => v
-          }
-          existing match {
-            case Some(l: Literal) if String.valueOf(l.value) == colName => s
-            case Some(v) => throw new UnsupportedOperationException(
-              s"cdc-lake: PARTITIONED BY ($colName) conflicts with the " +
-                s"partitionCol option (${v.sql})")
-            case None => s.copy(optionExpression = OptionList(
-              s.optionExpression.options :+ ("partitionCol" -> Literal(colName))))
-          }
-        case other => other
-      }
-    plan match {
-      case c: CreateTableAsSelect if c.partitioning.nonEmpty =>
-        val s2 = inject(c.tableSpec, c.partitioning)
-        if (s2 eq c.tableSpec) c else c.copy(tableSpec = s2)
-      case c: CreateTable if c.partitioning.nonEmpty =>
-        val s2 = inject(c.tableSpec, c.partitioning)
-        if (s2 eq c.tableSpec) c else c.copy(tableSpec = s2)
-      case other => other
-    }
-  }
 
   /** Parse-time additive schema evolution for `MERGE WITH SCHEMA
     * EVOLUTION` over a catalog-synced lake target: analyze the SOURCE
@@ -356,6 +323,56 @@ object LakeSqlRewrites {
     }
     case other => throw new UnsupportedOperationException(
       s"cdc-lake TIMESTAMP AS OF takes a literal instant, got: ${other.sql}")
+  }
+}
+
+/** `PARTITIONED BY (p)` / `DataFrameWriter.partitionBy("p")` on a
+  * cdc-lake CREATE / CTAS / saveAsTable (r19, VERDICT r18 #1): Spark
+  * records the partitioning in the CATALOG but never hands it to a v1
+  * CreatableRelationProvider — before r19 the data path silently made a
+  * PLAIN table under a catalog entry claiming partitions. This post-hoc
+  * rule maps the declaration onto the `partitionCol` OPTION the write
+  * path honors ([[LakeHandles.fromOptions]]) on the converted v1
+  * commands, which BOTH routes produce — SQL text AND the programmatic
+  * DataFrameWriter (which never touches the parser; a parse-time rewrite
+  * alone left that route silently plain, r19 review). Exactly one
+  * partition column is supported (the partition-path layout has one);
+  * more are loud, as is a conflicting explicit option — transform
+  * partitioning is already rejected by Spark's own v1 conversion.
+  * Non-lake providers pass through. The path-only route
+  * (`df.write.partitionBy(...).format("cdc-lake").save()`) is covered
+  * separately: DataFrameWriter ships `__partition_columns` in the
+  * options, which fromOptions reads.
+  */
+class LakeCreateTableRule(session: SparkSession) extends Rule[LogicalPlan] {
+  private def inject(table: CatalogTable): CatalogTable = {
+    if (!table.provider.exists(_.equalsIgnoreCase(CdcLakeSinkProvider.ShortName)) ||
+        table.partitionColumnNames.isEmpty) return table
+    val colName = table.partitionColumnNames match {
+      case Seq(one) => one
+      case more => throw new UnsupportedOperationException(
+        "cdc-lake supports one column in PARTITIONED BY / partitionBy, " +
+          s"got: ${more.mkString(", ")}")
+    }
+    table.storage.properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionCol") => v
+    } match {
+      case Some(v) if v.equalsIgnoreCase(colName) => table
+      case Some(v) => throw new UnsupportedOperationException(
+        s"cdc-lake: PARTITIONED BY ($colName) conflicts with the " +
+          s"partitionCol option ('$v')")
+      case None => table.copy(storage = table.storage.copy(
+        properties = table.storage.properties + ("partitionCol" -> colName)))
+    }
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateDataSourceTableAsSelectCommand =>
+      val t2 = inject(c.table)
+      if (t2 eq c.table) c else c.copy(table = t2)
+    case c: CreateDataSourceTableCommand =>
+      val t2 = inject(c.table)
+      if (t2 eq c.table) c else c.copy(table = t2)
+    case other => other
   }
 }
 
@@ -524,6 +541,19 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
           })
         if (cols.size < 2 || cols.size > 4)
           fail(s"clustering takes 2-4 columns, got: ${cols.mkString(",")}")
+        // Validate BEFORE the table-wide rewrite starts (r19 review —
+        // the rest of the procedure surface fails loudly up front): the
+        // Morton projection casts to long, so a missing or non-numeric
+        // column would otherwise cluster on nulls deep inside compact().
+        val stored = handle.fold(_.snapshot.schema, _.snapshot.schema)
+        cols.foreach { c =>
+          val f = stored.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            fail(s"unknown clustering column '$c' — table columns: " +
+              stored.fieldNames.mkString(", ")))
+          if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            fail(s"clustering column '$c' is ${f.dataType.simpleString} — " +
+              "Z-ordering takes numeric columns")
+        }
         val clusterer = LakeHandles.fromOptions(
           session,
           LakeSqlRewrites.lakeParams(ct) + ("zorderBy" -> cols.mkString(",")))

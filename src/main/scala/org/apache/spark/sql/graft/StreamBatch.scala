@@ -46,22 +46,6 @@ object Plans {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
 
-/** DSv2 partition-transform accessor ([[org.apache.spark.sql.connector
-  * .expressions.IdentityTransform]] is `private[sql]`): the single
-  * identity partition column of a `PARTITIONED BY` clause, None for
-  * bucket/days/... transforms or nested field references.
-  */
-object Transforms {
-  def identityColumn(
-      t: org.apache.spark.sql.connector.expressions.Transform): Option[String] =
-    t match {
-      case org.apache.spark.sql.connector.expressions.IdentityTransform(ref)
-          if ref.fieldNames.length == 1 =>
-        Some(ref.fieldNames.head)
-      case _ => None
-    }
-}
-
 /** Nullability-insensitive schema comparison (`DataType.sameType` is
   * `private[spark]`): the declared-vs-stored schema check must not fail
   * on nullability-only drift (catalogs and INSERT projections routinely

@@ -159,6 +159,44 @@ class LakeDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ddl_pby2")
   }
 
+  test("DataFrameWriter partitionBy routes create the partitioned layout too (r19 review)") {
+    // saveAsTable: the catalog route never touches the parser — the
+    // post-hoc LakeCreateTableRule must map the declaration
+    val dir = tempDir("pbywriter-").resolve("t").toString
+    Seq(("a", 1L, 10L, "eu"), ("b", 1L, 20L, "us"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+      .write.format("cdc-lake")
+      .option("path", dir).option("buckets", "2")
+      .partitionBy("region")
+      .saveAsTable("ddl_pbyw")
+    try {
+      val pt = graft.lake.PartitionedLakeTable.open(spark, dir, 2)
+      assert(pt.isDefined && pt.get.partitionCol === "region",
+        "partitionBy.saveAsTable must create the partitioned layout")
+      assert(pt.get.partitions === Seq("eu", "us"))
+      assert(spark.sql("SELECT _key FROM ddl_pbyw WHERE region = 'us'")
+        .as[String].collect().toSeq === Seq("b"))
+    } finally spark.sql("DROP TABLE ddl_pbyw")
+    // path-only save(): partition columns arrive as the JSON-encoded
+    // __partition_columns option
+    val dir2 = tempDir("pbysave-").resolve("t").toString
+    Seq(("a", 1L, 10L, "eu"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+      .write.format("cdc-lake").option("path", dir2).option("buckets", "2")
+      .partitionBy("region").save()
+    val pt2 = graft.lake.PartitionedLakeTable.open(spark, dir2, 2)
+    assert(pt2.isDefined && pt2.get.partitionCol === "region",
+      "partitionBy.save() must create the partitioned layout")
+    // multi-column partitionBy is loud on either route
+    val e = intercept[Exception](
+      Seq(("a", 1L, 10L, "eu"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+        .write.format("cdc-lake")
+        .option("path", tempDir("pby2-").resolve("t").toString)
+        .partitionBy("region", "amount").save())
+    assert(msgs(e).contains("one column"), msgs(e))
+  }
+
   test("partitionCol against an existing plain table is loud (r19)") {
     val dir = tempDir("plainp-").resolve("t").toString
     val lt = new LakeTable(spark, dir, numBuckets = 2)
