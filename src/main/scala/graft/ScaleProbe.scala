@@ -195,12 +195,40 @@ object ScaleProbe {
           batch, corpusDf, idxDir, 0.95, ps, bandBits = 8,
           idCol = "id", embCol = "embedding")
       }
+
+      // Persisted appendable IVF (the q114 ingest shape, r20): the
+      // centroids are trained once; `ivf_append` assigns a FIXED
+      // 2k-vector batch into the 1x/4x/16x index — cost ~ BATCH × k dot
+      // products, so wall/shuffle must stay FLAT as the index grows —
+      // and `ivf_probe` reads nProbe=4 of 16 centroid dirs, the
+      // nProbe/k fraction of the corpus, vs `ivf_exact`'s full brute
+      // scan (compare the per-scale lines: probe ≈ exact × nProbe/k at
+      // every scale; both grow row-linearly).
+      val ivfDir = idxRoot.toString + "/ivf"
+      val cents = ops.Similarity.ivfCentroids(
+        corpusDf, 16, idCol = "id", embCol = "embedding")
+      ops.Similarity.writeIvfIndex(
+        corpusDf, ivfDir, cents, idCol = "id", embCol = "embedding")
+      results(("ivf_append", s)) = measure("ivf_append", s, nSigs) {
+        ops.Similarity.appendToIvfIndex(
+          batch, ivfDir, cents, idCol = "id", embCol = "embedding")
+        spark.range(1).toDF("done")
+      }
+      val qv = Seq.tabulate(64)(j => if (j < 2) 1.0 else 0.0)
+      results(("ivf_probe", s)) = measure("ivf_probe", s, nSigs) {
+        ops.Similarity.ivfTopKIndexed(
+          corpusDf, ivfDir, qv, 20, cents, nProbe = 4,
+          idCol = "id", embCol = "embedding")
+      }
+      results(("ivf_exact", s)) = measure("ivf_exact", s, nSigs) {
+        ops.Similarity.topK(corpusDf, qv, 20, idCol = "id", embCol = "embedding")
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(idxRoot.toFile)
     }
     // growth factors: 16x rows should show ~16x shuffle bytes and wall
     // well under 16^2; print the per-op factor table for BASELINE.md
     for (op <- Seq("jaccard", "minhash", "hamming", "dupgroups", "sharedsigs",
-        "semincr_build", "semincr_probe")) {
+        "semincr_build", "semincr_probe", "ivf_append", "ivf_probe", "ivf_exact")) {
       val a = results((op, 1)); val b = results((op, 16))
       // Locale.ROOT (a comma-decimal default locale would break the JSON
       // line) and JSON null for an undefined ratio

@@ -272,24 +272,24 @@ object CdcSyncCommand {
               zorderBy = cfg.zorderFields, tableType = cfg.tableType,
               compactAfter = cfg.compactDeltas, mergeMode = cfg.mergeMode,
               statsColumns = cfg.statsColumns)
-            // Deletes route by the partition value decoded from the delete
-            // payload — only the named partitions are visited (null values
-            // fall back to the bloom-pruned global path inside).
+            // Deletes route by the partition value(s) decoded from the
+            // delete payload — only the named partitions are visited (null
+            // values fall back to the bloom-pruned global path inside).
+            // `pf` may be comma-separated (composite partition paths, r20).
             val delRouted = Envelope
               .decode(mine.filter(Envelope.isDelete), schemaJson, cfg.timestampFormat)
-              .select(col(LakeTable.KeyCol), col(pf))
+              .select(col(LakeTable.KeyCol) +: plake.partitionCols.map(col): _*)
             if (insertOp) {
               // write.operation=insert: bulk-load fast path, no LWW merge
               // agg (ref insert/bulk_insert routing, :172-183).
               plake.bulkInsert(typed, commitId = commitIdFor(db, table, "upsert"))
               plake.deleteRouted(delRouted, commitId = commitIdFor(db, table, "delete"))
             } else {
-              // ONE distinct-collect of the batch's partition values
+              // ONE distinct-collect of the batch's partition identities
               // feeds both the migration probe and the merge dispatch
               // (mergeWith) — merge would otherwise re-run the same
               // distinct job over the decoded batch (r9 review).
-              val upParts = typed.select(col(pf).cast("string")).distinct()
-                .collect().map(_.getString(0)).toSeq
+              val upParts = plake.distinctPartitionValues(typed, "updates")
               // Deterministic replay: a legacy scoped commit can only
               // live in a partition this batch's own upserts name, so
               // the probe is bounded to the batch's partitions instead

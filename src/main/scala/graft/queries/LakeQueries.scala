@@ -1237,6 +1237,128 @@ object LakeQueries {
         """SELECT CAST(o_orderkey AS BIGINT) AS okey,
           |       o_totalprice AS amount, o_orderpriority AS prio
           |FROM orders WHERE o_orderkey % 5 = 0
+          |ORDER BY okey""".stripMargin)),
+
+    // ---- COMPOSITE partition paths (r20, VERDICT r19 #1) --------------
+    // q107's SQL lifecycle on a TWO-column layout (Hudi
+    // ComplexKeyGenerator partition-path parity): `PARTITIONED BY
+    // (prio, seg)` CTAS births the nested `p=<prio>/p=<seg>` layout, the
+    // MERGE source carries BOTH columns in-band with true placement (the
+    // probe routes on the slash-joined composite identity), deletes
+    // route by the TARGET row's composite, and `CALL drop_partitions`
+    // retires one composite identity before the final read — so the
+    // oracle can only match if listing, routing, re-attach, and the
+    // maintenance surface all speak the same joined identity.
+    "q113_lake_sql_composite_part" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("sqlcomp")
+        val tag = lakeDir.split('/').last
+        val orders = Tables.load(spark, dir, "orders")
+        orders.createOrReplaceTempView(s"orders_$tag")
+        val tbl = s"gq113_$tag"
+        spark.sql(
+          s"""CREATE TABLE $tbl USING `cdc-lake`
+             |PARTITIONED BY (prio, seg)
+             |OPTIONS (path '$lakeDir', buckets '4', bloomOnWrite 'false')
+             |AS SELECT concat('o#', o_orderkey) AS ${LakeTable.KeyCol},
+             |          CAST(1 AS BIGINT) AS ${LakeTable.TsCol},
+             |          o_orderkey AS okey, o_totalprice AS amount,
+             |          o_orderpriority AS prio,
+             |          CAST(o_custkey % 3 AS BIGINT) AS seg
+             |FROM orders_$tag WHERE o_orderkey % 3 = 0""".stripMargin)
+        try {
+          orders.filter(col("o_orderkey") % 2 === 0).select(
+            concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+            lit(2L).as(LakeTable.TsCol),
+            col("o_orderkey").as("okey"),
+            (col("o_totalprice") + lit(10.0)).as("amount"),
+            col("o_orderpriority").as("prio"),
+            (col("o_custkey") % 3).cast("long").as("seg"),
+            (col("o_orderkey") % 4 === 0).as("del"))
+            .createOrReplaceTempView(s"src_$tag")
+          spark.sql(
+            s"""MERGE INTO $tbl t USING src_$tag s ON t._key = s._key
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET _ts = s._ts, amount = s.amount
+               |WHEN NOT MATCHED THEN
+               |  INSERT (_key, _ts, okey, amount, prio, seg)
+               |  VALUES (s._key, s._ts, s.okey, s.amount, s.prio, s.seg)""".stripMargin)
+          // composite-identity maintenance: retire one (prio, seg) leaf
+          spark.sql(
+            s"CALL drop_partitions(table => '$tbl', partitions => '1-URGENT/0')")
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.catalog.dropTempView(s"src_$tag")
+          spark.catalog.dropTempView(s"orders_$tag")
+        }
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "4").load()
+          .select(col("okey"), col(LakeTable.TsCol).as("ts"),
+            col("amount"), col("prio"), col("seg"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT okey, ts, amount, prio, seg FROM (
+          |  SELECT o_orderkey AS okey, CAST(1 AS BIGINT) AS ts,
+          |         o_totalprice AS amount, o_orderpriority AS prio,
+          |         CAST(o_custkey % 3 AS BIGINT) AS seg
+          |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10,
+          |         o_orderpriority, CAST(o_custkey % 3 AS BIGINT)
+          |  FROM orders
+          |  WHERE o_orderkey % 6 = 0 AND o_orderkey % 4 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 10,
+          |         o_orderpriority, CAST(o_custkey % 3 AS BIGINT)
+          |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+          |) t WHERE NOT (prio = '1-URGENT' AND seg = 0) ORDER BY okey""".stripMargin)),
+
+    // ---- Z-order on TEMPORAL + STRING lanes (r20, VERDICT r19 #4) ------
+    // The q39 family extended to the non-numeric lane encodings: the
+    // table clusters on (timestamp, string) — unix_micros / 7-byte-prefix
+    // Morton lanes — with stats on both columns, and the read goes
+    // through the relation's pushdown so the timestamp range + string
+    // equality prune buckets AND files through the statNorm epoch/UTF-8
+    // encodings. The oracle is the plain filter over orders: clustering
+    // is only a sort, so ANY wrong lane/stat encoding shows up as
+    // missing rows (a wrongly-pruned bucket) — the hash check carries
+    // the correctness load, the locality assertion lives in
+    // LakeTableSpec's row-group harness.
+    "q115_zorder_temporal" -> QueryDef(
+      (spark, dir) => {
+        val lakeDir = scratchDir("ztemporal")
+        val orders = Tables.load(spark, dir, "orders")
+        val lt = new LakeTable(spark, lakeDir, numBuckets = 2, filesPerBucket = 4,
+          zorderBy = Seq("odate", "prio"), statsColumns = Seq("odate", "prio"))
+        lt.upsert(orders.select(
+          concat(lit("o#"), col("o_orderkey")).as(LakeTable.KeyCol),
+          lit(1L).as(LakeTable.TsCol),
+          col("o_orderkey").as("okey"),
+          // LTZ timestamp under the UTC session == DuckDB's naive reading
+          // (the CoreQueries convention); the raw column is NTZ, which is
+          // deliberately neither statable nor laneable
+          col("o_orderdate").cast("timestamp").as("odate"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("amount")))
+        spark.read.format("cdc-lake")
+          .option("path", lakeDir).option("buckets", "2")
+          .option("filesPerBucket", "4")
+          .option("statsColumns", "odate,prio").load()
+          .filter(
+            col("odate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("odate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("prio") === "1-URGENT")
+          .select(col("okey"), col("odate"), col("prio"), col("amount"))
+          .orderBy("okey")
+      },
+      Some(
+        """SELECT o_orderkey AS okey, CAST(o_orderdate AS TIMESTAMP) AS odate,
+          |       o_orderpriority AS prio, o_totalprice AS amount
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderpriority = '1-URGENT'
           |ORDER BY okey""".stripMargin))
   )
 }

@@ -2280,6 +2280,59 @@ object OpsQueries {
            |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
            |       CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
-           |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
+           |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+
+    // ---- IVF: persisted, APPENDABLE index (r20, VERDICT r19 #2) --------
+    // The production ANN ingest shape at 100 TB: train centroids ONCE on
+    // the bootstrap corpus (q76's synthetic clustered corpus + kmeans
+    // refinement — deterministic, scale-independent), persist the
+    // assignment (`writeIvfIndex`, centroid-fingerprint stamped), then
+    // per batch assign + APPEND (`appendToIvfIndex` — one batch×k pass,
+    // files landing inside the existing `centroid=` dirs; the corpus is
+    // never re-assigned) and probe nProbe of k directories
+    // (`ivfTopKIndexed`). Gates (q36 recall-gate contract, everything
+    // hash-deterministic so identical at every scale): n_ivf = 20;
+    // recall >= 14/20 vs the exact top-20 over wave1 ∪ wave2 (q76's
+    // refinement gate — centroids trained on wave 1 only must still
+    // align the probe with the planted cluster); and >= 1 wave-2 vector
+    // in the probed top-20 — wave-2 ids can only be candidates because
+    // the append landed (the q98 ingest-loop contract: cross-batch state
+    // lives in the INDEX). Measured (2026-08-15): probed recall 20/20,
+    // wave-2 in probed AND exact top-20 = 5/20.
+    "q114_ivf_index_incr" -> QueryDef(
+      (spark, dir) => {
+        val dim = 32
+        val nClusters = 16
+        def wave(lo: Long, hi: Long) = spark.range(lo, hi).toDF("vec_id")
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (when(j === (col("vec_id") % nClusters).cast("int") * 2, lit(1.0))
+                .otherwise(lit(0.0))
+                + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
+                    / lit(500.0) - lit(1.0)) * lit(0.05)).cast("float")))
+          .repartition(8)
+        val wave1 = wave(0, 4000)
+        val wave2 = wave(4000, 5000)
+        val qv = Seq.tabulate(dim)(j => if (j == 6) 1.0 else 0.0) // cluster 3
+        val cents = Similarity.ivfCentroidsKMeans(wave1, nClusters, iters = 3)
+        val idxPath = Scratch.dir("ivfincr")
+        Similarity.writeIvfIndex(wave1, idxPath, cents)
+        Similarity.appendToIvfIndex(wave2, idxPath, cents, compactEvery = 64)
+        // plumbing invariant, loud: the append must have landed exactly
+        // the batch's rows inside the stamped artifact
+        val nIdx = spark.read.parquet(idxPath).count()
+        require(nIdx == 5000, s"ivf index must hold 5000 assignments, got $nIdx")
+        val corpus = wave1.unionByName(wave2)
+        val exact = Similarity.topK(corpus, qv, 20).select(col("vec_id"), lit(1).as("hit"))
+        Similarity.ivfTopKIndexed(corpus, idxPath, qv, 20, cents, nProbe = 1)
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left")
+          .agg(
+            count(lit(1)).as("n_ivf"),
+            (coalesce(sum(col("hit")), lit(0)) >= 14).as("recall_ok"),
+            (coalesce(sum((col("vec_id") >= 4000).cast("int")), lit(0)) >= 1)
+              .as("wave2_ok"))
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS n_ivf, true AS recall_ok, true AS wave2_ok"))
   )
 }

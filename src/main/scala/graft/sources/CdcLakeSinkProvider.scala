@@ -180,9 +180,17 @@ class CdcLakeSinkProvider extends StreamSinkProvider
   */
 class LakeSnapshotRelation(
     ctx: SQLContext,
-    parameters: Map[String, String],
+    parameters0: Map[String, String],
     declaredSchema: Option[StructType] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
+
+  // Case-insensitive option resolution on EVERY construction route
+  // (ADVICE r19): the DataSource routes already hand a CaseInsensitiveMap,
+  // but the time-travel parser rewrite hands the RAW catalog
+  // storage.properties — without the wrap an option keyed `versionasof`
+  // or `querytype` would silently not apply on that route only.
+  private val parameters: Map[String, String] =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters0)
 
   // Lazy: the batch-WRITE path returns this relation constructed from the
   // sink options (no single `path`); only an actual read needs one.
@@ -425,26 +433,45 @@ class LakeSnapshotRelation(
             }
         }
       case Left(pt) =>
-        equalityValues(filters, pt.partitionCol) match {
-          case Some(values) if values.forall(_.isInstanceOf[String]) =>
-            // Route only STRING pushed values: the directory name is
-            // Spark's cast-to-string of the partition value, which Java
-            // toString of a typed literal (Timestamp, Decimal) need not
-            // match — a mismatched name would silently prune matching
-            // rows away (r9 review). Typed partition columns fall
-            // through to the pinned full scan; the filter still applies
-            // below. Column stats compose: within the named partitions,
-            // buckets the recorded ranges exclude are skipped too.
-            val vs = values.map(_.asInstanceOf[String]).distinct
-            pt.statsPruneAt(pinnedVector, filters.toSeq, Some(vs)) match {
-              case Some(pruned) => conformed(pruned)
-              case None => conformed(pt.snapshotAt(vs, pinnedVector))
+        // Per-COMPONENT equality pruning (generalized r20 for composite
+        // layouts): each partition column with a pushed string
+        // equality/IN constrains its component of the identity — ANY
+        // constrained component prunes, a prefix is not required (the
+        // identity list is already in hand via the pinned vector, so
+        // matching is a bounded driver filter, no listing). Route only
+        // STRING pushed values: the directory name is Spark's
+        // cast-to-string of the partition value, which Java toString of
+        // a typed literal (Timestamp, Decimal) need not match — a
+        // mismatched name would silently prune matching rows away (r9
+        // review). Typed partition columns fall through to the pinned
+        // full scan; the filter still applies below. Column stats
+        // compose: within the named partitions, buckets the recorded
+        // ranges exclude are skipped too.
+        val perCol: Seq[Option[Set[String]]] = pt.partitionCols.map { c =>
+          equalityValues(filters, c) match {
+            case Some(values) if values.forall(_.isInstanceOf[String]) =>
+              Some(values.map(_.asInstanceOf[String]).toSet)
+            case _ => None
+          }
+        }
+        if (perCol.exists(_.isDefined)) {
+          val k = pt.partitionCols.size
+          val vs = pinnedVector.keys.toSeq.filter { ident =>
+            val comps = if (k == 1) Seq(ident) else ident.split("/", -1).toSeq
+            comps.size == k && perCol.zip(comps).forall {
+              case (Some(allowed), c) => allowed.contains(c)
+              case (None, _) => true
             }
-          case _ =>
-            pt.statsPruneAt(pinnedVector, filters.toSeq) match {
-              case Some(pruned) => conformed(pruned)
-              case None => snapshot
-            }
+          }.sorted
+          pt.statsPruneAt(pinnedVector, filters.toSeq, Some(vs)) match {
+            case Some(pruned) => conformed(pruned)
+            case None => conformed(pt.snapshotAt(vs, pinnedVector))
+          }
+        } else {
+          pt.statsPruneAt(pinnedVector, filters.toSeq) match {
+            case Some(pruned) => conformed(pruned)
+            case None => snapshot
+          }
         }
     }
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
@@ -540,9 +567,11 @@ class LakeSnapshotRelation(
         _.rowsForKeys(keys, inPartitions, Some(pinnedVector)),
         _.rowsForKeys(keys, pinnedVersion)))
 
-  /** The partition column when this relation is a partitioned layout. */
-  private[sources] def partitionColumn: Option[String] =
-    opened.left.toOption.map(_.partitionCol)
+  /** The partition columns (layout order) when this relation is a
+    * partitioned layout; empty for plain tables.
+    */
+  private[sources] def partitionColumns: Seq[String] =
+    opened.left.toOption.map(_.partitionCols).getOrElse(Nil)
 
   /** True iff no version has ever committed (the CTAS Overwrite gate). */
   private[sources] def neverWritten: Boolean = pinnedEmpty
@@ -593,12 +622,12 @@ class LakeSnapshotRelation(
       case (Some(u), None) =>
         writeHandle.fold(_.upsert(u), _.upsert(u))
       case (None, Some(d)) =>
-        // Partition-routed when the key set carries the partition column
-        // (MERGE takes it from the TARGET row) — only the named
+        // Partition-routed when the key set carries EVERY partition
+        // column (MERGE takes them from the TARGET row) — only the named
         // partitions dispatch; otherwise the global bloom-pruned fan-out.
         writeHandle.fold(
           pt =>
-            if (d.columns.contains(pt.partitionCol)) pt.deleteRouted(d)
+            if (pt.partitionCols.forall(d.columns.contains)) pt.deleteRouted(d)
             else pt.delete(d.select(LakeTable.KeyCol)),
           _.delete(d))
       case (None, None) => ()

@@ -98,7 +98,8 @@ case class LakeWidenColumnCommand(
     handle.fold(
       _.widenColumn(columnName, newColumn.dataType),
       t => { t.widenColumn(columnName, newColumn.dataType); () })
-    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    val latest = LakeMergeInto.dataSchemaOf(
+      ct, handle.fold(_.snapshot.schema, _.snapshot.schema))
     if (latest.nonEmpty && latest != ct.dataSchema)
       session.sessionState.catalog.alterTableDataSchema(table, latest)
     session.catalog.refreshTable(table.quotedString)
@@ -124,7 +125,8 @@ case class LakeAddColumnsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val ct = session.sessionState.catalog.getTableMetadata(table)
     val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
-    val existing = ct.dataSchema.fieldNames.toSet
+    // full schema: PARTITIONED-BY-declared columns live outside dataSchema
+    val existing = ct.schema.fieldNames.toSet
     val dup = colsToAdd.map(_.name).filter(existing.contains)
     if (dup.nonEmpty) fail(s"column(s) already exist: ${dup.mkString(", ")}")
     val reserved = colsToAdd.map(_.name)
@@ -135,11 +137,85 @@ case class LakeAddColumnsCommand(
       fail("duplicate column names in the ADD list")
     val cols = org.apache.spark.sql.types.StructType(colsToAdd)
     handle.fold(_.addColumns(cols), _.addColumns(cols))
-    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    val latest = LakeMergeInto.dataSchemaOf(
+      ct, handle.fold(_.snapshot.schema, _.snapshot.schema))
     if (latest.nonEmpty && latest != ct.dataSchema)
       session.sessionState.catalog.alterTableDataSchema(table, latest)
     session.catalog.refreshTable(table.quotedString)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE <lake> RENAME COLUMN a TO b` (r20) — the manifest-only
+  * name-mapping commit ([[graft.lake.LakeTable.renameColumn]]): zero
+  * data IO, files keep the column's birth name, readers alias, time
+  * travel before the rename answers under the old name. Routed at PARSE
+  * time (v2-only command; see [[LakeSqlRewrites]]).
+  */
+case class LakeRenameColumnCommand(
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    from: String,
+    to: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val ct = session.sessionState.catalog.getTableMetadata(table)
+    val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
+    handle.fold(
+      _.renameColumn(from, to),
+      t => { t.renameColumn(from, to); () })
+    LakeDml.syncAlteredSchema(session, table, ct, handle)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <lake> DROP COLUMN [IF EXISTS] c[, ...]` (r20) — the
+  * manifest-only drop ([[graft.lake.LakeTable.dropColumn]]): the
+  * column's physical name retires so a later re-add can never resurrect
+  * old file data. `IF EXISTS` skips unknown names; otherwise they are
+  * loud.
+  */
+case class LakeDropColumnsCommand(
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    columns: Seq[String],
+    ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val ct = session.sessionState.catalog.getTableMetadata(table)
+    val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
+    val present = ct.schema.fieldNames.toSet
+    val targets =
+      if (ifExists) columns.filter(present.contains) else columns
+    targets.foreach { c =>
+      handle.fold(_.dropColumn(c), t => { t.dropColumn(c); () })
+    }
+    LakeDml.syncAlteredSchema(session, table, ct, handle)
+    Seq.empty
+  }
+}
+
+object LakeDml {
+  /** Shared post-ALTER catalog upkeep: re-register the (renamed/dropped/
+    * widened) data schema — partition-declared columns stripped, see
+    * [[LakeMergeInto.dataSchemaOf]] — and drop the cached version-pinned
+    * relation.
+    */
+  private[sources] def syncAlteredSchema(
+      session: SparkSession,
+      table: org.apache.spark.sql.catalyst.TableIdentifier,
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      handle: Either[graft.lake.PartitionedLakeTable, LakeTable]): Unit = {
+    val latest = LakeMergeInto.dataSchemaOf(
+      ct, handle.fold(_.snapshot.schema, _.snapshot.schema))
+    if (latest.nonEmpty && latest != ct.dataSchema)
+      // alterTableSchema, not alterTableDataSchema: the latter REFUSES a
+      // new schema missing old fields ("we don't support dropping
+      // columns yet") — exactly what a rename/drop produces. The full
+      // schema is data + the catalog's declared partition columns.
+      session.sessionState.catalog.alterTableSchema(
+        table,
+        org.apache.spark.sql.types.StructType(
+          latest.fields ++ ct.partitionSchema.fields))
+    session.catalog.refreshTable(table.quotedString)
   }
 }
 
@@ -202,7 +278,7 @@ case class LakeDeleteFromCommand(d: DeleteFromTable) extends LeafRunnableCommand
         val snapshot = Plans.ofRows(session, d.table)
         val rows = snapshot.filter(Exprs.column(d.condition))
         val keyCols = org.apache.spark.sql.functions.col(LakeTable.KeyCol) +:
-          rel.partitionColumn.map(org.apache.spark.sql.functions.col).toSeq
+          rel.partitionColumns.map(org.apache.spark.sql.functions.col)
         rel.mergeWrite(None, Some(rows.select(keyCols: _*)))
     }
     LakeMergeInto.syncCatalogSchema(session, rel, d.table)
@@ -220,7 +296,7 @@ case class LakeUpdateCommand(u: UpdateTable) extends LeafRunnableCommand {
     val rel = LakeMergeInto.targetRelation(u.table).get
     val targetCols: Seq[Attribute] = u.table.output
     val targetType = targetCols.map(a => a.name -> a.dataType).toMap
-    val partitionCol = rel.partitionColumn
+    val partitionCols = rel.partitionColumns
 
     def nameOf(k: Expression): String = k match {
       case a: Attribute => a.name
@@ -235,7 +311,7 @@ case class LakeUpdateCommand(u: UpdateTable) extends LeafRunnableCommand {
     if (mkv.size != u.assignments.size) fail("duplicate assignment targets")
     if (mkv.contains(LakeTable.KeyCol)) fail(
       s"'${LakeTable.KeyCol}' cannot be reassigned (rekeying) — delete + insert explicitly")
-    partitionCol.foreach(p => if (mkv.contains(p)) fail(
+    partitionCols.foreach(p => if (mkv.contains(p)) fail(
       s"the partition column '$p' cannot be reassigned (a row's partition is its " +
         "placement) — delete + insert explicitly"))
 

@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -108,6 +109,24 @@ object LakeMergeInto {
         lr.relation.asInstanceOf[LakeSnapshotRelation]
     }
 
+  /** The DATA-schema view of a stored lake schema for a catalog entry:
+    * when the entry declares `PARTITIONED BY` columns, the catalog holds
+    * them SEPARATELY (`CatalogTable.schema` = dataSchema ++
+    * partitionSchema) — so re-registering the FULL stored schema via
+    * `alterTableDataSchema` would duplicate the partition columns
+    * (`..., prio, seg, prio, seg`) and every later resolution of the
+    * table dies on the declared-vs-stored mismatch (r20 — q113 caught
+    * it; OPTIONS-declared layouts have empty partitionColumnNames and
+    * never hit this). Every catalog-upkeep site must strip the declared
+    * partition columns before comparing with / altering the data schema.
+    */
+  def dataSchemaOf(
+      ct: CatalogTable,
+      latest: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (ct.partitionColumnNames.isEmpty) latest
+    else org.apache.spark.sql.types.StructType(latest.filterNot(f =>
+      ct.partitionColumnNames.exists(_.equalsIgnoreCase(f.name))))
+
   /** Post-write catalog upkeep for a catalog-backed lake target (shared
     * by MERGE INTO and the DML commands); no-op for path-only relations.
     *
@@ -128,7 +147,7 @@ object LakeMergeInto {
           lr.relation.isInstanceOf[LakeSnapshotRelation] => lr.catalogTable.get
     }
     ctable.foreach { ct =>
-      val latest = rel.latestUserSchema
+      val latest = dataSchemaOf(ct, rel.latestUserSchema)
       if (latest.nonEmpty && latest != ct.dataSchema)
         session.sessionState.catalog.alterTableDataSchema(ct.identifier, latest)
       session.catalog.refreshTable(ct.identifier.quotedString)
@@ -271,7 +290,11 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     val keyCol = Exprs.column(srcKeyExpr)
     val targetCols: Seq[Attribute] = m.targetTable.output
     val targetNames = targetCols.map(_.name)
-    val partitionCol: Option[String] = rel.partitionColumn
+    // Layout-order partition columns; empty for plain tables. Composite
+    // layouts (r20) generalize every partition-aware seam below: routing
+    // needs ALL columns in-band, delete frames carry all of them, and
+    // the move/reassignment guards apply per column.
+    val partitionCols: Seq[String] = rel.partitionColumns
 
     def nameOf(k: Expression): String = k match {
       case a: Attribute => a.name
@@ -324,8 +347,8 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
       } ||
         updMaps.exists(rmwNeeded) ||
         // partitioned: deletes route by — and partition-move guards
-        // compare against — the TARGET row's partition value
-        (partitionCol.isDefined && matched.nonEmpty)
+        // compare against — the TARGET row's partition value(s)
+        (partitionCols.nonEmpty && matched.nonEmpty)
 
     def equivalent(a: Map[String, Expression], b: Map[String, Expression]): Boolean =
       a.keySet == b.keySet &&
@@ -340,19 +363,21 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
       case (Seq((None, Right(_))), Seq((None, _)))
           if equivalent(updMaps.head, insMaps.head) && !rmwNeeded(updMaps.head) =>
         rel.mergeWrite(
-          Some(frame(srcDf, updMaps.head, keyCol, targetCols, partitionCol, None)), None)
+          Some(frame(srcDf, updMaps.head, keyCol, targetCols, partitionCols, None)), None)
         return finish(session, rel)
       // Delete-only with a source-only condition: absent keys are a
       // bloom-pruned no-op and nothing else is written, so "matched"
       // needs no probe. On partitioned tables the source's in-band
-      // partition column rides along when present, so the dispatch
-      // routes (deleteRouted) instead of fanning out globally (r18).
+      // partition columns ride along when ALL are present, so the
+      // dispatch routes (deleteRouted) instead of fanning out globally
+      // (r18; a partial column set cannot name a partition).
       case (Seq((c, Left(()))), Seq()) if c.forall(sourceOnly) =>
         val rows = c.map(cc => srcDf.filter(Exprs.column(cc))).getOrElse(srcDf)
-        val delCols = keyCol.as(LakeTable.KeyCol) +:
-          partitionCol.filter(p =>
-            srcDf.columns.contains(p) && p != LakeTable.KeyCol)
-            .map(p => rows(p)).toSeq
+        val inBand =
+          if (partitionCols.nonEmpty && partitionCols.forall(p =>
+            srcDf.columns.contains(p) && p != LakeTable.KeyCol)) partitionCols
+          else Nil
+        val delCols = keyCol.as(LakeTable.KeyCol) +: inBand.map(p => rows(p))
         rel.mergeWrite(None, Some(rows.select(delCols: _*)))
         return finish(session, rel)
       case _ => ()
@@ -390,14 +415,24 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     // by-source-only merge stays probe-free — an eager val here would
     // pay the distinct-collect job for a statement that never consumes
     // the membership probe.
-    lazy val routedParts: Option[Seq[String]] = partitionCol
-      .filter(p => stable.columns.contains(p) && p != LakeTable.KeyCol &&
-        !updMaps.exists(_.contains(p)))
-      .flatMap { p =>
-        val vs = stable.select(col(p).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        if (vs.contains(null)) None else Some(vs)
-      }
+    lazy val routedParts: Option[Seq[String]] =
+      if (partitionCols.nonEmpty &&
+          partitionCols.forall(p =>
+            stable.columns.contains(p) && p != LakeTable.KeyCol) &&
+          !updMaps.exists(m => partitionCols.exists(m.contains))) {
+        val rows = stable
+          .select(partitionCols.map(p => col(p).cast("string")): _*)
+          .distinct().collect()
+        val comps = rows.map(r => partitionCols.indices.map(r.getString))
+        // unroutable shapes fall back to the global probe: any null
+        // component, or (composite layouts) a component embedding the
+        // identity separator — such a partition cannot exist (writes
+        // reject it) but the KEY may exist elsewhere, so routing on the
+        // mis-joined identity would silently re-route the row to INSERT
+        if (comps.exists(_.exists(x => x == null ||
+            (partitionCols.size > 1 && x.contains("/"))))) None
+        else Some(comps.map(_.mkString("/")).toSeq)
+      } else None
 
     // Lazy: a by-source-only merge must not pay the membership probe
     // (probeKeys runs an eager candidate-bucket job when forced).
@@ -445,21 +480,18 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
     val delFrames = ArrayBuffer.empty[DataFrame]
     if (matched.nonEmpty) route(matchedBase, matched, twoSided).foreach {
       case (rows, Left(())) =>
-        delFrames += (partitionCol match {
-          case Some(p) => rows.select(
-            keyColS.as(LakeTable.KeyCol),
-            rows(TPref + p).as(p)) // route by the TARGET row's partition
-          case None => rows.select(keyColS.as(LakeTable.KeyCol))
-        })
+        // route by the TARGET row's partition value(s)
+        delFrames += rows.select(keyColS.as(LakeTable.KeyCol) +:
+          partitionCols.map(p => rows(TPref + p).as(p)): _*)
       case (rows, Right(as)) =>
         upFrames += frame(rows, assignMap(as, insert = false), keyColS, targetCols,
-          partitionCol, rmwFrom = Some(TPref), twoSidedCol = Some(twoSided))
+          partitionCols, rmwFrom = Some(TPref), twoSidedCol = Some(twoSided))
     }
     if (inserts.nonEmpty) route(unmatchedSrc, inserts, (e: Expression) => Exprs.column(e))
       .foreach {
         case (rows, as) =>
           upFrames += frame(rows, assignMap(as, insert = true), keyColS, targetCols,
-            partitionCol, None)
+            partitionCols, None)
       }
     // NOT MATCHED BY SOURCE: target rows no source key names — the
     // pinned snapshot anti-joined with the (materialized) source keys.
@@ -501,7 +533,7 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
           if (mkv.size != as.size) fail("duplicate assignment targets")
           if (mkv.contains(LakeTable.KeyCol)) fail(
             s"'${LakeTable.KeyCol}' cannot be reassigned (rekeying)")
-          partitionCol.foreach(p => if (mkv.contains(p)) fail(
+          partitionCols.foreach(p => if (mkv.contains(p)) fail(
             s"the partition column '$p' cannot be reassigned (a row's partition " +
               "is its placement) — delete + insert explicitly"))
           i -> mkv
@@ -511,10 +543,8 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
         else acted0
       if (delIds.nonEmpty) {
         val rows = acted.filter(col(ActCol).isin(delIds: _*))
-        delFrames += (partitionCol match {
-          case Some(p) => rows.select(col(LakeTable.KeyCol), col(p))
-          case None => rows.select(LakeTable.KeyCol)
-        })
+        delFrames += rows.select(
+          col(LakeTable.KeyCol) +: partitionCols.map(col): _*)
       }
       if (updActs.nonEmpty) {
         val rows = acted.filter(col(ActCol).isin(updActs.map(_._1): _*))
@@ -570,14 +600,14 @@ case class LakeMergeIntoCommand(m: MergeIntoTable) extends LeafRunnableCommand {
       mkv: Map[String, Expression],
       keyCol: Column,
       targetCols: Seq[Attribute],
-      partitionCol: Option[String],
+      partitionCols: Seq[String],
       rmwFrom: Option[String],
       twoSidedCol: Option[Expression => Column] = None): DataFrame = {
     def valueOf(e: Expression): Column =
       twoSidedCol.map(f => f(e)).getOrElse(Exprs.column(e))
     val cols = targetCols.map { a =>
       mkv.get(a.name) match {
-        case Some(v) if partitionCol.contains(a.name) && rmwFrom.isDefined =>
+        case Some(v) if partitionCols.contains(a.name) && rmwFrom.isDefined =>
           val stored = from(rmwFrom.get + a.name)
           when(!(valueOf(v) <=> stored), raise_error(lit(
             s"cdc-lake MERGE INTO: UPDATE must not move a row across " +

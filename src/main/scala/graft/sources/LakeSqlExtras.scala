@@ -27,7 +27,14 @@ import graft.lake.{LakeTable, PartitionedLakeTable}
 object LakeHandles {
   def fromOptions(
       spark: SparkSession,
-      parameters: Map[String, String]): Either[PartitionedLakeTable, LakeTable] = {
+      parameters0: Map[String, String]): Either[PartitionedLakeTable, LakeTable] = {
+    // Case-insensitive like the DataSource relation routes (ADVICE r19):
+    // CALL procedures and the time-travel rewrite hand this the RAW
+    // catalog storage.properties, so an option keyed `zorderby` or
+    // `partitioncol` was honored on writes but invisible here — two
+    // handle configs for one table.
+    val parameters =
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters0)
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("cdc-lake table requires a path option"))
     val buckets =
@@ -49,31 +56,41 @@ object LakeHandles {
     // this (`BinlogSyncHoodieCommand.scala:128-139`). Before r19 the
     // option was silently ignored and the first write made a PLAIN
     // table — the one silent-option hole in an otherwise loud surface.
+    // r20: comma-separated declarations (Hudi ComplexKeyGenerator
+    // partition-path parity) build the nested composite layout.
     // Against an EXISTING table the declaration is validated, never
-    // trusted: a mismatched column or a plain layout fails loudly.
+    // trusted: a mismatched column LIST or a plain layout fails loudly.
+    def normCols(s: String): Option[String] = {
+      val cs = s.split(",").map(_.trim).filter(_.nonEmpty)
+      if (cs.isEmpty) None else Some(cs.mkString(","))
+    }
     val declaredPartition: Option[String] =
-      parameters.get("partitionCol")
-        .orElse(parameters.get("hoodie.datasource.write.partitionpath.field"))
-        .map(_.trim).filter(_.nonEmpty)
+      parameters.get("partitionCol").flatMap(normCols)
+        .orElse(
+          parameters.get("hoodie.datasource.write.partitionpath.field").flatMap(normCols))
         // DataFrameWriter.partitionBy(...).save() ships the columns as a
         // JSON-encoded option (DataSourceUtils.PARTITIONING_COLUMNS_KEY);
-        // the catalog routes go through LakeCreateTableRule instead
-        .orElse(parameters.get("__partition_columns").map { json =>
+        // the catalog routes go through LakeCreateTableRule instead. A
+        // zero-length array (a degenerate `.partitionBy()` call) is NO
+        // declaration, not an error (ADVICE r19).
+        .orElse(parameters.get("__partition_columns").flatMap { json =>
           val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-          (0 until node.size()).map(node.get(_).asText()) match {
-            case Seq(one) => one
-            case more => throw new IllegalArgumentException(
-              "cdc-lake supports one column in partitionBy, got: " +
-                more.mkString(", "))
-          }
+          val cs = (0 until node.size()).map(node.get(_).asText())
+          if (cs.isEmpty) None else Some(cs.mkString(","))
         })
     PartitionedLakeTable.open(spark, path, buckets) match {
       case Some(pt0) =>
         // case-insensitive like Spark's own column resolution (r19
-        // review); the STORED name stays authoritative for the layout
-        declaredPartition.foreach(p => require(p.equalsIgnoreCase(pt0.partitionCol),
-          s"cdc-lake table at $path is partitioned on '${pt0.partitionCol}' " +
-            s"— conflicting partitionCol '$p'"))
+        // review), elementwise in layout order; the STORED list stays
+        // authoritative for the layout
+        declaredPartition.foreach { p =>
+          val dc = p.split(",").map(_.trim)
+          require(
+            dc.length == pt0.partitionCols.size &&
+              dc.zip(pt0.partitionCols).forall { case (a, b) => a.equalsIgnoreCase(b) },
+            s"cdc-lake table at $path is partitioned on '${pt0.partitionCol}' " +
+              s"— conflicting partitionCol '$p'")
+        }
         Left(new PartitionedLakeTable(spark, path, pt0.partitionCol,
           buckets, filesPerBucket = fpb, bloomOnWrite = blm, zorderBy = zo,
           tableType = tt, compactAfter = ca, mergeMode = mm(pt0.isPartialTable),
@@ -176,6 +193,26 @@ object LakeSqlRewrites {
           LakeCallCommand(name, c.args)
         case _ => c
       }
+      // ALTER TABLE ... RENAME COLUMN / DROP COLUMN (r20): v2-only
+      // commands — ResolveSessionCatalog throws UNSUPPORTED_FEATURE for
+      // session-catalog v1 tables before any post-hoc rule runs, so
+      // (like time travel) the parser is the only seam. Both route to
+      // the manifest-only name-mapping commits; non-lake targets pass
+      // through to Spark's own (loud) error. ALTER is always top-level.
+      case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        alterIdent(session, rc.table) match {
+          case Some(ct) => LakeRenameColumnCommand(
+            ct.identifier, singleField(rc.column, "RENAME COLUMN"), rc.newName)
+          case None => rc
+        }
+      case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        alterIdent(session, dc.table) match {
+          case Some(ct) => LakeDropColumnsCommand(
+            ct.identifier,
+            dc.columnsToDrop.map(singleField(_, "DROP COLUMN")),
+            dc.ifExists)
+          case None => dc
+        }
       case p =>
         p match {
           // MERGE WITH SCHEMA EVOLUTION (r18, VERDICT r17 #6): additive
@@ -235,7 +272,9 @@ object LakeSqlRewrites {
       try session.sessionState.analyzer.execute(m.sourceTable).schema
       catch { case _: Exception => return }
     val resolver = session.sessionState.conf.resolver
-    val existing = ct.dataSchema.fields.map(_.name)
+    // the FULL schema: PARTITIONED-BY-declared columns live outside
+    // dataSchema and must not look "new" (r20)
+    val existing = ct.schema.fields.map(_.name)
     def isNew(name: String): Boolean = !existing.exists(resolver(_, name))
     val actions = m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions
     val hasStar = actions.exists {
@@ -261,11 +300,35 @@ object LakeSqlRewrites {
     val handle = LakeHandles.fromOptions(session, lakeParams(ct))
     val cols = StructType(wanted.toSeq)
     handle.fold(_.addColumns(cols), _.addColumns(cols))
-    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    val latest = LakeMergeInto.dataSchemaOf(
+      ct, handle.fold(_.snapshot.schema, _.snapshot.schema))
     if (latest.nonEmpty && latest != ct.dataSchema)
       session.sessionState.catalog.alterTableDataSchema(ct.identifier, latest)
     session.catalog.refreshTable(ct.identifier.quotedString)
   }
+
+  /** The lake catalog entry an ALTER targets (its child is an
+    * UnresolvedTable); None = not a lake table, pass through.
+    */
+  private def alterIdent(
+      session: SparkSession, table: LogicalPlan): Option[CatalogTable] =
+    table.collectFirst {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier
+    }.flatMap(lakeCatalogTable(session, _))
+
+  /** A top-level single-part field name; nested fields are loud (the
+    * lake schema is flat).
+    */
+  private def singleField(
+      f: org.apache.spark.sql.catalyst.analysis.FieldName, what: String): String =
+    f match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
+          if u.name.size == 1 => u.name.head
+      case other => throw new UnsupportedOperationException(
+        s"cdc-lake ALTER TABLE $what takes a top-level column name, got: " +
+          other.name.mkString("."))
+    }
 
   /** The catalog entry when `nameParts` names a cdc-lake table in the
     * session catalog; None (pass through) otherwise.
@@ -335,10 +398,11 @@ object LakeSqlRewrites {
   * path honors ([[LakeHandles.fromOptions]]) on the converted v1
   * commands, which BOTH routes produce — SQL text AND the programmatic
   * DataFrameWriter (which never touches the parser; a parse-time rewrite
-  * alone left that route silently plain, r19 review). Exactly one
-  * partition column is supported (the partition-path layout has one);
-  * more are loud, as is a conflicting explicit option — transform
-  * partitioning is already rejected by Spark's own v1 conversion.
+  * alone left that route silently plain, r19 review). Multi-column
+  * declarations map onto the comma-joined option (r20 — the nested
+  * composite layout, column order = nesting order); a conflicting
+  * explicit option is loud — transform partitioning is already rejected
+  * by Spark's own v1 conversion.
   * Non-lake providers pass through. The path-only route
   * (`df.write.partitionBy(...).format("cdc-lake").save()`) is covered
   * separately: DataFrameWriter ships `__partition_columns` in the
@@ -348,21 +412,21 @@ class LakeCreateTableRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def inject(table: CatalogTable): CatalogTable = {
     if (!table.provider.exists(_.equalsIgnoreCase(CdcLakeSinkProvider.ShortName)) ||
         table.partitionColumnNames.isEmpty) return table
-    val colName = table.partitionColumnNames match {
-      case Seq(one) => one
-      case more => throw new UnsupportedOperationException(
-        "cdc-lake supports one column in PARTITIONED BY / partitionBy, " +
-          s"got: ${more.mkString(", ")}")
-    }
+    // r20: multi-column PARTITIONED BY maps onto the comma-joined
+    // partitionCol declaration (ComplexKeyGenerator partition-path
+    // parity) — column ORDER is the nesting order.
+    val declared = table.partitionColumnNames.mkString(",")
     table.storage.properties.collectFirst {
       case (k, v) if k.equalsIgnoreCase("partitionCol") => v
     } match {
-      case Some(v) if v.equalsIgnoreCase(colName) => table
+      case Some(v) if v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .zipAll(table.partitionColumnNames, "", "")
+          .forall { case (a, b) => a.equalsIgnoreCase(b) } => table
       case Some(v) => throw new UnsupportedOperationException(
-        s"cdc-lake: PARTITIONED BY ($colName) conflicts with the " +
+        s"cdc-lake: PARTITIONED BY ($declared) conflicts with the " +
           s"partitionCol option ('$v')")
       case None => table.copy(storage = table.storage.copy(
-        properties = table.storage.properties + ("partitionCol" -> colName)))
+        properties = table.storage.properties + ("partitionCol" -> declared)))
     }
   }
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -417,6 +481,14 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"cdc-lake CALL $proc: $msg")
+
+  /** All-digits version strings route through here: a digit string past
+    * Long range must fail the procedure contract's way, not escape as a
+    * raw NumberFormatException (ADVICE r19).
+    */
+  private def parseVersion(v: String): Long =
+    try v.toLong
+    catch { case _: NumberFormatException => fail(s"version out of range: $v") }
 
   override def output: Seq[Attribute] = proc match {
     case "show_commits" => Seq(
@@ -483,7 +555,7 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
     (m.get("version"), handle) match {
       case (Some(v: Long), Right(t)) => op(t, v); v.toString
       case (Some(v: String), Right(t)) if v.nonEmpty && v.forall(_.isDigit) =>
-        op(t, v.toLong); v
+        op(t, parseVersion(v)); v
       case (Some(v: String), Left(pt)) if v.trim.startsWith("{") =>
         val vec = VectorOffset.parse(v)
         if (vec.isEmpty) fail("empty version vector")
@@ -541,18 +613,31 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
           })
         if (cols.size < 2 || cols.size > 4)
           fail(s"clustering takes 2-4 columns, got: ${cols.mkString(",")}")
+        // duplicate lanes are silently degenerate clustering — loud, like
+        // the rest of the procedure's up-front validation (ADVICE r19)
+        if (cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size != cols.size)
+          fail(s"duplicate clustering columns: ${cols.mkString(",")}")
         // Validate BEFORE the table-wide rewrite starts (r19 review —
         // the rest of the procedure surface fails loudly up front): the
-        // Morton projection casts to long, so a missing or non-numeric
-        // column would otherwise cluster on nulls deep inside compact().
+        // Morton lanes encode numeric/timestamp/date/string (r20 — the
+        // statNorm epoch encodings + a 7-byte string prefix code); a
+        // missing or other-typed column would otherwise cluster on nulls
+        // deep inside compact().
         val stored = handle.fold(_.snapshot.schema, _.snapshot.schema)
         cols.foreach { c =>
           val f = stored.find(_.name.equalsIgnoreCase(c)).getOrElse(
             fail(s"unknown clustering column '$c' — table columns: " +
               stored.fieldNames.mkString(", ")))
-          if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          val laneable = f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.TimestampType => true
+            case org.apache.spark.sql.types.DateType => true
+            case org.apache.spark.sql.types.StringType => true
+            case _ => false
+          }
+          if (!laneable)
             fail(s"clustering column '$c' is ${f.dataType.simpleString} — " +
-              "Z-ordering takes numeric columns")
+              "Z-ordering takes numeric, timestamp, date, or string columns")
         }
         val clusterer = LakeHandles.fromOptions(
           session,
@@ -577,7 +662,7 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
         val restored = (m.get("version"), handle) match {
           case (Some(v: Long), Right(t)) => t.restoreTo(v).toString
           case (Some(v: String), Right(t)) if v.forall(_.isDigit) && v.nonEmpty =>
-            t.restoreTo(v.toLong).toString
+            t.restoreTo(parseVersion(v)).toString
           case (Some(v: String), Left(pt)) if v.trim.startsWith("{") =>
             val vec = VectorOffset.parse(v)
             if (vec.isEmpty) fail("empty version vector")
@@ -640,8 +725,10 @@ case class LakeCallCommand(proc: String, args: Seq[Expression])
     // every new version invalidates the cached version-pinned relation —
     // same contract as the SQL write commands (LakeMergeInto.
     // syncCatalogSchema, which needs a live relation; here the schema
-    // comes from the handle directly).
-    val latest = handle.fold(_.snapshot.schema, _.snapshot.schema)
+    // comes from the handle directly). PARTITIONED-BY-declared columns
+    // are stripped — the catalog holds them separately (dataSchemaOf).
+    val latest = LakeMergeInto.dataSchemaOf(
+      ct, handle.fold(_.snapshot.schema, _.snapshot.schema))
     if (latest.nonEmpty && latest != ct.dataSchema)
       session.sessionState.catalog.alterTableDataSchema(ident, latest)
     session.catalog.refreshTable(ident.quotedString)

@@ -492,6 +492,36 @@ class OpsSpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("appendToIvfIndex: batch assigns into the stored layout; drifted centroids are loud (r20)") {
+    val wave1 = embs.filter($"vec_id" % 2 === 0)
+    val wave2 = embs.filter($"vec_id" % 2 === 1)
+    val cents = Similarity.ivfCentroids(wave1, 8)
+    val idxDir = tempDir("ivf-app").resolve("idx").toString
+    Similarity.writeIvfIndex(wave1, idxDir, cents)
+    Similarity.appendToIvfIndex(wave2, idxDir, cents)
+    // the appended artifact == a one-shot build over the union (same
+    // centroids → same assignment; append only adds files)
+    val oneShot = tempDir("ivf-one").resolve("idx").toString
+    Similarity.writeIvfIndex(embs, oneShot, cents)
+    val a = spark.read.parquet(idxDir).select("vec_id", "centroid")
+      .as[(Long, Int)].collect().toSet
+    val b = spark.read.parquet(oneShot).select("vec_id", "centroid")
+      .as[(Long, Int)].collect().toSet
+    assert(a == b, "append must reproduce the one-shot assignment")
+    // probes see appended rows immediately
+    val indexed = Similarity.ivfTopKIndexed(embs, idxDir, queryVec, 10, cents, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val inline = Similarity.ivfTopK(embs, queryVec, 10, cents, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(indexed == inline)
+    // a drifted ingest loop (retrained centroids = a DIFFERENT space
+    // partitioning) must fail the stamp, not silently split generations
+    val drifted = Similarity.ivfCentroids(wave1, 8).map(_.map(_ * -1.0))
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(wave2, idxDir, drifted))
+    assert(e.getMessage.contains("centroidsFp"), e.getMessage)
+  }
+
   test("nearDupPairs finds planted identical/near-identical vectors via LSH buckets") {
     val base = embs.limit(50)
     // plant: vec 9001 = copy of vec 0's embedding, vec 9002 = tiny perturbation

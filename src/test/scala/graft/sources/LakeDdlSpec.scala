@@ -118,6 +118,19 @@ class LakeDdlSpec extends SparkSpec {
         "the declared-empty INSERT must create the partitioned layout")
       assert(spark.sql("SELECT _key FROM ddl_declp WHERE region = 'eu'")
         .as[String].collect().toSeq === Seq("a"))
+      // post-write catalog upkeep must NOT duplicate PARTITIONED-BY
+      // columns into dataSchema (r20 — the catalog holds them
+      // separately; q113's MERGE died on the duplicated declared schema)
+      val ct = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ddl_declp"))
+      assert(ct.schema.fieldNames.toSeq.sorted
+        === Seq("_key", "_ts", "amount", "region"),
+        s"catalog schema corrupted: ${ct.schema.simpleString}")
+      // and the statement AFTER the write still resolves + writes
+      spark.sql(
+        "INSERT INTO ddl_declp VALUES ('b', CAST(1 AS BIGINT), CAST(20 AS BIGINT), 'us')")
+      assert(spark.sql("SELECT _key FROM ddl_declp ORDER BY _key")
+        .as[String].collect().toSeq === Seq("a", "b"))
     } finally spark.sql("DROP TABLE ddl_declp")
     // a mismatched explicit schema against a committed table is loud
     val dir3 = tempDir("declarex-").resolve("t").toString
@@ -147,16 +160,22 @@ class LakeDdlSpec extends SparkSpec {
       assert(spark.sql("SELECT _key FROM ddl_pby WHERE region = 'eu'")
         .as[String].collect().toSet === Set("k0", "k2"))
     } finally spark.sql("DROP TABLE ddl_pby")
-    // multi-column partitioning is loud (one partition column layout)
+    // multi-column PARTITIONED BY creates the nested composite layout
+    // (r20 — ComplexKeyGenerator partition-path parity)
     val dir2 = tempDir("pby2-").resolve("t").toString
-    val e = intercept[Exception](spark.sql(
+    spark.sql(
       s"""CREATE TABLE ddl_pby2 USING `cdc-lake`
          |PARTITIONED BY (region, amount)
          |OPTIONS (path '$dir2', buckets '2')
          |AS SELECT 'k' AS _key, CAST(1 AS BIGINT) AS _ts,
-         |          CAST(1 AS BIGINT) AS amount, 'eu' AS region""".stripMargin))
-    assert(msgs(e).contains("one column"), msgs(e))
-    spark.sql("DROP TABLE IF EXISTS ddl_pby2")
+         |          CAST(1 AS BIGINT) AS amount, 'eu' AS region""".stripMargin)
+    try {
+      val pt2 = graft.lake.PartitionedLakeTable.open(spark, dir2, 2)
+      assert(pt2.isDefined && pt2.get.partitionCols === Seq("region", "amount"))
+      assert(pt2.get.partitions === Seq("eu/1"))
+      assert(spark.sql("SELECT amount FROM ddl_pby2 WHERE region = 'eu'")
+        .as[Long].collect().toSeq === Seq(1L))
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_pby2")
   }
 
   test("DataFrameWriter partitionBy routes create the partitioned layout too (r19 review)") {
@@ -187,14 +206,25 @@ class LakeDdlSpec extends SparkSpec {
     val pt2 = graft.lake.PartitionedLakeTable.open(spark, dir2, 2)
     assert(pt2.isDefined && pt2.get.partitionCol === "region",
       "partitionBy.save() must create the partitioned layout")
-    // multi-column partitionBy is loud on either route
-    val e = intercept[Exception](
-      Seq(("a", 1L, 10L, "eu"))
-        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
-        .write.format("cdc-lake")
-        .option("path", tempDir("pby2-").resolve("t").toString)
-        .partitionBy("region", "amount").save())
-    assert(msgs(e).contains("one column"), msgs(e))
+    // multi-column partitionBy builds the nested composite layout on the
+    // path-only route too (r20); a degenerate EMPTY partitionBy() is a
+    // no-op plain write, not an error (ADVICE r19)
+    val dir3 = tempDir("pby2save-").resolve("t").toString
+    Seq(("a", 1L, 10L, "eu"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region")
+      .write.format("cdc-lake").option("path", dir3).option("buckets", "2")
+      .partitionBy("region", "amount").save()
+    val pt3 = graft.lake.PartitionedLakeTable.open(spark, dir3, 2)
+    assert(pt3.isDefined && pt3.get.partitionCols === Seq("region", "amount"))
+    assert(pt3.get.partitions === Seq("eu/10"))
+    val dir4 = tempDir("pby0-").resolve("t").toString
+    Seq(("a", 1L, 10L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
+      .write.format("cdc-lake").option("path", dir4).option("buckets", "2")
+      .partitionBy().save()
+    assert(graft.lake.PartitionedLakeTable.open(spark, dir4, 2).isEmpty,
+      "empty partitionBy() must stay a plain-table write")
+    assert(new LakeTable(spark, dir4, 2).snapshot.count() === 1)
   }
 
   test("partitionCol against an existing plain table is loud (r19)") {

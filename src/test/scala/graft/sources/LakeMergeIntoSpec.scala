@@ -333,6 +333,58 @@ class LakeMergeIntoSpec extends SparkSpec {
     assert(stateOf(globalT) === expected)
   }
 
+  test("composite-partition MERGE: routing needs ALL columns in-band; move guard per column (r20)") {
+    import graft.lake.PartitionedLakeTable
+    n += 1
+    val name = s"mrg_t$n"
+    val dir = tempDir("merge-comp-").resolve("t").toString
+    val pt = new PartitionedLakeTable(spark, dir, "region,day", numBuckets = 2)
+    pt.upsert(Seq(
+      ("a", 1L, 10L, "eu", "d1"), ("b", 1L, 20L, "us", "d1"), ("c", 1L, 30L, "eu", "d2"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "region", "day"))
+    spark.sql(s"CREATE TABLE $name USING `cdc-lake` OPTIONS (path '$dir', buckets '2')")
+    // source carries BOTH partition columns naming only eu/d1 — the
+    // un-named partitions must never be probed (FS-corruption evidence,
+    // the r18 pattern, now on the composite identity)
+    Seq(("a", 5L, 11L, "eu", "d1"), ("y", 5L, 44L, "eu", "d1"))
+      .toDF("id", "ts", "amt", "region", "day").createOrReplaceTempView("srccomp")
+    val saved = scala.collection.mutable.Map.empty[java.nio.file.Path, Array[Byte]]
+    Seq("p=us/p=d1", "p=eu/p=d2").foreach { sub =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          saved(p) = java.nio.file.Files.readAllBytes(p)
+          java.nio.file.Files.write(p, "not parquet".getBytes)
+        }
+      }
+    }
+    assert(saved.nonEmpty, "expected data files under the un-named partitions")
+    try {
+      spark.sql(
+        s"""MERGE INTO $name t USING srccomp s ON t._key = s.id
+           |WHEN MATCHED THEN UPDATE SET _ts = s.ts, amount = s.amt
+           |WHEN NOT MATCHED THEN
+           |  INSERT (_key, _ts, amount, region, day)
+           |  VALUES (s.id, s.ts, s.amt, s.region, s.day)""".stripMargin)
+    } finally saved.foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    spark.catalog.refreshTable(name)
+    assert(spark.sql(s"SELECT _key, _ts, amount, region, day FROM $name")
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      === Map(
+        "a" -> ((5L, 11L, "eu", "d1")), "b" -> ((1L, 20L, "us", "d1")),
+        "c" -> ((1L, 30L, "eu", "d2")), "y" -> ((5L, 44L, "eu", "d1"))))
+    // assigning EITHER partition column to a moved value raises the guard
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    Seq(("a", 9L, "d9")).toDF("id", "ts", "nday").createOrReplaceTempView("srcmove")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t USING srcmove s ON t._key = s.id
+         |WHEN MATCHED THEN UPDATE SET _ts = s.ts, day = s.nday""".stripMargin))
+    assert(msgs(e).contains("move a row across partitions"), msgs(e))
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("nondeterministic WHEN conditions are rejected loudly (ADVICE r17)") {
     val t = freshTable(Seq(("a", 1L, 10L)))
     Seq(("a", 5L, 11L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount")
