@@ -321,6 +321,46 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("COMPOSITE-partitioned feed: offsets key on the slash-joined identity (r20)") {
+    val dir = tempDir("lakesrc-").toString
+    val plt = new graft.lake.PartitionedLakeTable(spark, dir, "region,day", numBuckets = 2)
+    plt.upsert(Seq(
+      ("a", 1L, "eu", "d1", "va"), ("c", 1L, "us", "d1", "vc"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "region", "day", "payload"))
+
+    val q = spark.readStream.format("cdc-lake")
+      .option("path", dir).option("buckets", "2").load()
+      .writeStream.format("memory").queryName("complakefeed")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("complakefeed")
+        .select("_key", "region", "day", "payload")
+        .as[(String, String, String, String)].collect().sortBy(_._1)
+      assert(first.toSeq == Seq(
+        ("a", "eu", "d1", "va"), ("c", "us", "d1", "vc")),
+        "first batch = full snapshot, BOTH partition columns re-attached")
+      // the committed offset is a vector keyed by composite identities
+      import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+      val lastOffset = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.committedOffsets.values.head.json()
+      assert(lastOffset.contains("eu/d1") && lastOffset.contains("us/d1"),
+        s"vector offset must key on slash-joined identities: $lastOffset")
+      // touch one composite partition + birth another: exactly those rows
+      plt.upsert(Seq(
+        ("a", 2L, "eu", "d1", "va2"), ("d", 2L, "eu", "d2", "vd"))
+        .toDF(LakeTable.KeyCol, LakeTable.TsCol, "region", "day", "payload"))
+      q.processAllAvailable()
+      val second = spark.table("complakefeed").select("_key", "payload")
+        .as[(String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(second.toSeq == Seq(
+        ("a", "va"), ("a", "va2"), ("c", "vc"), ("d", "vd")),
+        s"untouched composite partition re-emitted: ${second.toSeq}")
+    } finally q.stop()
+  }
+
   test("partitioned rate limit caps each partition's versions per batch independently") {
     val dir = tempDir("lakesrc-prate-").toString
     val plt = new graft.lake.PartitionedLakeTable(spark, dir, "day", numBuckets = 2)
