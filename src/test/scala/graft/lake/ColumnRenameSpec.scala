@@ -35,6 +35,10 @@ class ColumnRenameSpec extends SparkSpec {
     assert(lt.snapshotAt(1L).columns.contains("amount"))
     assert(lt.snapshotAt(1L).select("amount").as[Long].collect().sorted
       === Seq(10L, 20L))
+    // a pure rename is manifest-only: the change feed between the
+    // surrounding versions sees NO bucket dir change and emits nothing
+    assert(lt.changesBetween(1L, 2L).count() === 0,
+      "a rename commit must not appear as row changes")
     // rename back to the birth name drops the mapping entirely
     lt.renameColumn("total", "amount")
     assert(lt.latestManifest().get.renames.isEmpty)
