@@ -311,6 +311,11 @@ class LakeSqlExtrasSpec extends SparkSpec {
     // route handles the identity matching; result equality is the gate)
     assert(spark.sql(s"SELECT _key FROM $name WHERE region = 'us' AND day = 'd1'")
       .as[String].collect().toSeq === Seq("b"))
+    // show_commits rows carry the composite identity per version
+    val commits = spark.sql(s"CALL show_commits(table => '$name')")
+      .select("partition", "version").as[(String, Long)].collect().toSeq
+    assert(commits.count(_._1 == "eu/d1") >= 2 && commits.exists(_._1 == "us/d1"),
+      s"show_commits must list composite identities: $commits")
     assert(spark.sql(s"CALL drop_partitions(table => '$name', partitions => 'us/d1')")
       .as[Long].collect().toSeq === Seq(1L))
     spark.catalog.refreshTable(name)
