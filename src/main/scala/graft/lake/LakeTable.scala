@@ -90,6 +90,18 @@ final class LakeTable(
   // present = partial table), never from handle construction, so
   // cow/mor/reader handles keep interoperating on one table.
 
+  // Label the write path's jobs (optimization guide §1.5) so per-job
+  // profiling (QProbe / the Spark UI) attributes a lifecycle query's many
+  // commit jobs to their phase instead of an anonymous SQL-thread frame.
+  // Thread-local, restored after the action — never leaks into the
+  // caller's own description.
+  private def withJobDesc[T](desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"lake:$desc ${basePath.takeRight(24)}")
+    try f finally sc.setJobDescription(old)
+  }
+
   // All small-file metadata I/O goes through the Hadoop FS abstraction —
   // the table works on any FileSystem URI (local, HDFS; see LakeIO's doc
   // for the S3 caveat). Data files go through Spark's own parquet I/O.
@@ -914,13 +926,25 @@ final class LakeTable(
     * last-write-wins per `_key` on `(_ts, arrival)` — an incoming row
     * replaces the stored row iff its `_ts` is >= the stored one.
     */
-  def upsert(updates: DataFrame, commitId: String = ""): Unit = {
+  def upsert(updates: DataFrame, commitId: String = ""): Unit =
+    upsert(updates, commitId, None)
+
+  /** [[upsert]] with the affected-bucket set PRE-COLLECTED by the caller
+    * (r21): a partitioned dispatch computes every partition's bucket set
+    * in ONE job over the staged batch instead of one distinct-collect job
+    * per partition commit. The hint must equal the distinct buckets of
+    * `updates`' keys — for an upsert that IS the affected set (no pruning
+    * is involved), so semantics are unchanged.
+    */
+  private[graft] def upsert(
+      updates: DataFrame, commitId: String, affectedHint: Option[Set[Int]]): Unit = {
     require(
       updates.columns.contains(TsCol),
       s"upsert data must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
     writeCommit(
       commitId,
-      deltaRows = Some(df => df.withColumn(OpCol, lit(UpsertOp))))(
+      deltaRows = Some(df => df.withColumn(OpCol, lit(UpsertOp))),
+      affectedFor = affectedHint.map(h => (_: Option[Manifest]) => Some(h)))(
       _ => updates)(lwwMerge)
   }
 
@@ -1028,16 +1052,40 @@ final class LakeTable(
     * affected, so a batch of only-absent deletes and no upserts commits
     * no version at all.
     */
-  def merge(updates: DataFrame, deleteKeys: DataFrame, commitId: String = ""): Unit = {
+  def merge(updates: DataFrame, deleteKeys: DataFrame, commitId: String = ""): Unit =
+    merge(updates, deleteKeys, commitId, None)
+
+  /** [[merge]] with a caller-collected affected-bucket hint (r21):
+    * `affectedHint` must equal the distinct buckets of `updates`' keys ∪
+    * ALL of `deleteKeys`' buckets. It is consumed ONLY when the attempt's
+    * manifest provably cannot bloom-prune anything (no sidecars anywhere
+    * and every bucket occupied — then the computed affected set would be
+    * byte-identical to the hint); any prunable manifest falls back to the
+    * per-commit computation, preserving the absent-delete write-avoidance
+    * and the all-absent no-commit short-circuit exactly.
+    */
+  private[graft] def merge(
+      updates: DataFrame, deleteKeys: DataFrame, commitId: String,
+      affectedHint: Option[Set[Int]]): Unit = {
     require(
       updates.columns.contains(TsCol),
       s"merge updates must contain a '$TsCol' column (got ${updates.columns.mkString(",")})")
     val delCol = "_graft_del"
+    val hintFor = affectedHint.map(h => (prev: Option[Manifest]) => prev match {
+      // empty table: inc = updates ∪ in-batch delete keys ⊆ the hint, and
+      // the hint is non-empty iff the batch carries rows — same decision.
+      case None => Some(h)
+      case Some(m)
+          if m.bloomFiles.isEmpty && m.deltaBlooms.isEmpty &&
+            m.allBuckets.size == numBuckets => Some(h)
+      case _ => None // prunable manifest: compute per-commit (exact prune)
+    })
     writeCommit(
       commitId, manifestDependent = true,
       deltaRows = Some(df => df
         .withColumn(OpCol, when(col(delCol), lit(DeleteOp)).otherwise(lit(UpsertOp)))
-        .drop(delCol))) { prev =>
+        .drop(delCol)),
+      affectedFor = hintFor) { prev =>
       val ks = deleteKeys.select(KeyCol).distinct()
       // The bloom reflects PRE-batch state: a key this very batch upserts
       // must survive the prune, or upsert-then-delete-in-one-batch would
@@ -1078,14 +1126,26 @@ final class LakeTable(
     *    with compaction (upsert cycles or vacuum) if file counts matter.
     */
   def bulkInsert(
-      rows: DataFrame, commitId: String = "", sortMode: String = "partition"): Unit = {
+      rows: DataFrame, commitId: String = "", sortMode: String = "partition"): Unit =
+    bulkInsert(rows, commitId, sortMode, None)
+
+  /** [[bulkInsert]] with a caller-collected affected-bucket hint — same
+    * contract as the [[upsert]] overload (r21): the hint must equal the
+    * distinct buckets of `rows`' keys.
+    */
+  private[graft] def bulkInsert(
+      rows: DataFrame, commitId: String, sortMode: String,
+      affectedHint: Option[Set[Int]]): Unit = {
     require(
       rows.columns.contains(TsCol),
       s"bulkInsert data must contain a '$TsCol' column (got ${rows.columns.mkString(",")})")
     require(
       sortMode == "partition" || sortMode == "none",
       s"sortMode must be 'partition' or 'none', got '$sortMode'")
-    writeCommit(commitId, shuffle = sortMode == "partition")(_ => rows) { (old, inc) =>
+    writeCommit(
+      commitId, shuffle = sortMode == "partition",
+      affectedFor = affectedHint.map(h => (_: Option[Manifest]) => Some(h)))(
+      _ => rows) { (old, inc) =>
       old.unionByName(inc, allowMissingColumns = true)
     }
   }
@@ -1105,7 +1165,7 @@ final class LakeTable(
       // its stack drop from the manifest).
       writeCommit(
         commitId, manifestDependent = true,
-        affectedFor = Some(_.map(_.allBuckets).getOrElse(Set.empty)))(
+        affectedFor = Some(m => Some(m.map(_.allBuckets).getOrElse(Set.empty))))(
         _ => snapshot) { (_, inc) => inc }
 
   /** Remove all rows whose `_key` appears in `keys` (a 1-column `_key` DF,
@@ -1307,7 +1367,11 @@ final class LakeTable(
       shuffle: Boolean = true,
       manifestDependent: Boolean = false,
       deltaRows: Option[DataFrame => DataFrame] = None,
-      affectedFor: Option[Option[Manifest] => Set[Int]] = None)(
+      // r21: returns Some(buckets) to override the per-commit affected
+      // distinct-collect job, or None to fall back to computing it from
+      // `inc` against this attempt's manifest (the merge hint's
+      // prunable-manifest escape).
+      affectedFor: Option[Option[Manifest] => Option[Set[Int]]] = None)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
     // Entry idempotency scan and the incremental gates below share ONE
@@ -1372,9 +1436,19 @@ final class LakeTable(
               "whose history is merge-free — bulkInsert only — migrates via " +
               "latchPartial())")
       }
+      // r21: a caller-provided affected set means `inc` is evaluated at
+      // most once per attempt (the write itself) AND the hinted callers
+      // stabilize their input upstream (writePartitions' staged cache) —
+      // an inner persist would re-encode every partition's slice of an
+      // already-cached batch for nothing. Unhinted commits keep the
+      // persist: `affected` + the write are two evaluations.
+      val stabilize = affectedFor.isEmpty
       val inc =
-        if (manifestDependent) incomingFor(prev).persist()
-        else reused.getOrElse { val d = incomingFor(prev).persist(); reused = Some(d); d }
+        if (manifestDependent) {
+          val d = incomingFor(prev); if (stabilize) d.persist() else d
+        } else reused.getOrElse {
+          val d = incomingFor(prev); if (stabilize) d.persist(); reused = Some(d); d
+        }
       try {
         require(
           inc.columns.contains(KeyCol),
@@ -1400,12 +1474,10 @@ final class LakeTable(
         // every manifest bucket, else a bucket whose rows are ALL
         // tombstoned yields no snapshot keys and its base+tombstone delta
         // stack would survive compaction forever (ADVICE r11 #3).
-        val affected = affectedFor match {
-          case Some(f) => f(prev)
-          case None => inc
+        val affected = affectedFor.flatMap(_(prev)).getOrElse(
+          withJobDesc("affected")(inc
             .select(bucketOf(col(KeyCol)).as("b")).distinct()
-            .collect().map(_.getInt(0)).toSet
-        }
+            .collect().map(_.getInt(0)).toSet))
         if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
         val version = prev.map(_.version).getOrElse(0L) + 1L
         // Merge-on-read delta commit (docs/MOR_DESIGN.md): when this
@@ -1574,11 +1646,12 @@ final class LakeTable(
         }
         // files store PHYSICAL names (r20) — a no-op fold when nothing
         // was ever renamed
-        newRenames.foldLeft(clustered) {
-          case (d, (l, p)) => d.withColumnRenamed(l, p)
-        }
-          .write.partitionBy(BucketCol).mode("errorifexists")
-          .parquet(outDir)
+        withJobDesc(s"write v$version")(
+          newRenames.foldLeft(clustered) {
+            case (d, (l, p)) => d.withColumnRenamed(l, p)
+          }
+            .write.partitionBy(BucketCol).mode("errorifexists")
+            .parquet(outDir))
 
         // Buckets that ended up empty after the merge have no b=<i> dir.
         val written: Set[Int] =
@@ -1689,8 +1762,8 @@ final class LakeTable(
               s"commit at $basePath lost the publish race ${attempt + 1} times; giving up", e)
             else attempt += 1
         }
-      } finally if (manifestDependent) inc.unpersist()
-    } finally reused.foreach(_.unpersist())
+      } finally if (manifestDependent && stabilize) inc.unpersist()
+    } finally reused.foreach(_.unpersist(blocking = false))
   }
 
   /** Remove data version dirs no longer referenced by the latest
@@ -1818,8 +1891,9 @@ final class LakeTable(
     val keys = spark.read.parquet(paths: _*).select(col(KeyCol))
     // Size for the biggest bucket (hash buckets are near-uniform); one tiny
     // count job, then one distributed bloom-merge job per commit.
-    val maxN = keys.groupBy(bucketOf(col(KeyCol)).as(BucketCol)).count()
-      .agg(max("count")).collect()(0).getLong(0)
+    val maxN = withJobDesc("bloom-size")(
+      keys.groupBy(bucketOf(col(KeyCol)).as(BucketCol)).count()
+        .agg(max("count")).collect()(0).getLong(0))
     // Untyped udaf over a codegen'd int-bucket groupBy: the earlier typed
     // groupByKey(row => ...) path deserialized every row through closures —
     // measurably CPU-heavy at bench scale for zero benefit.
@@ -1831,7 +1905,7 @@ final class LakeTable(
     val base = basePath
     val bucketCol = BucketCol
     val fileName = BloomFileName
-    keys
+    withJobDesc("bloom-build")(keys
       .groupBy(bucketOf(col(KeyCol)).as(BucketCol))
       .agg(bloomUdaf(col(KeyCol)).as("bloom"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -1859,7 +1933,7 @@ final class LakeTable(
               throw new java.io.IOException(s"failed to publish bloom sidecar $target")
           }
         }
-      }
+      })
     written.map(b => b -> s"$relDir/$BucketCol=$b/$BloomFileName").toMap
   }
 
@@ -1958,7 +2032,7 @@ final class LakeTable(
         bucketOf(col(KeyCol)).as(BucketCol),
         element_at(split(input_file_name(), "/"), -1).as("_file"))
       .agg(aggs.head, aggs.drop(1): _*)
-    val fileRows = perFileDf.collect()
+    val fileRows = withJobDesc("stats")(perFileDf.collect())
     // Bucket rollup over the collected per-file frame: a LOCAL tiny job
     // (files x columns scalars), so the data is scanned once while the
     // rollup still uses Spark's own orderings (UTF-8 string min/max —

@@ -330,13 +330,15 @@ final class PartitionedLakeTable(
     * them explicitly upstream.
     */
   def upsert(updates: DataFrame, commitId: String = ""): Unit =
-    writePartitions(updates, commitId)((lt, part, cid) => lt.upsert(part, cid))
+    writePartitions(updates, commitId)(
+      (lt, part, cid, hint) => lt.upsert(part, cid, hint))
 
   /** Bulk/initial-load fast path per partition — see
     * [[LakeTable.bulkInsert]] for the caller contract (keys must be new).
     */
   def bulkInsert(updates: DataFrame, commitId: String = ""): Unit =
-    writePartitions(updates, commitId)((lt, part, cid) => lt.bulkInsert(part, cid))
+    writePartitions(updates, commitId)(
+      (lt, part, cid, hint) => lt.bulkInsert(part, cid, "partition", hint))
 
   /** Distinct partition identities of `df`, with the null guard every
     * dispatch path shares (and, on composite layouts, the no-`/`
@@ -393,7 +395,8 @@ final class PartitionedLakeTable(
     * `$commitId:p=$v` so a replayed batch skips exactly the partitions
     * that already committed.
     */
-  private def dispatchPartitions(values: Seq[String], commitId: String)(
+  private def dispatchPartitions(
+      values: Seq[String], commitId: String, clearTombstones: Boolean = true)(
       run: (LakeTable, String, String) => Unit): Unit = {
     if (values.isEmpty) return
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(values.length).max(1))
@@ -407,20 +410,81 @@ final class PartitionedLakeTable(
       }.asJava
       pool.invokeAll(tasks).asScala.foreach(_.get()) // rethrow failures
     } finally pool.shutdown()
-    clearRebornTombstones(values)
+    if (clearTombstones) clearRebornTombstones(values)
   }
 
+  /** Distinct (partition identity, bucket) pairs of `updates` in ONE job
+    * (r21): the per-partition-commit `affected` distinct-collects — one
+    * Spark job per partition, the dominant q113/q107 lifecycle cost —
+    * collapse into a single pre-pass whose per-partition slices are
+    * handed to the commits as [[LakeTable.upsert]] affected hints. Shares
+    * partitionValues' null / embedded-'/' validation.
+    */
+  private def partitionBucketPairs(
+      df: DataFrame, what: String): Map[String, Set[Int]] = {
+    val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
+      .cast("int") // must match LakeTable.bucketOf exactly
+    df.select((partitionCols.map(c => col(c).cast("string")) :+
+        bucketCol.as("_graft_b")): _*)
+      .distinct().collect().toSeq.map { r =>
+        val v = partitionCols.indices.map { i =>
+          val x = r.getString(i)
+          require(x != null,
+            s"null ${partitionCols(i)} in $what — partition values must be non-null")
+          require(partitionCols.size == 1 || !x.contains("/"),
+            s"partition value '$x' for ${partitionCols(i)} in $what contains " +
+              "'/' — composite partition components cannot embed the path separator")
+          x
+        }.mkString("/")
+        v -> r.getInt(partitionCols.size)
+      }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+  }
+
+  /** The staged batch every partition's write consumes (r21): clustered
+    * on (partition columns, key bucket) so each partition's filtered scan
+    * prunes to its own cached blocks (in-memory batch stats pruning)
+    * instead of every consumer re-scanning — or worse re-COMPUTING — the
+    * whole source plan per partition. The bucket term salts the layout so
+    * a batch touching FEW partitions still spreads over the cluster
+    * (clustering by the partition columns alone collapsed a 2-leaf CDC
+    * batch into 2 fat blocks — single-threaded consumers); sized to
+    * max(defaultParallelism, touched partitions): scale-adaptive, never a
+    * constant.
+    */
+  private def stagedBatch(df: DataFrame): DataFrame =
+    df.repartition(
+      spark.sparkContext.defaultParallelism,
+      (partitionCols.map(col) :+
+        pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))): _*)
+
   private def writePartitions(updates: DataFrame, commitId: String)(
-      write: (LakeTable, DataFrame, String) => Unit): Unit = {
+      write: (LakeTable, DataFrame, String, Option[Set[Int]]) => Unit): Unit = {
     requirePartCols(updates, "updates")
-    val values = partitionValues(updates, "updates")
-    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
-    dispatchPartitions(values, commitId) { (lt, v, cid) =>
-      // The partition values are constant within the dir — elide the
-      // columns from the stored files (re-attached on read), like any
-      // partitioned table format.
-      write(lt, dropPartCols(updates.filter(partFilter(updates, v))), cid)
-    }
+    // r21 (guide §2.4/§5): ONE pre-pass job collects partition values AND
+    // every partition's affected-bucket set; the batch is then staged
+    // (repartitioned on the partition columns) and persisted ONCE. Every
+    // partition's write previously re-evaluated `updates` under its own
+    // filter as a SEPARATE action — AQE stage reuse never crosses actions
+    // — so an unpersisted batch re-ran the full source plan once per
+    // partition (q113's 15-leaf CTAS paid 15 source scans), plus one
+    // affected distinct-collect job per commit. Batch-sized by contract;
+    // the cache is dropped before returning.
+    val cached = stagedBatch(updates).persist()
+    try {
+      // the pairs collect runs over the staged cache, so ONE job both
+      // materializes the cache (no per-consumer race) and collects every
+      // partition's affected-bucket set
+      val pairs = partitionBucketPairs(cached, "updates")
+      val values = pairs.keys.toSeq
+      writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
+      dispatchPartitions(values, commitId) { (lt, v, cid) =>
+        // The partition values are constant within the dir — elide the
+        // columns from the stored files (re-attached on read), like any
+        // partitioned table format.
+        write(lt, dropPartCols(cached.filter(partFilter(cached, v))), cid,
+          pairs.get(v))
+      }
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Partition-routed combined upsert+delete — ONE commit per touched
@@ -452,29 +516,62 @@ final class PartitionedLakeTable(
     require(
       !upVals.contains(null),
       s"null ${partitionCols.mkString(",")} in updates — partition values must be non-null")
+    // r21: materialize both batch frames ONCE (same rationale as
+    // writePartitions — each routed partition's merge re-evaluates them
+    // as separate actions), clustered on the partition columns so each
+    // routed commit's scans prune to its own cached blocks. Both are
+    // batch-sized; unpersisted on exit.
+    val cachedUp = stagedBatch(updates).persist()
     val delRows = deleteKeys
       .select(col(LakeTable.KeyCol), identityCol(deleteKeys).as("_p"))
-    val delVals = delRows.select("_p").distinct().collect().map(_.getString(0))
-    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
-    val existing = partitions.toSet
-    // Targets: every partition receiving updates, plus EXISTING partitions
-    // receiving only deletes (deleting from a partition that was never
-    // written is a no-op, skip the dispatch entirely). A composite delete
-    // identity with an embedded '/' component cannot name an existing
-    // partition (writes reject those components loudly), so it is
-    // filtered here exactly like any other never-written value.
-    val targets =
-      (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct
-    dispatchPartitions(targets, commitId) { (lt, v, cid) =>
-      lt.merge(
-        dropPartCols(updates.filter(partFilter(updates, v))),
-        delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
-        cid)
+      .repartition(
+        spark.sparkContext.defaultParallelism,
+        col("_p"),
+        pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets)))
+      .persist()
+    try {
+      // ONE pre-pass job (r21): the delete identities AND every routed
+      // partition's affected-bucket set — updates ∪ deletes per identity
+      // — feed the per-partition merges as affected hints (consumed only
+      // where the computed set would be identical; see LakeTable.merge).
+      val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
+        .cast("int") // must match LakeTable.bucketOf exactly
+      val pairRows = cachedUp
+        .select(identityCol(cachedUp).as("_p"), bucketCol.as("_b"))
+        .unionByName(delRows.select(col("_p"), bucketCol.as("_b")))
+        .distinct().collect()
+      val delVals = pairRows.map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).distinct
+      val hints: Map[String, Set[Int]] = pairRows
+        .filter(!_.isNullAt(0))
+        .groupBy(_.getString(0)).map { case (v, rs) =>
+          v -> rs.map(_.getInt(1)).toSet
+        }
+      writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
+      val existing = partitions.toSet
+      // Targets: every partition receiving updates, plus EXISTING partitions
+      // receiving only deletes (deleting from a partition that was never
+      // written is a no-op, skip the dispatch entirely). A composite delete
+      // identity with an embedded '/' component cannot name an existing
+      // partition (writes reject those components loudly), so it is
+      // filtered here exactly like any other never-written value.
+      val targets =
+        (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct
+      dispatchPartitions(targets, commitId) { (lt, v, cid) =>
+        lt.merge(
+          dropPartCols(cachedUp.filter(partFilter(cachedUp, v))),
+          delRows.filter(col("_p") === v).select(LakeTable.KeyCol),
+          cid,
+          hints.get(v))
+      }
+      if (delVals.contains(null))
+        delete(
+          delRows.filter(col("_p").isNull).select(LakeTable.KeyCol),
+          commitId = if (commitId.isEmpty) "" else s"$commitId:global")
+    } finally {
+      cachedUp.unpersist(blocking = false)
+      delRows.unpersist(blocking = false)
     }
-    if (delVals.contains(null))
-      delete(
-        delRows.filter(col("_p").isNull).select(LakeTable.KeyCol),
-        commitId = if (commitId.isEmpty) "" else s"$commitId:global")
   }
 
   /** Delete keys from the given partitions (all partitions if None —
@@ -488,10 +585,15 @@ final class PartitionedLakeTable(
   def delete(keys: DataFrame, inPartitions: Option[Seq[String]] = None, commitId: String = ""): Unit = {
     if (keys.isEmpty) return // avoid one no-op commit check per partition
     val targets = inPartitions.getOrElse(partitions)
-    targets.foreach { v =>
-      partitionTable(v).delete(
-        keys, commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
-    }
+    // r21: the key set is re-evaluated by EVERY partition's bloom-pruned
+    // delete (separate actions) — materialize it once, and dispatch from
+    // the shared bounded pool instead of sequentially (partition tables
+    // are independent; a delete never rebirths a dropped partition, so
+    // tombstone clearing is skipped).
+    val cached = keys.persist()
+    try dispatchPartitions(targets, commitId, clearTombstones = false) {
+      (lt, _, cid) => lt.delete(cached, commitId = cid)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Delete with in-band partition routing: `keys` carries the partition
@@ -502,22 +604,31 @@ final class PartitionedLakeTable(
     */
   def deleteRouted(keys: DataFrame, commitId: String = ""): Unit = {
     requirePartCols(keys, "deleteRouted keys")
-    val values = keys
-      .select(identityCol(keys)).distinct().collect().map(_.getString(0))
-    if (values.isEmpty) return
-    val existing = partitions.toSet
-    values.filter(v => v != null && existing.contains(v)).foreach { v =>
-      partitionTable(v).delete(
-        keys.filter(partFilter(keys, v)).select(LakeTable.KeyCol),
-        commitId = if (commitId.isEmpty) "" else s"$commitId:p=$v")
-    }
-    // ANY null component makes the identity null (see identityCol) —
-    // those rows are unroutable and fall back to the global path.
-    if (values.contains(null))
-      delete(
-        keys.filter(partitionCols.map(c => keys(c).isNull).reduce(_ || _))
-          .select(LakeTable.KeyCol),
-        commitId = if (commitId.isEmpty) "" else s"$commitId:global")
+    // r21: one materialization serves the identity collect AND every
+    // routed partition's filtered delete (separate actions otherwise
+    // re-run the key-set plan per routed partition); routed deletes
+    // dispatch from the shared bounded pool.
+    val cached = keys.persist()
+    try {
+      val values = cached
+        .select(identityCol(cached)).distinct().collect().map(_.getString(0))
+      if (values.isEmpty) return
+      val existing = partitions.toSet
+      val routed = values.filter(v => v != null && existing.contains(v)).toSeq
+      dispatchPartitions(routed, commitId, clearTombstones = false) {
+        (lt, v, cid) =>
+          lt.delete(
+            cached.filter(partFilter(cached, v)).select(LakeTable.KeyCol),
+            commitId = cid)
+      }
+      // ANY null component makes the identity null (see identityCol) —
+      // those rows are unroutable and fall back to the global path.
+      if (values.contains(null))
+        delete(
+          cached.filter(partitionCols.map(c => cached(c).isNull).reduce(_ || _))
+            .select(LakeTable.KeyCol),
+          commitId = if (commitId.isEmpty) "" else s"$commitId:global")
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Re-attach one partition component under its stored type, validating
