@@ -264,46 +264,7 @@ object Multimodal {
               val w = img.getWidth
               val h = img.getHeight
               val argb = img.getRGB(0, 0, w, h, null, 0, w)
-              // block-average to 9 x 8 grayscale cells (gray = (r+g+b)/3,
-              // exact integer sums; cell x spans [floor(x*w/9), floor((x+1)*w/9)))
-              val gw = 9; val gh = 8
-              val grid = Array.ofDim[Long](gw, gh)
-              var gx = 0
-              while (gx < gw) {
-                val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
-                var gy = 0
-                while (gy < gh) {
-                  val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
-                  var sum = 0L; var n = 0L
-                  var y = y0
-                  while (y < y1) {
-                    var x = x0
-                    while (x < x1) {
-                      val p = argb(y * w + x)
-                      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                      n += 3
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  grid(gx)(gy) = if (n == 0) 0L else sum / n
-                  gy += 1
-                }
-                gx += 1
-              }
-              var hash = 0L
-              var bit = 0
-              var yy = 0
-              while (yy < gh) {
-                var xx = 0
-                while (xx < gw - 1) {
-                  if (grid(xx + 1)(yy) > grid(xx)(yy)) hash |= 1L << bit
-                  bit += 1
-                  xx += 1
-                }
-                yy += 1
-              }
-              ImageDHash(id, decoded = true, hash)
+              ImageDHash(id, decoded = true, dHashOfArgb(argb, w, h))
             }
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -317,6 +278,206 @@ object Multimodal {
     digest.reset()
     val d = digest.digest(bytes)
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** The 64-bit dHash of one raster — the exact hashing core of
+    * [[dHashImagesBatched]], factored out (r21) for the fused pipelines.
+    * Bit-identical by construction.
+    */
+  private[ops] def dHashOfArgb(argb: Array[Int], w: Int, h: Int): Long = {
+    // block-average to 9 x 8 grayscale cells (gray = (r+g+b)/3,
+    // exact integer sums; cell x spans [floor(x*w/9), floor((x+1)*w/9)))
+    val gw = 9; val gh = 8
+    val grid = Array.ofDim[Long](gw, gh)
+    var gx = 0
+    while (gx < gw) {
+      val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = argb(y * w + x)
+            sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+            n += 3
+            x += 1
+          }
+          y += 1
+        }
+        grid(gx)(gy) = if (n == 0) 0L else sum / n
+        gy += 1
+      }
+      gx += 1
+    }
+    var hash = 0L
+    var bit = 0
+    var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < gw - 1) {
+        if (grid(xx + 1)(yy) > grid(xx)(yy)) hash |= 1L << bit
+        bit += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    hash
+  }
+
+  // ---- r21 raster helpers (fused render→transform→hash pipelines) ------
+  //
+  // Every image-dedup bench query renders its fixture in-query and then
+  // round-trips pixels through LOSSLESS PNG between each operator (render
+  // → encode → decode → transform → encode → decode → hash): pure codec
+  // overhead — PNG encode+decode was the image family's dominant CPU.
+  // These helpers run the identical pixel transforms on in-memory ARGB
+  // rasters; the fused operators below compose them with render and the
+  // hash cores. Bit-exact equivalence to the composed operators is pinned
+  // by ImageFusionSpec (and the calibrated oracles re-verify at both
+  // scales), so all ProbeImg calibrations carry over unchanged.
+
+  /** Exact pixel permutation of [[rotateImagesBatched]] (mirror first,
+    * then counter-clockwise quarter turns). Returns (raster, dw, dh).
+    */
+  private[ops] def rotateArgb(
+      src: Array[Int], w: Int, h: Int,
+      quarterTurns: Int, mirror: Boolean): (Array[Int], Int, Int) = {
+    val (dw, dh) = if (quarterTurns % 2 == 1) (h, w) else (w, h)
+    val dst = new Array[Int](src.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mx = if (mirror) w - 1 - x else x
+        // counter-clockwise: (x, y) -> quarter-turn image coords
+        val (tx, ty) = quarterTurns match {
+          case 0 => (mx, y)
+          case 1 => (y, w - 1 - mx) // 90° ccw: width becomes height
+          case 2 => (w - 1 - mx, h - 1 - y)
+          case _ => (h - 1 - y, mx)
+        }
+        dst(ty * dw + tx) = src(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    (dst, dw, dh)
+  }
+
+  /** Exact sub-rectangle extraction matching [[cropImagesBatched]]'s
+    * clamp semantics. Returns (raster, dw, dh).
+    */
+  private[ops] def cropArgb(
+      src: Array[Int], w: Int, h: Int,
+      x0: Int, y0: Int, cw: Int, ch: Int): (Array[Int], Int, Int) = {
+    val cx = math.min(x0, w - 1)
+    val cy = math.min(y0, h - 1)
+    val dw = math.min(cw, w - cx)
+    val dh = math.min(ch, h - cy)
+    val dst = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      System.arraycopy(src, (cy + y) * w + cx, dst, y * dw, dw)
+      y += 1
+    }
+    (dst, dw, dh)
+  }
+
+  /** NEAREST-NEIGHBOR scale through the same `java.awt` software path as
+    * [[resizeImagesBatched]] (the source raster is wrapped in a
+    * BufferedImage so the drawImage geometry is identical).
+    */
+  private[ops] def resizeArgb(
+      src: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    // TYPE_3BYTE_BGR mirrors what ImageIO's PNG decode hands the
+    // standalone operator — Java2D picks its scaling blit loop by source
+    // color model, and the NN sample rounding differs between loops
+    // (ImageFusionSpec caught an INT_ARGB wrap diverging by a few pixels)
+    val srcImg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    srcImg.setRGB(0, 0, w, h, src, 0, w)
+    val dst = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(srcImg, 0, 0, tw, th, null)
+    } finally g.dispose()
+    dst.getRGB(0, 0, tw, th, null, 0, tw)
+  }
+
+  /** The JPEG bytes [[reencodeJpegImagesBatched]] would emit for this
+    * raster: same TYPE_INT_RGB flatten, same explicit-quality writer.
+    */
+  private[ops] def jpegBytesOfArgb(
+      argb: Array[Int], w: Int, h: Int, quality: Float): Array[Byte] = {
+    val rgb = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, w, h, argb, 0, w)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** One raster transform step of a fused pipeline — the in-memory
+    * equivalent of the standalone batched operator of the same name.
+    * `Jpeg` is the lossy round-trip (encode at `quality`, decode back):
+    * the noise it injects is exactly what the standalone
+    * [[reencodeJpegImagesBatched]] → decode chain produces, because the
+    * bytes are identical.
+    */
+  sealed trait RasterXform
+  object RasterXform {
+    final case class Resize(w: Int, h: Int) extends RasterXform
+    final case class Rotate(quarterTurns: Int, mirror: Boolean = false)
+      extends RasterXform
+    final case class Crop(x0: Int, y0: Int, cw: Int, ch: Int)
+      extends RasterXform
+    final case class Jpeg(quality: Float) extends RasterXform
+  }
+
+  private[ops] def applyXforms(
+      argb0: Array[Int], w0: Int, h0: Int,
+      xforms: Seq[RasterXform]): (Array[Int], Int, Int) = {
+    var argb = argb0; var w = w0; var h = h0
+    xforms.foreach {
+      case RasterXform.Resize(tw, th) =>
+        argb = resizeArgb(argb, w, h, tw, th); w = tw; h = th
+      case RasterXform.Rotate(qt, mirror) =>
+        val (a, dw, dh) = rotateArgb(argb, w, h, qt, mirror)
+        argb = a; w = dw; h = dh
+      case RasterXform.Crop(x0, y0, cw, ch) =>
+        val (a, dw, dh) = cropArgb(argb, w, h, x0, y0, cw, ch)
+        argb = a; w = dw; h = dh
+      case RasterXform.Jpeg(q) =>
+        val bytes = jpegBytesOfArgb(argb, w, h, q)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        // our own just-encoded JPEG always decodes; loud beats a silent
+        // divergence from the standalone operator chain
+        if (img == null) throw new IllegalStateException(
+          "in-memory JPEG round-trip failed to decode")
+        argb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+        w = img.getWidth; h = img.getHeight
+    }
+    (argb, w, h)
   }
 
   /** The 8-orientation perceptual hash family from
@@ -375,17 +536,6 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        // dihedral transforms of a 9x9 grid index (8 = max index):
-        // k in 0..3 rotations, +4 = mirrored (x -> 8-x) first
-        def sym(k: Int, x: Int, y: Int): (Int, Int) = {
-          val (mx, my) = if (k >= 4) (8 - x, y) else (x, y)
-          (k % 4) match {
-            case 0 => (mx, my)
-            case 1 => (my, 8 - mx) // 90°
-            case 2 => (8 - mx, 8 - my) // 180°
-            case _ => (8 - my, mx) // 270°
-          }
-        }
         it.map { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -396,56 +546,8 @@ object Multimodal {
               val w = img.getWidth
               val h = img.getHeight
               val argb = img.getRGB(0, 0, w, h, null, 0, w)
-              val n = 9
-              // symmetric cell boundaries (see scaladoc); degenerate cells
-              // (w < 9) clamp to at least one pixel
-              def bx(i: Int): Int = (2 * i * w + n) / (2 * n)
-              def by(i: Int): Int = (2 * i * h + n) / (2 * n)
-              val grid = Array.ofDim[Long](n, n)
-              var gx = 0
-              while (gx < n) {
-                val x0 = bx(gx); val x1 = math.max(bx(gx + 1), x0 + 1)
-                var gy = 0
-                while (gy < n) {
-                  val y0 = by(gy); val y1 = math.max(by(gy + 1), y0 + 1)
-                  var sum = 0L; var cnt = 0L
-                  var y = y0
-                  while (y < y1) {
-                    var x = x0
-                    while (x < x1) {
-                      val p = argb(math.min(y, h - 1) * w + math.min(x, w - 1))
-                      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                      cnt += 3
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  grid(gx)(gy) = if (cnt == 0) 0L else sum / cnt
-                  gy += 1
-                }
-                gx += 1
-              }
-              def hashOf(k: Int, vertical: Boolean): Long = {
-                var hash = 0L
-                var bit = 0
-                var yy = 0
-                while (yy < 8) {
-                  var xx = 0
-                  while (xx < 8) {
-                    val (ax, ay) =
-                      if (vertical) sym(k, xx, yy + 1) else sym(k, xx + 1, yy)
-                    val (bx2, by2) = sym(k, xx, yy)
-                    if (grid(ax)(ay) > grid(bx2)(by2)) hash |= 1L << bit
-                    bit += 1
-                    xx += 1
-                  }
-                  yy += 1
-                }
-                hash
-              }
-              ImageDHash8(id, decoded = true,
-                Array.tabulate(8)(hashOf(_, vertical = false)),
-                Array.tabulate(8)(hashOf(_, vertical = true)))
+              val (hh, vv) = dHash8OfArgb(argb, w, h)
+              ImageDHash8(id, decoded = true, hh, vv)
             }
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -454,6 +556,75 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** The dHash8 family of one raster — the exact hashing core of
+    * [[dHash8ImagesBatched]], factored out (r21) so the fused
+    * render→transform→hash pipelines hash in-memory rasters without a
+    * lossless PNG encode/decode hop. Bit-identical by construction.
+    */
+  private[ops] def dHash8OfArgb(
+      argb: Array[Int], w: Int, h: Int): (Array[Long], Array[Long]) = {
+    // dihedral transforms of a 9x9 grid index (8 = max index):
+    // k in 0..3 rotations, +4 = mirrored (x -> 8-x) first
+    def sym(k: Int, x: Int, y: Int): (Int, Int) = {
+      val (mx, my) = if (k >= 4) (8 - x, y) else (x, y)
+      (k % 4) match {
+        case 0 => (mx, my)
+        case 1 => (my, 8 - mx) // 90°
+        case 2 => (8 - mx, 8 - my) // 180°
+        case _ => (8 - my, mx) // 270°
+      }
+    }
+    val n = 9
+    // symmetric cell boundaries (see scaladoc); degenerate cells
+    // (w < 9) clamp to at least one pixel
+    def bx(i: Int): Int = (2 * i * w + n) / (2 * n)
+    def by(i: Int): Int = (2 * i * h + n) / (2 * n)
+    val grid = Array.ofDim[Long](n, n)
+    var gx = 0
+    while (gx < n) {
+      val x0 = bx(gx); val x1 = math.max(bx(gx + 1), x0 + 1)
+      var gy = 0
+      while (gy < n) {
+        val y0 = by(gy); val y1 = math.max(by(gy + 1), y0 + 1)
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = argb(math.min(y, h - 1) * w + math.min(x, w - 1))
+            sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+            cnt += 3
+            x += 1
+          }
+          y += 1
+        }
+        grid(gx)(gy) = if (cnt == 0) 0L else sum / cnt
+        gy += 1
+      }
+      gx += 1
+    }
+    def hashOf(k: Int, vertical: Boolean): Long = {
+      var hash = 0L
+      var bit = 0
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val (ax, ay) =
+            if (vertical) sym(k, xx, yy + 1) else sym(k, xx + 1, yy)
+          val (bx2, by2) = sym(k, xx, yy)
+          if (grid(ax)(ay) > grid(bx2)(by2)) hash |= 1L << bit
+          bit += 1
+          xx += 1
+        }
+        yy += 1
+      }
+      hash
+    }
+    (Array.tabulate(8)(hashOf(_, vertical = false)),
+      Array.tabulate(8)(hashOf(_, vertical = true)))
   }
 
   /** REAL rotation/mirror operator (JDK-only, exact pixel permutation —
@@ -490,25 +661,7 @@ object Multimodal {
               val w = img.getWidth
               val h = img.getHeight
               val src = img.getRGB(0, 0, w, h, null, 0, w)
-              val (dw, dh) = if (quarterTurns % 2 == 1) (h, w) else (w, h)
-              val dst = new Array[Int](src.length)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val mx = if (mirror) w - 1 - x else x
-                  // counter-clockwise: (x, y) -> quarter-turn image coords
-                  val (tx, ty) = quarterTurns match {
-                    case 0 => (mx, y)
-                    case 1 => (y, w - 1 - mx) // 90° ccw: width becomes height
-                    case 2 => (w - 1 - mx, h - 1 - y)
-                    case _ => (h - 1 - y, mx)
-                  }
-                  dst(ty * dw + tx) = src(y * w + x)
-                  x += 1
-                }
-                y += 1
-              }
+              val (dst, dw, dh) = rotateArgb(src, w, h, quarterTurns, mirror)
               val out = new java.awt.image.BufferedImage(
                 dw, dh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
               out.setRGB(0, 0, dw, dh, dst, 0, dw)
@@ -659,148 +812,9 @@ object Multimodal {
               val w = img.getWidth
               val h = img.getHeight
               val argb = img.getRGB(0, 0, w, h, null, 0, w)
-              val raw = new Array[Int](w * h)
-              var i = 0
-              while (i < argb.length) {
-                val p = argb(i)
-                raw(i) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                i += 1
-              }
-              // Optional integer box blur (r16, the JPEG-robust family
-              // lane): lossy re-encode noise is high-frequency, so a
-              // (2*blur+1)^2 box mean attenuates it ~linearly in window
-              // area while the descriptor's content survives. Box means
-              // are TRANSLATION-invariant, so the crop-exactness
-              // contract is preserved: an interior pixel of a lossless
-              // crop (window fully inside both images) blurs to the
-              // bit-identical value. Border pixels clamp the window to
-              // the image and diverge between crop and source — the same
-              // border-loss class the crop itself already causes. Exact
-              // integer arithmetic (summed-area table + truncating
-              // division by the clamped window area): deterministic
-              // across platforms.
-              val gray =
-                if (blur == 0) raw
-                else {
-                  val ii = new Array[Long]((w + 1) * (h + 1))
-                  var y = 0
-                  while (y < h) {
-                    var rowSum = 0L
-                    var x = 0
-                    while (x < w) {
-                      rowSum += raw(y * w + x)
-                      ii((y + 1) * (w + 1) + (x + 1)) = ii(y * (w + 1) + (x + 1)) + rowSum
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val out = new Array[Int](w * h)
-                  y = 0
-                  while (y < h) {
-                    val y0 = math.max(0, y - blur); val y1 = math.min(h - 1, y + blur)
-                    var x = 0
-                    while (x < w) {
-                      val x0 = math.max(0, x - blur); val x1 = math.min(w - 1, x + blur)
-                      val s = ii((y1 + 1) * (w + 1) + (x1 + 1)) -
-                        ii(y0 * (w + 1) + (x1 + 1)) -
-                        ii((y1 + 1) * (w + 1) + x0) + ii(y0 * (w + 1) + x0)
-                      out(y * w + x) = (s / ((y1 - y0 + 1).toLong * (x1 - x0 + 1))).toInt
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  out
-                }
-              def grad(x: Int, y: Int): Int =
-                math.abs(gray(y * w + x + 1) - gray(y * w + x - 1)) +
-                  math.abs(gray((y + 1) * w + x) - gray((y - 1) * w + x))
-              // strict-lex local maxima with full patch coverage
-              val r = suppressRadius
-              val cands = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (g, y, x)
-              var y = math.max(half, 1 + r)
-              val yMax = math.min(h - 1 - half, h - 2 - r)
-              val xMin = math.max(half, 1 + r)
-              val xMax = math.min(w - 1 - half, w - 2 - r)
-              while (y <= yMax) {
-                var x = xMin
-                while (x <= xMax) {
-                  val g = grad(x, y)
-                  if (g >= minGradient) {
-                    var isMax = true
-                    var dy = -r
-                    while (isMax && dy <= r) {
-                      var dx = -r
-                      while (isMax && dx <= r) {
-                        if (dx != 0 || dy != 0) {
-                          val gn = grad(x + dx, y + dy)
-                          // lexicographic (g, y, x): crop-shift-invariant
-                          if (gn > g || (gn == g &&
-                              (dy > 0 || (dy == 0 && dx > 0)))) isMax = false
-                        }
-                        dx += 1
-                      }
-                      dy += 1
-                    }
-                    if (isMax) cands += ((g, y, x))
-                  }
-                  x += 1
-                }
-                y += 1
-              }
-              val top = cands.sortBy { case (g, yy, xx) => (-g, yy, xx) }
-                .take(maxKeypoints)
-              val sigs = top.map { case (_, ky, kx) =>
-                // 9x9 block grid over the patch, integer boundaries; the
-                // signature mixes 64 horizontal + 64 vertical gradient
-                // bits into one 64-bit value — the dual-gradient entropy
-                // (the q95 lesson) pushes unrelated exact-collisions
-                // below the corpus scale while a lossless crop still
-                // reproduces both parts bit-exactly.
-                val px0 = kx - half; val py0 = ky - half
-                val grid = Array.ofDim[Long](9, 9)
-                var gx = 0
-                while (gx < 9) {
-                  val x0 = px0 + gx * patch / 9
-                  val x1 = px0 + math.max((gx + 1) * patch / 9, gx * patch / 9 + 1)
-                  var gy = 0
-                  while (gy < 9) {
-                    val y0 = py0 + gy * patch / 9
-                    val y1 = py0 + math.max((gy + 1) * patch / 9, gy * patch / 9 + 1)
-                    var sum = 0L; var n = 0L
-                    var yy = y0
-                    while (yy < y1) {
-                      var xx = x0
-                      while (xx < x1) {
-                        sum += gray(yy * w + xx)
-                        n += 1
-                        xx += 1
-                      }
-                      yy += 1
-                    }
-                    grid(gx)(gy) = if (n == 0) 0L else sum / n
-                    gy += 1
-                  }
-                  gx += 1
-                }
-                var hh = 0L
-                var vv = 0L
-                var bit = 0
-                var yy = 0
-                while (yy < 8) {
-                  var xx = 0
-                  while (xx < 8) {
-                    if (grid(xx + 1)(yy) > grid(xx)(yy)) hh |= 1L << bit
-                    if (grid(xx)(yy + 1) > grid(xx)(yy)) vv |= 1L << bit
-                    bit += 1
-                    xx += 1
-                  }
-                  yy += 1
-                }
-                // deterministic 128->64 mix: equality <=> (hh, vv) equal
-                // up to a vanishing 2^-64 mixing collision
-                (hh * 0x9E3779B97F4A7C15L) ^ java.lang.Long.rotateLeft(vv, 31)
-              }.toArray
-              ImageKeypoints(id, decoded = true, sigs)
+              ImageKeypoints(id, decoded = true, keypointSigsOfArgb(
+                argb, w, h, maxKeypoints, patch, suppressRadius,
+                minGradient, blur))
             }
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -810,6 +824,160 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** The keypoint-signature core of [[keypointHashImagesBatched]] — one
+    * raster in, the calibrated signature set out (r21 factoring for the
+    * fused render→transform→hash pipelines; bit-identical by
+    * construction, same strict-lex tie-breaks and integer arithmetic).
+    */
+  private[ops] def keypointSigsOfArgb(
+      argb: Array[Int], w: Int, h: Int,
+      maxKeypoints: Int, patch: Int, suppressRadius: Int,
+      minGradient: Int, blur: Int): Array[Long] = {
+    val half = patch / 2
+        val raw = new Array[Int](w * h)
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          raw(i) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          i += 1
+        }
+        // Optional integer box blur (r16, the JPEG-robust family
+        // lane): lossy re-encode noise is high-frequency, so a
+        // (2*blur+1)^2 box mean attenuates it ~linearly in window
+        // area while the descriptor's content survives. Box means
+        // are TRANSLATION-invariant, so the crop-exactness
+        // contract is preserved: an interior pixel of a lossless
+        // crop (window fully inside both images) blurs to the
+        // bit-identical value. Border pixels clamp the window to
+        // the image and diverge between crop and source — the same
+        // border-loss class the crop itself already causes. Exact
+        // integer arithmetic (summed-area table + truncating
+        // division by the clamped window area): deterministic
+        // across platforms.
+        val gray =
+          if (blur == 0) raw
+          else {
+            val ii = new Array[Long]((w + 1) * (h + 1))
+            var y = 0
+            while (y < h) {
+              var rowSum = 0L
+              var x = 0
+              while (x < w) {
+                rowSum += raw(y * w + x)
+                ii((y + 1) * (w + 1) + (x + 1)) = ii(y * (w + 1) + (x + 1)) + rowSum
+                x += 1
+              }
+              y += 1
+            }
+            val out = new Array[Int](w * h)
+            y = 0
+            while (y < h) {
+              val y0 = math.max(0, y - blur); val y1 = math.min(h - 1, y + blur)
+              var x = 0
+              while (x < w) {
+                val x0 = math.max(0, x - blur); val x1 = math.min(w - 1, x + blur)
+                val s = ii((y1 + 1) * (w + 1) + (x1 + 1)) -
+                  ii(y0 * (w + 1) + (x1 + 1)) -
+                  ii((y1 + 1) * (w + 1) + x0) + ii(y0 * (w + 1) + x0)
+                out(y * w + x) = (s / ((y1 - y0 + 1).toLong * (x1 - x0 + 1))).toInt
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        def grad(x: Int, y: Int): Int =
+          math.abs(gray(y * w + x + 1) - gray(y * w + x - 1)) +
+            math.abs(gray((y + 1) * w + x) - gray((y - 1) * w + x))
+        // strict-lex local maxima with full patch coverage
+        val r = suppressRadius
+        val cands = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (g, y, x)
+        var y = math.max(half, 1 + r)
+        val yMax = math.min(h - 1 - half, h - 2 - r)
+        val xMin = math.max(half, 1 + r)
+        val xMax = math.min(w - 1 - half, w - 2 - r)
+        while (y <= yMax) {
+          var x = xMin
+          while (x <= xMax) {
+            val g = grad(x, y)
+            if (g >= minGradient) {
+              var isMax = true
+              var dy = -r
+              while (isMax && dy <= r) {
+                var dx = -r
+                while (isMax && dx <= r) {
+                  if (dx != 0 || dy != 0) {
+                    val gn = grad(x + dx, y + dy)
+                    // lexicographic (g, y, x): crop-shift-invariant
+                    if (gn > g || (gn == g &&
+                        (dy > 0 || (dy == 0 && dx > 0)))) isMax = false
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (isMax) cands += ((g, y, x))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val top = cands.sortBy { case (g, yy, xx) => (-g, yy, xx) }
+          .take(maxKeypoints)
+        val sigs = top.map { case (_, ky, kx) =>
+          // 9x9 block grid over the patch, integer boundaries; the
+          // signature mixes 64 horizontal + 64 vertical gradient
+          // bits into one 64-bit value — the dual-gradient entropy
+          // (the q95 lesson) pushes unrelated exact-collisions
+          // below the corpus scale while a lossless crop still
+          // reproduces both parts bit-exactly.
+          val px0 = kx - half; val py0 = ky - half
+          val grid = Array.ofDim[Long](9, 9)
+          var gx = 0
+          while (gx < 9) {
+            val x0 = px0 + gx * patch / 9
+            val x1 = px0 + math.max((gx + 1) * patch / 9, gx * patch / 9 + 1)
+            var gy = 0
+            while (gy < 9) {
+              val y0 = py0 + gy * patch / 9
+              val y1 = py0 + math.max((gy + 1) * patch / 9, gy * patch / 9 + 1)
+              var sum = 0L; var n = 0L
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) {
+                  sum += gray(yy * w + xx)
+                  n += 1
+                  xx += 1
+                }
+                yy += 1
+              }
+              grid(gx)(gy) = if (n == 0) 0L else sum / n
+              gy += 1
+            }
+            gx += 1
+          }
+          var hh = 0L
+          var vv = 0L
+          var bit = 0
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              if (grid(xx + 1)(yy) > grid(xx)(yy)) hh |= 1L << bit
+              if (grid(xx)(yy + 1) > grid(xx)(yy)) vv |= 1L << bit
+              bit += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          // deterministic 128->64 mix: equality <=> (hh, vv) equal
+          // up to a vanishing 2^-64 mixing collision
+          (hh * 0x9E3779B97F4A7C15L) ^ java.lang.Long.rotateLeft(vv, 31)
+        }.toArray
+    sigs
   }
 
   /** Deterministic SMOOTH synthetic images (id-seeded sinusoid mixtures
@@ -829,41 +997,115 @@ object Multimodal {
     import ids.sparkSession.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 17)
-        // id-seeded random 12x12 brightness lattice, bilinearly
-        // interpolated in NORMALIZED coordinates: smooth (so block-average
-        // perceptual hashes are resize-stable) yet fully id-random (so
-        // DIFFERENT ids' hash bits are near-independent — a pure sinusoid
-        // mixture measured cross-image dHash distances as low as 2; the
-        // random field concentrates them at ~32 of 64).
-        val n = 12
-        val lattice = Array.fill(n * n)(rnd.nextDouble() * 255.0)
-        def field(xn: Double, yn: Double): Double = {
-          val px = xn * (n - 1); val py = yn * (n - 1)
-          val i = math.min(n - 2, px.toInt); val j = math.min(n - 2, py.toInt)
-          val fx = px - i; val fy = py - j
-          lattice(j * n + i) * (1 - fx) * (1 - fy) +
-            lattice(j * n + i + 1) * fx * (1 - fy) +
-            lattice((j + 1) * n + i) * (1 - fx) * fy +
-            lattice((j + 1) * n + i + 1) * fx * fy
-        }
+        val argb = renderArgb(id, w, h)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          val yn = (y + 0.5) / h
-          var x = 0
-          while (x < w) {
-            val xn = (x + 0.5) / w
-            val g = math.max(0, math.min(255, field(xn, yn).round.toInt))
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
-            x += 1
-          }
-          y += 1
-        }
+        img.setRGB(0, 0, w, h, argb, 0, w)
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         (id, out.toByteArray)
+      }
+    }
+  }
+
+  /** The raster [[renderSyntheticImages]] draws, as the ARGB array a PNG
+    * round-trip would decode to (opaque alpha — PNG is lossless and
+    * `getRGB` normalizes every color model to packed ARGB). The shared
+    * core of the fused pipelines; equivalence pinned by ImageFusionSpec.
+    */
+  private[ops] def renderArgb(id: Long, w: Int, h: Int): Array[Int] = {
+    val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 17)
+    // id-seeded random 12x12 brightness lattice, bilinearly
+    // interpolated in NORMALIZED coordinates: smooth (so block-average
+    // perceptual hashes are resize-stable) yet fully id-random (so
+    // DIFFERENT ids' hash bits are near-independent — a pure sinusoid
+    // mixture measured cross-image dHash distances as low as 2; the
+    // random field concentrates them at ~32 of 64).
+    val n = 12
+    val lattice = Array.fill(n * n)(rnd.nextDouble() * 255.0)
+    def field(xn: Double, yn: Double): Double = {
+      val px = xn * (n - 1); val py = yn * (n - 1)
+      val i = math.min(n - 2, px.toInt); val j = math.min(n - 2, py.toInt)
+      val fx = px - i; val fy = py - j
+      lattice(j * n + i) * (1 - fx) * (1 - fy) +
+        lattice(j * n + i + 1) * fx * (1 - fy) +
+        lattice((j + 1) * n + i) * (1 - fx) * fy +
+        lattice((j + 1) * n + i + 1) * fx * fy
+    }
+    val argb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val yn = (y + 0.5) / h
+      var x = 0
+      while (x < w) {
+        val xn = (x + 0.5) / w
+        val g = math.max(0, math.min(255, field(xn, yn).round.toInt))
+        argb(y * w + x) = 0xFF000000 | (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    argb
+  }
+
+  /** Fused render → transform chain → dHash8 family (r21): one in-memory
+    * raster pipeline per id, ZERO PNG codec work — bit-identical to
+    * `dHash8ImagesBatched(renderSyntheticImages(...) through the
+    * standalone operator chain)` because every transform is the same
+    * pixel arithmetic and PNG hops are lossless (ImageFusionSpec pins
+    * it). `Jpeg` steps still run the real lossy codec — identical bytes,
+    * identical noise, so the ProbeImg calibrations carry over.
+    */
+  def renderDHash8Batched(
+      ids: DataFrame, w: Int, h: Int,
+      xforms: Seq[RasterXform] = Nil,
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[ImageDHash8] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (argb, dw, dh) = applyXforms(renderArgb(id, w, h), w, h, xforms)
+        val (hh, vv) = dHash8OfArgb(argb, dw, dh)
+        ImageDHash8(id, decoded = true, hh, vv)
+      }
+    }
+  }
+
+  /** Fused render → transform chain → 64-bit dHash (r21) — the
+    * [[renderDHash8Batched]] contract for the plain dHash family.
+    */
+  def renderDHashBatched(
+      ids: DataFrame, w: Int, h: Int,
+      xforms: Seq[RasterXform] = Nil,
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[ImageDHash] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (argb, dw, dh) = applyXforms(renderArgb(id, w, h), w, h, xforms)
+        ImageDHash(id, decoded = true, dHashOfArgb(argb, dw, dh))
+      }
+    }
+  }
+
+  /** Fused render → transform chain → keypoint signatures (r21) — the
+    * [[renderDHash8Batched]] contract for the keypoint families (both
+    * the exact `blur = 0` and the JPEG-robust `blur > 0` lanes; the
+    * calibrated build parameters are the caller's, unchanged).
+    */
+  def renderKeypointsBatched(
+      ids: DataFrame, w: Int, h: Int,
+      xforms: Seq[RasterXform] = Nil,
+      maxKeypoints: Int = 32,
+      patch: Int = 16,
+      suppressRadius: Int = 2,
+      minGradient: Int = 3,
+      blur: Int = 0,
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[ImageKeypoints] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (argb, dw, dh) = applyXforms(renderArgb(id, w, h), w, h, xforms)
+        ImageKeypoints(id, decoded = true, keypointSigsOfArgb(
+          argb, dw, dh, maxKeypoints, patch, suppressRadius, minGradient, blur))
       }
     }
   }

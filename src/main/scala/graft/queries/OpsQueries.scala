@@ -1636,18 +1636,24 @@ object OpsQueries {
     "q100_image_jpeg_dedup" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
-          .toDF("doc_id", "payload")
-        val every7 = base.filter(col("doc_id") % 7 === 0)
-        val jp = Multimodal.reencodeJpegImagesBatched(every7, 0.5f)
-          .select((col("doc_id") + lit(6000000L)).as("doc_id"), col("payload"))
-        val chain = Multimodal.reencodeJpegImagesBatched(
-            Multimodal.resizeImagesBatched(every7, 48, 48)
-              .select(col("doc_id"), col("payload")), 0.7f)
-          .select((col("doc_id") + lit(7000000L)).as("doc_id"), col("payload"))
-        val fam = Multimodal.dHash8ImagesBatched(
-            base.unionByName(jp).unionByName(chain))
+        val every7 = ids.filter(col("doc_id") % 7 === 0)
+        // r21: fused pipelines — the Jpeg step runs the SAME lossy codec
+        // on the same raster (identical bytes, identical noise,
+        // ImageFusionSpec), only the lossless PNG hops are gone.
+        import Multimodal.RasterXform.{Jpeg, Resize}
+        val hcols = Seq(
+          col("doc_id"), col("decoded"), col("hhashes"), col("vhashes"))
+        val famBase = Multimodal.renderDHash8Batched(ids, 64, 64)
           .toDF("doc_id", "decoded", "hhashes", "vhashes")
+        val famJp = Multimodal.renderDHash8Batched(
+            every7, 64, 64, Seq(Jpeg(0.5f)))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+          .select((col("doc_id") + lit(6000000L)).as("doc_id") +: hcols.tail: _*)
+        val famChain = Multimodal.renderDHash8Batched(
+            every7, 64, 64, Seq(Resize(48, 48), Jpeg(0.7f)))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+          .select((col("doc_id") + lit(7000000L)).as("doc_id") +: hcols.tail: _*)
+        val fam = famBase.unionByName(famJp).unionByName(famChain)
         val sigs = fam
           .select(col("doc_id"),
             posexplode(arrays_zip(col("hhashes"), col("vhashes"))).as(Seq("o", "hv")))
@@ -1696,16 +1702,19 @@ object OpsQueries {
     "q101_image_cropjpeg_dedup" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
-          .toDF("doc_id", "payload")
-        val every7 = base.filter(col("doc_id") % 7 === 0)
-        val cj = Multimodal.reencodeJpegImagesBatched(
-            Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
-              .select(col("doc_id"), col("payload")), 0.8f)
-          .select((col("doc_id") + lit(8000000L)).as("doc_id"), col("payload"))
-        val kp = Multimodal.keypointHashImagesBatched(
-            base.unionByName(cj), blur = 2)
+        val every7 = ids.filter(col("doc_id") % 7 === 0)
+        // r21: fused render→crop→jpeg→keypoints (blur=2 family, identical
+        // build parameters — ImageFusionSpec pins bit-equality, so the
+        // ProbeImg recall calibration carries over).
+        import Multimodal.RasterXform.{Crop, Jpeg}
+        val kpBase = Multimodal.renderKeypointsBatched(ids, 64, 64, blur = 2)
           .toDF("doc_id", "decoded", "sigs")
+        val kpCj = Multimodal.renderKeypointsBatched(
+            every7, 64, 64, Seq(Crop(6, 6, 52, 52), Jpeg(0.8f)), blur = 2)
+          .toDF("doc_id", "decoded", "sigs")
+          .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+            col("decoded"), col("sigs"))
+        val kp = kpBase.unionByName(kpCj)
         val pairs = DedupDocs.sharedSigPairs(
             kp.select(col("doc_id"), explode(col("sigs")).as("sig")),
             "doc_id", "sig", minShared = 3)
@@ -1824,13 +1833,17 @@ object OpsQueries {
     "q90_image_neardup" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
-          .toDF("doc_id", "payload")
-        val copies = Multimodal.resizeImagesBatched(
-            base.filter(col("doc_id") % 5 === 0), 48, 48)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload"))
-        val sigs = Multimodal.dHashImagesBatched(base.unionByName(copies))
+        // r21: fused render→(resize)→dHash, zero PNG hops (bit-identical
+        // to the composed chain — ImageFusionSpec; calibration holds)
+        import Multimodal.RasterXform.Resize
+        val sigBase = Multimodal.renderDHashBatched(ids, 64, 64)
           .toDF("doc_id", "decoded", "dhash")
+        val sigCopies = Multimodal.renderDHashBatched(
+            ids.filter(col("doc_id") % 5 === 0), 64, 64, Seq(Resize(48, 48)))
+          .toDF("doc_id", "decoded", "dhash")
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("decoded"), col("dhash"))
+        val sigs = sigBase.unionByName(sigCopies)
         DedupDocs.hammingNearDupPairs(sigs, "doc_id", "dhash", 64, maxHamming = 8)
           .select(col("d1"), col("d2"))
           .orderBy("d1", "d2")
@@ -1913,18 +1926,24 @@ object OpsQueries {
     "q95_image_rotation_dedup" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
-          .toDF("doc_id", "payload")
-        val every7 = base.filter(col("doc_id") % 7 === 0)
-        val rot90 = Multimodal.rotateImagesBatched(every7, 1)
-          .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("payload"))
-        val chain = Multimodal.rotateImagesBatched(
-            Multimodal.resizeImagesBatched(every7, 48, 48)
-              .select(col("doc_id"), col("payload")), 3, mirror = true)
-          .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("payload"))
-        val fam = Multimodal.dHash8ImagesBatched(
-            base.unionByName(rot90).unionByName(chain))
+        val every7 = ids.filter(col("doc_id") % 7 === 0)
+        // r21: fused render→transform→hash (zero PNG codec hops) — the
+        // hashes are bit-identical to the composed operator chain
+        // (ImageFusionSpec), so the calibrated maxHamming=20 gate holds.
+        import Multimodal.RasterXform.{Resize, Rotate}
+        val hcols = Seq(
+          col("doc_id"), col("decoded"), col("hhashes"), col("vhashes"))
+        val famBase = Multimodal.renderDHash8Batched(ids, 64, 64)
           .toDF("doc_id", "decoded", "hhashes", "vhashes")
+        val famRot = Multimodal.renderDHash8Batched(
+            every7, 64, 64, Seq(Rotate(1)))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+          .select((col("doc_id") + lit(2000000L)).as("doc_id") +: hcols.tail: _*)
+        val famChain = Multimodal.renderDHash8Batched(
+            every7, 64, 64, Seq(Resize(48, 48), Rotate(3, mirror = true)))
+          .toDF("doc_id", "decoded", "hhashes", "vhashes")
+          .select((col("doc_id") + lit(4000000L)).as("doc_id") +: hcols.tail: _*)
+        val fam = famBase.unionByName(famRot).unionByName(famChain)
         val sigs = fam
           .select(col("doc_id"),
             posexplode(arrays_zip(col("hhashes"), col("vhashes"))).as(Seq("o", "hv")))
@@ -1974,16 +1993,23 @@ object OpsQueries {
     "q96_image_crop_dedup" -> QueryDef(
       (spark, dir) => {
         val ids = docs(spark, dir).select(col("doc_id"))
-        val base = Multimodal.renderSyntheticImages(ids, 64, 64)
-          .toDF("doc_id", "payload")
-        val every7 = base.filter(col("doc_id") % 7 === 0)
-        val crop1 = Multimodal.cropImagesBatched(every7, 6, 6, 52, 52)
-          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("payload"))
-        val crop2 = Multimodal.cropImagesBatched(every7, 8, 4, 48, 48)
-          .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("payload"))
-        val kp = Multimodal.keypointHashImagesBatched(
-            base.unionByName(crop1).unionByName(crop2))
+        val every7 = ids.filter(col("doc_id") % 7 === 0)
+        // r21: fused render→crop→keypoints (exact blur=0 family, same
+        // calibrated build parameters; ImageFusionSpec pins bit-equality)
+        import Multimodal.RasterXform.Crop
+        val kpBase = Multimodal.renderKeypointsBatched(ids, 64, 64)
           .toDF("doc_id", "decoded", "sigs")
+        val kpCrop1 = Multimodal.renderKeypointsBatched(
+            every7, 64, 64, Seq(Crop(6, 6, 52, 52)))
+          .toDF("doc_id", "decoded", "sigs")
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            col("decoded"), col("sigs"))
+        val kpCrop2 = Multimodal.renderKeypointsBatched(
+            every7, 64, 64, Seq(Crop(8, 4, 48, 48)))
+          .toDF("doc_id", "decoded", "sigs")
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+            col("decoded"), col("sigs"))
+        val kp = kpBase.unionByName(kpCrop1).unionByName(kpCrop2)
         // no residue filtering: the oracle states the output IS the
         // planted mapping, so a gate miss on EITHER side (a planted pair
         // below 4, an unrelated pair at 4) fails the compare loudly
