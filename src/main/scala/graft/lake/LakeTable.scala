@@ -1474,10 +1474,14 @@ final class LakeTable(
         // every manifest bucket, else a bucket whose rows are ALL
         // tombstoned yields no snapshot keys and its base+tombstone delta
         // stack would survive compaction forever (ADVICE r11 #3).
+        // r21: the distinct-bucket set collects via ONE exchange-free RDD
+        // aggregate (per-task BitSet, OR-merged on the driver — bounded by
+        // numBuckets bits) instead of distinct().collect(): the old shape
+        // planned an exchange, so AQE ran 2-3 stage jobs per commit for a
+        // handful of ints.
         val affected = affectedFor.flatMap(_(prev)).getOrElse(
-          withJobDesc("affected")(inc
-            .select(bucketOf(col(KeyCol)).as("b")).distinct()
-            .collect().map(_.getInt(0)).toSet))
+          withJobDesc("affected")(LakeTable.collectBuckets(
+            inc.select(bucketOf(col(KeyCol)).as("b")), numBuckets)))
         if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
         val version = prev.map(_.version).getOrElse(0L) + 1L
         // Merge-on-read delta commit (docs/MOR_DESIGN.md): when this
@@ -1644,12 +1648,16 @@ final class LakeTable(
           case Some(z) => partitioned.sortWithinPartitions(col(BucketCol), z)
           case None => partitioned
         }
-        // files store PHYSICAL names (r20) — a no-op fold when nothing
-        // was ever renamed
+        // files store PHYSICAL names (r20). POSITIONAL rename (r21,
+        // ADVICE r20 #1): each column maps through `newRenames`
+        // independently, mirroring readBuckets' positional logicalize —
+        // the old sequential withColumnRenamed fold was map-order
+        // sensitive (after rename(X→Y) + re-adding X, applying Y→X while
+        // the live X existed duplicated the name and bricked every later
+        // write; ColumnRenameSpec pins the scenario).
         withJobDesc(s"write v$version")(
-          newRenames.foldLeft(clustered) {
-            case (d, (l, p)) => d.withColumnRenamed(l, p)
-          }
+          clustered.toDF(
+            clustered.columns.map(c => newRenames.getOrElse(c, c)).toIndexedSeq: _*)
             .write.partitionBy(BucketCol).mode("errorifexists")
             .parquet(outDir))
 
@@ -2404,6 +2412,27 @@ final class LakeTable(
 }
 
 object LakeTable {
+
+  /** Distinct values of a single non-null int bucket column, collected in
+    * ONE exchange-free job (r21): each task folds its rows into a BitSet
+    * (≤ numBuckets bits), the driver ORs them. `distinct().collect()`
+    * planned an exchange, so AQE materialized 2-3 stage jobs per commit
+    * for a handful of ints — pure per-commit latency on lifecycle-heavy
+    * tables.
+    */
+  private[lake] def collectBuckets(df: DataFrame, numBuckets: Int): Set[Int] = {
+    val arrs = df.queryExecution.toRdd.mapPartitions { it =>
+      val seen = new java.util.BitSet(numBuckets)
+      while (it.hasNext) seen.set(it.next().getInt(0))
+      Iterator.single(seen.toLongArray)
+    }.collect()
+    val acc = new java.util.BitSet(numBuckets)
+    arrs.foreach(a => acc.or(java.util.BitSet.valueOf(a)))
+    val out = Set.newBuilder[Int]
+    var i = acc.nextSetBit(0)
+    while (i >= 0) { out += i; i = acc.nextSetBit(i + 1) }
+    out.result()
+  }
   val KeyCol = "_key"
   val TsCol = "_ts"
   val SeqCol = "_seq"

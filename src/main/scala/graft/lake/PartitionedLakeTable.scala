@@ -424,20 +424,49 @@ final class PartitionedLakeTable(
       df: DataFrame, what: String): Map[String, Set[Int]] = {
     val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
       .cast("int") // must match LakeTable.bucketOf exactly
-    df.select((partitionCols.map(c => col(c).cast("string")) :+
-        bucketCol.as("_graft_b")): _*)
-      .distinct().collect().toSeq.map { r =>
-        val v = partitionCols.indices.map { i =>
-          val x = r.getString(i)
-          require(x != null,
-            s"null ${partitionCols(i)} in $what — partition values must be non-null")
-          require(partitionCols.size == 1 || !x.contains("/"),
-            s"partition value '$x' for ${partitionCols(i)} in $what contains " +
-              "'/' — composite partition components cannot embed the path separator")
-          x
-        }.mkString("/")
-        v -> r.getInt(partitionCols.size)
-      }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val sel = df.select((partitionCols.map(c => col(c).cast("string")) :+
+      bucketCol.as("_graft_b")): _*)
+    val k = partitionCols.size
+    val nb = numBuckets
+    // ONE exchange-free job (r21, the collectBuckets shape): each task
+    // folds its rows into components -> BitSet; the driver merges.
+    // Bounded by touched-partitions × numBuckets bits. Unsafe rows are
+    // reused per task, so every component string materializes via
+    // toString before the row advances.
+    val perTask = sel.queryExecution.toRdd.mapPartitions { it =>
+      val m = new java.util.HashMap[Seq[String], java.util.BitSet]()
+      while (it.hasNext) {
+        val r = it.next()
+        val comps: Seq[String] = (0 until k).map(i =>
+          if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
+        m.computeIfAbsent(comps, _ => new java.util.BitSet(nb)).set(r.getInt(k))
+      }
+      val b = Seq.newBuilder[(Seq[String], Array[Long])]
+      m.forEach((ks, bs) => b += ((ks, bs.toLongArray)))
+      Iterator.single(b.result())
+    }.collect()
+    val merged = new java.util.HashMap[Seq[String], java.util.BitSet]()
+    perTask.foreach(_.foreach { case (ks, arr) =>
+      merged.computeIfAbsent(ks, _ => new java.util.BitSet(nb))
+        .or(java.util.BitSet.valueOf(arr))
+    })
+    val out = Map.newBuilder[String, Set[Int]]
+    merged.forEach { (comps, bs) =>
+      val v = partitionCols.indices.map { i =>
+        val x = comps(i)
+        require(x != null,
+          s"null ${partitionCols(i)} in $what — partition values must be non-null")
+        require(partitionCols.size == 1 || !x.contains("/"),
+          s"partition value '$x' for ${partitionCols(i)} in $what contains " +
+            "'/' — composite partition components cannot embed the path separator")
+        x
+      }.mkString("/")
+      val ints = Set.newBuilder[Int]
+      var i = bs.nextSetBit(0)
+      while (i >= 0) { ints += i; i = bs.nextSetBit(i + 1) }
+      out += v -> ints.result()
+    }
+    out.result()
   }
 
   /** The staged batch every partition's write consumes (r21): clustered
@@ -534,19 +563,44 @@ final class PartitionedLakeTable(
       // partition's affected-bucket set — updates ∪ deletes per identity
       // — feed the per-partition merges as affected hints (consumed only
       // where the computed set would be identical; see LakeTable.merge).
+      // Exchange-free (the collectBuckets shape): per-task identity ->
+      // BitSet maps, merged on the driver.
       val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
         .cast("int") // must match LakeTable.bucketOf exactly
-      val pairRows = cachedUp
+      val sel = cachedUp
         .select(identityCol(cachedUp).as("_p"), bucketCol.as("_b"))
         .unionByName(delRows.select(col("_p"), bucketCol.as("_b")))
-        .distinct().collect()
-      val delVals = pairRows.map(r =>
-        if (r.isNullAt(0)) null else r.getString(0)).distinct
-      val hints: Map[String, Set[Int]] = pairRows
-        .filter(!_.isNullAt(0))
-        .groupBy(_.getString(0)).map { case (v, rs) =>
-          v -> rs.map(_.getInt(1)).toSet
+      val nb = numBuckets
+      val perTask = sel.queryExecution.toRdd.mapPartitions { it =>
+        val m = new java.util.HashMap[String, java.util.BitSet]()
+        var sawNull = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(0)) sawNull = true
+          else m.computeIfAbsent(r.getUTF8String(0).toString,
+            _ => new java.util.BitSet(nb)).set(r.getInt(1))
         }
+        val b = Seq.newBuilder[(String, Array[Long])]
+        m.forEach((v, bs) => b += ((v, bs.toLongArray)))
+        Iterator.single((b.result(), sawNull))
+      }.collect()
+      val merged = new java.util.HashMap[String, java.util.BitSet]()
+      perTask.foreach(_._1.foreach { case (v, arr) =>
+        merged.computeIfAbsent(v, _ => new java.util.BitSet(nb))
+          .or(java.util.BitSet.valueOf(arr))
+      })
+      val hints: Map[String, Set[Int]] = {
+        val b = Map.newBuilder[String, Set[Int]]
+        merged.forEach { (v, bs) =>
+          val ints = Set.newBuilder[Int]
+          var i = bs.nextSetBit(0)
+          while (i >= 0) { ints += i; i = bs.nextSetBit(i + 1) }
+          b += v -> ints.result()
+        }
+        b.result()
+      }
+      val delVals: Array[String] =
+        hints.keys.toArray ++ (if (perTask.exists(_._2)) Array[String](null) else Array.empty[String])
       writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
       val existing = partitions.toSet
       // Targets: every partition receiving updates, plus EXISTING partitions

@@ -46,6 +46,31 @@ class ColumnRenameSpec extends SparkSpec {
       === Seq(10L, 20L, 30L))
   }
 
+  test("rename + re-add of the old name keeps writing (positional write-side rename, r21)") {
+    // ADVICE r20 #1: the write-side logical->physical rename was a
+    // sequential withColumnRenamed fold — after rename(price->amount) and
+    // re-adding a column named price (fresh physical), map order could
+    // apply amount->price while a live price column existed, duplicating
+    // the name and bricking every later write.
+    val dir = tempDir("renre-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10L)).toDF(LakeTable.KeyCol, LakeTable.TsCol, "price"))
+    lt.renameColumn("price", "amount")
+    lt.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "price", org.apache.spark.sql.types.LongType))))
+    // renames now map amount -> price (birth) AND price -> price#N: the
+    // order-sensitive fold broke exactly here
+    lt.upsert(Seq(("b", 2L, 20L, 200L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "price"))
+    lt.upsert(Seq(("c", 3L, 30L, 300L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "price"))
+    val rows = lt.snapshot
+      .select(col(LakeTable.KeyCol), col("amount"), col("price"))
+      .as[(String, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows === Seq(("a", 10L, None), ("b", 20L, Some(200L)), ("c", 30L, Some(300L))))
+  }
+
   test("loud conflicts: unknown, existing (case-insensitive), reserved, partial tables") {
     val dir = tempDir("renx-").resolve("t").toString
     val lt = new LakeTable(spark, dir, numBuckets = 2)
