@@ -1897,11 +1897,25 @@ final class LakeTable(
     if (written.isEmpty) return Map.empty
     val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
     val keys = spark.read.parquet(paths: _*).select(col(KeyCol))
-    // Size for the biggest bucket (hash buckets are near-uniform); one tiny
-    // count job, then one distributed bloom-merge job per commit.
-    val maxN = withJobDesc("bloom-size")(
-      keys.groupBy(bucketOf(col(KeyCol)).as(BucketCol)).count()
-        .agg(max("count")).collect()(0).getLong(0))
+    // Size for the biggest bucket (hash buckets are near-uniform). r21:
+    // the row counts come from the just-written parquet FOOTERS — exact,
+    // driver-side, zero Spark jobs — where the old groupBy().count() agg
+    // planned an exchange and cost 2-3 AQE stage jobs per bloom commit.
+    // A bucket dir's rows all hash to that bucket by construction, so
+    // the per-dir footer sum IS the old per-bucket count.
+    val maxN = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      written.toSeq.map { b =>
+        val dir = new HPath(s"$basePath/$relDir/$BucketCol=$b")
+        io.list(dir).filter(_.endsWith(".parquet")).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new HPath(dir, f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+      }.max.max(1L)
+    }
     // Untyped udaf over a codegen'd int-bucket groupBy: the earlier typed
     // groupByKey(row => ...) path deserialized every row through closures —
     // measurably CPU-heavy at bench scale for zero benefit.

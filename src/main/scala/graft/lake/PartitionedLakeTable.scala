@@ -399,7 +399,14 @@ final class PartitionedLakeTable(
       values: Seq[String], commitId: String, clearTombstones: Boolean = true)(
       run: (LakeTable, String, String) => Unit): Unit = {
     if (values.isEmpty) return
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4.min(values.length).max(1))
+    // r21: pool size scales with the cluster (a quarter of the default
+    // parallelism, floor 4) instead of a flat 4 — per-partition commits
+    // are mostly driver/FS latency between small stage jobs, so deeper
+    // overlap back-fills executors (guide §2.6) without oversubscribing
+    // the scheduler; still bounded by the touched-partition count.
+    val poolSize = (spark.sparkContext.defaultParallelism / 4).max(4)
+      .min(values.length).max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     try {
       val tasks = values.map { v =>
         new java.util.concurrent.Callable[Unit] {
