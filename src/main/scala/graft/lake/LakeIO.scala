@@ -98,6 +98,12 @@ final class LakeIO(base: String, conf: Configuration) {
 
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
+  /** Plain FileSystem rename (r21 initial-load adoption): moves a
+    * pre-written directory tree into the lake layout. Local/HDFS only —
+    * the object-store claim protocol never calls this.
+    */
+  def rename(src: HPath, dst: HPath): Boolean = fs.rename(src, dst)
+
   /** Immediate child names of `dir` (empty if absent). In object-store mode
     * owner files surface under their LOGICAL name (`v1.json.owner-x` ->
     * `v1.json`), so the commit-log listing code is layout-agnostic.

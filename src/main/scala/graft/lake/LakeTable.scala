@@ -909,12 +909,9 @@ final class LakeTable(
   }
 
   /** True iff `dt` contains a MapType anywhere (hash expressions reject it). */
-  private def containsMap(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => true
-    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
-    case _ => false
-  }
+  private[lake] def containsMap(dt: DataType): Boolean = LakeTable.containsMap(dt)
+
+
 
   /** Bucket id for a key column — must match the write path exactly. */
   def bucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1783,6 +1780,40 @@ final class LakeTable(
     * "was vacuumed" error instead of a late FileNotFoundException) and
     * deleted. Returns the number of data dirs removed.
     */
+  /** Adopt a pre-written initial-load directory as this table's FIRST
+    * commit (r21 — the partitioned initial-load fast path): `srcDir`
+    * holds `b=<i>` subdirs written by ONE cross-partition Spark job
+    * (see PartitionedLakeTable.writePartitions); adoption is a
+    * driver-side move + v1 manifest publish, no Spark job. Caller
+    * contract: the data carries no meta/reserved columns and the handle
+    * has no sidecar features (bloomOnWrite=false, no statsColumns, no
+    * zorder, overwrite mode) — the caller gates on those. Returns false
+    * when the table turns out non-empty or the v1 publish is lost to a
+    * concurrent writer (the moved dir is cleaned up; the caller
+    * re-dispatches that partition through the normal commit path, whose
+    * idempotency checks then apply).
+    */
+  private[lake] def adoptInitialLoad(
+      srcDir: HPath, schema: StructType, commitId: String): Boolean = synchronized {
+    if (latestVersion.nonEmpty) return false // concurrent/prior commit: slow path
+    val relDir =
+      s"$DataDirName/${"v%08d".format(1L)}-${UUID.randomUUID().toString.take(8)}"
+    val dest = io.resolve(relDir)
+    io.mkdirs(dest.getParent)
+    if (!io.rename(srcDir, dest)) return false
+    val written: Set[Int] =
+      io.list(dest).collect { case BucketDirRe(b) => b.toInt }.toSet
+    if (written.isEmpty) { io.deleteRecursive(dest); return true } // empty slice
+    val manifest = Manifest(
+      1L, commitId, numBuckets,
+      written.map(b => b -> s"$relDir/$BucketCol=$b").toMap,
+      Map.empty, mergedSchemaJson(None, schema))
+    try { publish(1L, manifest); true }
+    catch {
+      case _: IllegalStateException => io.deleteRecursive(dest); false
+    }
+  }
+
   def vacuum(keepVersions: Int = 1): Int = synchronized {
     val all = versions()
     // Savepointed versions are pinned whatever the retention policy —
@@ -2447,6 +2478,13 @@ object LakeTable {
     while (i >= 0) { out += i; i = acc.nextSetBit(i + 1) }
     out.result()
   }
+  private[lake] def containsMap(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
   val KeyCol = "_key"
   val TsCol = "_ts"
   val SeqCol = "_seq"

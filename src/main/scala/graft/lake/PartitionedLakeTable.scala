@@ -330,14 +330,14 @@ final class PartitionedLakeTable(
     * them explicitly upstream.
     */
   def upsert(updates: DataFrame, commitId: String = ""): Unit =
-    writePartitions(updates, commitId)(
+    writePartitions(updates, commitId, dedupe = true)(
       (lt, part, cid, hint) => lt.upsert(part, cid, hint))
 
   /** Bulk/initial-load fast path per partition — see
     * [[LakeTable.bulkInsert]] for the caller contract (keys must be new).
     */
   def bulkInsert(updates: DataFrame, commitId: String = ""): Unit =
-    writePartitions(updates, commitId)(
+    writePartitions(updates, commitId, dedupe = false)(
       (lt, part, cid, hint) => lt.bulkInsert(part, cid, "partition", hint))
 
   /** Distinct partition identities of `df`, with the null guard every
@@ -493,7 +493,8 @@ final class PartitionedLakeTable(
       (partitionCols.map(col) :+
         pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))): _*)
 
-  private def writePartitions(updates: DataFrame, commitId: String)(
+  private def writePartitions(
+      updates: DataFrame, commitId: String, dedupe: Boolean)(
       write: (LakeTable, DataFrame, String, Option[Set[Int]]) => Unit): Unit = {
     requirePartCols(updates, "updates")
     // r21 (guide §2.4/§5): ONE pre-pass job collects partition values AND
@@ -513,14 +514,109 @@ final class PartitionedLakeTable(
       val pairs = partitionBucketPairs(cached, "updates")
       val values = pairs.keys.toSeq
       writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
-      dispatchPartitions(values, commitId) { (lt, v, cid) =>
+      // r21 initial-load fast path: partitions with NO committed state
+      // take ONE cross-partition write job + driver-side adoption
+      // instead of one commit pipeline per partition — the dominant cost
+      // of a partitioned CTAS / first CDC batch (and the 100 TB initial
+      // load shape: one job for N partitions, not N jobs).
+      val adopted = initialLoadFastPath(cached, values, commitId, dedupe)
+      val rest = values.filterNot(adopted.contains)
+      dispatchPartitions(rest, commitId) { (lt, v, cid) =>
         // The partition values are constant within the dir — elide the
         // columns from the stored files (re-attached on read), like any
         // partitioned table format.
         write(lt, dropPartCols(cached.filter(partFilter(cached, v))), cid,
           pairs.get(v))
       }
+      if (adopted.nonEmpty) clearRebornTombstones(adopted.toSeq)
     } finally cached.unpersist(blocking = false)
+  }
+
+  /** ONE-job initial load for the FRESH partitions of a batch (r21): the
+    * slice of `cached` belonging to never-written partitions is LWW-
+    * deduped per (partition, key) exactly as the per-partition commit
+    * would against its empty snapshot (same max_by comparator, same
+    * hash-input tuple in the same column order — overwriteMerge with an
+    * empty `old` and a constant seq tag), written once partitioned by
+    * (leaf identity, bucket), and adopted per partition as a driver-side
+    * move + v1 manifest publish ([[LakeTable.adoptInitialLoad]]).
+    * Partitions whose adoption loses a race (or that already hold data)
+    * fall back to the normal per-partition dispatch. Applies only when
+    * the handle has no per-commit sidecar work (no blooms, stats, or
+    * Z-order) and overwrite merge mode; otherwise every partition keeps
+    * the slow path. Returns the adopted partition identities.
+    */
+  private def initialLoadFastPath(
+      cached: DataFrame,
+      values: Seq[String],
+      commitId: String,
+      dedupe: Boolean): Set[String] = {
+    if (zorderBy.nonEmpty || statsColumns.nonEmpty || bloomOnWrite ||
+        mergeMode != LakeTable.OverwriteMode) return Set.empty
+    val fresh = values.filter(v => partitionTable(v).latestVersion.isEmpty)
+    if (fresh.size < 2) return Set.empty // one commit: nothing to batch
+    val payloadCols = cached.columns.filterNot(partitionCols.contains).toSeq
+    // same reserved-name guard as writeCommit — loud, never silent drift
+    Seq(LakeTable.OpCol, LakeTable.DvCol, LakeTable.PtsCol, LakeTable.BucketCol)
+      .foreach(c => require(!payloadCols.contains(c),
+        s"'$c' is a reserved lake meta column — rename the payload column"))
+    require(payloadCols.contains(LakeTable.KeyCol),
+      s"incoming data must contain a '${LakeTable.KeyCol}' column")
+    require(payloadCols.contains(LakeTable.TsCol),
+      s"incoming data must contain a '${LakeTable.TsCol}' column")
+    val slice0 = cached.filter(identityCol(cached).isin(fresh: _*))
+    val slice =
+      if (!dedupe) slice0
+      else {
+        // LWW within the batch, per (partition identity, key): the
+        // winning row equals the per-partition overwriteMerge against an
+        // EMPTY snapshot — seq is the constant updates tag, the content-
+        // hash tie-break covers the SAME tuple (payload columns in
+        // dropPartCols order) the slow path hashes.
+        val hashIn = payloadCols.map { c =>
+          if (LakeTable.containsMap(slice0.schema(c).dataType)) to_json(col(c))
+          else col(c)
+        }
+        slice0
+          .groupBy((partitionCols :+ LakeTable.KeyCol).map(col): _*)
+          .agg(max_by(
+            struct(payloadCols.map(col): _*),
+            struct(col(LakeTable.TsCol), lit(1L),
+              xxhash64(hashIn: _*))).as("_r"))
+          .select(partitionCols.map(col) :+ col("_r.*"): _*)
+      }
+    val leaf = "__graft_leaf"
+    val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
+      .cast("int") // must match LakeTable.bucketOf exactly
+    val tmpRel = s"_graft_initload_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmpPath = io.resolve(tmpRel)
+    val n = spark.sparkContext.defaultParallelism.max(fresh.size)
+    // exactly one task per (leaf, bucket) group (hash collisions only
+    // merge groups into one task — partitionBy still splits the files)
+    slice
+      .withColumn(leaf, identityCol(slice))
+      .withColumn(LakeTable.BucketCol, bucketCol)
+      .select((col(leaf) +: col(LakeTable.BucketCol) +: payloadCols.map(col)): _*)
+      .repartition(n, col(leaf), col(LakeTable.BucketCol))
+      .write.partitionBy(leaf, LakeTable.BucketCol)
+      .mode("errorifexists").parquet(tmpPath.toString)
+    val schema = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => slice.schema(c)))
+    try {
+      val adopted = Set.newBuilder[String]
+      val freshSet = fresh.toSet
+      io.list(tmpPath).filter(_.startsWith(leaf + "=")).foreach { d =>
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.stripPrefix(leaf + "="))
+        if (freshSet.contains(v)) {
+          val ok = partitionTable(v).adoptInitialLoad(
+            new HPath(tmpPath, d), schema,
+            if (commitId.isEmpty) "" else s"$commitId:p=$v")
+          if (ok) adopted += v
+        }
+      }
+      adopted.result()
+    } finally io.deleteRecursive(tmpPath)
   }
 
   /** Partition-routed combined upsert+delete — ONE commit per touched
