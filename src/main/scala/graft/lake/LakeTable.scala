@@ -427,7 +427,7 @@ final class LakeTable(
       s"empty table at $basePath — the first write defines the schema")
     if (isCommitted(commitId)) return latestVersion.get
     val reserved = Set(KeyCol, TsCol, BucketCol, PtsCol, OpCol, DvCol)
-    require(!reserved.contains(from) && !reserved.contains(to),
+    require(!reserved.exists(r => r.equalsIgnoreCase(from) || r.equalsIgnoreCase(to)),
       s"cannot rename '$from' to '$to' — reserved lake column names")
     var attempt = 0
     while (attempt <= MaxCommitRetries) {
@@ -436,15 +436,19 @@ final class LakeTable(
       require(!schema.fieldNames.contains(PtsCol),
         s"cannot rename columns on a mergeMode=partial table at $basePath — " +
           "stored per-column-time maps key the old name")
-      val idx = schema.fieldNames.indexOf(from)
+      // resolve the source case-INSENSITIVELY (ADVICE r20: Spark's own
+      // resolution is; the conflict check below already was) and operate
+      // on the stored-case field
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
       require(idx >= 0, s"no column '$from' at $basePath")
-      if (from == to) return cur.version // idempotent
+      val storedFrom = schema.fieldNames(idx)
+      if (storedFrom == to) return cur.version // idempotent
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"column '$to' already exists at $basePath")
       val next = StructType(
         schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
-      val physical = cur.renames.getOrElse(from, from)
-      val renames0 = cur.renames - from
+      val physical = cur.renames.getOrElse(storedFrom, storedFrom)
+      val renames0 = cur.renames - storedFrom
       val renames =
         if (physical == to) renames0 // renamed back to its birth name
         else renames0 + (to -> physical)
@@ -478,7 +482,7 @@ final class LakeTable(
       s"empty table at $basePath — the first write defines the schema")
     if (isCommitted(commitId)) return latestVersion.get
     val reserved = Set(KeyCol, TsCol, BucketCol, PtsCol, OpCol, DvCol)
-    require(!reserved.contains(name),
+    require(!reserved.exists(_.equalsIgnoreCase(name)),
       s"cannot drop '$name' — reserved lake column name")
     var attempt = 0
     while (attempt <= MaxCommitRetries) {
@@ -487,14 +491,17 @@ final class LakeTable(
       require(!schema.fieldNames.contains(PtsCol),
         s"cannot drop columns on a mergeMode=partial table at $basePath — " +
           "stored per-column-time maps key the dropped name")
-      require(schema.fieldNames.contains(name), s"no column '$name' at $basePath")
-      val next = StructType(schema.fields.filterNot(_.name == name))
-      val physical = cur.renames.getOrElse(name, name)
+      // case-insensitive resolution, stored-case operation (ADVICE r20)
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"no column '$name' at $basePath")
+      val storedName = schema.fieldNames(idx)
+      val next = StructType(schema.fields.filterNot(_.name == storedName))
+      val physical = cur.renames.getOrElse(storedName, storedName)
       try {
         publish(cur.version + 1, cur.copy(
           version = cur.version + 1, commitId = commitId,
           schemaJson = next.json,
-          renames = cur.renames - name,
+          renames = cur.renames - storedName,
           retired = cur.retired :+ physical))
         return cur.version + 1
       } catch {

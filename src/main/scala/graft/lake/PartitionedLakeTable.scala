@@ -917,9 +917,13 @@ final class PartitionedLakeTable(
     * keyed by the declared names).
     */
   def renameColumn(from: String, to: String, commitId: String = ""): Unit = {
-    require(!partitionCols.exists(c => c == from || c.equalsIgnoreCase(to)),
+    require(!partitionCols.exists(c => c.equalsIgnoreCase(from) || c.equalsIgnoreCase(to)),
       s"cannot rename the partition column '$from'/'$to' — the layout is " +
         "keyed by the declared partition column names")
+    // ADVICE r20: a declared-but-never-written table has no committed
+    // schema — a silent no-op would report success and record nothing
+    require(partitions.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
     partitions.foreach { v =>
       partitionTable(v).renameColumn(
         from, to, if (commitId.isEmpty) "" else s"$commitId:p=$v")
@@ -930,9 +934,11 @@ final class PartitionedLakeTable(
     * [[LakeTable.dropColumn]] (r20). Partition columns cannot drop.
     */
   def dropColumn(name: String, commitId: String = ""): Unit = {
-    require(!partitionCols.contains(name),
+    require(!partitionCols.exists(_.equalsIgnoreCase(name)),
       s"cannot drop the partition column '$name' — its values are the " +
         "directory layout")
+    require(partitions.nonEmpty,
+      s"empty table at $basePath — the first write defines the schema")
     partitions.foreach { v =>
       partitionTable(v).dropColumn(
         name, if (commitId.isEmpty) "" else s"$commitId:p=$v")

@@ -182,9 +182,12 @@ case class LakeDropColumnsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val ct = session.sessionState.catalog.getTableMetadata(table)
     val handle = LakeHandles.fromOptions(session, LakeSqlRewrites.lakeParams(ct))
-    val present = ct.schema.fieldNames.toSet
+    // case-insensitive presence (ADVICE r20: Spark's resolution is — the
+    // exact-case filter silently skipped a case-variant of a live column)
+    val present = ct.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val targets =
-      if (ifExists) columns.filter(present.contains) else columns
+      if (ifExists) columns.filter(c => present.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      else columns
     targets.foreach { c =>
       handle.fold(_.dropColumn(c), t => { t.dropColumn(c); () })
     }

@@ -46,6 +46,20 @@ class ColumnRenameSpec extends SparkSpec {
       === Seq(10L, 20L, 30L))
   }
 
+  test("rename/drop resolve the SOURCE case-insensitively (r21, ADVICE r20)") {
+    val dir = tempDir("renci-").resolve("t").toString
+    val lt = new LakeTable(spark, dir, numBuckets = 2)
+    lt.upsert(Seq(("a", 1L, 10L, 5L))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "amount", "qty"))
+    lt.renameColumn("AMOUNT", "total") // case-variant source resolves
+    assert(lt.snapshot.columns.contains("total"))
+    lt.dropColumn("QTY")
+    assert(!lt.snapshot.columns.contains("qty"))
+    // reserved names stay guarded whatever the case
+    val e = intercept[IllegalArgumentException](lt.dropColumn("_KEY"))
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("rename + re-add of the old name keeps writing (positional write-side rename, r21)") {
     // ADVICE r20 #1: the write-side logical->physical rename was a
     // sequential withColumnRenamed fold — after rename(price->amount) and
