@@ -926,6 +926,13 @@ final class LakeTable(
 
   // ---- write path ---------------------------------------------------------
 
+  // The bucket-aware-agg handshake between writeCommit and the LWW merge
+  // callbacks (r22, see bucketGrouped): (partitions, salt-by-key) offered
+  // per commit attempt, acknowledged when a merge consumed it. Only ever
+  // touched inside the synchronized writeCommit, never concurrently.
+  private var offeredBucketLayout: Option[(Int, Boolean)] = None
+  private var bucketLayoutApplied: Boolean = false
+
   /** Merge `updates` (must contain `_key`, `_ts`) into the table:
     * last-write-wins per `_key` on `(_ts, arrival)` — an incoming row
     * replaces the stored row iff its `_ts` is >= the stored one.
@@ -963,19 +970,59 @@ final class LakeTable(
     * (same bytes => same hash, so the order stays deterministic).
     */
   private def lwwMerge(old: DataFrame, upd: DataFrame): DataFrame =
-    if (mergeMode == PartialMode) partialMerge(old, upd)
-    else overwriteMerge(old, upd)
+    lwwMerge(old, upd, None)
 
-  private def overwriteMerge(old: DataFrame, upd: DataFrame): DataFrame = {
+  /** [[lwwMerge]] with an optional pre-agg key DROP (r22): groups whose
+    * `_key` appears in `dropKeys` are removed from the UNION before the
+    * aggregation — equivalent to the former post-agg left-anti (groups
+    * are key-disjoint, so dropping every member drops the group), but it
+    * keeps the agg output's physical layout intact for the bucket-aware
+    * write below (a post-agg shuffle join would re-partition the rows
+    * away from the bucket layout the write needs).
+    */
+  private def lwwMerge(
+      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame =
+    if (mergeMode == PartialMode) partialMerge(old, upd, dropKeys)
+    else overwriteMerge(old, upd, dropKeys)
+
+  /** Bucket-aware grouping for the LWW aggregations (r22, guide §2.4):
+    * when [[writeCommit]] offers the commit's target write layout, the
+    * union is repartitioned on `bucketOf(_key)` — the exact partitioning
+    * the write needs — BEFORE the aggregation, and the bucket expression
+    * joins the grouping keys (semantics-free: it is a pure function of
+    * `_key`). HashPartitioning(bucket[, _key]) satisfies
+    * ClusteredDistribution(bucket, _key), so the agg plans NO exchange of
+    * its own and the commit write drops from 2 exchanges (hash(_key) agg
+    * + bucket repartition of the merged rows) to 1 — shuffling the union
+    * once instead of roughly twice. Callers that don't aggregate
+    * (bulkInsert's union, delete's anti-join, compact) ignore the offer
+    * and keep the classic post-merge repartition.
+    */
+  private def bucketGrouped(
+      unioned: DataFrame): org.apache.spark.sql.RelationalGroupedDataset =
+    offeredBucketLayout match {
+      case Some((n, saltByKey)) =>
+        bucketLayoutApplied = true
+        val b = bucketOf(col(KeyCol))
+        val parted =
+          if (saltByKey) unioned.repartition(n, b, col(KeyCol))
+          else unioned.repartition(n, b)
+        parted.groupBy(b, col(KeyCol))
+      case None => unioned.groupBy(col(KeyCol))
+    }
+
+  private def overwriteMerge(
+      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame = {
     val oldTagged = old.withColumn(SeqCol, lit(0L))
     val updTagged = upd.withColumn(SeqCol, lit(1L))
-    val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val unioned0 = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val unioned = dropKeys.fold(unioned0)(ks =>
+      unioned0.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti"))
     val cols = unioned.columns.filter(_ != SeqCol)
     val hashIn = cols.map { c =>
       if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
     }
-    unioned
-      .groupBy(col(KeyCol))
+    bucketGrouped(unioned)
       .agg(max_by(
         struct(cols.map(col).toIndexedSeq: _*),
         struct(col(TsCol), col(SeqCol), xxhash64(hashIn.toIndexedSeq: _*))).as("_r"))
@@ -1004,11 +1051,14 @@ final class LakeTable(
     * not-carried (the classic partial-update caveat — Hudi shares it);
     * use the overwrite mode when null is a value.
     */
-  private def partialMerge(old: DataFrame, upd: DataFrame): DataFrame = {
+  private def partialMerge(
+      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
     val oldTagged = old.withColumn(SeqCol, lit(0L))
     val updTagged = upd.withColumn(SeqCol, lit(1L))
-    val unioned0 = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val unionedAll = oldTagged.unionByName(updTagged, allowMissingColumns = true)
+    val unioned0 = dropKeys.fold(unionedAll)(ks =>
+      unionedAll.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti"))
     val unioned =
       if (unioned0.columns.contains(PtsCol)) unioned0
       else unioned0.withColumn(PtsCol, lit(null).cast(MapType(StringType, LongType)))
@@ -1038,8 +1088,7 @@ final class LakeTable(
           array(payload.map(c => max(when(col(c).isNotNull, fts(c)))).toIndexedSeq: _*))
           .as(PtsCol) +:
         payload.map(c => max_by(col(c), ord(c)).as(c)).toSeq
-    unioned
-      .groupBy(col(KeyCol))
+    bucketGrouped(unioned)
       .agg(aggs.head, aggs.tail: _*)
       .select(((KeyCol +: TsCol +: payload) :+ PtsCol).map(col).toIndexedSeq: _*)
   }
@@ -1104,8 +1153,11 @@ final class LakeTable(
     } { (old, inc) =>
       val ups = inc.filter(!col(delCol)).drop(delCol)
       val ks = inc.filter(col(delCol)).select(KeyCol)
-      lwwMerge(old.drop(delCol), ups)
-        .join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
+      // Delete keys drop PRE-agg (r22): equivalent to the former post-agg
+      // left-anti (on overlap deletes win either way — every member of a
+      // doomed key's group is removed, so the group never forms), and it
+      // keeps the bucket-aware agg's output layout for the write.
+      lwwMerge(old.drop(delCol), ups, Some(ks))
     }
   }
 
@@ -1446,7 +1498,12 @@ final class LakeTable(
       // an inner persist would re-encode every partition's slice of an
       // already-cached batch for nothing. Unhinted commits keep the
       // persist: `affected` + the write are two evaluations.
-      val stabilize = affectedFor.isEmpty
+      // r22 (ADVICE r21): the decision binds to whether the hint RESOLVES
+      // for THIS attempt's manifest — a hinted merge falling back to the
+      // per-commit computation (prunable manifest) evaluates `inc` twice
+      // and must persist like any unhinted commit.
+      val hinted: Option[Set[Int]] = affectedFor.flatMap(_(prev))
+      val stabilize = hinted.isEmpty
       val inc =
         if (manifestDependent) {
           val d = incomingFor(prev); if (stabilize) d.persist() else d
@@ -1483,7 +1540,7 @@ final class LakeTable(
         // numBuckets bits) instead of distinct().collect(): the old shape
         // planned an exchange, so AQE ran 2-3 stage jobs per commit for a
         // handful of ints.
-        val affected = affectedFor.flatMap(_(prev)).getOrElse(
+        val affected = hinted.getOrElse(
           withJobDesc("affected")(LakeTable.collectBuckets(
             inc.select(bucketOf(col(KeyCol)).as("b")), numBuckets)))
         if (affected.isEmpty) return // empty batch short-circuit (ref :118-120)
@@ -1505,6 +1562,14 @@ final class LakeTable(
           tableType == MorType &&
           affected.forall(b =>
             prev.get.deltas.getOrElse(b, Nil).size < compactAfter)
+        // r22 bucket-aware write layout offer (see bucketGrouped): fold/cow
+        // merges repartition the UNION on the bucket id before the LWW agg
+        // and the write skips its own repartition. Not offered under
+        // zorder (the range exchange is the layout there) or sortMode=none.
+        offeredBucketLayout =
+          if (asDelta || !shuffle || zorderBy.nonEmpty) None
+          else Some((affected.size.max(1) * filesPerBucket, filesPerBucket > 1))
+        bucketLayoutApplied = false
         val merged0 =
           if (asDelta)
             deltaRows.get(inc).withColumn(DvCol, lit(version))
@@ -1518,6 +1583,7 @@ final class LakeTable(
             }
             merge(old, inc)
           }
+        offeredBucketLayout = None // consumed (or ignored) during merge()
         // Partial tables carry `_pts` in EVERY commit's schema (null map
         // where the path didn't compose one — delta fragments, bulkInsert):
         // readers infer the partial stack collapse from the manifest
@@ -1631,6 +1697,12 @@ final class LakeTable(
         }
         val partitioned = (zKey, filesPerBucket) match {
           case _ if !shuffle => toWrite // bulkInsert sortMode=none: task-local write
+          // r22: the LWW agg already ran on the bucket layout (see
+          // bucketGrouped) — the rows are physically clustered exactly as
+          // the repartition below would place them (same partitioning
+          // expressions, same partition count), so a second exchange here
+          // would only reshuffle identical placement.
+          case _ if bucketLayoutApplied => toWrite
           case (_, 1) => toWrite.repartition(affected.size.max(1), col(BucketCol))
           case (Some(z), fpb) =>
             // Z-ordered multi-file buckets RANGE-partition on (bucket,
@@ -1690,8 +1762,17 @@ final class LakeTable(
         // bucket counts, re-read on the driver for every commit; VERDICT r5
         // "What's wrong" #2). Two extra jobs per commit; `bloomOnWrite =
         // false` trades lookup pruning for write latency.
+        // r22: one bounded-pool footer pass per commit feeds BOTH bloom
+        // sizing and the stats sidecar (see readFooters).
+        val writtenSchema = LakeTable.physSchema(merged.schema, newRenames)
+        val footers =
+          if (bloomOnWrite || statsColumns.nonEmpty)
+            readFooters(relDir, written,
+              statsColumns.map(c => newRenames.getOrElse(c, c)).toSet)
+          else Map.empty[Int, Seq[LakeTable.FileFooter]]
         val sidecars =
-          if (bloomOnWrite) writeBloomSidecars(relDir, written) else Map.empty[Int, String]
+          if (bloomOnWrite) writeBloomSidecars(relDir, written, footers)
+          else Map.empty[Int, String]
         // Column min/max stats (opt-in, like Hudi's metadata-table
         // col_stats): ONE distributed min/max agg over just-written
         // files, a tiny scalar collect, one _stats.json per commit dir.
@@ -1702,7 +1783,8 @@ final class LakeTable(
         // exclude the predicate, so high-churn MOR tables keep pruning
         // between folds instead of going stats-dark.
         val statsPath =
-          if (statsColumns.nonEmpty) writeStatsSidecar(relDir, written, newRenames)
+          if (statsColumns.nonEmpty)
+            writeStatsSidecar(relDir, written, newRenames, writtenSchema, footers)
           else None
         val newStats =
           if (asDelta) prev.map(_.statsFiles).getOrElse(Map.empty)
@@ -1931,7 +2013,40 @@ final class LakeTable(
     * driver collect would be GBs). The `_` prefix keeps the sidecar
     * invisible to Spark's parquet file listing.
     */
-  private def writeBloomSidecars(relDir: String, written: Set[Int]): Map[Int, String] = {
+  /** Footer essentials of every file in the just-written bucket dirs,
+    * read on a BOUNDED driver pool (r22, VERDICT r21 #4: the r21 serial
+    * per-commit footer loop would serialize thousands of object-store
+    * round-trips at production bucket counts) — ONE footer read per file
+    * serves bloom sizing AND the stats sidecar. `statCols` = physical
+    * column names whose statistics to extract (empty for row counts only).
+    */
+  private def readFooters(
+      relDir: String, written: Set[Int],
+      statCols: Set[String]): Map[Int, Seq[LakeTable.FileFooter]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[(Int, String)] = written.toSeq.sorted.flatMap { b =>
+      val dir = new HPath(s"$basePath/$relDir/$BucketCol=$b")
+      io.list(dir).filter(_.endsWith(".parquet")).sorted.map(f => b -> f)
+    }
+    if (files.isEmpty) return Map.empty
+    val poolSize = (spark.sparkContext.defaultParallelism / 4).max(4)
+      .min(files.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    try {
+      val tasks = files.map { case (b, f) =>
+        new java.util.concurrent.Callable[(Int, LakeTable.FileFooter)] {
+          def call(): (Int, LakeTable.FileFooter) = b -> LakeTable.readFileFooter(
+            new HPath(s"$basePath/$relDir/$BucketCol=$b/$f"), f, statCols, conf)
+        }
+      }.asJava
+      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+        .groupBy(_._1).map { case (b, s) => b -> s.map(_._2) }
+    } finally pool.shutdown()
+  }
+
+  private def writeBloomSidecars(
+      relDir: String, written: Set[Int],
+      footers: Map[Int, Seq[LakeTable.FileFooter]]): Map[Int, String] = {
     if (written.isEmpty) return Map.empty
     val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
     val keys = spark.read.parquet(paths: _*).select(col(KeyCol))
@@ -1940,20 +2055,12 @@ final class LakeTable(
     // driver-side, zero Spark jobs — where the old groupBy().count() agg
     // planned an exchange and cost 2-3 AQE stage jobs per bloom commit.
     // A bucket dir's rows all hash to that bucket by construction, so
-    // the per-dir footer sum IS the old per-bucket count.
-    val maxN = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      written.toSeq.map { b =>
-        val dir = new HPath(s"$basePath/$relDir/$BucketCol=$b")
-        io.list(dir).filter(_.endsWith(".parquet")).map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new HPath(dir, f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally r.close()
-        }.sum
-      }.max.max(1L)
-    }
+    // the per-dir footer sum IS the old per-bucket count. r22: footers
+    // arrive pre-read (one bounded-pool pass shared with the stats
+    // sidecar).
+    val maxN =
+      written.toSeq.map(b => footers.getOrElse(b, Nil).map(_.rows).sum)
+        .max.max(1L)
     // Untyped udaf over a codegen'd int-bucket groupBy: the earlier typed
     // groupByKey(row => ...) path deserialized every row through closures —
     // measurably CPU-heavy at bench scale for zero benefit.
@@ -2071,40 +2178,108 @@ final class LakeTable(
     */
   private def writeStatsSidecar(
       relDir: String, written: Set[Int],
-      renames: Map[String, String] = Map.empty): Option[String] = {
+      renames: Map[String, String],
+      writtenSchema: StructType,
+      footers: Map[Int, Seq[LakeTable.FileFooter]]): Option[String] = {
     if (written.isEmpty) return None
-    val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
-    val df = spark.read.parquet(paths: _*)
     // The just-written files carry PHYSICAL names (r20): translate the
     // handle's logical statsColumns and record the sidecar keys PHYSICAL
     // too — physical names are stable across renames, so recorded stats
     // keep pruning after a rename (readers remap via logicalStats).
+    // Eligibility comes from the WRITTEN schema — identical to what
+    // spark.read would infer back from the same files.
     val eligible = statsColumns.map(c => renames.getOrElse(c, c)).filter(c =>
-      df.schema.fields.exists(f => f.name == c && statable(f.dataType)))
+      writtenSchema.fields.exists(f => f.name == c && statable(f.dataType)))
     if (eligible.isEmpty) return None
-    val aggs = eligible.flatMap { c =>
-      val dt = df.schema.fields.find(_.name == c).get.dataType
-      val qc = statNorm(col("`" + c + "`"), dt)
-      Seq(min(qc).as(s"min:$c"), max(qc).as(s"max:$c"),
-        sum(when(qc.isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
-    } :+ count(lit(1)).as("rows")
-    val perFileDf = df.groupBy(
-        bucketOf(col(KeyCol)).as(BucketCol),
-        element_at(split(input_file_name(), "/"), -1).as("_file"))
-      .agg(aggs.head, aggs.drop(1): _*)
-    val fileRows = withJobDesc("stats")(perFileDf.collect())
-    // Bucket rollup over the collected per-file frame: a LOCAL tiny job
-    // (files x columns scalars), so the data is scanned once while the
-    // rollup still uses Spark's own orderings (UTF-8 string min/max —
-    // never reimplemented driver-side).
-    import scala.jdk.CollectionConverters._
-    val local = spark.createDataFrame(fileRows.toSeq.asJava, perFileDf.schema)
-    val rollups = eligible.flatMap { c =>
-      Seq(min(col(s"`min:$c`")).as(s"min:$c"), max(col(s"`max:$c`")).as(s"max:$c"),
-        sum(col(s"`nulls:$c`")).cast("long").as(s"nulls:$c"))
-    } :+ sum(col("rows")).cast("long").as("rows")
-    val rows = local.groupBy(col(BucketCol))
-      .agg(rollups.head, rollups.drop(1): _*).collect()
+    // Normalized per-node stats: (rows, per-eligible-column (min, max,
+    // nulls)) — produced by either source below, serialized identically.
+    type NodeData = (Long, Seq[(Option[Any], Option[Any], Long)])
+    // r22 footer fast path (guide §6 — the r21 bloom-sizing mechanism
+    // extended to column stats): per-file bounds come straight from the
+    // parquet FOOTERS already read for this commit — exact, ZERO Spark
+    // jobs — whenever every eligible column's footer statistics are
+    // usable in every file (see ColFooter). INT96 timestamps, FLBA-backed
+    // decimals, or dropped/truncated binary bounds fall back to the
+    // distributed agg below, which records the identical JSON.
+    val footerOk = footers.nonEmpty && written.forall(b =>
+      footers.get(b).exists(fs => fs.nonEmpty && fs.forall(ff =>
+        eligible.forall(c => ff.cols.get(c).exists(_.usable)))))
+    val perBucket: Seq[(Int, NodeData, Seq[(String, NodeData)])] =
+      if (footerOk) {
+        written.toSeq.sorted.map { b =>
+          val fs = footers(b).sortBy(_.name)
+          // File-level bounds FIRST — the bucket rollup below merges (and
+          // mutates) the same statistics objects.
+          val fileNodes: Seq[(String, NodeData)] = fs.map { ff =>
+            val cols = eligible.map { c =>
+              val cf = ff.cols(c)
+              val (mn, mx) =
+                if (cf.stats.hasNonNullValue)
+                  (Option(LakeTable.footerBound(cf.stats.genericGetMin, cf.primitive)),
+                    Option(LakeTable.footerBound(cf.stats.genericGetMax, cf.primitive)))
+                else (None, None)
+              (mn, mx, cf.stats.getNumNulls)
+            }
+            ff.name -> ((ff.rows, cols))
+          }
+          // Bucket rollup via parquet's OWN typed comparators (exactly
+          // the orderings the bounds were recorded under — unsigned UTF-8
+          // bytes for strings, Float/Double.compare for the NaN lanes —
+          // the same orders Spark's min/max aggregates use). The footers
+          // map is per-commit scratch, so mutating the first file's
+          // statistics as the accumulator is safe.
+          val bucketCols = eligible.map { c =>
+            val acc = fs.head.cols(c)
+            fs.tail.foreach(f => LakeTable.mergeStatsUnsafe(acc.stats, f.cols(c).stats))
+            val (mn, mx) =
+              if (acc.stats.hasNonNullValue)
+                (Option(LakeTable.footerBound(acc.stats.genericGetMin, acc.primitive)),
+                  Option(LakeTable.footerBound(acc.stats.genericGetMax, acc.primitive)))
+              else (None, None)
+            (mn, mx, acc.stats.getNumNulls) // merge accumulated the null counts
+          }
+          (b, (fs.map(_.rows).sum, bucketCols), fileNodes)
+        }
+      } else {
+        val paths = written.toSeq.sorted.map(b => s"$basePath/$relDir/$BucketCol=$b")
+        val df = spark.read.parquet(paths: _*)
+        val aggs = eligible.flatMap { c =>
+          val dt = df.schema.fields.find(_.name == c).get.dataType
+          val qc = statNorm(col("`" + c + "`"), dt)
+          Seq(min(qc).as(s"min:$c"), max(qc).as(s"max:$c"),
+            sum(when(qc.isNull, 1L).otherwise(0L)).as(s"nulls:$c"))
+        } :+ count(lit(1)).as("rows")
+        val perFileDf = df.groupBy(
+            bucketOf(col(KeyCol)).as(BucketCol),
+            element_at(split(input_file_name(), "/"), -1).as("_file"))
+          .agg(aggs.head, aggs.drop(1): _*)
+        val fileRows = withJobDesc("stats")(perFileDf.collect())
+        // Bucket rollup over the collected per-file frame: a LOCAL tiny
+        // job (files x columns scalars), so the data is scanned once while
+        // the rollup still uses Spark's own orderings (UTF-8 string
+        // min/max — never reimplemented driver-side).
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(fileRows.toSeq.asJava, perFileDf.schema)
+        val rollups = eligible.flatMap { c =>
+          Seq(min(col(s"`min:$c`")).as(s"min:$c"), max(col(s"`max:$c`")).as(s"max:$c"),
+            sum(col(s"`nulls:$c`")).cast("long").as(s"nulls:$c"))
+        } :+ sum(col("rows")).cast("long").as("rows")
+        val rows = local.groupBy(col(BucketCol))
+          .agg(rollups.head, rollups.drop(1): _*).collect()
+        // Row layout: [..prefix.., (min,max,nulls) x eligible, rows]
+        def nodeOf(r: Row, off: Int): NodeData = (
+          r.getLong(off + eligible.size * 3),
+          eligible.indices.map(i => (
+            Option(r.get(off + i * 3)), Option(r.get(off + 1 + i * 3)),
+            r.getLong(off + 2 + i * 3))))
+        val filesByBucket = fileRows.groupBy(_.getInt(0))
+        rows.sortBy(_.getInt(0)).toSeq.map { r =>
+          val b = r.getInt(0)
+          (b, nodeOf(r, 1),
+            filesByBucket.getOrElse(b, Array.empty[Row]).sortBy(_.getString(1))
+              .toSeq.map(fr => fr.getString(1) -> nodeOf(fr, 2)))
+        }
+      }
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val bucketsNode = root.putObject("buckets")
@@ -2124,31 +2299,26 @@ final class LakeTable(
       case f: java.lang.Float if !java.lang.Float.isFinite(f) => None
       case other => Some(other)
     }
-    // Emits one {rows, cols{...}} node from a stats row whose layout is
-    // [..prefix.., (min,max,nulls) x eligible, rows] starting at `off`.
-    def emit(node: ObjectNode, r: Row, off: Int): Unit = {
-      node.put("rows", r.getLong(off + eligible.size * 3))
+    def emit(node: ObjectNode, d: NodeData): Unit = {
+      node.put("rows", d._1)
       val colsNode = node.putObject("cols")
       eligible.zipWithIndex.foreach { case (c, i) =>
+        val (mn0, mx0, nulls) = d._2(i)
         val cNode = colsNode.putObject(c)
-        cNode.put("nulls", r.getLong(off + 2 + i * 3))
-        (enc(r.get(off + i * 3)), enc(r.get(off + 1 + i * 3))) match {
+        cNode.put("nulls", nulls)
+        (mn0.flatMap(enc), mx0.flatMap(enc)) match {
           case (Some(mn), Some(mx)) =>
             put(cNode, "min", mn)
             put(cNode, "max", mx)
-          case _ => () // all-null column in this bucket/file: null count only
+          case _ => () // all-null (or NaN-bounded) column: null count only
         }
       }
     }
-    val filesByBucket = fileRows.groupBy(_.getInt(0))
-    rows.sortBy(_.getInt(0)).foreach { r =>
-      val b = r.getInt(0)
+    perBucket.foreach { case (b, bData, files) =>
       val bNode = bucketsNode.putObject(b.toString)
-      emit(bNode, r, 1)
+      emit(bNode, bData)
       val filesNode = bNode.putObject("files")
-      filesByBucket.getOrElse(b, Array.empty[Row]).sortBy(_.getString(1)).foreach { fr =>
-        emit(filesNode.putObject(fr.getString(1)), fr, 2)
-      }
+      files.foreach { case (fname, fd) => emit(filesNode.putObject(fname), fd) }
     }
     val rel = s"$relDir/$StatsFileName"
     io.replace(io.resolve(rel), mapper.writeValueAsString(root))
@@ -2490,6 +2660,145 @@ object LakeTable {
     case s: StructType => s.fields.exists(f => containsMap(f.dataType))
     case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
     case _ => false
+  }
+
+  /** One column's footer statistics, merged across a file's row groups
+    * with parquet's OWN typed comparator (exactly the ordering the writer
+    * recorded them under — for strings that is unsigned UTF-8 byte order,
+    * the same order Spark's min/max aggregate uses). `usable` = every row
+    * group recorded a null count and either real bounds or a provably
+    * all-null chunk, and the (primitive, logical) type pair maps exactly
+    * onto the value the stats-sidecar agg would have produced.
+    */
+  private[lake] final case class ColFooter(
+      stats: org.apache.parquet.column.statistics.Statistics[_],
+      primitive: org.apache.parquet.schema.PrimitiveType,
+      usable: Boolean)
+
+  /** A just-written parquet file's footer essentials — row count plus the
+    * requested columns' [[ColFooter]]s. Read ONCE per file per commit and
+    * shared by bloom sizing and the stats sidecar (r22).
+    */
+  private[lake] final case class FileFooter(
+      name: String, rows: Long, cols: Map[String, ColFooter])
+
+  /** True iff the (primitive, logical) parquet type of `pt` converts
+    * EXACTLY to the value the stats-sidecar agg records for the matching
+    * Spark type ([[footerBound]] below): the statNorm encodings line up
+    * by construction (DATE stats are epoch days = `unix_date`;
+    * TIMESTAMP(MICROS, adjustedToUTC) stats are epoch micros =
+    * `unix_micros`). INT96 timestamps, FIXED_LEN_BYTE_ARRAY decimals,
+    * booleans and anything exotic are NOT convertible — the caller falls
+    * back to the agg job, never guesses.
+    */
+  private[lake] def footerConvertible(
+      pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case null => true
+        case _: IntLogicalTypeAnnotation => true
+        case _: DateLogicalTypeAnnotation => true
+        case _: DecimalLogicalTypeAnnotation => true
+        case _ => false
+      }
+      case INT64 => ann match {
+        case null => true
+        case _: IntLogicalTypeAnnotation => true
+        case _: DecimalLogicalTypeAnnotation => true
+        case t: TimestampLogicalTypeAnnotation =>
+          t.isAdjustedToUTC &&
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+      case FLOAT | DOUBLE => true
+      case BINARY =>
+        ann.isInstanceOf[StringLogicalTypeAnnotation]
+      case _ => false
+    }
+  }
+
+  /** A merged footer statistic's min or max as EXACTLY the Java value the
+    * stats-sidecar agg would collect for the matching Spark column (the
+    * JSON `put` then renders both identically): Integer/Long for the int
+    * and temporal lanes, Float/Double (the caller's non-finite gate drops
+    * NaN bounds on both paths — parquet's Float/Double comparators are
+    * `Float.compare`/`Double.compare`, so a NaN-containing chunk records
+    * max = NaN exactly like Spark's NaN-greatest ordering), UTF-8 String,
+    * scaled BigDecimal for int-backed decimals. Only called for
+    * [[footerConvertible]] types.
+    */
+  private[lake] def footerBound(
+      v: Any, pt: org.apache.parquet.schema.PrimitiveType): Any = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+    (pt.getLogicalTypeAnnotation, v) match {
+      case (d: DecimalLogicalTypeAnnotation, n: java.lang.Number) =>
+        java.math.BigDecimal.valueOf(n.longValue(), d.getScale)
+      case (_, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+      case (_, other) => other
+    }
+  }
+
+  /** Merge parquet statistics across row groups. The static type
+    * parameter is erased at runtime and `mergeStatistics` dispatches on
+    * the runtime class (same column of the same file — always
+    * compatible); the cast only satisfies the Scala compiler.
+    */
+  private def mergeStatsUnsafe(a: AnyRef, b: AnyRef): Unit =
+    a.asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Long]]
+      .mergeStatistics(
+        b.asInstanceOf[org.apache.parquet.column.statistics.Statistics[java.lang.Long]])
+
+  /** Read one file's footer essentials. `statCols` names the (physical)
+    * columns whose statistics the caller wants extracted; pass empty for
+    * row counts only (bloom sizing).
+    */
+  private[lake] def readFileFooter(
+      path: HPath, name: String, statCols: Set[String],
+      conf: org.apache.hadoop.conf.Configuration): FileFooter = {
+    import scala.jdk.CollectionConverters._
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val cols =
+        if (statCols.isEmpty) Map.empty[String, ColFooter]
+        else {
+          // (merged stats, total values, all row groups usable) per column
+          val acc = new java.util.HashMap[
+            String,
+            (org.apache.parquet.column.statistics.Statistics[_],
+              org.apache.parquet.schema.PrimitiveType, Long, Boolean)]()
+          blocks.foreach(_.getColumns.asScala.foreach { cc =>
+            if (cc.getPath.size == 1 && statCols.contains(cc.getPath.toDotString)) {
+              val cname = cc.getPath.toDotString
+              val st = cc.getStatistics
+              val pt = cc.getPrimitiveType
+              val prev = acc.get(cname)
+              val ok = st != null && st.isNumNullsSet &&
+                (st.hasNonNullValue || st.getNumNulls == cc.getValueCount)
+              val merged =
+                if (prev == null || prev._1 == null) st
+                else { if (ok) mergeStatsUnsafe(prev._1, st); prev._1 }
+              acc.put(cname, (
+                merged, pt,
+                (if (prev == null) 0L else prev._3) + cc.getValueCount,
+                (if (prev == null) true else prev._4) && ok))
+            }
+          })
+          val b = Map.newBuilder[String, ColFooter]
+          acc.forEach { (cname, t) =>
+            b += cname -> ColFooter(
+              t._1, t._2, t._4 && t._1 != null && footerConvertible(t._2))
+          }
+          b.result()
+        }
+      FileFooter(name, rows, cols)
+    } finally r.close()
   }
 
   val KeyCol = "_key"

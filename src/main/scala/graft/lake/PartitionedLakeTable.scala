@@ -498,22 +498,31 @@ final class PartitionedLakeTable(
       write: (LakeTable, DataFrame, String, Option[Set[Int]]) => Unit): Unit = {
     requirePartCols(updates, "updates")
     // r21 (guide §2.4/§5): ONE pre-pass job collects partition values AND
-    // every partition's affected-bucket set; the batch is then staged
-    // (repartitioned on the partition columns) and persisted ONCE. Every
-    // partition's write previously re-evaluated `updates` under its own
-    // filter as a SEPARATE action — AQE stage reuse never crosses actions
-    // — so an unpersisted batch re-ran the full source plan once per
-    // partition (q113's 15-leaf CTAS paid 15 source scans), plus one
-    // affected distinct-collect job per commit. Batch-sized by contract;
-    // the cache is dropped before returning.
+    // every partition's affected-bucket set; a multi-partition batch is
+    // then staged (repartitioned on the partition columns) and persisted
+    // ONCE. Every partition's write previously re-evaluated `updates`
+    // under its own filter as a SEPARATE action — AQE stage reuse never
+    // crosses actions — so an unpersisted batch re-ran the full source
+    // plan once per partition (q113's 15-leaf CTAS paid 15 source scans),
+    // plus one affected distinct-collect job per commit. Batch-sized by
+    // contract; the cache is dropped before returning.
+    // r22 (VERDICT r21 #6): the pre-pass runs on the RAW batch (a narrow
+    // projection) so a batch touching ONE partition skips the staging
+    // exchange + persist entirely — its single commit evaluates the
+    // source exactly once anyway, and the hint already carries its
+    // bucket set.
+    val pairs = partitionBucketPairs(updates, "updates")
+    val values = pairs.keys.toSeq
+    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
+    if (values.size <= 1) {
+      dispatchPartitions(values, commitId) { (lt, v, cid) =>
+        write(lt, dropPartCols(updates.filter(partFilter(updates, v))), cid,
+          pairs.get(v))
+      }
+      return
+    }
     val cached = stagedBatch(updates).persist()
     try {
-      // the pairs collect runs over the staged cache, so ONE job both
-      // materializes the cache (no per-consumer race) and collects every
-      // partition's affected-bucket set
-      val pairs = partitionBucketPairs(cached, "updates")
-      val values = pairs.keys.toSeq
-      writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
       // r21 initial-load fast path: partitions with NO committed state
       // take ONE cross-partition write job + driver-side adoption
       // instead of one commit pipeline per partition — the dominant cost
@@ -648,72 +657,87 @@ final class PartitionedLakeTable(
     require(
       !upVals.contains(null),
       s"null ${partitionCols.mkString(",")} in updates — partition values must be non-null")
+    // ONE pre-pass job (r21): the delete identities AND every routed
+    // partition's affected-bucket set — updates ∪ deletes per identity
+    // — feed the per-partition merges as affected hints (consumed only
+    // where the computed set would be identical; see LakeTable.merge).
+    // Exchange-free (the collectBuckets shape): per-task identity ->
+    // BitSet maps, merged on the driver.
+    // r22 (VERDICT r21 #6, same shape as writePartitions): the pre-pass
+    // runs on the RAW frames — narrow projections — so a batch routing
+    // to ONE partition with no global deletes skips both staging
+    // exchanges + persists entirely; its single commit evaluates each
+    // source exactly once anyway, and the hint carries its bucket set.
+    val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
+      .cast("int") // must match LakeTable.bucketOf exactly
+    val delSel = deleteKeys
+      .select(col(LakeTable.KeyCol), identityCol(deleteKeys).as("_p"))
+    val sel = updates
+      .select(identityCol(updates).as("_p"), bucketCol.as("_b"))
+      .unionByName(delSel.select(col("_p"), bucketCol.as("_b")))
+    val nb = numBuckets
+    val perTask = sel.queryExecution.toRdd.mapPartitions { it =>
+      val m = new java.util.HashMap[String, java.util.BitSet]()
+      var sawNull = false
+      while (it.hasNext) {
+        val r = it.next()
+        if (r.isNullAt(0)) sawNull = true
+        else m.computeIfAbsent(r.getUTF8String(0).toString,
+          _ => new java.util.BitSet(nb)).set(r.getInt(1))
+      }
+      val b = Seq.newBuilder[(String, Array[Long])]
+      m.forEach((v, bs) => b += ((v, bs.toLongArray)))
+      Iterator.single((b.result(), sawNull))
+    }.collect()
+    val merged = new java.util.HashMap[String, java.util.BitSet]()
+    perTask.foreach(_._1.foreach { case (v, arr) =>
+      merged.computeIfAbsent(v, _ => new java.util.BitSet(nb))
+        .or(java.util.BitSet.valueOf(arr))
+    })
+    val hints: Map[String, Set[Int]] = {
+      val b = Map.newBuilder[String, Set[Int]]
+      merged.forEach { (v, bs) =>
+        val ints = Set.newBuilder[Int]
+        var i = bs.nextSetBit(0)
+        while (i >= 0) { ints += i; i = bs.nextSetBit(i + 1) }
+        b += v -> ints.result()
+      }
+      b.result()
+    }
+    val hasGlobalDeletes = perTask.exists(_._2)
+    writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
+    val existing = partitions.toSet
+    // Targets: every partition receiving updates, plus EXISTING partitions
+    // receiving only deletes (deleting from a partition that was never
+    // written is a no-op, skip the dispatch entirely). A composite delete
+    // identity with an embedded '/' component cannot name an existing
+    // partition (writes reject those components loudly), so it is
+    // filtered here exactly like any other never-written value.
+    val targets =
+      (upVals ++ hints.keys.filter(existing.contains)).distinct
+    if (targets.size <= 1 && !hasGlobalDeletes) {
+      dispatchPartitions(targets, commitId) { (lt, v, cid) =>
+        lt.merge(
+          dropPartCols(updates.filter(partFilter(updates, v))),
+          delSel.filter(col("_p") === v).select(LakeTable.KeyCol),
+          cid,
+          hints.get(v))
+      }
+      return
+    }
     // r21: materialize both batch frames ONCE (same rationale as
     // writePartitions — each routed partition's merge re-evaluates them
     // as separate actions), clustered on the partition columns so each
     // routed commit's scans prune to its own cached blocks. Both are
     // batch-sized; unpersisted on exit.
     val cachedUp = stagedBatch(updates).persist()
-    val delRows = deleteKeys
-      .select(col(LakeTable.KeyCol), identityCol(deleteKeys).as("_p"))
+    val delRows = delSel
       .repartition(
         spark.sparkContext.defaultParallelism,
         col("_p"),
         pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets)))
       .persist()
     try {
-      // ONE pre-pass job (r21): the delete identities AND every routed
-      // partition's affected-bucket set — updates ∪ deletes per identity
-      // — feed the per-partition merges as affected hints (consumed only
-      // where the computed set would be identical; see LakeTable.merge).
-      // Exchange-free (the collectBuckets shape): per-task identity ->
-      // BitSet maps, merged on the driver.
-      val bucketCol = pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets))
-        .cast("int") // must match LakeTable.bucketOf exactly
-      val sel = cachedUp
-        .select(identityCol(cachedUp).as("_p"), bucketCol.as("_b"))
-        .unionByName(delRows.select(col("_p"), bucketCol.as("_b")))
-      val nb = numBuckets
-      val perTask = sel.queryExecution.toRdd.mapPartitions { it =>
-        val m = new java.util.HashMap[String, java.util.BitSet]()
-        var sawNull = false
-        while (it.hasNext) {
-          val r = it.next()
-          if (r.isNullAt(0)) sawNull = true
-          else m.computeIfAbsent(r.getUTF8String(0).toString,
-            _ => new java.util.BitSet(nb)).set(r.getInt(1))
-        }
-        val b = Seq.newBuilder[(String, Array[Long])]
-        m.forEach((v, bs) => b += ((v, bs.toLongArray)))
-        Iterator.single((b.result(), sawNull))
-      }.collect()
-      val merged = new java.util.HashMap[String, java.util.BitSet]()
-      perTask.foreach(_._1.foreach { case (v, arr) =>
-        merged.computeIfAbsent(v, _ => new java.util.BitSet(nb))
-          .or(java.util.BitSet.valueOf(arr))
-      })
-      val hints: Map[String, Set[Int]] = {
-        val b = Map.newBuilder[String, Set[Int]]
-        merged.forEach { (v, bs) =>
-          val ints = Set.newBuilder[Int]
-          var i = bs.nextSetBit(0)
-          while (i >= 0) { ints += i; i = bs.nextSetBit(i + 1) }
-          b += v -> ints.result()
-        }
-        b.result()
-      }
-      val delVals: Array[String] =
-        hints.keys.toArray ++ (if (perTask.exists(_._2)) Array[String](null) else Array.empty[String])
-      writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
-      val existing = partitions.toSet
-      // Targets: every partition receiving updates, plus EXISTING partitions
-      // receiving only deletes (deleting from a partition that was never
-      // written is a no-op, skip the dispatch entirely). A composite delete
-      // identity with an embedded '/' component cannot name an existing
-      // partition (writes reject those components loudly), so it is
-      // filtered here exactly like any other never-written value.
-      val targets =
-        (upVals ++ delVals.filter(v => v != null && existing.contains(v))).distinct
       dispatchPartitions(targets, commitId) { (lt, v, cid) =>
         lt.merge(
           dropPartCols(cachedUp.filter(partFilter(cachedUp, v))),
@@ -721,7 +745,7 @@ final class PartitionedLakeTable(
           cid,
           hints.get(v))
       }
-      if (delVals.contains(null))
+      if (hasGlobalDeletes)
         delete(
           delRows.filter(col("_p").isNull).select(LakeTable.KeyCol),
           commitId = if (commitId.isEmpty) "" else s"$commitId:global")
