@@ -27,7 +27,7 @@ object QProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String, Int)]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // stageId -> (cpuMs, executedTasks), attributed to the stage's first job
     val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
@@ -40,7 +40,7 @@ object QProbe {
           .flatMap(p => Option(p.getProperty("spark.job.description"))
             .orElse(Option(p.getProperty("callSite.short"))))
           .getOrElse(j.stageInfos.headOption.map(_.name).getOrElse("?"))
-        starts.put(j.jobId, (System.nanoTime(), tasks, desc.take(140)))
+        starts.put(j.jobId, (System.nanoTime(), tasks, desc.take(140), j.stageInfos.length))
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) stageCpu.merge(
@@ -60,7 +60,7 @@ object QProbe {
               Option(stageCpu.get(sid)).map(_._2).getOrElse(0)
           }.sum
           lines.add(
-            f"JOB ${j.jobId}%4d ${ms}%9.1f ms ${cpu}%7d cpums ${ran}%5d ran ${s._2}%6d tasks  ${s._3}")
+            f"JOB ${j.jobId}%4d ${ms}%9.1f ms ${cpu}%7d cpums ${ran}%5d ran ${s._2}%6d tasks ${s._4}%3d stages  ${s._3}")
         }
       }
     })

@@ -85,7 +85,7 @@ final class LakeIO(base: String, conf: Configuration) {
   /** Non-atomic-rename stores take the owner-token publish path (class doc).
     * `-Dgraft.lake.io.objectstore` forces it on local paths for tests.
     */
-  private def objectStoreMode: Boolean =
+  private[lake] def objectStoreMode: Boolean =
     sys.props.get(LakeIO.ForceObjectStoreProp).exists(_.toBoolean) ||
       LakeIO.ObjectStoreSchemes.contains(
         Option(basePath.toUri.getScheme).map(_.toLowerCase).getOrElse(""))

@@ -970,20 +970,8 @@ final class LakeTable(
     * (same bytes => same hash, so the order stays deterministic).
     */
   private def lwwMerge(old: DataFrame, upd: DataFrame): DataFrame =
-    lwwMerge(old, upd, None)
-
-  /** [[lwwMerge]] with an optional pre-agg key DROP (r22): groups whose
-    * `_key` appears in `dropKeys` are removed from the UNION before the
-    * aggregation — equivalent to the former post-agg left-anti (groups
-    * are key-disjoint, so dropping every member drops the group), but it
-    * keeps the agg output's physical layout intact for the bucket-aware
-    * write below (a post-agg shuffle join would re-partition the rows
-    * away from the bucket layout the write needs).
-    */
-  private def lwwMerge(
-      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame =
-    if (mergeMode == PartialMode) partialMerge(old, upd, dropKeys)
-    else overwriteMerge(old, upd, dropKeys)
+    if (mergeMode == PartialMode) partialMerge(old, upd)
+    else overwriteMerge(old, upd)
 
   /** Bucket-aware grouping for the LWW aggregations (r22, guide §2.4):
     * when [[writeCommit]] offers the commit's target write layout, the
@@ -1011,13 +999,10 @@ final class LakeTable(
       case None => unioned.groupBy(col(KeyCol))
     }
 
-  private def overwriteMerge(
-      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame = {
+  private def overwriteMerge(old: DataFrame, upd: DataFrame): DataFrame = {
     val oldTagged = old.withColumn(SeqCol, lit(0L))
     val updTagged = upd.withColumn(SeqCol, lit(1L))
-    val unioned0 = oldTagged.unionByName(updTagged, allowMissingColumns = true)
-    val unioned = dropKeys.fold(unioned0)(ks =>
-      unioned0.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti"))
+    val unioned = oldTagged.unionByName(updTagged, allowMissingColumns = true)
     val cols = unioned.columns.filter(_ != SeqCol)
     val hashIn = cols.map { c =>
       if (containsMap(unioned.schema(c).dataType)) to_json(col(c)) else col(c)
@@ -1051,14 +1036,11 @@ final class LakeTable(
     * not-carried (the classic partial-update caveat — Hudi shares it);
     * use the overwrite mode when null is a value.
     */
-  private def partialMerge(
-      old: DataFrame, upd: DataFrame, dropKeys: Option[DataFrame]): DataFrame = {
+  private def partialMerge(old: DataFrame, upd: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
     val oldTagged = old.withColumn(SeqCol, lit(0L))
     val updTagged = upd.withColumn(SeqCol, lit(1L))
-    val unionedAll = oldTagged.unionByName(updTagged, allowMissingColumns = true)
-    val unioned0 = dropKeys.fold(unionedAll)(ks =>
-      unionedAll.join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti"))
+    val unioned0 = oldTagged.unionByName(updTagged, allowMissingColumns = true)
     val unioned =
       if (unioned0.columns.contains(PtsCol)) unioned0
       else unioned0.withColumn(PtsCol, lit(null).cast(MapType(StringType, LongType)))
@@ -1138,7 +1120,8 @@ final class LakeTable(
       deltaRows = Some(df => df
         .withColumn(OpCol, when(col(delCol), lit(DeleteOp)).otherwise(lit(UpsertOp)))
         .drop(delCol)),
-      affectedFor = hintFor) { prev =>
+      affectedFor = hintFor,
+      offerLayout = false) { prev => // post-agg delete anti-join (see below)
       val ks = deleteKeys.select(KeyCol).distinct()
       // The bloom reflects PRE-batch state: a key this very batch upserts
       // must survive the prune, or upsert-then-delete-in-one-batch would
@@ -1153,11 +1136,13 @@ final class LakeTable(
     } { (old, inc) =>
       val ups = inc.filter(!col(delCol)).drop(delCol)
       val ks = inc.filter(col(delCol)).select(KeyCol)
-      // Delete keys drop PRE-agg (r22): equivalent to the former post-agg
-      // left-anti (on overlap deletes win either way — every member of a
-      // doomed key's group is removed, so the group never forms), and it
-      // keeps the bucket-aware agg's output layout for the write.
-      lwwMerge(old.drop(delCol), ups, Some(ks))
+      // The delete anti-join stays POST-agg: a pre-agg drop on the union
+      // gets pushed through the Union by the optimizer
+      // (PushLeftSemiLeftAntiThroughUnion-style rewrites), duplicating
+      // the pruned-keys broadcast subtree into BOTH branches — measured
+      // +3 broadcast-materialization jobs per commit on q113 (r22).
+      lwwMerge(old.drop(delCol), ups)
+        .join(broadcastIfSmall(ks), Seq(KeyCol), "left_anti")
     }
   }
 
@@ -1427,7 +1412,14 @@ final class LakeTable(
       // distinct-collect job, or None to fall back to computing it from
       // `inc` against this attempt's manifest (the merge hint's
       // prunable-manifest escape).
-      affectedFor: Option[Option[Manifest] => Option[Set[Int]]] = None)(
+      affectedFor: Option[Option[Manifest] => Option[Set[Int]]] = None,
+      // r22: whether the commit may run its LWW agg on the write's bucket
+      // layout (see bucketGrouped). Callers whose `merge` callback adds a
+      // post-agg join (merge()'s delete anti-join) must pass false — if
+      // that join ever planned as a shuffle join it would silently
+      // re-partition the rows off the layout the skipped write
+      // repartition relies on.
+      offerLayout: Boolean = true)(
       incomingFor: Option[Manifest] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = synchronized {
     // Entry idempotency scan and the incremental gates below share ONE
@@ -1567,7 +1559,7 @@ final class LakeTable(
         // and the write skips its own repartition. Not offered under
         // zorder (the range exchange is the layout there) or sortMode=none.
         offeredBucketLayout =
-          if (asDelta || !shuffle || zorderBy.nonEmpty) None
+          if (!offerLayout || asDelta || !shuffle || zorderBy.nonEmpty) None
           else Some((affected.size.max(1) * filesPerBucket, filesPerBucket > 1))
         bucketLayoutApplied = false
         val merged0 =
@@ -1731,6 +1723,15 @@ final class LakeTable(
         // sensitive (after rename(X→Y) + re-adding X, applying Y→X while
         // the live X existed duplicated the name and bricked every later
         // write; ColumnRenameSpec pins the scenario).
+        // Diagnostic only: dump the commit write's physical plan when the
+        // env var names a file prefix (plan evidence for the optimization
+        // rounds — never set on the bench path).
+        sys.env.get("GRAFT_EXPLAIN_WRITE").foreach { prefix =>
+          val f = new java.io.FileWriter(s"$prefix-v$version.txt", true)
+          try f.write(clustered.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) + "\n")
+          finally f.close()
+        }
         withJobDesc(s"write v$version")(
           clustered.toDF(
             clustered.columns.map(c => newRenames.getOrElse(c, c)).toIndexedSeq: _*)
@@ -1892,7 +1893,12 @@ final class LakeTable(
     if (!io.rename(srcDir, dest)) return false
     val written: Set[Int] =
       io.list(dest).collect { case BucketDirRe(b) => b.toInt }.toSet
-    if (written.isEmpty) { io.deleteRecursive(dest); return true } // empty slice
+    // r22 (ADVICE r21): an adopted leaf with NO bucket dirs means the
+    // staged write's layout drifted (bucket-dir naming/escape) — treating
+    // it as adopted would silently drop the partition's rows with no
+    // commit. Clean up and report failure so the caller re-dispatches the
+    // partition through the normal commit path.
+    if (written.isEmpty) { io.deleteRecursive(dest); return false }
     val manifest = Manifest(
       1L, commitId, numBuckets,
       written.map(b => b -> s"$relDir/$BucketCol=$b").toMap,
@@ -2201,9 +2207,13 @@ final class LakeTable(
     // usable in every file (see ColFooter). INT96 timestamps, FLBA-backed
     // decimals, or dropped/truncated binary bounds fall back to the
     // distributed agg below, which records the identical JSON.
-    val footerOk = footers.nonEmpty && written.forall(b =>
-      footers.get(b).exists(fs => fs.nonEmpty && fs.forall(ff =>
-        eligible.forall(c => ff.cols.get(c).exists(_.usable)))))
+    // `-Dgraft.lake.stats.noFooter=true` forces the agg fallback — the
+    // equivalence spec pins footer-vs-agg JSON equality through it, and
+    // it doubles as an emergency escape hatch.
+    val footerOk = !sys.props.get("graft.lake.stats.noFooter").exists(_.toBoolean) &&
+      footers.nonEmpty && written.forall(b =>
+        footers.get(b).exists(fs => fs.nonEmpty && fs.forall(ff =>
+          eligible.forall(c => ff.cols.get(c).exists(_.usable)))))
     val perBucket: Seq[(Int, NodeData, Seq[(String, NodeData)])] =
       if (footerOk) {
         written.toSeq.sorted.map { b =>

@@ -484,8 +484,9 @@ final class PartitionedLakeTable(
     * a batch touching FEW partitions still spreads over the cluster
     * (clustering by the partition columns alone collapsed a 2-leaf CDC
     * batch into 2 fat blocks — single-threaded consumers); sized to
-    * max(defaultParallelism, touched partitions): scale-adaptive, never a
-    * constant.
+    * defaultParallelism: scale-adaptive, never a constant (ADVICE r21:
+    * the initial-load fast path separately sizes to
+    * max(defaultParallelism, fresh partitions)).
     */
   private def stagedBatch(df: DataFrame): DataFrame =
     df.repartition(
@@ -522,6 +523,12 @@ final class PartitionedLakeTable(
       return
     }
     val cached = stagedBatch(updates).persist()
+    // Materialize the staged cache in ONE job BEFORE the concurrent
+    // per-partition consumers race on cold blocks — each racer re-runs
+    // the staging plan's stages (r22 probe: q113 went 7 → 16 jobs per
+    // leaf when the pre-pass moved off the cache and left it lazy).
+    // count() scans the cached batches without decoding rows.
+    cached.count()
     try {
       // r21 initial-load fast path: partitions with NO committed state
       // take ONE cross-partition write job + driver-side adoption
@@ -560,7 +567,13 @@ final class PartitionedLakeTable(
       values: Seq[String],
       commitId: String,
       dedupe: Boolean): Set[String] = {
+    // r22 (ADVICE r21): also slow-path on object-store schemes (adoption
+    // is a plain FileSystem rename — LakeIO's owner-token protocol never
+    // renames, and on s3a/gs a directory rename is a non-atomic
+    // copy+delete) and on filesPerBucket > 1 (the one-job load writes one
+    // file per bucket, losing the key-salted intra-bucket layout).
     if (zorderBy.nonEmpty || statsColumns.nonEmpty || bloomOnWrite ||
+        filesPerBucket > 1 || io.objectStoreMode ||
         mergeMode != LakeTable.OverwriteMode) return Set.empty
     val fresh = values.filter(v => partitionTable(v).latestVersion.isEmpty)
     if (fresh.size < 2) return Set.empty // one commit: nothing to batch
@@ -737,6 +750,12 @@ final class PartitionedLakeTable(
         col("_p"),
         pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets)))
       .persist()
+    // ONE materialization job before the concurrent routed merges race
+    // on cold cache blocks (see writePartitions): both frames under one
+    // count via a union of constant projections — each branch scans its
+    // own InMemoryRelation.
+    cachedUp.select(lit(1).as("c"))
+      .unionByName(delRows.select(lit(1).as("c"))).count()
     try {
       dispatchPartitions(targets, commitId) { (lt, v, cid) =>
         lt.merge(

@@ -1881,16 +1881,23 @@ object OpsQueries {
             Multimodal.dHashImagesBatched(base).toDF("doc_id", "decoded", "dhash"),
             idxDir, "doc_id", "dhash", 64)
         }
-        val copies = Multimodal.resizeImagesBatched(
-            base.filter(col("doc_id") % 5 === 0), 48, 48)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload"))
-        val fresh = Multimodal.renderSyntheticImages(
+        // r22 (VERDICT r21 #9): the PROBE batch rides the fused
+        // render→(resize)→dHash pipelines (zero PNG codec hops) — the
+        // same ImageFusionSpec-pinned chains q90 uses, bit-identical to
+        // the composed operators, so the calibrated maxHamming=8 gate
+        // holds. The stamped CORPUS index build above stays composed:
+        // its artifact (and `family` stamp) is untouched.
+        import Multimodal.RasterXform.Resize
+        val copySigs = Multimodal.renderDHashBatched(
+            ids.filter(col("doc_id") % 5 === 0), 64, 64, Seq(Resize(48, 48)))
+          .toDF("doc_id", "decoded", "dhash")
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("decoded"), col("dhash"))
+        val freshSigs = Multimodal.renderDHashBatched(
             ids.filter(col("doc_id") % 7 === 0)
               .select((col("doc_id") + lit(2000000L)).as("doc_id")), 64, 64)
-          .toDF("doc_id", "payload")
-        val batchSigs = Multimodal
-          .dHashImagesBatched(copies.unionByName(fresh))
           .toDF("doc_id", "decoded", "dhash")
+        val batchSigs = copySigs.unionByName(freshSigs)
         DedupDocs.hammingDedupeAgainstIndex(
             batchSigs, idxDir, "doc_id", "dhash", 64, maxHamming = 8)
           .select(col("d1"), col("d2"))
