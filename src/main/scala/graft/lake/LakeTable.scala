@@ -1766,10 +1766,31 @@ final class LakeTable(
         // r22: one bounded-pool footer pass per commit feeds BOTH bloom
         // sizing and the stats sidecar (see readFooters).
         val writtenSchema = LakeTable.physSchema(merged.schema, newRenames)
+        // Read footers only when they can actually serve someone: bloom
+        // sizing, or a stats sidecar whose EVERY eligible column could be
+        // footer-convertible (cheap Spark-type pre-check — e.g. INT96
+        // timestamps can never convert, so such commits skip the per-file
+        // footer round-trips entirely) and the escape hatch is off. A
+        // skipped-footer commit keeps correctness via the agg fallback.
+        val statPhys = statsColumns.map(c => newRenames.getOrElse(c, c))
+        val statEligible = statPhys.filter(c =>
+          writtenSchema.fields.exists(f => f.name == c && statable(f.dataType)))
+        def maybeConvertible(dt: DataType): Boolean = dt match {
+          case org.apache.spark.sql.types.TimestampType =>
+            spark.sessionState.conf.parquetOutputTimestampType ==
+              org.apache.spark.sql.internal.SQLConf
+                .ParquetOutputTimestampType.TIMESTAMP_MICROS
+          case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+          case _ => true // the other statable lanes map to INT32/INT64/FLOAT/DOUBLE/UTF-8
+        }
+        val footerStatsWanted =
+          !sys.props.get("graft.lake.stats.noFooter").exists(_.toBoolean) &&
+            statEligible.nonEmpty && statEligible.forall(c =>
+              maybeConvertible(writtenSchema.fields.find(_.name == c).get.dataType))
         val footers =
-          if (bloomOnWrite || statsColumns.nonEmpty)
+          if (bloomOnWrite || footerStatsWanted)
             readFooters(relDir, written,
-              statsColumns.map(c => newRenames.getOrElse(c, c)).toSet)
+              if (footerStatsWanted) statEligible.toSet else Set.empty)
           else Map.empty[Int, Seq[LakeTable.FileFooter]]
         val sidecars =
           if (bloomOnWrite) writeBloomSidecars(relDir, written, footers)

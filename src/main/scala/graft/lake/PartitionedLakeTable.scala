@@ -516,20 +516,26 @@ final class PartitionedLakeTable(
     val values = pairs.keys.toSeq
     writeMetaIfAbsent(partitionCols.map(c => updates.schema(c).dataType))
     if (values.size <= 1) {
-      dispatchPartitions(values, commitId) { (lt, v, cid) =>
-        write(lt, dropPartCols(updates.filter(partFilter(updates, v))), cid,
-          pairs.get(v))
-      }
+      // No staging EXCHANGE — but still persist the filtered slice
+      // (lazily: one consumer, no cold-block race): a zorder commit's
+      // lane-normalization collect and any publish-race retry re-evaluate
+      // the incoming plan, and an unstaged source would re-run in full.
+      val slices = values.map(v =>
+        v -> dropPartCols(updates.filter(partFilter(updates, v))).persist())
+      try dispatchPartitions(values, commitId) { (lt, v, cid) =>
+        write(lt, slices.find(_._1 == v).get._2, cid, pairs.get(v))
+      } finally slices.foreach(_._2.unpersist(blocking = false))
       return
     }
     val cached = stagedBatch(updates).persist()
-    // Materialize the staged cache in ONE job BEFORE the concurrent
-    // per-partition consumers race on cold blocks — each racer re-runs
-    // the staging plan's stages (r22 probe: q113 went 7 → 16 jobs per
-    // leaf when the pre-pass moved off the cache and left it lazy).
-    // count() scans the cached batches without decoding rows.
-    cached.count()
     try {
+      // Materialize the staged cache in ONE job BEFORE the concurrent
+      // per-partition consumers race on cold blocks — each racer re-runs
+      // the staging plan's stages (r22 probe: q113 went 7 → 16 jobs per
+      // leaf when the pre-pass moved off the cache and left it lazy).
+      // count() scans the cached batches without decoding rows. Inside
+      // the try so a failing materialization still unpersists.
+      cached.count()
       // r21 initial-load fast path: partitions with NO committed state
       // take ONE cross-partition write job + driver-side adoption
       // instead of one commit pipeline per partition — the dominant cost
@@ -729,12 +735,21 @@ final class PartitionedLakeTable(
     val targets =
       (upVals ++ hints.keys.filter(existing.contains)).distinct
     if (targets.size <= 1 && !hasGlobalDeletes) {
-      dispatchPartitions(targets, commitId) { (lt, v, cid) =>
-        lt.merge(
-          dropPartCols(updates.filter(partFilter(updates, v))),
-          delSel.filter(col("_p") === v).select(LakeTable.KeyCol),
-          cid,
-          hints.get(v))
+      // No staging EXCHANGE — but persist the filtered slices (lazily:
+      // one consumer, no cold-block race): merge's commit plan references
+      // the update source twice (ups branch + the in-batch semi-join) and
+      // the delete keys twice (prune + anti-join), and an unstaged source
+      // would re-run in full per reference.
+      val slices = targets.map { v =>
+        (v,
+          dropPartCols(updates.filter(partFilter(updates, v))).persist(),
+          delSel.filter(col("_p") === v).select(LakeTable.KeyCol).persist())
+      }
+      try dispatchPartitions(targets, commitId) { (lt, v, cid) =>
+        val (_, ups, dels) = slices.find(_._1 == v).get
+        lt.merge(ups, dels, cid, hints.get(v))
+      } finally slices.foreach { case (_, u, d) =>
+        u.unpersist(blocking = false); d.unpersist(blocking = false)
       }
       return
     }
@@ -750,13 +765,14 @@ final class PartitionedLakeTable(
         col("_p"),
         pmod(xxhash64(col(LakeTable.KeyCol)), lit(numBuckets)))
       .persist()
-    // ONE materialization job before the concurrent routed merges race
-    // on cold cache blocks (see writePartitions): both frames under one
-    // count via a union of constant projections — each branch scans its
-    // own InMemoryRelation.
-    cachedUp.select(lit(1).as("c"))
-      .unionByName(delRows.select(lit(1).as("c"))).count()
     try {
+      // ONE materialization job before the concurrent routed merges race
+      // on cold cache blocks (see writePartitions): both frames under one
+      // count via a union of constant projections — each branch scans its
+      // own InMemoryRelation. Inside the try so a failing materialization
+      // still unpersists.
+      cachedUp.select(lit(1).as("c"))
+        .unionByName(delRows.select(lit(1).as("c"))).count()
       dispatchPartitions(targets, commitId) { (lt, v, cid) =>
         lt.merge(
           dropPartCols(cachedUp.filter(partFilter(cachedUp, v))),

@@ -82,7 +82,17 @@ class FooterStatsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     val r = try f finally {
-      Thread.sleep(300) // let trailing job-start events drain (QProbe's protocol)
+      // Drain the async listener bus: poll until the count is stable for
+      // two consecutive 200 ms windows (bounded at 5 s) — a fixed sleep
+      // was timing-dependent under load.
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        val c = count.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
       spark.sparkContext.removeSparkListener(l)
     }
     (r, count.get())
