@@ -600,7 +600,13 @@ final class PartitionedLakeTable(
         // winning row equals the per-partition overwriteMerge against an
         // EMPTY snapshot — seq is the constant updates tag, the content-
         // hash tie-break covers the SAME tuple (payload columns in
-        // dropPartCols order) the slow path hashes.
+        // dropPartCols order) the slow path hashes. Order alignment
+        // (VERDICT r21 #5): the slow path hashes in UNIONED-frame order,
+        // but the fast path only ever replaces FRESH-partition commits,
+        // where the slow path's union starts from the empty `old` built
+        // from inc's own schema — i.e. exactly dropPartCols order. The
+        // two tie-breaks therefore pick the SAME winner; don't reuse this
+        // dedup for non-fresh partitions without re-deriving that.
         val hashIn = payloadCols.map { c =>
           if (LakeTable.containsMap(slice0.schema(c).dataType)) to_json(col(c))
           else col(c)

@@ -525,6 +525,37 @@ class LakeTableSpec extends SparkSpec {
     assert(lt.snapshot.filter(col("_key") === "k1").select("payload").as[String].head() == "v1b")
   }
 
+  test("bucket-aware agg writes keep the file layout (r22 offerLayout contract)") {
+    // The one-exchange upsert write SKIPS its own repartition, trusting
+    // the LWW agg's bucket layout — the failure mode of a misuse is
+    // silent file-count drift (tasks x buckets small files), so pin the
+    // layout: fpb=1 leaves EXACTLY one file per bucket dir per commit,
+    // fpb=3 salts at least one bucket into multiple files.
+    import scala.jdk.CollectionConverters._
+    def bucketFiles(dir: String): Seq[Int] = {
+      val data = java.nio.file.Paths.get(dir, "data")
+      val commit = java.nio.file.Files.list(data).iterator().next()
+      java.nio.file.Files.list(commit).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("b="))
+        .map(b => java.nio.file.Files.list(b).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")))
+    }
+    val d1 = tempDir("lake-layout1-").toString
+    val lt1 = new LakeTable(spark, d1, numBuckets = 4)
+    lt1.upsert((0 until 200).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val f1 = bucketFiles(d1)
+    assert(f1.nonEmpty && f1.forall(_ == 1),
+      s"fpb=1 upsert must leave ONE file per bucket dir, got $f1")
+    val d3 = tempDir("lake-layout3-").toString
+    val lt3 = new LakeTable(spark, d3, numBuckets = 2, filesPerBucket = 3)
+    lt3.upsert((0 until 200).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF(LakeTable.KeyCol, LakeTable.TsCol, "payload"))
+    val f3 = bucketFiles(d3)
+    assert(f3.exists(_ > 1),
+      s"fpb=3 upsert should salt buckets into multiple files, got $f3")
+  }
+
   test("snapshotAt reads historical versions until vacuumed") {
     val lt = new LakeTable(spark, tempDir("lake-").toString, numBuckets = 2)
     lt.upsert(rows(("a", 1L, "v1")))
